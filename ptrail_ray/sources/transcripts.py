@@ -1,0 +1,315 @@
+"""Transcript sources.
+
+Three ways to obtain the canonical transcript table
+(conv_id, turn_idx, role, text, tool, ts):
+
+1. ``read_transcripts(path)`` — read an existing Parquet table that is
+   already in canonical shape (the production path).
+2. ``derive_from_events(sf_dir)`` — deterministically derive transcripts
+   from the driver's synthetic ``events`` table. The *identical*
+   transformation is expressed in ANSI SQL (``TRANSCRIPTS_SQL``) so every
+   downstream pipeline is DuckDB-oracle-checkable: each conversation is
+   one user's event stream; ``turn_idx`` is the rank of (ts, event_id)
+   within the user. Analog of the reference's constructor-normalization
+   (``ptrail/core/TrajectoryDF.py:25-88``: rename → coerce → sort).
+3. ``synth_transcripts(...)`` — seeded generator with the FIXTURES.md
+   edge cases (single-turn convs, dup timestamps, zero deltas, empty +
+   non-ASCII text, hot/skewed conversations) for unit tests and benches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ptrail_ray.schema import (
+    CONV_ID,
+    ROLE,
+    TEXT,
+    TOOL,
+    TRANSCRIPT_COLUMNS,
+    TS,
+    TURN_IDX,
+)
+from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+# event_type → role mapping (must match ROLE_CASE_SQL below)
+ROLE_MAP = {
+    "click": "user",
+    "view": "user",
+    "purchase": "assistant",
+    "error": "tool",
+    "signup": "system",
+}
+
+ROLE_CASE_SQL = (
+    "CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user' "
+    "WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'tool' "
+    "WHEN 'signup' THEN 'system' ELSE 'user' END"
+)
+
+# The oracle-side derivation. Every oracle_sql() entry for a transcript
+# pipeline starts with ``WITH transcripts AS (...)`` using this text.
+TRANSCRIPTS_SQL = f"""
+    SELECT
+        'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+             AS INTEGER) AS turn_idx,
+        {ROLE_CASE_SQL} AS role,
+        props AS text,
+        CASE WHEN event_type = 'error'
+             THEN 'tool-' || CAST(event_id % 7 AS VARCHAR)
+             ELSE NULL END AS tool,
+        ts
+    FROM events
+"""
+
+# Slowly-changing dimension for the as-of/backfill join, derived from the
+# same events (signup/purchase events are "versions" of per-user state).
+# QUALIFY keeps (key, effective_ts) unique so as-of matches are
+# deterministic on both sides.
+SIDE_SCD_SQL = """
+    SELECT 'conv-' || CAST(user_id AS VARCHAR) AS key,
+           ts AS effective_ts,
+           value AS attr_num,
+           event_type AS attr_cat
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+"""
+
+
+def read_transcripts(path: str, **kwargs):
+    """Read a canonical transcript Parquet table (column-pruned)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS, **kwargs)
+
+
+def _project_events(batch: pa.Table) -> pa.Table:
+    """Stateless per-batch projection of events → transcript columns
+    (all but turn_idx, which needs per-conv ordering)."""
+    user_str = pc.cast(batch["user_id"], pa.string())
+    conv = pc.binary_join_element_wise(pa.scalar("conv-"), user_str, pa.scalar(""))
+
+    # role: dictionary-encode event_type, remap the (few) dictionary values
+    et = batch["event_type"]
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    dict_arr = pc.dictionary_encode(et)
+    new_vals = pa.array(
+        [ROLE_MAP.get(v.as_py(), "user") for v in dict_arr.dictionary],
+        type=pa.string(),
+    )
+    role = pc.take(new_vals, dict_arr.indices)
+
+    eid = batch["event_id"].to_numpy(zero_copy_only=False)
+    tool_str = pc.binary_join_element_wise(
+        pa.scalar("tool-"),
+        pc.cast(pa.array(eid % 7, type=pa.int64()), pa.string()),
+        pa.scalar(""),
+    )
+    tool = pc.if_else(
+        pc.equal(batch["event_type"], pa.scalar("error")),
+        tool_str,
+        pa.scalar(None, pa.string()),
+    )
+
+    return pa.table(
+        {
+            CONV_ID: conv,
+            "event_id": batch["event_id"],
+            ROLE: role,
+            TEXT: batch["props"],
+            TOOL: tool,
+            TS: batch["ts"],
+        }
+    )
+
+
+def _assign_turn_idx(table: pa.Table) -> pa.Table:
+    """Bucket kernel: rows sorted by (conv_id, ts, event_id) → dense
+    per-conversation turn_idx, drop the helper event_id."""
+    starts, lengths = conv_runs(table[CONV_ID])
+    n = table.num_rows
+    idx = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+    out = table.append_column(TURN_IDX, pa.array(idx, type=pa.int32()))
+    out = out.drop_columns(["event_id"])
+    return out.select(TRANSCRIPT_COLUMNS)
+
+
+def derive_from_events(sf_dir: str, *, num_buckets: int = 32):
+    """events.parquet → canonical transcripts Dataset (matches
+    TRANSCRIPTS_SQL exactly)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    ds = ds.map_batches(_project_events, batch_format="pyarrow")
+    return map_conv_buckets(
+        ds,
+        _assign_turn_idx,
+        num_buckets=num_buckets,
+        sort_keys=(CONV_ID, TS, "event_id"),
+    )
+
+
+def side_scd_from_events(sf_dir: str) -> pa.Table:
+    """Small SCD side table (driver-side, broadcast later). Matches
+    SIDE_SCD_SQL. Returned sorted by (key, effective_ts)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    mask = pc.is_in(
+        t["event_type"], value_set=pa.array(["signup", "purchase"])
+    )
+    t = t.filter(mask)
+    key = pc.binary_join_element_wise(
+        pa.scalar("conv-"), pc.cast(t["user_id"], pa.string()), pa.scalar("")
+    )
+    side = pa.table(
+        {
+            "key": key,
+            "effective_ts": t["ts"],
+            "attr_num": t["value"],
+            "attr_cat": t["event_type"],
+            "_eid": t["event_id"],
+        }
+    )
+    # keep-last per (key, effective_ts) by event_id — matches QUALIFY
+    idx = pc.sort_indices(
+        side,
+        sort_keys=[("key", "ascending"), ("effective_ts", "ascending"), ("_eid", "ascending")],
+    )
+    side = side.take(idx)
+    k = side["key"].to_numpy(zero_copy_only=False)
+    e = side["effective_ts"].to_numpy(zero_copy_only=False).astype("int64")
+    same_next = np.zeros(len(k), dtype=bool)
+    if len(k) > 1:
+        same_next[:-1] = (k[:-1] == k[1:]) & (e[:-1] == e[1:])
+    side = side.filter(pa.array(~same_next)).drop_columns(["_eid"])
+    return side
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic generator (tests / bench) — FIXTURES.md §1
+# ---------------------------------------------------------------------------
+
+_WORDS = np.array(
+    [
+        "the", "data", "ray", "batch", "arrow", "turn", "tool", "call",
+        "stream", "shuffle", "join", "window", "état", "naïve", "模型",
+        "δtemps", "schema", "plan", "actor", "block",
+    ]
+)
+_ROLES = np.array(["user", "assistant", "tool", "system"])
+_TOOLS = np.array(["search", "python", "browser", "calc", "none"])
+
+
+def synth_transcripts(
+    n_convs: int = 200,
+    mean_turns: int = 25,
+    *,
+    n_hot: int = 2,
+    hot_turns: int = 4000,
+    seed: int = 42,
+    gap_seconds: float = 120.0,
+) -> pa.Table:
+    """Seeded deterministic transcript table with FIXTURES.md edge cases.
+
+    Includes: conversations of exactly 1/2/3/4 turns (NaN-width
+    assertions), duplicate timestamps (Δt=0 → inf→NaN path), ts gaps >
+    ``gap_seconds`` (sessionization), exact duplicate rows (dedup),
+    empty and non-ASCII text, and ``n_hot`` oversized conversations
+    (skew/salting exercise). Rows are emitted SHUFFLED (not sorted) so
+    pipelines must establish ordering themselves.
+    """
+    rng = np.random.default_rng(seed)
+    sizes = np.clip(rng.geometric(1.0 / mean_turns, size=n_convs), 1, 50 * mean_turns)
+    # pinned edge-case sizes
+    for i, s in enumerate([1, 2, 3, 4]):
+        if n_convs > i:
+            sizes[i] = s
+    for i in range(n_hot):
+        if n_convs > 4 + i:
+            sizes[4 + i] = hot_turns
+
+    conv_ids, turn_idx, roles, texts, tools, ts = [], [], [], [], [], []
+    base = np.datetime64("2024-01-05T18:00:00", "us")  # Friday evening → weekend crossing
+    for c in range(n_convs):
+        m = int(sizes[c])
+        cid = f"conv-{c:06d}"
+        deltas = rng.integers(1, 30, size=m).astype("float64")
+        # inject long gaps (> gap_seconds) and zero deltas
+        gap_pos = rng.random(m) < 0.05
+        deltas[gap_pos] = gap_seconds * rng.uniform(1.5, 20, size=int(gap_pos.sum()))
+        dup_pos = rng.random(m) < 0.03
+        deltas[dup_pos] = 0.0
+        deltas[0] = 0.0
+        t0 = base + np.timedelta64(int(rng.integers(0, 90 * 86400)), "s")
+        tvals = t0 + np.cumsum(deltas * 1e6).astype("timedelta64[us]")
+
+        nw = rng.integers(0, 40, size=m)
+        txt = [
+            " ".join(rng.choice(_WORDS, size=k)) if k > 0 else ""
+            for k in nw
+        ]
+        rl = rng.choice(_ROLES, size=m)
+        tl = np.where(
+            rl == "tool", rng.choice(_TOOLS[:-1], size=m), None
+        )
+
+        conv_ids.append(np.repeat(cid, m))
+        turn_idx.append(np.arange(m, dtype=np.int32))
+        roles.append(rl)
+        texts.append(np.array(txt, dtype=object))
+        tools.append(tl)
+        ts.append(tvals)
+
+    table = pa.table(
+        {
+            CONV_ID: pa.array(np.concatenate(conv_ids), type=pa.string()),
+            TURN_IDX: pa.array(np.concatenate(turn_idx), type=pa.int32()),
+            ROLE: pa.array(np.concatenate(roles), type=pa.string()),
+            TEXT: pa.array(list(np.concatenate(texts)), type=pa.string()),
+            TOOL: pa.array(list(np.concatenate(tools)), type=pa.string()),
+            TS: pa.array(np.concatenate(ts), type=pa.timestamp("us")),
+        }
+    )
+    # exact duplicate rows (dedup fixture): duplicate ~0.5% of rows
+    n = table.num_rows
+    dup_idx = rng.choice(n, size=max(1, n // 200), replace=False)
+    dups = table.take(pa.array(np.sort(dup_idx)))
+    table = pa.concat_tables([table, dups])
+    # global shuffle so nothing downstream can assume input order
+    perm = rng.permutation(table.num_rows)
+    return table.take(pa.array(perm))
+
+
+def write_synth(
+    path: str,
+    *,
+    n_convs: int = 200,
+    mean_turns: int = 25,
+    seed: int = 42,
+    n_files: int = 4,
+    **kwargs,
+) -> str:
+    """Write a synthetic transcript table as a multi-file Parquet dir."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    t = synth_transcripts(n_convs=n_convs, mean_turns=mean_turns, seed=seed, **kwargs)
+    n = t.num_rows
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(t.slice(i * step, step), os.path.join(path, f"part-{i:04d}.parquet"))
+    return path

@@ -1,0 +1,398 @@
+"""Fused per-conversation window/derivative kernels (the engine core).
+
+Reference semantics being reproduced (SURVEY.md §1.3, citations into
+/root/reference):
+
+* per-entity first-row NaN padding — ``ptrail/features/helper_functions.py:175-189``
+* derivative chain ``x.diff() / delta_t`` with NaN widths 1/2/3 —
+  ``ptrail/features/kinematic_features.py:451-455`` (Speed), ``:511-514``
+  (Acceleration), ``:567-570`` (Jerk), ``:681-684`` (Bearing_Rate),
+  ``:736-739`` (Rate_of_bearing_rate)
+* every division is followed by ``±inf → NaN`` —
+  ``kinematic_features.py:456,515,571,685,740``
+* time deltas are signed fractional ``total_seconds()`` —
+  ``kinematic_features.py:449-450``
+* gap-threshold predicate ``delta_t > rate`` —
+  ``ptrail/preprocessing/helpers.py:89-95`` (drives sessionization)
+
+Recast dictionary (SURVEY.md §7.0): measure channel m1 = text length in
+characters (lat analog), m2 = text length in bytes (lon analog);
+Distance→delta_len, Speed→len_rate, Acceleration→len_accel, Jerk→len_jerk;
+Bearing→tok_delta, Bearing_Rate→tok_rate, Rate_of_bearing_rate→tok_accel;
+Distance_from_start→(elapsed_s, cum_len).
+
+Execution model: the whole chain is ONE fused vectorized kernel over a
+sorted conv-contiguous bucket (see stages/bucket.py). Unlike the
+reference — which runs one multiprocessing fan-out *per feature call*,
+re-pickling the frame each time (``kinematic_features.py:101,158,215-218``)
+— every feature here is a numpy expression over the bucket's Arrow
+arrays with NaN re-seeding at conversation boundaries, so adding a
+feature costs one vector op, not a shuffle.
+
+Features form an explicit dependency DAG (the reference auto-computes
+dependencies implicitly via KeyError fallbacks,
+``kinematic_features.py:462-481``; we resolve them topologically, once).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ptrail_ray.schema import CONV_ID, M1, M2, ROLE, TEXT, TOOL, TS, TURN_IDX
+from ptrail_ray.stages.bucket import conv_runs
+
+DEFAULT_GAP_SECONDS = 120.0
+DEFAULT_SEGMENT_SECONDS = 3600.0
+
+
+# ---------------------------------------------------------------------------
+# numpy primitives over the run structure
+# ---------------------------------------------------------------------------
+
+
+def group_diff(x: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Lag-1 difference, NaN at each conversation's first row.
+
+    Matches the reference's global ``.diff()`` masked at entity
+    boundaries (numerically identical per SURVEY.md §1.3-2).
+    """
+    out = np.empty(len(x), dtype=np.float64)
+    if len(x) == 0:
+        return out
+    out[0] = np.nan
+    np.subtract(x[1:], x[:-1], out=out[1:])
+    out[starts] = np.nan
+    return out
+
+
+def safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """Division with the reference's ±inf→NaN postcondition."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / den
+    out[~np.isfinite(out)] = np.nan
+    return out
+
+
+def broadcast_first(x: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-run first value broadcast to every row of the run."""
+    return np.repeat(x[starts], lengths)
+
+
+def group_cumsum(x: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-run cumulative sum (x must contain no NaN)."""
+    s = np.cumsum(x)
+    base = s[starts] - x[starts]
+    return s - np.repeat(base, lengths)
+
+
+def shifted_indices(
+    n: int, starts: np.ndarray, lengths: np.ndarray, k: int
+) -> pa.Array:
+    """Take-indices implementing a per-run shift by k (lag k>0 / lead k<0).
+
+    Out-of-run positions get a null index → null output under
+    ``pa.Table.take`` / ``pc.take``.
+    """
+    idx = np.arange(n, dtype=np.int64) - k
+    run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+    run_start = np.repeat(starts, lengths)
+    run_end = run_start + np.repeat(lengths, lengths)
+    invalid = (idx < run_start) | (idx >= run_end)
+    return pa.array(idx, type=pa.int64(), mask=invalid)
+
+
+# ---------------------------------------------------------------------------
+# feature registry (dependency DAG)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class KernelContext:
+    """Lazily-evaluated feature store for one sorted bucket."""
+
+    table: pa.Table
+    gap_seconds: float = DEFAULT_GAP_SECONDS
+    segment_seconds: float = DEFAULT_SEGMENT_SECONDS
+    _cache: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.starts, self.lengths = conv_runs(self.table[CONV_ID])
+        self.n = self.table.num_rows
+
+    def col_np(self, name: str) -> np.ndarray:
+        key = ("_np", name)
+        if key not in self._cache:
+            self._cache[key] = self.table[name].to_numpy(zero_copy_only=False)
+        return self._cache[key]
+
+    def ts_us(self) -> np.ndarray:
+        """Timestamps as int64 microseconds."""
+        key = ("_np", "_ts_us")
+        if key not in self._cache:
+            col = self.table[TS]
+            if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+                col = pc.cast(col, pa.timestamp("us"))
+            self._cache[key] = col.to_numpy(zero_copy_only=False).view("int64")
+        return self._cache[key]
+
+    def get(self, name: str):
+        if name not in self._cache:
+            spec = FEATURES[name]
+            for dep in spec.deps:
+                self.get(dep)
+            self._cache[name] = spec.fn(self)
+        return self._cache[name]
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    name: str
+    deps: tuple
+    fn: Callable[[KernelContext], "np.ndarray | pa.Array"]
+    dtype: pa.DataType
+
+
+FEATURES: dict[str, FeatureSpec] = {}
+
+
+def register(name: str, deps: tuple = (), dtype: pa.DataType = pa.float64()):
+    def deco(fn):
+        FEATURES[name] = FeatureSpec(name, deps, fn, dtype)
+        return fn
+
+    return deco
+
+
+# --- measure channels -------------------------------------------------------
+
+
+@register(M1, dtype=pa.int64())
+def _m1(ctx: KernelContext):
+    """Characters in text (lat-channel analog). Null text → 0."""
+    v = pc.utf8_length(ctx.table[TEXT])
+    return pc.coalesce(pc.cast(v, pa.int64()), pa.scalar(0, pa.int64()))
+
+
+@register(M2, dtype=pa.int64())
+def _m2(ctx: KernelContext):
+    """Bytes in text (lon-channel analog). Null text → 0."""
+    v = pc.binary_length(ctx.table[TEXT])
+    return pc.coalesce(pc.cast(v, pa.int64()), pa.scalar(0, pa.int64()))
+
+
+def _np_of(ctx: KernelContext, name: str) -> np.ndarray:
+    v = ctx.get(name)
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        v = v.to_numpy(zero_copy_only=False)
+    return np.asarray(v, dtype=np.float64)
+
+
+# --- first channel: delta_t and length-derivative chain ---------------------
+
+
+@register("delta_t")
+def _delta_t(ctx: KernelContext):
+    """Inter-turn seconds (Distance analog; NaN width 1)."""
+    return group_diff(ctx.ts_us().astype(np.float64), ctx.starts) / 1e6
+
+
+@register("delta_len", deps=(M1,))
+def _delta_len(ctx: KernelContext):
+    """Lag-1 Δ of m1 (Distance analog; NaN width 1)."""
+    return group_diff(_np_of(ctx, M1), ctx.starts)
+
+
+@register("elapsed_s")
+def _elapsed_s(ctx: KernelContext):
+    """Seconds since the conversation's first turn; first row NaN
+    (Distance_from_start analog — helper_functions.py:228-240)."""
+    ts = ctx.ts_us().astype(np.float64)
+    out = (ts - broadcast_first(ts, ctx.starts, ctx.lengths)) / 1e6
+    out[ctx.starts] = np.nan
+    return out
+
+
+@register("cum_len", deps=(M1,))
+def _cum_len(ctx: KernelContext):
+    """m1 growth since the first turn; first row NaN (Distance_from_start)."""
+    m1 = _np_of(ctx, M1)
+    out = m1 - broadcast_first(m1, ctx.starts, ctx.lengths)
+    out[ctx.starts] = np.nan
+    return out
+
+
+@register("len_rate", deps=("delta_len", "delta_t"))
+def _len_rate(ctx: KernelContext):
+    """delta_len / delta_t (Speed analog; NaN width 1) —
+    kinematic_features.py:451-456."""
+    return safe_div(ctx.get("delta_len"), ctx.get("delta_t"))
+
+
+@register("len_accel", deps=("len_rate", "delta_t"))
+def _len_accel(ctx: KernelContext):
+    """Δlen_rate / delta_t (Acceleration analog; NaN width 2) —
+    kinematic_features.py:511-515."""
+    return safe_div(group_diff(ctx.get("len_rate"), ctx.starts), ctx.get("delta_t"))
+
+
+@register("len_jerk", deps=("len_accel", "delta_t"))
+def _len_jerk(ctx: KernelContext):
+    """Δlen_accel / delta_t (Jerk analog; NaN width 3) —
+    kinematic_features.py:567-571."""
+    return safe_div(group_diff(ctx.get("len_accel"), ctx.starts), ctx.get("delta_t"))
+
+
+# --- second channel (Bearing chain analog) on m2 ----------------------------
+
+
+@register("tok_delta", deps=(M2,))
+def _tok_delta(ctx: KernelContext):
+    """Lag-1 Δ of m2 (Bearing analog; NaN width 1) —
+    helper_functions.py:343-356."""
+    return group_diff(_np_of(ctx, M2), ctx.starts)
+
+
+@register("tok_rate", deps=("tok_delta", "delta_t"))
+def _tok_rate(ctx: KernelContext):
+    """tok_delta.diff() / delta_t (Bearing_Rate analog; NaN width 2) —
+    kinematic_features.py:681-685."""
+    return safe_div(group_diff(ctx.get("tok_delta"), ctx.starts), ctx.get("delta_t"))
+
+
+@register("tok_accel", deps=("tok_rate", "delta_t"))
+def _tok_accel(ctx: KernelContext):
+    """Δtok_rate / delta_t (Rate_of_bearing_rate analog; NaN width 3) —
+    kinematic_features.py:736-740 (the normal, non-buggy path)."""
+    return safe_div(group_diff(ctx.get("tok_rate"), ctx.starts), ctx.get("delta_t"))
+
+
+# --- sessionization / segmentation ------------------------------------------
+
+
+@register("session_id", deps=("delta_t",), dtype=pa.int64())
+def _session_id(ctx: KernelContext):
+    """Gap-threshold sessionization: ``session_id = cumsum(delta_t > gap)``
+    per conversation. Same boundary predicate as the reference's gap test
+    (``preprocessing/helpers.py:89-95``: strict ``>``); the first turn's
+    NaN delta_t is not a gap, so sessions start at 0."""
+    dt = ctx.get("delta_t")
+    g = (dt > ctx.gap_seconds) & np.isfinite(dt)
+    return group_cumsum(g.astype(np.int64), ctx.starts, ctx.lengths)
+
+
+@register("seg_id", dtype=pa.int64())
+def _seg_id(ctx: KernelContext):
+    """Fixed-window segment id: floor(elapsed-from-first / window).
+
+    Implements the *documented intent* of the reference's
+    ``segment_traj_by_days`` (disjoint windows) — the reference's own
+    helper produces shrinking suffix segments due to a quirk
+    (``preprocessing/helpers.py:437-459``, see SURVEY.md §2.3); we follow
+    the intent, as documented there."""
+    ts = ctx.ts_us().astype(np.float64)
+    rel = (ts - broadcast_first(ts, ctx.starts, ctx.lengths)) / 1e6
+    return np.floor_divide(rel, ctx.segment_seconds).astype(np.int64)
+
+
+# --- lag / lead passthrough columns -----------------------------------------
+
+LAG_LEAD_SOURCES = {ROLE: pa.string(), TOOL: pa.string(), TS: pa.timestamp("us")}
+
+
+def _make_lag(col: str, k: int):
+    def fn(ctx: KernelContext):
+        idx = shifted_indices(ctx.n, ctx.starts, ctx.lengths, k)
+        src = ctx.table[col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pc.take(src, idx)
+
+    return fn
+
+
+for _col, _t in LAG_LEAD_SOURCES.items():
+    register(f"lag1_{_col}", dtype=_t)(_make_lag(_col, 1))
+    # leads are explicitly named lead_* and excluded from the leakage
+    # check (SURVEY.md §2.3 — no *feature* reads a future turn).
+    register(f"lead1_{_col}", dtype=_t)(_make_lag(_col, -1))
+
+DERIVATIVE_FEATURES = [
+    "delta_t",
+    "delta_len",
+    "elapsed_s",
+    "cum_len",
+    "len_rate",
+    "len_accel",
+    "len_jerk",
+    "tok_delta",
+    "tok_rate",
+    "tok_accel",
+]
+
+ALL_FEATURES = (
+    [M1, M2]
+    + DERIVATIVE_FEATURES
+    + ["session_id", "seg_id"]
+    + [f"lag1_{c}" for c in LAG_LEAD_SOURCES]
+    + [f"lead1_{c}" for c in LAG_LEAD_SOURCES]
+)
+
+
+# ---------------------------------------------------------------------------
+# bucket kernel
+# ---------------------------------------------------------------------------
+
+
+def compute_features(
+    table: pa.Table,
+    features: list[str] | None = None,
+    *,
+    gap_seconds: float = DEFAULT_GAP_SECONDS,
+    segment_seconds: float = DEFAULT_SEGMENT_SECONDS,
+) -> pa.Table:
+    """Append the requested feature columns to one sorted bucket.
+
+    ``table`` must be conv-contiguous and sorted by (conv_id, turn_idx,
+    ts) — established by ``stages.bucket.map_conv_buckets``.
+    """
+    features = list(features) if features is not None else list(ALL_FEATURES)
+    ctx = KernelContext(table, gap_seconds=gap_seconds, segment_seconds=segment_seconds)
+    for name in features:
+        v = ctx.get(name)
+        spec = FEATURES[name]
+        if isinstance(v, np.ndarray):
+            arr = pa.array(v, type=spec.dtype)
+        elif isinstance(v, (pa.Array, pa.ChunkedArray)):
+            arr = v if v.type == spec.dtype else pc.cast(v, spec.dtype)
+        else:  # pragma: no cover
+            arr = pa.array(v, type=spec.dtype)
+        table = table.append_column(name, arr)
+    return table
+
+
+def featurize(
+    ds,
+    features: list[str] | None = None,
+    *,
+    num_buckets: int = 32,
+    gap_seconds: float = DEFAULT_GAP_SECONDS,
+    segment_seconds: float = DEFAULT_SEGMENT_SECONDS,
+    **kwargs,
+):
+    """Dataset-level fused featurization: one shuffle, all kernels."""
+    from ptrail_ray.stages.bucket import map_conv_buckets
+
+    def fn(table: pa.Table) -> pa.Table:
+        return compute_features(
+            table,
+            features,
+            gap_seconds=gap_seconds,
+            segment_seconds=segment_seconds,
+        )
+
+    return map_conv_buckets(ds, fn, num_buckets=num_buckets, **kwargs)
