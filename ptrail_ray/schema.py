@@ -91,3 +91,34 @@ STATS_FEATURES = [
 def stats_ordered_cols() -> list[str]:
     """Wide stats-vector column order: ``{stat}_{feature}`` fixed order."""
     return [f"{s}_{f}" for f in STATS_FEATURES for s in STATS_STATS]
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Coerce canonical columns to TRANSCRIPT_SCHEMA dtypes.
+
+    Analog of the reference's constructor coercion
+    (``ptrail/core/TrajectoryDF.py:158-166``: lat/lon→float64,
+    DateTime→datetime64, traj_id→str) — done ONCE in a stateless
+    map_batches stage, enforced by Arrow thereafter. Extra columns pass
+    through untouched (the ``rest_of_columns`` contract,
+    ``TrajectoryDF.py:53-60``).
+    """
+    import pyarrow.compute as pc
+
+    for f in TRANSCRIPT_SCHEMA:
+        if f.name not in batch.column_names:
+            continue
+        col = batch[f.name]
+        if col.type == f.type:
+            continue
+        i = batch.column_names.index(f.name)
+        if pa.types.is_null(col.type):
+            batch = batch.set_column(i, f, pa.nulls(batch.num_rows, f.type))
+        else:
+            batch = batch.set_column(i, f, pc.cast(col, f.type))
+    return batch
+
+
+def normalize(ds):
+    """Dataset-level schema normalization (stateless, narrow)."""
+    return ds.map_batches(normalize_batch, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Exact distributed quantiles without materializing the column.
+
+The reference's IQR outlier filters need Q1/Q3 of a feature over the
+WHOLE dataset (``ptrail/preprocessing/filters.py:581-596,626-636`` —
+pandas ``quantile`` = linear interpolation between order statistics).
+Pulling the column to the driver is wrong at 10^12 rows, and sketches
+(t-digest) are approximate — parity needs exact values.
+
+Algorithm (sample → bracket → refine; 1 sample pass + 1 streaming
+count/collect pass, both narrow):
+
+1. sample ~``sample_size`` values uniformly per block → estimate a value
+   bracket [lo, hi] around each requested quantile, widened by the
+   sampling error bound;
+2. one ``map_batches`` pass emits, per block: the count of non-NaN values
+   below each bracket's lo, and the (few) values inside the bracket;
+3. the exact order statistics k = (n-1)q land inside the bracket with
+   overwhelming probability (checked; on miss the bracket is widened and
+   the pass re-run) → exact linear-interpolated quantile from the
+   collected values.
+
+Collected in-bracket values are O(n/sqrt(sample_size)) — for 10^12 rows
+and a 1M sample that's ~1e9/… still bounded by widening policy; at test
+scale it is a few thousand floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _linear_interp(sorted_vals: np.ndarray, k_float: float, offset: int) -> float:
+    """pandas/numpy 'linear' quantile from values covering ranks
+    [offset, offset+len)."""
+    lo_rank = int(np.floor(k_float))
+    hi_rank = int(np.ceil(k_float))
+    frac = k_float - lo_rank
+    lo_v = sorted_vals[lo_rank - offset]
+    hi_v = sorted_vals[hi_rank - offset]
+    return lo_v + (hi_v - lo_v) * frac
+
+
+def exact_quantiles(
+    ds, col: str, qs: list[float], *, sample_size: int = 65536, max_widen: int = 4
+) -> list[float]:
+    """Exact (linear-interpolation) quantiles of ``ds[col]``, NaN-skipped,
+    computed in two streaming passes. Matches ``pandas.Series.quantile``.
+    """
+    proj = ds.select_columns([col])
+
+    # pass 0: total non-NaN count + a uniform-ish sample (per-block head
+    # after hash-free systematic stride — deterministic)
+    def sample_block(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        stride = max(1, len(v) * 64 // max(1, sample_size))
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "sample": pa.array([v[::stride]], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = proj.map_batches(sample_block, batch_format="pyarrow").take_all()
+    n_total = int(sum(p["n"] for p in parts))
+    if n_total == 0:
+        return [float("nan")] * len(qs)
+    sample = np.sort(np.concatenate([np.asarray(p["sample"]) for p in parts]))
+
+    for attempt in range(max_widen + 1):
+        # bracket each quantile using sample order statistics ± slack
+        slack = max(3, int(len(sample) * 0.02 * (2**attempt)))
+        brackets = []
+        for q in qs:
+            j = int(q * (len(sample) - 1))
+            lo = sample[max(0, j - slack)]
+            hi = sample[min(len(sample) - 1, j + slack)]
+            if attempt == max_widen:
+                lo, hi = -np.inf, np.inf
+            brackets.append((lo, hi))
+        lo_arr = np.array([b[0] for b in brackets])
+        hi_arr = np.array([b[1] for b in brackets])
+
+        def count_collect(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            below = [int((v < lo).sum()) for lo in lo_arr]
+            inside = [v[(v >= lo) & (v <= hi)] for lo, hi in zip(lo_arr, hi_arr)]
+            return pa.table(
+                {
+                    "below": pa.array([below], pa.list_(pa.int64())),
+                    "inside": pa.array(
+                        [[x.tolist() for x in inside]], pa.list_(pa.list_(pa.float64()))
+                    ),
+                }
+            )
+
+        rows = proj.map_batches(count_collect, batch_format="pyarrow").take_all()
+        below_tot = np.sum([r["below"] for r in rows], axis=0)
+        out, ok = [], True
+        for i, q in enumerate(qs):
+            vals = np.sort(
+                np.concatenate(
+                    [np.asarray(r["inside"][i], dtype=np.float64) for r in rows]
+                )
+            )
+            k = q * (n_total - 1)
+            lo_rank, hi_rank = int(np.floor(k)), int(np.ceil(k))
+            offset = int(below_tot[i])
+            if lo_rank < offset or hi_rank >= offset + len(vals):
+                ok = False
+                break
+            out.append(_linear_interp(vals, k, offset))
+        if ok:
+            return out
+    raise RuntimeError("exact_quantiles failed to bracket")  # pragma: no cover

@@ -1,0 +1,134 @@
+"""Per-conversation aggregate features.
+
+Reference counterparts (SURVEY.md §2.7):
+
+* ``conv_stats``: per-conversation describe() over the feature columns →
+  ONE wide row per conversation with a fixed column order — the
+  ``generate_kinematic_stats`` + ``pivot_stats_df`` chain
+  (``ptrail/preprocessing/statistics.py:65-202``; column order pattern
+  ``ptrail/utilities/constants.py:34-43``). Percentiles are
+  numpy/pandas 'linear' interpolation like ``describe(percentiles=...)``.
+* ``conv_facts``: start/end ts, duration, turn count, distinct tools —
+  ``get_start_time/get_end_time/get_traj_duration/get_number_of_locations``
+  (``temporal_features.py:247-348``, ``kinematic_features.py:805-850``).
+
+Both run inside already-conv-contiguous buckets (stages/bucket.py), so
+they add NO shuffle beyond the engine's single exchange; the reference
+re-fans-out a multiprocessing pool per call. ``groupby().map_groups`` per
+conversation would pay a Python call per conv; here one vectorized numpy
+kernel handles every conversation in the bucket at once via reduceat /
+sorted-run percentile slicing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ptrail_ray.schema import (
+    CONV_ID,
+    STATS_FEATURES,
+    STATS_PERCENTILES,
+    TOOL,
+    TS,
+)
+from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+
+def _describe_runs(
+    v: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Per-run describe of one feature column (NaN-skipping), vectorized
+    over runs: percentiles p10/p25/p50/p75/p90, min, max, mean, std(ddof=1).
+    """
+    n_runs = len(starts)
+    out = {
+        k: np.full(n_runs, np.nan)
+        for k in ("p10", "p25", "p50", "p75", "p90", "min", "max", "mean", "std")
+    }
+    pct = np.array(STATS_PERCENTILES)
+    for r in range(n_runs):
+        seg = v[starts[r] : starts[r] + lengths[r]]
+        seg = seg[~np.isnan(seg)]
+        if len(seg) == 0:
+            continue
+        qs = np.percentile(seg, pct * 100)  # linear interpolation
+        out["p10"][r], out["p25"][r], out["p50"][r], out["p75"][r], out["p90"][r] = qs
+        out["min"][r] = seg.min()
+        out["max"][r] = seg.max()
+        out["mean"][r] = seg.mean()
+        out["std"][r] = seg.std(ddof=1) if len(seg) > 1 else np.nan
+    return out
+
+
+def conv_stats_kernel(
+    table: pa.Table, features: list[str] | None = None
+) -> pa.Table:
+    """Bucket kernel: one wide stats row per conversation, fixed column
+    order ``{stat}_{feature}`` (ORDERED_COLS pattern)."""
+    features = features or [f for f in STATS_FEATURES if f in table.column_names]
+    starts, lengths = conv_runs(table[CONV_ID])
+    conv_ids = table[CONV_ID].take(pa.array(starts))
+    cols: dict[str, pa.Array] = {CONV_ID: conv_ids}
+    for f in features:
+        v = table[f].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = _describe_runs(v, starts, lengths)
+        for stat in ("p10", "p25", "p50", "p75", "p90", "min", "max", "mean", "std"):
+            cols[f"{stat}_{f}"] = pa.array(d[stat], type=pa.float64())
+    return pa.table(cols)
+
+
+def conv_stats(ds, features: list[str] | None = None, *, num_buckets: int = 32):
+    """Dataset-level per-conversation stats vectors (wide)."""
+    return map_conv_buckets(
+        ds, lambda t: conv_stats_kernel(t, features), num_buckets=num_buckets
+    )
+
+
+def conv_facts_kernel(table: pa.Table) -> pa.Table:
+    """Bucket kernel: per-conversation scalar facts."""
+    starts, lengths = conv_runs(table[CONV_ID])
+    ends = starts + lengths - 1
+    conv_ids = table[CONV_ID].take(pa.array(starts))
+    ts = table[TS].to_numpy(zero_copy_only=False)
+    start_ts, end_ts = ts[starts], ts[ends]
+    dur = (end_ts - start_ts) / np.timedelta64(1, "s")
+
+    tool = table[TOOL].to_numpy(zero_copy_only=False)
+    grp = np.repeat(np.arange(len(starts)), lengths)
+    distinct_tools = (
+        pd.DataFrame({"g": grp, "t": tool}).groupby("g")["t"].nunique().to_numpy()
+    )
+
+    return pa.table(
+        {
+            CONV_ID: conv_ids,
+            "n_turns": pa.array(lengths, pa.int64()),
+            "start_ts": pa.array(start_ts, pa.timestamp("us")),
+            "end_ts": pa.array(end_ts, pa.timestamp("us")),
+            "duration_s": pa.array(dur, pa.float64()),
+            "n_distinct_tools": pa.array(distinct_tools, pa.int64()),
+        }
+    )
+
+
+def conv_facts(ds, *, num_buckets: int = 32):
+    """Per-conversation facts: n_turns, start/end ts, duration, distinct
+    tools."""
+    return map_conv_buckets(ds, conv_facts_kernel, num_buckets=num_buckets)
+
+
+def dataset_facts(ds) -> dict:
+    """Global dataset facts (the reference's __str__ aggregate,
+    TrajectoryDF.py:333-341): turn count, conversation count, time range."""
+    from ray.data.aggregate import Count, Max, Min
+
+    row = ds.aggregate(Count(), Min(TS), Max(TS))
+    n_convs = ds.select_columns([CONV_ID]).unique(CONV_ID)
+    return {
+        "n_turns": row["count()"],
+        "min_ts": row[f"min({TS})"],
+        "max_ts": row[f"max({TS})"],
+        "n_convs": len(n_convs),
+    }
