@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` BEFORE importing this module; nothing
+here (or in ptrail_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline on /root/testdata/sf0.001: derive the
+  canonical transcript table from ``events``, run the fused window-kernel
+  featurization (derivative chains, sessionization, lag/lead), temporal
+  extractors, and the point-in-time backfill join against the SCD side
+  table. Returns the resulting Dataset.
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
+* ``oracle_sql()`` — DuckDB-runnable ANSI SQL producing identical
+  results for every SQL-expressible query (identical column names;
+  floats NaN→NULL-normalized and, for aggregates/interpolants, rounded
+  to 6 dp on both sides).
 """
 
 from __future__ import annotations
@@ -20,25 +23,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from ptrail_ray.pipelines.flagship import flagship
+    from ptrail_ray.sources.transcripts import (
+        derive_from_events,
+        side_scd_from_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = derive_from_events(sf_dir, num_buckets=8)
+    side = side_scd_from_events(sf_dir)
+    return flagship(ds, side, num_buckets=8, gap_seconds=3600.0, asof_concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ptrail_ray.entry_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ptrail_ray.entry_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

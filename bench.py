@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract: prints ONE JSON line on stdout).
+
+Headline metric: wall seconds for the flagship featurization pipeline
+(derive transcripts → single conv-bucket shuffle → fused window kernels →
+temporal extractors → as-of backfill join → consume) over a deterministic
+synthetic transcript table (~2M turns, skewed conv sizes), reported as
+``value`` plus ``turns_per_sec``. Per-query timings for the driver's
+query registry run at $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+``--scaling``: run the headline twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input (page cache warmed) and print
+throughputs + scaling efficiency (the sandbox stand-in for the
+north_rule's N vs 4N-node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# synthetic bench corpus (deterministic; cached under /tmp)
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "40000"))
+BENCH_MEAN_TURNS = int(os.environ.get("BENCH_MEAN_TURNS", "45"))
+BENCH_SEED = 42
+BENCH_DIR = f"/tmp/ptrail_ray_bench/convs{BENCH_CONVS}_mt{BENCH_MEAN_TURNS}_s{BENCH_SEED}"
+
+# queries that are cheap enough to time at sf0.1 every round
+BENCH_QUERIES = [
+    "q_kinematics",
+    "q_sessionize",
+    "q_asof_backfill",
+    "q_conv_stats",
+    "q_gapfill_linear",
+    "q_doc_tokens",
+    "q_dedup_exact_docs",
+    "q_ann_cosine",
+]
+
+
+def ensure_bench_corpus() -> str:
+    if not os.path.isdir(BENCH_DIR) or not os.listdir(BENCH_DIR):
+        from ptrail_ray.sources.transcripts import write_synth
+
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        write_synth(
+            BENCH_DIR,
+            n_convs=BENCH_CONVS,
+            mean_turns=BENCH_MEAN_TURNS,
+            seed=BENCH_SEED,
+            n_files=32,
+            n_hot=8,
+            hot_turns=20000,
+        )
+    return BENCH_DIR
+
+
+def run_headline() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ptrail_ray.pipelines.flagship import flagship
+    from ptrail_ray.sources.transcripts import read_transcripts, side_scd_from_events
+
+    path = ensure_bench_corpus()
+    # warm page cache (untimed)
+    import pyarrow.parquet as pq
+
+    n_turns = sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows for f in os.listdir(path)
+    )
+    for f in os.listdir(path):
+        with open(os.path.join(path, f), "rb") as fh:
+            fh.read()
+
+    side = side_scd_from_events(SF_DIR)
+    num_buckets = max(32, NUM_CPUS * 4)
+
+    t0 = time.perf_counter()
+    ds = read_transcripts(path)
+    out = flagship(
+        ds, side, num_buckets=num_buckets, gap_seconds=120.0, asof_concurrency=max(2, NUM_CPUS // 4)
+    )
+    # consume without materializing on the driver: count via aggregate
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    assert rows >= n_turns  # sanity
+    return {"wall_s": wall, "turns": n_turns, "turns_per_sec": n_turns / wall}
+
+
+def run_queries() -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # fresh interpreter per level → fresh ray.init(num_cpus=N)
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                check=True,
+                env=env,
+            )
+            return json.loads(p.stdout.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "sec_8": lo["value"],
+                    "sec_32": hi["value"],
+                    "turns_per_sec_8": lo["turns_per_sec"],
+                    "turns_per_sec_32": hi["turns_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+
+    headline = run_headline()
+    queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
+    result = {
+        "metric": "flagship featurization wall-clock (derive->shuffle->window kernels->temporal->asof) over synthetic transcripts",
+        "value": round(headline["wall_s"], 3),
+        "unit": "sec",
+        "turns": headline["turns"],
+        "turns_per_sec": round(headline["turns_per_sec"], 1),
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,666 @@
+"""Driver-facing query registry: Ray pipelines + matching DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` has a Ray-Data implementation (callable
+``sf_dir -> Dataset | DataFrame``) and, where ANSI-SQL-expressible, an
+oracle in ``ORACLE_SQL`` producing identical row count / column names /
+values on the same parquet tables. Transcript queries derive their input
+from the ``events`` table via the shared ``TRANSCRIPTS_SQL`` CTE so both
+sides compute over byte-identical input (sources/transcripts.py).
+
+Float outputs are NaN→NULL-normalized (matching SQL NULL semantics) and
+aggregate/interpolated floats are rounded to 6 decimals on BOTH sides so
+value-hash comparison is robust to last-ulp accumulation-order
+differences (documented per query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ptrail_ray.schema import STATS_FEATURES, STATS_STATS, stats_ordered_cols
+from ptrail_ray.sources.transcripts import (
+    SIDE_SCD_SQL,
+    TRANSCRIPTS_SQL,
+    derive_from_events,
+    side_scd_from_events,
+)
+from ptrail_ray.functions.textstats import STOPWORDS
+
+GAP = 3600.0  # session gap for driver queries (seconds)
+SEG = 86400.0  # fixed-window segment width (seconds)
+RATE = 3600.0  # gap-fill sampling rate (seconds)
+HAMPEL_W = 5
+IQR_COL = "delta_t"
+MAXRATE_C = 2.0
+MINDT_C = 60.0
+
+W = "PARTITION BY conv_id ORDER BY turn_idx, ts"
+WF = f"{W} ROWS UNBOUNDED PRECEDING"
+
+# shared feature CTE chain (must mirror stages/kernels.py exactly)
+FEATURES_SQL = f"""
+transcripts AS ({TRANSCRIPTS_SQL}),
+f0 AS (
+  SELECT *, CAST(length(text) AS BIGINT) AS m1,
+         CAST(octet_length(encode(text)) AS BIGINT) AS m2,
+         date_diff('microsecond', lag(ts) OVER ({W}), ts)/1e6 AS delta_t,
+         date_diff('microsecond', first_value(ts) OVER ({WF}), ts)/1e6 AS rel_s,
+         row_number() OVER ({W}) AS rn,
+         first_value(CAST(length(text) AS BIGINT)) OVER ({WF}) AS first_m1
+  FROM transcripts
+),
+f1 AS (
+  SELECT *, m1 - lag(m1) OVER ({W}) AS delta_len,
+         m2 - lag(m2) OVER ({W}) AS tok_delta,
+         CASE WHEN rn = 1 THEN NULL ELSE rel_s END AS elapsed_s,
+         CASE WHEN rn = 1 THEN NULL ELSE CAST(m1 - first_m1 AS DOUBLE) END AS cum_len
+  FROM f0
+),
+f2 AS (SELECT *, delta_len / nullif(delta_t, 0) AS len_rate FROM f1),
+f3 AS (
+  SELECT *, (len_rate - lag(len_rate) OVER ({W})) / nullif(delta_t, 0) AS len_accel,
+         (tok_delta - lag(tok_delta) OVER ({W})) / nullif(delta_t, 0) AS tok_rate
+  FROM f2
+),
+feat AS (
+  SELECT *, (len_accel - lag(len_accel) OVER ({W})) / nullif(delta_t, 0) AS len_jerk,
+         (tok_rate - lag(tok_rate) OVER ({W})) / nullif(delta_t, 0) AS tok_accel,
+         CAST(sum(CASE WHEN delta_t > {GAP} THEN 1 ELSE 0 END) OVER ({WF}) AS BIGINT) AS session_id,
+         CAST(floor(rel_s / {SEG}) AS BIGINT) AS seg_id
+  FROM f3
+)
+"""
+
+KIN_COLS = [
+    "m1", "m2", "delta_t", "delta_len", "elapsed_s", "cum_len",
+    "len_rate", "len_accel", "len_jerk", "tok_delta", "tok_rate", "tok_accel",
+]
+
+
+# ---------------------------------------------------------------------------
+# result-normalization helpers (applied to the RAY side)
+# ---------------------------------------------------------------------------
+
+
+def nan_to_null(table: pa.Table) -> pa.Table:
+    """float64 NaN → Arrow null (SQL NULL equivalence for hashing)."""
+    for i, f in enumerate(table.schema):
+        if pa.types.is_floating(f.type):
+            col = table[i]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mask = pc.is_nan(col)
+            mask = pc.fill_null(mask, False)
+            table = table.set_column(i, f, pc.if_else(mask, pa.scalar(None, f.type), col))
+    return table
+
+
+def round_cols(table: pa.Table, cols: list[str], ndigits: int = 6) -> pa.Table:
+    for c in cols:
+        if c in table.column_names:
+            i = table.column_names.index(c)
+            table = table.set_column(
+                i, c, pc.round(table[i], ndigits=ndigits)
+            )
+    return table
+
+
+def finalize(ds_or_table, round_columns: list[str] | None = None):
+    """Normalize a Ray result for driver hashing: NaN→null (+rounding)."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if round_columns:
+            t = round_cols(t, round_columns)
+        return nan_to_null(t)
+
+    if isinstance(ds_or_table, pa.Table):
+        return fix(ds_or_table)
+    return ds_or_table.map_batches(fix, batch_format="pyarrow")
+
+
+def _featurized(sf_dir: str, num_buckets: int = 16):
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=num_buckets)
+    return featurize(
+        ds, num_buckets=num_buckets, gap_seconds=GAP, segment_seconds=SEG
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcript queries
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts(sf_dir):
+    return derive_from_events(sf_dir)
+
+
+def q_kinematics(sf_dir):
+    ds = _featurized(sf_dir)
+    return finalize(ds.select_columns(["conv_id", "turn_idx"] + KIN_COLS))
+
+
+def q_temporal(sf_dir):
+    from ptrail_ray.stages.temporal import add_temporal
+
+    ds = add_temporal(derive_from_events(sf_dir))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "date_str": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "day_of_week": t["Day_Of_Week"],
+                "weekend": t["Weekend"],
+                "time_of_day": t["Time_Of_Day"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir):
+    ds = _featurized(sf_dir)
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "session_id", "seg_id"])
+    )
+
+
+def q_session_stats(sf_dir):
+    from ptrail_ray.stages.bucket import map_conv_buckets
+    from ptrail_ray.stages.kernels import compute_features
+
+    ds = derive_from_events(sf_dir)
+
+    def kern(t: pa.Table) -> pa.Table:
+        # fused: sessionize + per-(conv, session) aggregate inside the
+        # bucket task — groups never span a bucket, so no second shuffle
+        t = compute_features(t, ["session_id"], gap_seconds=GAP)
+        df = t.select(["conv_id", "session_id", "ts"]).to_pandas()
+        g = df.groupby(["conv_id", "session_id"], sort=False)
+        out = g.agg(
+            n_turns=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
+        ).reset_index()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["duration_s"] = (out["end_ts"] - out["start_ts"]).dt.total_seconds()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+def q_asof_backfill(sf_dir):
+    from ptrail_ray.stages.asof import asof_join
+
+    ds = derive_from_events(sf_dir)
+    side = side_scd_from_events(sf_dir)
+    out = asof_join(ds, side, concurrency=2)
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "attr_num", "attr_cat"])
+    )
+
+
+def q_conv_facts(sf_dir):
+    from ptrail_ray.stages.stats import conv_facts
+
+    return finalize(conv_facts(derive_from_events(sf_dir)))
+
+
+def q_conv_stats(sf_dir):
+    from ptrail_ray.stages.stats import conv_stats
+
+    out = conv_stats(_featurized(sf_dir))
+    return finalize(out, round_columns=stats_ordered_cols())
+
+
+def q_filter_max_rate(sf_dir):
+    from ptrail_ray.stages.filters import filter_by_max
+
+    ds = _featurized(sf_dir)
+    out = filter_by_max(ds, "len_rate", MAXRATE_C)
+    return finalize(out.select_columns(["conv_id", "turn_idx", "len_rate"]))
+
+
+def q_filter_min_dt(sf_dir):
+    from ptrail_ray.stages.filters import filter_by_min
+
+    ds = _featurized(sf_dir)
+    out = filter_by_min(ds, "delta_t", MINDT_C)
+    return finalize(out.select_columns(["conv_id", "turn_idx", "delta_t"]))
+
+
+def q_filter_iqr(sf_dir):
+    from ptrail_ray.stages.filters import filter_outliers_by_iqr
+
+    ds = _featurized(sf_dir).materialize()
+    out = filter_outliers_by_iqr(ds, IQR_COL)
+    return finalize(out.select_columns(["conv_id", "turn_idx", IQR_COL]))
+
+
+def q_min_turns(sf_dir):
+    from ptrail_ray.stages.filters import remove_convs_with_less_turns
+
+    out = remove_convs_with_less_turns(derive_from_events(sf_dir), min_turns=50)
+    return out.select_columns(["conv_id", "turn_idx"])
+
+
+def q_dedup_turns(sf_dir):
+    from ptrail_ray.stages.filters import remove_duplicates
+
+    ds = derive_from_events(sf_dir)
+    doubled = ds.union(ds)
+    return remove_duplicates(doubled)
+
+
+def q_hampel(sf_dir):
+    from ptrail_ray.stages.filters import hampel_filter
+
+    ds = derive_from_events(sf_dir)
+
+    def add_m1(t: pa.Table) -> pa.Table:
+        m1 = pc.cast(
+            pc.coalesce(pc.utf8_length(t["text"]), pa.scalar(0, pa.int32())),
+            pa.float64(),
+        )
+        return t.append_column("m1f", m1)
+
+    out = hampel_filter(
+        ds.map_batches(add_m1, batch_format="pyarrow"), "m1f", window=HAMPEL_W
+    )
+    return out.select_columns(["conv_id", "turn_idx"])
+
+
+def q_lag_lead(sf_dir):
+    ds = _featurized(sf_dir)
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "lag1_role", "lead1_role", "lag1_tool", "lead1_tool"]
+    )
+
+
+def q_gapfill_linear(sf_dir):
+    from ptrail_ray.stages.gapfill import gapfill
+
+    out = gapfill(derive_from_events(sf_dir), RATE, "linear")
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "ts", "is_synthetic", "m1_ip"]),
+        round_columns=["m1_ip"],
+    )
+
+
+def q_dataset_facts(sf_dir):
+    from ptrail_ray.stages.stats import dataset_facts
+
+    facts = dataset_facts(derive_from_events(sf_dir))
+    return pa.table(
+        {
+            "n_turns": pa.array([facts["n_turns"]], pa.int64()),
+            "n_convs": pa.array([facts["n_convs"]], pa.int64()),
+            "min_ts": pa.array([facts["min_ts"]], pa.timestamp("us")),
+            "max_ts": pa.array([facts["max_ts"]], pa.timestamp("us")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# document / embedding queries (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir):
+    import os
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_doc_tokens(sf_dir):
+    from ptrail_ray.functions.textstats import add_text_stats
+
+    out = add_text_stats(_docs(sf_dir), concurrency=2)
+    return finalize(
+        out.select_columns(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_alpha_words", "n_digits"]
+        )
+    )
+
+
+def q_doc_quality(sf_dir):
+    from ptrail_ray.functions.textstats import add_text_stats
+
+    out = add_text_stats(_docs(sf_dir), concurrency=2)
+    return finalize(
+        out.select_columns(
+            ["doc_id", "stop_ratio", "mean_token_len", "quality"]
+        ),
+        round_columns=["stop_ratio", "mean_token_len"],
+    )
+
+
+def q_lang_id(sf_dir):
+    from ptrail_ray.functions.textstats import add_lang_id
+
+    out = add_lang_id(_docs(sf_dir), concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir):
+    from ptrail_ray.functions.textstats import add_fingerprint
+
+    return add_fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+
+
+def q_dedup_exact_docs(sf_dir):
+    from ptrail_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir))
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_word_jaccard_adjacent(sf_dir):
+    """Exact word-set Jaccard between doc i and doc i+1 (validates the
+    set-similarity kernel; pair generation via pair_id groupby — scalable,
+    no driver loop)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            words = sorted(set((text or "").split()))
+            rows.append((did, did, 0, words))
+            if did > 0:
+                rows.append((did - 1, did, 1, words))
+        return pd.DataFrame(rows, columns=["pair_id", "doc_id", "side", "words"])
+
+    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
+        if group["side"].nunique() < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        a = group[group["side"] == 0].iloc[0]
+        b = group[group["side"] == 1].iloc[0]
+        sa, sb = set(a["words"]), set(b["words"])
+        denom = len(sa | sb)
+        j = len(sa & sb) / denom if denom else 0.0
+        return pd.DataFrame(
+            {"doc_a": [a["doc_id"]], "doc_b": [b["doc_id"]], "jaccard": [round(j, 6)]}
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(pair_jaccard, batch_format="pandas")
+    )
+    return out
+
+
+def q_ann_cosine(sf_dir):
+    import os
+    import ray.data as rd
+    from ptrail_ray.functions.ann import brute_force_topk, _stack
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    queries = _stack(qdf["embedding"])
+    out = brute_force_topk(ds, queries, k=10)
+    out["sim"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim", "rank"]]
+
+
+def q_minhash_pairs(sf_dir):
+    from ptrail_ray.functions.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.3)
+    return finalize(
+        out.select_columns(["a", "b", "jaccard"]), round_columns=["jaccard"]
+    )
+
+
+def q_simhash_pairs(sf_dir):
+    from ptrail_ray.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_gapfill_cubic(sf_dir):
+    from ptrail_ray.stages.gapfill import gapfill
+
+    out = gapfill(derive_from_events(sf_dir), RATE, "cubic")
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "is_synthetic", "m1_ip"]),
+        round_columns=["m1_ip"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_STATS_AGG_SQL = ", ".join(
+    ", ".join(
+        [
+            f"round(quantile_cont({f}, 0.10), 6) AS p10_{f}",
+            f"round(quantile_cont({f}, 0.25), 6) AS p25_{f}",
+            f"round(quantile_cont({f}, 0.50), 6) AS p50_{f}",
+            f"round(quantile_cont({f}, 0.75), 6) AS p75_{f}",
+            f"round(quantile_cont({f}, 0.90), 6) AS p90_{f}",
+            f"round(min({f}), 6) AS min_{f}",
+            f"round(max({f}), 6) AS max_{f}",
+            f"round(avg({f}), 6) AS mean_{f}",
+            f"round(stddev_samp({f}), 6) AS std_{f}",
+        ]
+    )
+    for f in STATS_FEATURES
+)
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_DOCSTATS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t,
+         CAST(length(t) AS BIGINT) AS n_chars_calc,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(t, '[A-Za-z]+')) AS BIGINT) AS n_alpha_words,
+         CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digits,
+         len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+         CAST(length(list_aggregate(toks, 'string_agg', '')) AS BIGINT) AS tok_chars
+  FROM d
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "q_transcripts": f"WITH transcripts AS ({TRANSCRIPTS_SQL}) SELECT * FROM transcripts",
+    "q_kinematics": f"WITH {FEATURES_SQL} SELECT conv_id, turn_idx, "
+    + ", ".join(KIN_COLS)
+    + " FROM feat",
+    "q_temporal": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL})
+        SELECT conv_id, turn_idx,
+               strftime(ts, '%Y-%m-%d') AS date_str,
+               dayname(ts) AS day_of_week,
+               dayname(ts) IN ('Saturday', 'Sunday') AS weekend,
+               CASE WHEN hour(ts) <= 4 THEN 'Late Night'
+                    WHEN hour(ts) <= 8 THEN 'Early Morning'
+                    WHEN hour(ts) <= 12 THEN 'Morning'
+                    WHEN hour(ts) <= 16 THEN 'Noon'
+                    WHEN hour(ts) <= 20 THEN 'Evening'
+                    ELSE 'Night' END AS time_of_day
+        FROM transcripts""",
+    "q_sessionize": f"WITH {FEATURES_SQL} SELECT conv_id, turn_idx, session_id, seg_id FROM feat",
+    "q_session_stats": f"""
+        WITH {FEATURES_SQL}
+        SELECT conv_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               min(ts) AS start_ts, max(ts) AS end_ts,
+               date_diff('microsecond', min(ts), max(ts))/1e6 AS duration_s
+        FROM feat GROUP BY conv_id, session_id""",
+    "q_asof_backfill": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL}),
+        side AS ({SIDE_SCD_SQL})
+        SELECT t.conv_id, t.turn_idx, s.attr_num, s.attr_cat
+        FROM transcripts t
+        ASOF LEFT JOIN side s
+          ON t.conv_id = s.key AND t.ts >= s.effective_ts""",
+    "q_conv_facts": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL})
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               min(ts) AS start_ts, max(ts) AS end_ts,
+               date_diff('microsecond', min(ts), max(ts))/1e6 AS duration_s,
+               CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools
+        FROM transcripts GROUP BY conv_id""",
+    "q_conv_stats": f"WITH {FEATURES_SQL} SELECT conv_id, {_STATS_AGG_SQL} FROM feat GROUP BY conv_id",
+    "q_filter_max_rate": f"""
+        WITH {FEATURES_SQL}
+        SELECT conv_id, turn_idx, len_rate FROM feat
+        WHERE coalesce(len_rate, {MAXRATE_C} + 1) <= {MAXRATE_C}""",
+    "q_filter_min_dt": f"""
+        WITH {FEATURES_SQL}
+        SELECT conv_id, turn_idx, delta_t FROM feat
+        WHERE coalesce(delta_t, {MINDT_C} - 1) >= {MINDT_C}""",
+    "q_filter_iqr": f"""
+        WITH {FEATURES_SQL},
+        b AS (SELECT quantile_cont({IQR_COL}, 0.25) AS q1,
+                     quantile_cont({IQR_COL}, 0.75) AS q3 FROM feat)
+        SELECT conv_id, turn_idx, {IQR_COL} FROM feat, b
+        WHERE {IQR_COL} > q1 - 1.5*(q3-q1) AND {IQR_COL} < q3 + 1.5*(q3-q1)""",
+    "q_min_turns": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL})
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx, count(*) OVER (PARTITION BY conv_id) AS n
+          FROM transcripts) WHERE n >= 50""",
+    "q_dedup_turns": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL}),
+        doubled AS (SELECT * FROM transcripts UNION ALL SELECT * FROM transcripts)
+        SELECT DISTINCT * FROM doubled""",
+    "q_hampel": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL}),
+        f AS (SELECT conv_id, turn_idx, ts,
+                     CAST(length(coalesce(text,'')) AS DOUBLE) AS m1f
+              FROM transcripts),
+        h1 AS (SELECT *, median(m1f) OVER w AS med FROM f
+               WINDOW w AS ({W} ROWS BETWEEN {HAMPEL_W} PRECEDING AND {HAMPEL_W} FOLLOWING)),
+        h2 AS (SELECT *, abs(m1f - med) AS dev FROM h1),
+        h3 AS (SELECT *, median(dev) OVER w AS mad FROM h2
+               WINDOW w AS ({W} ROWS BETWEEN {HAMPEL_W} PRECEDING AND {HAMPEL_W} FOLLOWING))
+        SELECT conv_id, turn_idx FROM h3 WHERE NOT (dev > 3.0 * 1.4826 * mad)""",
+    "q_lag_lead": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL})
+        SELECT conv_id, turn_idx,
+               lag(role) OVER ({W}) AS lag1_role,
+               lead(role) OVER ({W}) AS lead1_role,
+               lag(tool) OVER ({W}) AS lag1_tool,
+               lead(tool) OVER ({W}) AS lead1_tool
+        FROM transcripts""",
+    "q_gapfill_linear": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL}),
+        f AS (SELECT conv_id, turn_idx, ts,
+                     CAST(length(coalesce(text,'')) AS BIGINT) AS m1,
+                     lead(ts) OVER ({W}) AS next_ts,
+                     lead(CAST(length(coalesce(text,'')) AS BIGINT)) OVER ({W}) AS next_m1
+              FROM transcripts),
+        orig AS (SELECT conv_id, turn_idx, ts, false AS is_synthetic,
+                        round(CAST(m1 AS DOUBLE), 6) AS m1_ip FROM f),
+        synth AS (SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
+                         ts + to_microseconds(CAST({RATE} * 1e6 AS BIGINT)) AS ts,
+                         true AS is_synthetic,
+                         round(CAST(m1 AS DOUBLE) + (next_m1 - m1) *
+                               ({RATE} / (date_diff('microsecond', ts, next_ts)/1e6)), 6) AS m1_ip
+                  FROM f
+                  WHERE date_diff('microsecond', ts, next_ts)/1e6 > {RATE})
+        SELECT * FROM orig UNION ALL SELECT * FROM synth""",
+    "q_dataset_facts": f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL})
+        SELECT CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               min(ts) AS min_ts, max(ts) AS max_ts
+        FROM transcripts""",
+    "q_doc_tokens": _DOCSTATS_SQL
+    + "SELECT doc_id, n_chars_calc, n_tokens, n_alpha_words, n_digits FROM s",
+    "q_doc_quality": _DOCSTATS_SQL
+    + f"""
+        SELECT doc_id,
+               round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens END, 6) AS stop_ratio,
+               round(CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE)/n_tokens END, 6) AS mean_token_len,
+               CAST(CASE WHEN n_tokens > 0 THEN
+                 (CASE WHEN coalesce(CAST(n_stop AS DOUBLE)/n_tokens, 0) > 0.05 THEN 1 ELSE 0 END)
+                 + (CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                 + (CASE WHEN n_chars_calc BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+                 ELSE 0 END AS BIGINT) AS quality
+        FROM s""",
+    "q_lang_id": f"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS toks FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0 AND
+                    CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)/len(toks) > 0.05
+                    THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM d""",
+    "q_fingerprint": """
+        SELECT doc_id,
+               md5(coalesce(list_aggregate(regexp_extract_all(coalesce(text,''), '\\S+'), 'string_agg', ' '), '')) AS fingerprint
+        FROM documents""",
+    "q_dedup_exact_docs": """
+        WITH f AS (SELECT doc_id,
+                          md5(coalesce(list_aggregate(regexp_extract_all(coalesce(text,''), '\\S+'), 'string_agg', ' '), '')) AS fingerprint
+                   FROM documents)
+        SELECT min(doc_id) AS doc_id, fingerprint FROM f GROUP BY fingerprint""",
+    "q_word_jaccard_adjacent": """
+        WITH d AS (SELECT doc_id,
+                          list_distinct(regexp_extract_all(coalesce(text,''), '\\S+')) AS words
+                   FROM documents),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.words AS wa, b.words AS wb
+              FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+        SELECT doc_a, doc_b,
+               round(CASE WHEN len(list_distinct(list_concat(wa, wb))) > 0
+                     THEN CAST(len(list_intersect(wa, wb)) AS DOUBLE) /
+                          len(list_distinct(list_concat(wa, wb)))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM p""",
+    "q_ann_cosine": """
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+              FROM s)
+        SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10""",
+}
+
+
+QUERIES = {
+    "q_transcripts": q_transcripts,
+    "q_kinematics": q_kinematics,
+    "q_temporal": q_temporal,
+    "q_sessionize": q_sessionize,
+    "q_session_stats": q_session_stats,
+    "q_asof_backfill": q_asof_backfill,
+    "q_conv_facts": q_conv_facts,
+    "q_conv_stats": q_conv_stats,
+    "q_filter_max_rate": q_filter_max_rate,
+    "q_filter_min_dt": q_filter_min_dt,
+    "q_filter_iqr": q_filter_iqr,
+    "q_min_turns": q_min_turns,
+    "q_dedup_turns": q_dedup_turns,
+    "q_hampel": q_hampel,
+    "q_lag_lead": q_lag_lead,
+    "q_gapfill_linear": q_gapfill_linear,
+    "q_dataset_facts": q_dataset_facts,
+    "q_doc_tokens": q_doc_tokens,
+    "q_doc_quality": q_doc_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_exact_docs": q_dedup_exact_docs,
+    "q_word_jaccard_adjacent": q_word_jaccard_adjacent,
+    "q_ann_cosine": q_ann_cosine,
+    # no SQL oracle (driver records rows-only checks):
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_gapfill_cubic": q_gapfill_cubic,
+}

@@ -95,5 +95,5 @@ def asof_join(
         fn_constructor_kwargs={"side_ref": side_ref, "key_col": key_col},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -150,6 +150,13 @@ def remove_duplicates(ds, *, num_buckets: int = 32):
         n = table.num_rows
         if n == 0:
             return table
+        # re-sort including text so equal rows are adjacent even when
+        # (conv_id, turn_idx, ts) ties carry different texts
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[(k, "ascending") for k in (CONV_ID, TURN_IDX, TS, TEXT)],
+        )
+        table = table.take(idx)
         same = np.ones(n, dtype=bool)
         same[0] = False
         for colname in (CONV_ID, TEXT):
