@@ -24,8 +24,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# synthetic bench corpus (deterministic; cached under /tmp)
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "40000"))
+# synthetic bench corpus (deterministic; cached under /tmp). Sized so the
+# 8-CPU level is compute-bound (scaling-efficiency measurement needs the
+# small cluster saturated, not overhead-bound).
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "640000"))
 BENCH_MEAN_TURNS = int(os.environ.get("BENCH_MEAN_TURNS", "45"))
 BENCH_SEED = 42
 BENCH_DIR = f"/tmp/ptrail_ray_bench/convs{BENCH_CONVS}_mt{BENCH_MEAN_TURNS}_s{BENCH_SEED}"
@@ -79,29 +81,54 @@ def run_headline() -> dict:
     from ptrail_ray.sources.transcripts import read_transcripts, side_scd_from_events
 
     path = ensure_bench_corpus()
-    # warm page cache (untimed)
-    import pyarrow.parquet as pq
+    # warm the page cache and the Ray session (worker imports, executor
+    # resource estimates) with an untimed PILOT run of the same pipeline
+    # over one input file — we measure compute + shuffle, not process
+    # spawn / first-touch I/O (bench methodology recorded in BASELINE.md)
+    import glob
 
-    n_turns = sum(
-        pq.read_metadata(os.path.join(path, f)).num_rows for f in os.listdir(path)
-    )
-    for f in os.listdir(path):
-        with open(os.path.join(path, f), "rb") as fh:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    n_turns = sum(pq.read_metadata(f).num_rows for f in files)
+    for f in files:
+        with open(f, "rb") as fh:
             fh.read()
 
     side = side_scd_from_events(SF_DIR)
     num_buckets = max(32, NUM_CPUS * 4)
+    asof_conc = max(2, NUM_CPUS // 4)
 
-    t0 = time.perf_counter()
-    ds = read_transcripts(path)
-    out = flagship(
-        ds, side, num_buckets=num_buckets, gap_seconds=120.0, asof_concurrency=max(2, NUM_CPUS // 4)
+    pilot = rd.read_parquet(
+        files[0],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        override_num_blocks=NUM_CPUS,
     )
-    # consume without materializing on the driver: count via aggregate
-    rows = out.count()
-    wall = time.perf_counter() - t0
-    assert rows >= n_turns  # sanity
-    return {"wall_s": wall, "turns": n_turns, "turns_per_sec": n_turns / wall}
+    flagship(pilot, side, num_buckets=NUM_CPUS, asof_concurrency=2).count()
+
+    # median of 3 timed runs (single-node Ray Data wall time is noisy;
+    # the median is the steady-state number)
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = flagship(
+            read_transcripts(path),
+            side,
+            num_buckets=num_buckets,
+            gap_seconds=120.0,
+            asof_concurrency=asof_conc,
+        )
+        rows = out.count()  # consume via aggregate — no driver materialization
+        walls.append(time.perf_counter() - t0)
+        assert rows >= n_turns
+    wall = sorted(walls)[1]
+    return {
+        "wall_s": wall,
+        "walls": [round(w, 3) for w in walls],
+        "turns": n_turns,
+        "turns_per_sec": n_turns / wall,
+    }
 
 
 def run_queries() -> dict[str, float]:
@@ -154,6 +181,7 @@ def main():
         "metric": "flagship featurization wall-clock (derive->shuffle->window kernels->temporal->asof) over synthetic transcripts",
         "value": round(headline["wall_s"], 3),
         "unit": "sec",
+        "runs": headline["walls"],
         "turns": headline["turns"],
         "turns_per_sec": round(headline["turns_per_sec"], 1),
         "queries": queries,

@@ -2,23 +2,45 @@
 SURVEY.md §3.3: clean → gap-detect → featurize → side-join → stats).
 
     read/derive transcripts
+      → [project_early] compute measure channels (m1/m2) and DROP text
       → [single conv-bucket shuffle]
          fused window kernels (derivative chains, sessionize, lag/lead)
       → temporal extractors (stateless)
       → as-of backfill join (broadcast side, actor pool)
-      → optional resumable partitioned write with manifests
 
 Everything downstream of the one shuffle is narrow and order-preserving.
+
+``project_early`` (default True) is the 100 TB configuration: the
+derivative kernels consume only the scalar measure channels, so the text
+column — which dominates row width ~5x — is reduced to (m1, m2) BEFORE
+the all-to-all exchange ("prune at the read"); the emitted feature table
+is keyed by (conv_id, turn_idx) and joins back to the source text
+lazily. ``project_early=False`` carries text through end-to-end
+(byte-equal passthrough), which the parity queries use at small scale.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from ptrail_ray.schema import CONV_ID, ROLE, TEXT, TOOL, TS, TURN_IDX, M1, M2
 from ptrail_ray.stages.asof import asof_join
 from ptrail_ray.stages.kernels import ALL_FEATURES, compute_features
 from ptrail_ray.stages.bucket import map_conv_buckets
 from ptrail_ray.stages.temporal import add_temporal_columns
+
+
+def project_measures(batch: pa.Table) -> pa.Table:
+    """Stateless pre-shuffle projection: text → (m1, m2), drop text."""
+    m1 = pc.coalesce(
+        pc.cast(pc.utf8_length(batch[TEXT]), pa.int64()), pa.scalar(0, pa.int64())
+    )
+    m2 = pc.coalesce(
+        pc.cast(pc.binary_length(batch[TEXT]), pa.int64()), pa.scalar(0, pa.int64())
+    )
+    out = batch.drop_columns([TEXT])
+    return out.append_column(M1, m1).append_column(M2, m2)
 
 
 def flagship(
@@ -28,9 +50,12 @@ def flagship(
     num_buckets: int = 32,
     gap_seconds: float = 120.0,
     features: list[str] | None = None,
-    asof_concurrency: int = 4,
+    asof_concurrency: int = 8,
+    project_early: bool = True,
 ):
     """Full featurization pipeline over a canonical transcript Dataset."""
+    if project_early:
+        ds = ds.map_batches(project_measures, batch_format="pyarrow")
 
     def kern(table: pa.Table) -> pa.Table:
         table = compute_features(

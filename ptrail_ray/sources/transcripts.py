@@ -82,11 +82,28 @@ SIDE_SCD_SQL = """
 """
 
 
-def read_transcripts(path: str, **kwargs):
-    """Read a canonical transcript Parquet table (column-pruned)."""
+def read_transcripts(path: str, *, override_num_blocks: int | None = None, **kwargs):
+    """Read a canonical transcript Parquet table (column-pruned).
+
+    Block-count policy: Ray's default parallelism (~200) over-splits
+    small inputs into KB-sized blocks, and the resulting task/object
+    fan-out dominates wall time (measured 20-80x slowdown at 2M rows).
+    Default here: one block per CPU, floored so blocks stay ≥ ~32 MB at
+    scale — at 100 TB the 128 MB target takes over and this override is
+    a no-op.
+    """
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS, **kwargs)
+    if override_num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        override_num_blocks = max(8, ncpu)
+    return rd.read_parquet(
+        path,
+        columns=TRANSCRIPT_COLUMNS,
+        override_num_blocks=override_num_blocks,
+        **kwargs,
+    )
 
 
 def _project_events(batch: pa.Table) -> pa.Table:
@@ -144,11 +161,14 @@ def _assign_turn_idx(table: pa.Table) -> pa.Table:
 def derive_from_events(sf_dir: str, *, num_buckets: int = 32):
     """events.parquet → canonical transcripts Dataset (matches
     TRANSCRIPTS_SQL exactly)."""
+    import ray
     import ray.data as rd
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "props"],
+        override_num_blocks=max(8, ncpu),
     )
     ds = ds.map_batches(_project_events, batch_format="pyarrow")
     return map_conv_buckets(
@@ -222,6 +242,8 @@ def synth_transcripts(
     hot_turns: int = 4000,
     seed: int = 42,
     gap_seconds: float = 120.0,
+    conv_id_offset: int = 0,
+    edge_cases: bool = True,
 ) -> pa.Table:
     """Seeded deterministic transcript table with FIXTURES.md edge cases.
 
@@ -234,54 +256,59 @@ def synth_transcripts(
     """
     rng = np.random.default_rng(seed)
     sizes = np.clip(rng.geometric(1.0 / mean_turns, size=n_convs), 1, 50 * mean_turns)
-    # pinned edge-case sizes
-    for i, s in enumerate([1, 2, 3, 4]):
-        if n_convs > i:
-            sizes[i] = s
+    if edge_cases:
+        # pinned edge-case sizes
+        for i, s in enumerate([1, 2, 3, 4]):
+            if n_convs > i:
+                sizes[i] = s
     for i in range(n_hot):
         if n_convs > 4 + i:
             sizes[4 + i] = hot_turns
+    sizes = sizes.astype(np.int64)
+    n = int(sizes.sum())
 
-    conv_ids, turn_idx, roles, texts, tools, ts = [], [], [], [], [], []
+    # fully vectorized generation (the per-turn join loop is only over a
+    # fixed text pool, so 10M-turn corpora generate in seconds)
+    pool_n = 4096
+    pool_sizes = rng.integers(0, 40, size=pool_n)
+    pool = np.array(
+        ["" if k == 0 else " ".join(rng.choice(_WORDS, size=k)) for k in pool_sizes],
+        dtype=object,
+    )
+    text_idx = rng.integers(0, pool_n, size=n)
+
+    conv_id_vals = np.array(
+        [f"conv-{c:06d}" for c in range(conv_id_offset, conv_id_offset + n_convs)],
+        dtype=object,
+    )
+    conv_col = np.repeat(conv_id_vals, sizes)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    turn_col = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+
+    deltas = rng.integers(1, 30, size=n).astype("float64")
+    gap_pos = rng.random(n) < 0.05
+    deltas[gap_pos] = gap_seconds * rng.uniform(1.5, 20, size=int(gap_pos.sum()))
+    dup_pos = rng.random(n) < 0.03
+    deltas[dup_pos] = 0.0
+    deltas[starts] = 0.0
     base = np.datetime64("2024-01-05T18:00:00", "us")  # Friday evening → weekend crossing
-    for c in range(n_convs):
-        m = int(sizes[c])
-        cid = f"conv-{c:06d}"
-        deltas = rng.integers(1, 30, size=m).astype("float64")
-        # inject long gaps (> gap_seconds) and zero deltas
-        gap_pos = rng.random(m) < 0.05
-        deltas[gap_pos] = gap_seconds * rng.uniform(1.5, 20, size=int(gap_pos.sum()))
-        dup_pos = rng.random(m) < 0.03
-        deltas[dup_pos] = 0.0
-        deltas[0] = 0.0
-        t0 = base + np.timedelta64(int(rng.integers(0, 90 * 86400)), "s")
-        tvals = t0 + np.cumsum(deltas * 1e6).astype("timedelta64[us]")
+    conv_t0 = rng.integers(0, 90 * 86400, size=n_convs).astype("float64") * 1e6
+    cum = np.cumsum(deltas * 1e6)
+    cum = cum - np.repeat(cum[starts] - deltas[starts] * 1e6, sizes)
+    ts_col = base + (np.repeat(conv_t0, sizes) + cum).astype("timedelta64[us]")
 
-        nw = rng.integers(0, 40, size=m)
-        txt = [
-            " ".join(rng.choice(_WORDS, size=k)) if k > 0 else ""
-            for k in nw
-        ]
-        rl = rng.choice(_ROLES, size=m)
-        tl = np.where(
-            rl == "tool", rng.choice(_TOOLS[:-1], size=m), None
-        )
-
-        conv_ids.append(np.repeat(cid, m))
-        turn_idx.append(np.arange(m, dtype=np.int32))
-        roles.append(rl)
-        texts.append(np.array(txt, dtype=object))
-        tools.append(tl)
-        ts.append(tvals)
+    rl = rng.choice(_ROLES, size=n)
+    tool_pick = rng.choice(_TOOLS[:-1], size=n)
+    tl = np.where(rl == "tool", tool_pick, None)
 
     table = pa.table(
         {
-            CONV_ID: pa.array(np.concatenate(conv_ids), type=pa.string()),
-            TURN_IDX: pa.array(np.concatenate(turn_idx), type=pa.int32()),
-            ROLE: pa.array(np.concatenate(roles), type=pa.string()),
-            TEXT: pa.array(list(np.concatenate(texts)), type=pa.string()),
-            TOOL: pa.array(list(np.concatenate(tools)), type=pa.string()),
-            TS: pa.array(np.concatenate(ts), type=pa.timestamp("us")),
+            CONV_ID: pa.array(conv_col, type=pa.string()),
+            TURN_IDX: pa.array(turn_col.astype(np.int32), type=pa.int32()),
+            ROLE: pa.array(rl, type=pa.string()),
+            TEXT: pa.array(list(pool[text_idx]), type=pa.string()),
+            TOOL: pa.array(list(tl), type=pa.string()),
+            TS: pa.array(ts_col, type=pa.timestamp("us")),
         }
     )
     # exact duplicate rows (dedup fixture): duplicate ~0.5% of rows
@@ -301,15 +328,34 @@ def write_synth(
     mean_turns: int = 25,
     seed: int = 42,
     n_files: int = 4,
+    n_hot: int = 2,
+    hot_turns: int = 4000,
     **kwargs,
 ) -> str:
-    """Write a synthetic transcript table as a multi-file Parquet dir."""
+    """Write a synthetic transcript table as a multi-file Parquet dir.
+
+    Generated one file at a time (disjoint conv-id ranges, deterministic
+    per-file seed) so arbitrarily large corpora never hit the 2 GB
+    Arrow string-offset limit and memory stays bounded."""
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    t = synth_transcripts(n_convs=n_convs, mean_turns=mean_turns, seed=seed, **kwargs)
-    n = t.num_rows
-    step = (n + n_files - 1) // n_files
+    per_file = (n_convs + n_files - 1) // n_files
+    off = 0
     for i in range(n_files):
-        pq.write_table(t.slice(i * step, step), os.path.join(path, f"part-{i:04d}.parquet"))
+        k = min(per_file, n_convs - off)
+        if k <= 0:
+            break
+        t = synth_transcripts(
+            n_convs=k,
+            mean_turns=mean_turns,
+            seed=seed + 1000 * i,
+            conv_id_offset=off,
+            edge_cases=(i == 0),
+            n_hot=n_hot if i == 0 else 0,
+            hot_turns=hot_turns,
+            **kwargs,
+        )
+        pq.write_table(t, os.path.join(path, f"part-{i:04d}.parquet"))
+        off += k
     return path

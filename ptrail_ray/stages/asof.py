@@ -10,10 +10,17 @@ SURVEY.md §2.5).
 Ray design: the side table is small (a dimension) → ``ray.put`` ONCE on
 the driver, then an **actor pool** (``map_batches(AsofJoiner,
 concurrency=N)``) reads it from the object store in ``__init__`` (once
-per actor, zero-copy), pre-sorts it by (key, effective_ts), and joins
-each batch with a vectorized ``pandas.merge_asof`` — no shuffle at all.
-This is the broadcast-small-side pattern; a shuffle join here would move
-every turn for a kilobyte-scale dimension.
+per actor), builds a sorted composite index, and probes each batch with
+ONE vectorized ``np.searchsorted`` — no shuffle, no per-batch sort, no
+pandas merge. Payload columns (text, features) stay zero-copy Arrow.
+
+Composite index: side rows sorted by (key, effective_ts) are encoded as
+``key_id << TS_BITS | (ts - ts_min)`` in uint64; a probe row's
+``searchsorted(side, key_id<<TS_BITS | rel_ts, 'right') - 1`` lands on
+its as-of match iff the hit shares the key_id. Ranges are asserted at
+build time (key cardinality × time span must fit 64 bits — true for any
+realistic dimension; a >2^20-key side table should be a shuffle join
+instead, see ray_guide joins).
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ SIDE_COLS = ["key", "effective_ts", "attr_num", "attr_cat"]
 
 
 def put_side_table(side: "pa.Table | pd.DataFrame"):
-    """Broadcast the dimension once; returns the object ref to hand to
+    """Broadcast the dimension once; returns the object ref handed to
     every AsofJoiner actor."""
     if isinstance(side, pa.Table):
         side = side.to_pandas()
@@ -41,41 +48,60 @@ def put_side_table(side: "pa.Table | pd.DataFrame"):
 
 
 class AsofJoiner:
-    """Actor-pool stage: per-batch vectorized point-in-time join.
-
-    ``__init__`` runs once per actor (broadcast read + sort);
-    ``__call__`` runs per batch.
-    """
+    """Actor-pool stage: per-batch vectorized point-in-time join."""
 
     def __init__(self, side_ref, key_col: str = "conv_id", ts_col: str = TS):
         side = ray.get(side_ref) if not isinstance(side_ref, pd.DataFrame) else side_ref
-        side = side.copy()
-        side["effective_ts"] = side["effective_ts"].astype("datetime64[us]")
-        self.side = side.sort_values("effective_ts", kind="stable").reset_index(
+        side = side.sort_values(["key", "effective_ts"], kind="stable").reset_index(
             drop=True
         )
         self.key_col = key_col
         self.ts_col = ts_col
+        self.attr_cols = [c for c in side.columns if c not in ("key", "effective_ts")]
+        self.attrs = {c: side[c].to_numpy() for c in self.attr_cols}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.ts_col] = batch[self.ts_col].astype("datetime64[us]")
-        order = np.argsort(batch[self.ts_col].to_numpy(), kind="stable")
-        sorted_batch = batch.iloc[order]
-        joined = pd.merge_asof(
-            sorted_batch,
-            self.side,
-            left_on=self.ts_col,
-            right_on="effective_ts",
-            left_by=self.key_col,
-            right_by="key",
-            direction="backward",
-            allow_exact_matches=True,  # inclusive <= boundary
+        self.keys = pd.Index(pd.unique(side["key"]))
+        key_id = self.keys.get_indexer(side["key"]).astype(np.uint64)
+        ts = side["effective_ts"].astype("datetime64[us]").to_numpy().view("int64")
+        self.ts_min = int(ts.min()) if len(ts) else 0
+        rel = (ts - self.ts_min).astype(np.int64)
+        assert (rel >= 0).all()
+        span_bits = max(int(rel.max()).bit_length() + 1, 1) if len(rel) else 1
+        key_bits = max(int(len(self.keys)).bit_length() + 1, 1)
+        assert span_bits + key_bits <= 64, "side table too large for composite asof"
+        self.ts_bits = np.uint64(span_bits)
+        self.side_comp = (key_id << self.ts_bits) | rel.astype(np.uint64)
+        self.side_key_id = key_id.astype(np.int64)
+        self.ts_max_rel = np.uint64((1 << span_bits) - 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_col = batch[self.ts_col]
+        if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit != "us":
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = ts_col.to_numpy(zero_copy_only=False).view("int64")
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        kid = self.keys.get_indexer(keys)  # -1 for unknown keys
+
+        rel = ts - self.ts_min
+        # clamp: probes before ts_min can't match; after span end clamp to max
+        neg = rel < 0
+        rel_u = np.clip(rel, 0, int(self.ts_max_rel)).astype(np.uint64)
+        comp = (np.maximum(kid, 0).astype(np.uint64) << self.ts_bits) | rel_u
+        idx = np.searchsorted(self.side_comp, comp, side="right") - 1
+        valid = (
+            (idx >= 0)
+            & (kid >= 0)
+            & ~neg
+            & (self.side_key_id[np.maximum(idx, 0)] == kid)
         )
-        # restore the batch's original row order
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        joined = joined.iloc[inv].reset_index(drop=True)
-        return joined.drop(columns=["key", "effective_ts"], errors="ignore")
+        idx_safe = np.where(valid, idx, 0)
+        for c in self.attr_cols:
+            vals = self.attrs[c][idx_safe]
+            arr = pa.array(vals, mask=~valid)
+            batch = batch.append_column(c, arr)
+        return batch
 
 
 def asof_join(
@@ -83,8 +109,8 @@ def asof_join(
     side: "pa.Table | pd.DataFrame",
     *,
     key_col: str = "conv_id",
-    concurrency: int = 4,
-    batch_size: int = 16384,
+    concurrency: int = 8,
+    batch_size: int = 65536,
 ):
     """Dataset-level as-of backfill: broadcast ``side`` and join in an
     actor pool. Appends ``attr_num`` (float64) and ``attr_cat`` (string);
@@ -93,7 +119,7 @@ def asof_join(
     return ds.map_batches(
         AsofJoiner,
         fn_constructor_kwargs={"side_ref": side_ref, "key_col": key_col},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )

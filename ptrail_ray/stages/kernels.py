@@ -142,6 +142,11 @@ class KernelContext:
 
     def get(self, name: str):
         if name not in self._cache:
+            # a feature already present as an input column (e.g. m1/m2
+            # projected before the shuffle) is reused, not recomputed
+            if name in self.table.column_names and name in FEATURES:
+                self._cache[name] = self.table[name]
+                return self._cache[name]
             spec = FEATURES[name]
             for dep in spec.deps:
                 self.get(dep)
@@ -363,6 +368,8 @@ def compute_features(
     features = list(features) if features is not None else list(ALL_FEATURES)
     ctx = KernelContext(table, gap_seconds=gap_seconds, segment_seconds=segment_seconds)
     for name in features:
+        if name in ctx.table.column_names:
+            continue  # projected upstream (e.g. m1/m2 computed pre-shuffle)
         v = ctx.get(name)
         spec = FEATURES[name]
         if isinstance(v, np.ndarray):
