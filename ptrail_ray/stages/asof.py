@@ -58,9 +58,10 @@ class AsofJoiner:
         self.key_col = key_col
         self.ts_col = ts_col
         self.attr_cols = [c for c in side.columns if c not in ("key", "effective_ts")]
-        self.attrs = {c: side[c].to_numpy() for c in self.attr_cols}
+        self.attrs = {c: pa.Array.from_pandas(side[c]) for c in self.attr_cols}
 
         self.keys = pd.Index(pd.unique(side["key"]))
+        self.keys_arr = pa.array(self.keys, type=pa.string())
         key_id = self.keys.get_indexer(side["key"]).astype(np.uint64)
         ts = side["effective_ts"].astype("datetime64[us]").to_numpy().view("int64")
         self.ts_min = int(ts.min()) if len(ts) else 0
@@ -81,8 +82,9 @@ class AsofJoiner:
         if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit != "us":
             ts_col = pc.cast(ts_col, pa.timestamp("us"))
         ts = ts_col.to_numpy(zero_copy_only=False).view("int64")
-        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        kid = self.keys.get_indexer(keys)  # -1 for unknown keys
+        # Arrow-native key lookup — no Python-object string conversion
+        kid_arr = pc.index_in(batch[self.key_col], value_set=self.keys_arr)
+        kid = pc.fill_null(kid_arr, -1).to_numpy(zero_copy_only=False).astype(np.int64)
 
         rel = ts - self.ts_min
         # clamp: probes before ts_min can't match; after span end clamp to max
@@ -96,11 +98,9 @@ class AsofJoiner:
             & ~neg
             & (self.side_key_id[np.maximum(idx, 0)] == kid)
         )
-        idx_safe = np.where(valid, idx, 0)
+        idx_arr = pa.array(np.where(valid, idx, 0), mask=~valid)
         for c in self.attr_cols:
-            vals = self.attrs[c][idx_safe]
-            arr = pa.array(vals, mask=~valid)
-            batch = batch.append_column(c, arr)
+            batch = batch.append_column(c, pc.take(self.attrs[c], idx_arr))
         return batch
 
 
@@ -109,17 +109,21 @@ def asof_join(
     side: "pa.Table | pd.DataFrame",
     *,
     key_col: str = "conv_id",
-    concurrency: int = 8,
+    concurrency: "int | tuple" = (1, 8),
     batch_size: int = 65536,
 ):
     """Dataset-level as-of backfill: broadcast ``side`` and join in an
     actor pool. Appends ``attr_num`` (float64) and ``attr_cat`` (string);
-    turns with no version at or before ``ts`` get nulls."""
+    turns with no version at or before ``ts`` get nulls.
+
+    ``concurrency``: an int pins the pool size (all actors spawn at
+    execution start — use for throughput runs); a (min, max) tuple
+    autoscales (use when CPU budget is tight)."""
     side_ref = put_side_table(side)
     return ds.map_batches(
         AsofJoiner,
         fn_constructor_kwargs={"side_ref": side_ref, "key_col": key_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=concurrency,
     )
