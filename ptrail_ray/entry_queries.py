@@ -664,3 +664,136 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_gapfill_cubic": q_gapfill_cubic,
 }
+
+
+# ---------------------------------------------------------------------------
+# projections / broadcast joins / grouped sums / embedding near-dup
+# ---------------------------------------------------------------------------
+
+FLAG_TOOLS = ["tool-0", "tool-1", "tool-2"]
+SEMI_KEYS = [f"conv-{i}" for i in range(50)]
+NEARDUP_MAX_ID = 2000
+NEARDUP_THRESHOLD = 0.35
+
+
+def q_turn_flags(sf_dir):
+    from ptrail_ray.stages.project import add_turn_flags
+
+    out = add_turn_flags(derive_from_events(sf_dir))
+    return out.select_columns(
+        ["conv_id", "turn_idx", "is_tool_turn"]
+        + [f"role_{r}" for r in ("user", "assistant", "tool", "system")]
+    )
+
+
+def q_props_extract(sf_dir):
+    from ptrail_ray.stages.project import ExtractNumeric
+
+    out = ExtractNumeric.stage(derive_from_events(sf_dir))
+    return out.select_columns(["conv_id", "turn_idx", "k_value"])
+
+
+def q_tool_flag(sf_dir):
+    from ptrail_ray.stages.project import membership_flag
+
+    out = membership_flag(derive_from_events(sf_dir), FLAG_TOOLS)
+    return out.select_columns(["conv_id", "turn_idx", "flagged"])
+
+
+def q_semi_join(sf_dir):
+    from ptrail_ray.stages.project import semi_join_keys
+
+    out = semi_join_keys(derive_from_events(sf_dir), SEMI_KEYS)
+    return out.select_columns(["conv_id", "turn_idx"])
+
+
+def q_anti_join(sf_dir):
+    from ptrail_ray.stages.project import semi_join_keys
+
+    out = semi_join_keys(derive_from_events(sf_dir), SEMI_KEYS, anti=True)
+    return out.select_columns(["conv_id", "turn_idx"])
+
+
+def q_conv_sums(sf_dir):
+    from ptrail_ray.stages.stats import conv_sums
+
+    out = conv_sums(derive_from_events(sf_dir))
+    return finalize(out, round_columns=["path_len", "active_s"])
+
+
+def q_embed_near_dup(sf_dir):
+    import os
+    import ray.data as rd
+    from ptrail_ray.functions.ann import cosine_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cosine_pairs(ds, threshold=NEARDUP_THRESHOLD, max_id=NEARDUP_MAX_ID)
+    out["sim"] = out["sim"].round(6)
+    return out
+
+
+_TOOL_LIST_SQL = "(" + ", ".join(f"'{t}'" for t in FLAG_TOOLS) + ")"
+_SEMI_LIST_SQL = "(" + ", ".join(f"'{k}'" for k in SEMI_KEYS) + ")"
+
+ORACLE_SQL.update(
+    {
+        "q_turn_flags": f"""
+            WITH transcripts AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx,
+                   role = 'tool' AS is_tool_turn,
+                   CAST(CASE WHEN role = 'user' THEN 1 ELSE 0 END AS BIGINT) AS role_user,
+                   CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS BIGINT) AS role_assistant,
+                   CAST(CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS BIGINT) AS role_tool,
+                   CAST(CASE WHEN role = 'system' THEN 1 ELSE 0 END AS BIGINT) AS role_system
+            FROM transcripts""",
+        "q_props_extract": f"""
+            WITH transcripts AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx,
+                   CAST(nullif(regexp_extract(coalesce(text, ''), '"k": ([0-9]+)', 1), '') AS BIGINT) AS k_value
+            FROM transcripts""",
+        "q_tool_flag": f"""
+            WITH transcripts AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx,
+                   CAST(CASE WHEN tool IN {_TOOL_LIST_SQL} THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM transcripts""",
+        "q_semi_join": f"""
+            WITH transcripts AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx FROM transcripts WHERE conv_id IN {_SEMI_LIST_SQL}""",
+        "q_anti_join": f"""
+            WITH transcripts AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx FROM transcripts WHERE conv_id NOT IN {_SEMI_LIST_SQL}""",
+        "q_conv_sums": f"""
+            WITH transcripts AS ({TRANSCRIPTS_SQL}),
+            f AS (
+              SELECT conv_id,
+                     CAST(length(coalesce(text,'')) AS BIGINT) AS m1,
+                     CAST(length(coalesce(text,'')) AS BIGINT)
+                       - lag(CAST(length(coalesce(text,'')) AS BIGINT)) OVER ({W}) AS delta_len,
+                     date_diff('microsecond', lag(ts) OVER ({W}), ts)/1e6 AS delta_t
+              FROM transcripts)
+            SELECT conv_id,
+                   round(coalesce(sum(abs(delta_len)), 0), 6) AS path_len,
+                   round(coalesce(sum(delta_t), 0), 6) AS active_s,
+                   CAST(sum(m1) AS BIGINT) AS total_chars
+            FROM f GROUP BY conv_id""",
+        "q_embed_near_dup": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id < {NEARDUP_MAX_ID})
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_THRESHOLD}""",
+    }
+)
+
+QUERIES.update(
+    {
+        "q_turn_flags": q_turn_flags,
+        "q_props_extract": q_props_extract,
+        "q_tool_flag": q_tool_flag,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+        "q_conv_sums": q_conv_sums,
+        "q_embed_near_dup": q_embed_near_dup,
+    }
+)

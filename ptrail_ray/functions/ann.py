@@ -152,3 +152,49 @@ def lsh_topk(
         for r, j in enumerate(order, 1):
             out.append((qi, int(ids[j]), float(sims[qi, j]), r))
     return pd.DataFrame(out, columns=["query_id", "vec_id", "sim", "rank"])
+
+
+def cosine_pairs(
+    ds, *, threshold: float = 0.35, max_id: int | None = None
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact).
+
+    The candidate id-range (``vec_id < max_id`` when given) is broadcast
+    as a normalized matrix; each batch computes one GEMM against it and
+    emits only pairs with ``sim >= threshold`` and ``a < b`` — so the
+    full n x n similarity matrix never materializes. At 100 TB the
+    broadcast side becomes the LSH-bucketed index (``lsh_topk``) and this
+    exact kernel runs per bucket; this function is the exact baseline the
+    approximate path is tested against.
+    """
+    sub = ds
+    if max_id is not None:
+        sub = sub.filter(expr=f"vec_id < {max_id}")
+    ref_pdf = sub.select_columns(["vec_id", "embedding"]).to_pandas()
+    ref_ids = ref_pdf["vec_id"].to_numpy()
+    ref_m = _normalize(_stack(ref_pdf["embedding"]))
+    ref_obj = ray.put((ref_ids, ref_m))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref_obj)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if max_id is not None:
+                batch = batch[batch["vec_id"] < max_id]
+            if len(batch) == 0:
+                return pd.DataFrame({"a": [], "b": [], "sim": []})
+            emb = _normalize(_stack(batch["embedding"]))
+            sims = emb @ self.m.T  # (nb, nref)
+            bids = batch["vec_id"].to_numpy()
+            rows_i, rows_j = np.nonzero(sims >= threshold)
+            a = bids[rows_i]
+            b = self.ids[rows_j]
+            keep = a < b
+            return pd.DataFrame(
+                {"a": a[keep], "b": b[keep], "sim": sims[rows_i, rows_j][keep]}
+            )
+
+    return ds.map_batches(
+        PairFinder, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()

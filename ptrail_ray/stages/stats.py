@@ -132,3 +132,45 @@ def dataset_facts(ds) -> dict:
         "max_ts": row[f"max({TS})"],
         "n_convs": len(n_convs),
     }
+
+
+def conv_sums_kernel(table: pa.Table) -> pa.Table:
+    """Bucket kernel: per-conversation path-length sums
+    (get_distance_travelled_by_traj_id analog, nansum semantics —
+    ptrail/features/kinematic_features.py:763-802): total absolute
+    text-length change, total inter-turn seconds, total characters."""
+    import pyarrow.compute as pc
+
+    from ptrail_ray.stages.kernels import KernelContext
+
+    ctx = KernelContext(table)
+    starts, lengths = ctx.starts, ctx.lengths
+    conv_ids = table[CONV_ID].take(pa.array(starts))
+    grp = np.repeat(np.arange(len(starts)), lengths)
+
+    dl = np.abs(ctx.get("delta_len"))
+    dt = ctx.get("delta_t")
+    m1 = np.asarray(
+        ctx.get("m1").to_numpy(zero_copy_only=False)
+        if hasattr(ctx.get("m1"), "to_numpy")
+        else ctx.get("m1"),
+        dtype=np.float64,
+    )
+    out = {
+        CONV_ID: conv_ids,
+        "path_len": pa.array(
+            np.bincount(grp, weights=np.nan_to_num(dl), minlength=len(starts))
+        ),
+        "active_s": pa.array(
+            np.bincount(grp, weights=np.nan_to_num(dt), minlength=len(starts))
+        ),
+        "total_chars": pa.array(
+            np.bincount(grp, weights=m1, minlength=len(starts)).astype(np.int64)
+        ),
+    }
+    return pa.table(out)
+
+
+def conv_sums(ds, *, num_buckets: int = 32):
+    """Per-conversation nansum aggregates over the lag-1 deltas."""
+    return map_conv_buckets(ds, conv_sums_kernel, num_buckets=num_buckets)

@@ -1,0 +1,89 @@
+"""Projection / broadcast-join / grouped-sum / near-dup operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ptrail_ray.stages.project import (
+    ExtractNumeric,
+    add_turn_flags,
+    membership_flag,
+    semi_join_keys,
+)
+from ptrail_ray.stages.stats import conv_sums
+
+
+def test_turn_flags(synth_ds, synth_pdf):
+    out = add_turn_flags(synth_ds).to_pandas()
+    assert (out["is_tool_turn"] == (out["role"] == "tool")).all()
+    for r in ("user", "assistant", "tool", "system"):
+        assert (out[f"role_{r}"] == (out["role"] == r).astype("int64")).all()
+
+
+def test_extract_numeric(ray_session):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4,
+            "turn_idx": np.arange(4, dtype=np.int32),
+            "role": "user",
+            "text": ['{"k": 12}', "no match", "", '{"k": 0}'],
+            "tool": None,
+            "ts": pd.date_range("2024-01-01", periods=4, freq="1min"),
+        }
+    )
+    out = ExtractNumeric.stage(rd.from_pandas(pdf), concurrency=1).to_pandas()
+    out = out.sort_values("turn_idx")
+    vals = out["k_value"].tolist()
+    assert vals[0] == 12 and vals[3] == 0
+    assert pd.isna(vals[1]) and pd.isna(vals[2])
+
+
+def test_membership_flag(synth_ds, synth_pdf):
+    out = membership_flag(synth_ds, ["search", "python"]).to_pandas()
+    exp = synth_pdf["tool"].isin(["search", "python"]).astype("int64")
+    got = out.sort_values(["conv_id", "turn_idx", "ts", "text"]).reset_index(drop=True)
+    ref = synth_pdf.assign(flagged=exp).sort_values(
+        ["conv_id", "turn_idx", "ts", "text"]
+    ).reset_index(drop=True)
+    assert (got["flagged"].to_numpy() == ref["flagged"].to_numpy()).all()
+
+
+def test_semi_anti_join(synth_ds, synth_pdf):
+    keys = list(synth_pdf["conv_id"].unique()[:10])
+    semi = semi_join_keys(synth_ds, keys).to_pandas()
+    anti = semi_join_keys(synth_ds, keys, anti=True).to_pandas()
+    assert set(semi["conv_id"]) == set(keys)
+    assert set(anti["conv_id"]).isdisjoint(keys)
+    assert len(semi) + len(anti) == len(synth_pdf)
+
+
+def test_conv_sums(synth_ds, synth_pdf):
+    out = conv_sums(synth_ds).to_pandas().set_index("conv_id").sort_index()
+    ref = synth_pdf.sort_values(["conv_id", "turn_idx", "ts"])
+    m1 = ref["text"].fillna("").str.len()
+    g = ref.assign(m1=m1).groupby("conv_id", sort=True)
+    exp_path = g["m1"].apply(lambda s: np.abs(np.diff(s.to_numpy())).sum())
+    exp_chars = g["m1"].sum()
+    assert np.allclose(out["path_len"], exp_path)
+    assert (out["total_chars"] == exp_chars).all()
+
+
+def test_cosine_pairs_exact(ray_session):
+    from ptrail_ray.functions.ann import cosine_pairs, _normalize
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(300, 16))
+    emb[7] = emb[3] + rng.normal(scale=0.05, size=16)  # planted near-dup
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": [e.tolist() for e in emb]}
+    )
+    out = cosine_pairs(rd.from_pandas(pdf), threshold=0.9)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (3, 7) in pairs
+    # oracle: brute numpy
+    en = _normalize(emb)
+    sims = en @ en.T
+    iu = np.triu_indices(300, 1)
+    exp = {(int(a), int(b)) for a, b in zip(iu[0], iu[1]) if sims[a, b] >= 0.9}
+    assert pairs == exp
