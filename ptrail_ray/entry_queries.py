@@ -118,7 +118,7 @@ def finalize(ds_or_table, round_columns: list[str] | None = None):
 
     if isinstance(ds_or_table, pa.Table):
         return fix(ds_or_table)
-    return ds_or_table.map_batches(fix, batch_format="pyarrow")
+    return ds_or_table.map_batches(fix, batch_format="pyarrow", batch_size=None)
 
 
 def _featurized(sf_dir: str, num_buckets: int = 16):
@@ -161,7 +161,7 @@ def q_temporal(sf_dir):
             }
         )
 
-    return ds.map_batches(proj, batch_format="pyarrow")
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=None)
 
 
 def q_sessionize(sf_dir):
@@ -269,7 +269,7 @@ def q_hampel(sf_dir):
         return t.append_column("m1f", m1)
 
     out = hampel_filter(
-        ds.map_batches(add_m1, batch_format="pyarrow"), "m1f", window=HAMPEL_W
+        ds.map_batches(add_m1, batch_format="pyarrow", batch_size=None), "m1f", window=HAMPEL_W
     )
     return out.select_columns(["conv_id", "turn_idx"])
 
@@ -388,7 +388,7 @@ def q_word_jaccard_adjacent(sf_dir):
 
     out = (
         _docs(sf_dir)
-        .map_batches(explode, batch_format="pandas")
+        .map_batches(explode, batch_format="pandas", batch_size=None)
         .groupby("pair_id")
         .map_groups(pair_jaccard, batch_format="pandas")
     )

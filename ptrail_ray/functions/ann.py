@@ -64,7 +64,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     partials = ds.map_batches(
         _PartialTopK,
         fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pandas",
+        batch_format="pandas", batch_size=None,
         concurrency=(1, 2),
     ).to_pandas()
     out = []
@@ -117,7 +117,7 @@ def lsh_topk(
     bucketed = ds.map_batches(
         _LshBucketer,
         fn_constructor_kwargs={"planes_ref": planes_ref},
-        batch_format="pandas",
+        batch_format="pandas", batch_size=None,
         concurrency=(1, 2),
     )
 
@@ -135,7 +135,7 @@ def lsh_topk(
         mask = [kk in want for kk in key]
         return batch[mask]
 
-    cand = bucketed.map_batches(probe, batch_format="pandas").to_pandas()
+    cand = bucketed.map_batches(probe, batch_format="pandas", batch_size=None).to_pandas()
     cand = cand.drop_duplicates(subset=["vec_id"])
     if len(cand) == 0:
         return pd.DataFrame(columns=["query_id", "vec_id", "sim", "rank"])
@@ -196,5 +196,5 @@ def cosine_pairs(
             )
 
     return ds.map_batches(
-        PairFinder, batch_format="pandas", concurrency=(1, 4)
+        PairFinder, batch_format="pandas", batch_size=None, concurrency=(1, 4)
     ).to_pandas()

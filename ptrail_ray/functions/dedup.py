@@ -64,7 +64,7 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         return group.sort_values(id_col, kind="stable").head(1)
 
     return (
-        ds.map_batches(fingerprint_batch, batch_format="pandas")
+        ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=None)
         .groupby("fingerprint")
         .map_groups(keep_min, batch_format="pandas")
     )
@@ -148,11 +148,11 @@ def minhash_lsh_pairs(
     sigged = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
+        batch_format="pandas", batch_size=None,
         concurrency=(1, 2),
     )
     band = sigged.map_batches(
-        lambda b: _band_rows(b, bands, rows_per_band), batch_format="pandas"
+        lambda b: _band_rows(b, bands, rows_per_band), batch_format="pandas", batch_size=None
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -193,7 +193,7 @@ def minhash_lsh_pairs(
             return batch[batch["jaccard"] >= jaccard_threshold]
 
     return pairs.map_batches(
-        Verify, batch_format="pandas", concurrency=(1, verify_concurrency)
+        Verify, batch_format="pandas", batch_size=None, concurrency=(1, verify_concurrency)
     )
 
 
@@ -225,7 +225,7 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def add_simhash(ds):
-    return ds.map_batches(simhash_batch, batch_format="pandas")
+    return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=None)
 
 
 def simhash_near_pairs(ds, *, max_hamming: int = 3):
@@ -252,7 +252,7 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
 
     return (
         add_simhash(ds)
-        .map_batches(explode, batch_format="pandas")
+        .map_batches(explode, batch_format="pandas", batch_size=None)
         .groupby(["blk", "sub"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["a", "b"])

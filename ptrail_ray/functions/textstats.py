@@ -122,4 +122,4 @@ def add_lang_id(ds, *, concurrency: int = 4, batch_size: int = 4096):
 
 
 def add_fingerprint(ds):
-    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+    return ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=None)

@@ -50,12 +50,26 @@ def flagship(
     num_buckets: int = 32,
     gap_seconds: float = 120.0,
     features: list[str] | None = None,
-    asof_concurrency: int = 8,
+    asof_concurrency: "int | tuple" = 8,
     project_early: bool = True,
+    hot_threshold: int | None = None,
 ):
-    """Full featurization pipeline over a canonical transcript Dataset."""
+    """Full featurization pipeline over a canonical transcript Dataset.
+
+    ``hot_threshold``: when set, a cheap partial-count pre-pass detects
+    conversations above the threshold and salts the exchange so each
+    gets a dedicated partition (stages/salt.py); ``None`` skips the
+    pre-pass (inputs known to be skew-bounded)."""
+    hot_convs = None
+    if hot_threshold is not None:
+        # detect on the RAW input so conv_id column pruning pushes down
+        # into the parquet read (before any UDF blocks pushdown)
+        from ptrail_ray.stages.salt import detect_hot_convs
+
+        hot_convs = detect_hot_convs(ds, hot_threshold)
+
     if project_early:
-        ds = ds.map_batches(project_measures, batch_format="pyarrow")
+        ds = ds.map_batches(project_measures, batch_format="pyarrow", batch_size=262144)
 
     def kern(table: pa.Table) -> pa.Table:
         table = compute_features(
@@ -63,7 +77,14 @@ def flagship(
         )
         return add_temporal_columns(table)
 
-    out = map_conv_buckets(ds, kern, num_buckets=num_buckets)
+    if hot_convs is not None:
+        from ptrail_ray.stages.salt import map_conv_buckets_salted
+
+        out = map_conv_buckets_salted(
+            ds, kern, num_buckets=num_buckets, hot_convs=hot_convs
+        )
+    else:
+        out = map_conv_buckets(ds, kern, num_buckets=num_buckets)
     if side is not None:
         out = asof_join(out, side, concurrency=asof_concurrency)
     return out

@@ -121,4 +121,4 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 def normalize(ds):
     """Dataset-level schema normalization (stateless, narrow)."""
-    return ds.map_batches(normalize_batch, batch_format="pyarrow")
+    return ds.map_batches(normalize_batch, batch_format="pyarrow", batch_size=None)

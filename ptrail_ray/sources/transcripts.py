@@ -170,7 +170,7 @@ def derive_from_events(sf_dir: str, *, num_buckets: int = 32):
         columns=["event_id", "ts", "user_id", "event_type", "props"],
         override_num_blocks=max(8, ncpu),
     )
-    ds = ds.map_batches(_project_events, batch_format="pyarrow")
+    ds = ds.map_batches(_project_events, batch_format="pyarrow", batch_size=262144)
     return map_conv_buckets(
         ds,
         _assign_turn_idx,

@@ -42,6 +42,10 @@ from ptrail_ray.schema import CONV_ID, TS, TURN_IDX
 
 BUCKET_COL = "_bucket"
 DEFAULT_NUM_BUCKETS = 32
+# Narrow pre-shuffle stages fuse with the parquet read, whose iterator
+# yields ~10k-row chunks; an explicit large batch_size coalesces them so
+# vectorized kernels run on ~256k-row batches, not thousands of slivers.
+BUCKET_ASSIGN_BATCH = 262144
 
 
 def stable_hash(values: np.ndarray | pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -116,7 +120,7 @@ def map_conv_buckets(
         return batch.append_column(BUCKET_COL, pa.array(bucket, type=pa.int32()))
 
     return (
-        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        ds.map_batches(_add_bucket, batch_format="pyarrow", batch_size=BUCKET_ASSIGN_BATCH)
         .groupby(BUCKET_COL)
         .map_groups(_wrapped, batch_format="pyarrow", **map_groups_kwargs)
     )

@@ -40,7 +40,7 @@ from ptrail_ray.stages.quantiles import exact_quantiles
 
 def _mask_batches(ds, fn):
     return ds.map_batches(
-        lambda t: t.filter(fn(t)), batch_format="pyarrow"
+        lambda t: t.filter(fn(t)), batch_format="pyarrow", batch_size=None
     )
 
 

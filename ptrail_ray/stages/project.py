@@ -45,7 +45,7 @@ def add_turn_flags(ds):
             )
         return batch
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 class ExtractNumeric:
@@ -78,7 +78,7 @@ class ExtractNumeric:
         return ds.map_batches(
             ExtractNumeric,
             fn_constructor_kwargs={"pattern": pattern, "out_col": out_col},
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
             concurrency=concurrency,
         )
 
@@ -93,7 +93,7 @@ def membership_flag(ds, values: list[str], *, col: str = TOOL, out_col: str = "f
         m = pc.fill_null(pc.is_in(batch[col], value_set=vals), False)
         return batch.append_column(out_col, pc.cast(m, pa.int64()))
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def semi_join_keys(ds, keys, *, col: str = CONV_ID, anti: bool = False):
@@ -108,4 +108,4 @@ def semi_join_keys(ds, keys, *, col: str = CONV_ID, anti: bool = False):
             m = pc.invert(m)
         return batch.filter(m)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -62,7 +62,7 @@ def exact_quantiles(
             }
         )
 
-    parts = proj.map_batches(sample_block, batch_format="pyarrow").take_all()
+    parts = proj.map_batches(sample_block, batch_format="pyarrow", batch_size=None).take_all()
     n_total = int(sum(p["n"] for p in parts))
     if n_total == 0:
         return [float("nan")] * len(qs)
@@ -96,7 +96,7 @@ def exact_quantiles(
                 }
             )
 
-        rows = proj.map_batches(count_collect, batch_format="pyarrow").take_all()
+        rows = proj.map_batches(count_collect, batch_format="pyarrow", batch_size=None).take_all()
         below_tot = np.sum([r["below"] for r in rows], axis=0)
         out, ok = [], True
         for i, q in enumerate(qs):

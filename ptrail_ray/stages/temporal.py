@@ -66,5 +66,5 @@ def add_temporal_columns(batch: pa.Table, ts_col: str = TS) -> pa.Table:
 def add_temporal(ds, ts_col: str = TS):
     """Append all five temporal columns in one fused stateless stage."""
     return ds.map_batches(
-        add_temporal_columns, batch_format="pyarrow", fn_kwargs={"ts_col": ts_col}
+        add_temporal_columns, batch_format="pyarrow", batch_size=None, fn_kwargs={"ts_col": ts_col}
     )

@@ -140,8 +140,8 @@ def write_resumable(
         )
 
     summary = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .map_batches(not_done, batch_format="pyarrow")
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=262144)
+        .map_batches(not_done, batch_format="pyarrow", batch_size=None)
         .groupby(BUCKET_COL)
         .map_groups(write_group, batch_format="pyarrow")
         .to_pandas()
