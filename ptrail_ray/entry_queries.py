@@ -797,3 +797,20 @@ QUERIES.update(
         "q_embed_near_dup": q_embed_near_dup,
     }
 )
+
+
+def q_kinematics_salted(sf_dir):
+    """Same feature chain via the skew-aware salted exchange — proves the
+    salted path is value-identical to the oracle (threshold low enough
+    that several conversations actually get dedicated partitions)."""
+    from ptrail_ray.stages.salt import featurize_salted
+
+    ds = derive_from_events(sf_dir)
+    out = featurize_salted(
+        ds, num_buckets=16, hot_threshold=60, gap_seconds=GAP
+    )
+    return finalize(out.select_columns(["conv_id", "turn_idx"] + KIN_COLS))
+
+
+ORACLE_SQL["q_kinematics_salted"] = ORACLE_SQL["q_kinematics"]
+QUERIES["q_kinematics_salted"] = q_kinematics_salted

@@ -104,6 +104,7 @@ def write_resumable(
     num_buckets: int = 32,
     lineage: str = "",
     resume: bool = True,
+    hot_convs: "list[str] | None" = None,
 ):
     """Run ``kernel_fn`` on conv-contiguous buckets and write each result
     bucket atomically with a manifest. Returns the per-bucket metrics.
@@ -117,9 +118,19 @@ def write_resumable(
 
     from ptrail_ray.stages.bucket import sort_bucket, stable_hash
 
+    import pyarrow.compute as pc
+
+    hot_arr = pa.array(sorted(hot_convs or []), type=pa.string())
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = stable_hash(batch["conv_id"])
         b = (h % np.uint64(num_buckets)).astype(np.int32)
+        if len(hot_arr):
+            # salted: hot conversations get dedicated partitions >= num_buckets
+            hot_idx = pc.fill_null(
+                pc.index_in(batch["conv_id"], value_set=hot_arr), -1
+            ).to_numpy(zero_copy_only=False)
+            b = np.where(hot_idx >= 0, num_buckets + hot_idx, b).astype(np.int32)
         return batch.append_column(BUCKET_COL, pa.array(b, pa.int32()))
 
     def not_done(batch: pa.Table) -> pa.Table:
