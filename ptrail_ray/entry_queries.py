@@ -814,3 +814,51 @@ def q_kinematics_salted(sf_dir):
 
 ORACLE_SQL["q_kinematics_salted"] = ORACLE_SQL["q_kinematics"]
 QUERIES["q_kinematics_salted"] = q_kinematics_salted
+
+
+def q_tumbling(sf_dir):
+    """Tumbling event-time window aggregate over the events stream
+    (streaming-shaped op; ray_guide 'Streaming-shaped workloads'):
+    per (user_id, 1h window): event count + value sum. Pre-aggregated
+    inside map_batches (combiner) so the groupby shuffles one row per
+    (user, window) per batch, not per event."""
+    import os
+    import ray
+    import ray.data as rd
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+        override_num_blocks=max(8, ncpu),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["win"] = batch["ts"].dt.floor("h")
+        g = batch.groupby(["user_id", "win"], sort=False)
+        out = g.agg(n=("value", "size"), sv=("value", "sum")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "win"], sort=False)
+            .agg(n_events=("n", "sum"), value_sum=("sv", "sum"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["value_sum"] = out["value_sum"].round(6)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=1 << 20)
+    return grouped_agg_by_bucket(parts, "user_id", merge, num_buckets=32)
+
+
+ORACLE_SQL["q_tumbling"] = """
+    SELECT user_id, date_trunc('hour', ts) AS win,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM events GROUP BY user_id, date_trunc('hour', ts)"""
+QUERIES["q_tumbling"] = q_tumbling

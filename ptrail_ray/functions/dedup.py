@@ -60,14 +60,16 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     content hash. One shuffle on the hash key."""
     from ptrail_ray.functions.textstats import fingerprint_batch
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col, kind="stable").head(1)
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
-    return (
-        ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=None)
-        .groupby("fingerprint")
-        .map_groups(keep_min, batch_format="pandas")
-    )
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within the bucket: sort once, first row per hash
+        return df.sort_values(["fingerprint", id_col], kind="stable").drop_duplicates(
+            "fingerprint", keep="first"
+        )
+
+    fp = ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=None)
+    return grouped_agg_by_bucket(fp, "fingerprint", keep_min, num_buckets=32)
 
 
 # ---------------------------------------------------------------------------
@@ -163,11 +165,23 @@ def minhash_lsh_pairs(
         pairs = list(itertools.combinations(ids, 2))
         return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
-    pairs = (
-        band.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    cand = band.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def add_pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df["pair_key"] = (
+            df["a"].astype("int64") * np.int64(1 << 32) + df["b"].astype("int64")
+        )
+        return df
+
+    pairs = grouped_agg_by_bucket(
+        cand.map_batches(add_pair_key, batch_format="pandas", batch_size=None),
+        "pair_key",
+        lambda df: df.drop_duplicates("pair_key").drop(columns=["pair_key"]),
+        num_buckets=16,
     )
 
     texts_ref = ray.put(
@@ -250,11 +264,24 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
                 out.append((a, b, d))
         return pd.DataFrame(out, columns=["a", "b", "hamming"])
 
-    return (
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    cand = (
         add_simhash(ds)
         .map_batches(explode, batch_format="pandas", batch_size=None)
         .groupby(["blk", "sub"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def add_pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df["pair_key"] = (
+            df["a"].astype("int64") * np.int64(1 << 32) + df["b"].astype("int64")
+        )
+        return df
+
+    return grouped_agg_by_bucket(
+        cand.map_batches(add_pair_key, batch_format="pandas", batch_size=None),
+        "pair_key",
+        lambda df: df.drop_duplicates("pair_key").drop(columns=["pair_key"]),
+        num_buckets=16,
     )

@@ -124,3 +124,42 @@ def map_conv_buckets(
         .groupby(BUCKET_COL)
         .map_groups(_wrapped, batch_format="pyarrow", **map_groups_kwargs)
     )
+
+
+def grouped_agg_by_bucket(
+    ds,
+    key_col: str,
+    agg_fn: Callable,
+    *,
+    num_buckets: int = 64,
+    partial_batch: int = 1 << 20,
+):
+    """Many-small-groups aggregation without per-group Python overhead.
+
+    Ray's ``groupby(key).aggregate(...)`` / ``map_groups`` pay a Python
+    call PER GROUP (~ms each — measured 30+s for 10k groups), which is
+    pathological for high-cardinality keys. This helper hash-buckets the
+    key into ``num_buckets`` coarse partitions and runs ONE vectorized
+    ``agg_fn`` (pandas/Arrow groupby inside) per bucket:
+
+        shuffle keyed on a small int; #Python calls == num_buckets.
+
+    ``agg_fn: DataFrame -> DataFrame`` receives all rows of a bucket
+    (every group fully contained) and aggregates internally.
+    """
+    import pandas as pd_  # noqa: F401
+
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
+        h = stable_hash(batch[key_col])
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    def per_bucket(df):
+        df = df.drop(columns=[BUCKET_COL])
+        return agg_fn(df)
+
+    return (
+        ds.map_batches(add_key_bucket, batch_format="pyarrow", batch_size=partial_batch)
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )

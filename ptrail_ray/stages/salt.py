@@ -59,17 +59,17 @@ def detect_hot_convs(ds, threshold: int = DEFAULT_HOT_THRESHOLD) -> list[str]:
         )
         return out.filter(pc.greater_equal(out["n"], pa.scalar(floor)))
 
-    agg = (
-        ds.select_columns([CONV_ID])
-        .map_batches(partial_counts, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby(CONV_ID)
-        .sum("n")
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def merge(df):
+        tot = df.groupby(CONV_ID, sort=False)["n"].sum()
+        tot = tot[tot > threshold]
+        return tot.reset_index()
+
+    parts = ds.select_columns([CONV_ID]).map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=1 << 20
     )
-    hot = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["sum(n)"], pa.scalar(threshold))),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+    hot = grouped_agg_by_bucket(parts, CONV_ID, merge, num_buckets=16)
     return sorted(r[CONV_ID] for r in hot.take_all())
 
 
