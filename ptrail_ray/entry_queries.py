@@ -102,8 +102,10 @@ def round_cols(table: pa.Table, cols: list[str], ndigits: int = 6) -> pa.Table:
     for c in cols:
         if c in table.column_names:
             i = table.column_names.index(c)
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (the SQL side does the
+            # same) so bitwise value-hashing can't diverge on signed zero
             table = table.set_column(
-                i, c, pc.round(table[i], ndigits=ndigits)
+                i, c, pc.add(pc.round(table[i], ndigits=ndigits), pa.scalar(0.0))
             )
     return table
 
@@ -404,7 +406,7 @@ def q_ann_cosine(sf_dir):
     qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
     queries = _stack(qdf["embedding"])
     out = brute_force_topk(ds, queries, k=10)
-    out["sim"] = out["sim"].round(6)
+    out["sim"] = out["sim"].round(6) + 0.0
     return out[["query_id", "vec_id", "sim", "rank"]]
 
 
@@ -440,15 +442,15 @@ def q_gapfill_cubic(sf_dir):
 _STATS_AGG_SQL = ", ".join(
     ", ".join(
         [
-            f"round(quantile_cont({f}, 0.10), 6) AS p10_{f}",
-            f"round(quantile_cont({f}, 0.25), 6) AS p25_{f}",
-            f"round(quantile_cont({f}, 0.50), 6) AS p50_{f}",
-            f"round(quantile_cont({f}, 0.75), 6) AS p75_{f}",
-            f"round(quantile_cont({f}, 0.90), 6) AS p90_{f}",
-            f"round(min({f}), 6) AS min_{f}",
-            f"round(max({f}), 6) AS max_{f}",
-            f"round(avg({f}), 6) AS mean_{f}",
-            f"round(stddev_samp({f}), 6) AS std_{f}",
+            f"round(quantile_cont({f}, 0.10), 6) + 0.0 AS p10_{f}",
+            f"round(quantile_cont({f}, 0.25), 6) + 0.0 AS p25_{f}",
+            f"round(quantile_cont({f}, 0.50), 6) + 0.0 AS p50_{f}",
+            f"round(quantile_cont({f}, 0.75), 6) + 0.0 AS p75_{f}",
+            f"round(quantile_cont({f}, 0.90), 6) + 0.0 AS p90_{f}",
+            f"round(min({f}), 6) + 0.0 AS min_{f}",
+            f"round(max({f}), 6) + 0.0 AS max_{f}",
+            f"round(avg({f}), 6) + 0.0 AS mean_{f}",
+            f"round(stddev_samp({f}), 6) + 0.0 AS std_{f}",
         ]
     )
     for f in STATS_FEATURES
@@ -566,12 +568,12 @@ ORACLE_SQL: dict[str, str] = {
                      lead(CAST(length(coalesce(text,'')) AS BIGINT)) OVER ({W}) AS next_m1
               FROM transcripts),
         orig AS (SELECT conv_id, turn_idx, ts, false AS is_synthetic,
-                        round(CAST(m1 AS DOUBLE), 6) AS m1_ip FROM f),
+                        round(CAST(m1 AS DOUBLE), 6) + 0.0 AS m1_ip FROM f),
         synth AS (SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
                          ts + to_microseconds(CAST({RATE} * 1e6 AS BIGINT)) AS ts,
                          true AS is_synthetic,
                          round(CAST(m1 AS DOUBLE) + (next_m1 - m1) *
-                               ({RATE} / (date_diff('microsecond', ts, next_ts)/1e6)), 6) AS m1_ip
+                               ({RATE} / (date_diff('microsecond', ts, next_ts)/1e6)), 6) + 0.0 AS m1_ip
                   FROM f
                   WHERE date_diff('microsecond', ts, next_ts)/1e6 > {RATE})
         SELECT * FROM orig UNION ALL SELECT * FROM synth""",
@@ -630,7 +632,7 @@ ORACLE_SQL: dict[str, str] = {
               FROM q CROSS JOIN embeddings e),
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
               FROM s)
-        SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10""",
+        SELECT query_id, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM r WHERE rank <= 10""",
 }
 
 
@@ -728,7 +730,7 @@ def q_embed_near_dup(sf_dir):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = cosine_pairs(ds, threshold=NEARDUP_THRESHOLD, max_id=NEARDUP_MAX_ID)
-    out["sim"] = out["sim"].round(6)
+    out["sim"] = out["sim"].round(6) + 0.0
     return out
 
 
@@ -772,8 +774,8 @@ ORACLE_SQL.update(
                      date_diff('microsecond', lag(ts) OVER ({W}), ts)/1e6 AS delta_t
               FROM transcripts)
             SELECT conv_id,
-                   round(coalesce(sum(abs(delta_len)), 0), 6) AS path_len,
-                   round(coalesce(sum(delta_t), 0), 6) AS active_s,
+                   round(coalesce(sum(abs(delta_len)), 0), 6) + 0.0 AS path_len,
+                   round(coalesce(sum(delta_t), 0), 6) + 0.0 AS active_s,
                    CAST(sum(m1) AS BIGINT) AS total_chars
             FROM f GROUP BY conv_id""",
         "q_embed_near_dup": f"""
@@ -849,7 +851,7 @@ def q_tumbling(sf_dir):
             .reset_index()
         )
         out["n_events"] = out["n_events"].astype("int64")
-        out["value_sum"] = out["value_sum"].round(6)
+        out["value_sum"] = out["value_sum"].round(6) + 0.0
         return out
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=1 << 20)
@@ -859,6 +861,6 @@ def q_tumbling(sf_dir):
 ORACLE_SQL["q_tumbling"] = """
     SELECT user_id, date_trunc('hour', ts) AS win,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS value_sum
+           round(sum(value), 6) + 0.0 AS value_sum
     FROM events GROUP BY user_id, date_trunc('hour', ts)"""
 QUERIES["q_tumbling"] = q_tumbling
