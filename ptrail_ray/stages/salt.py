@@ -17,11 +17,10 @@ handles skew explicitly (north_rule):
    Whole-conversation contiguity (what the window kernels need) is
    preserved — a conversation is never split.
 
-A conversation larger than one worker's memory needs sub-range
+A conversation larger than one worker's memory goes through sub-range
 splitting with K-row boundary overlap plus injected per-range prefix
-state (first_ts/first_m1/session base) — the escape-hatch design is
-documented in SURVEY.md §7.4-2; synthetic corpora cap conversation
-length well below that bound.
+state — implemented in stages/split.py (``featurize_with_split`` routes
+giant conversations automatically).
 """
 
 from __future__ import annotations
