@@ -864,3 +864,20 @@ ORACLE_SQL["q_tumbling"] = """
            round(sum(value), 6) + 0.0 AS value_sum
     FROM events GROUP BY user_id, date_trunc('hour', ts)"""
 QUERIES["q_tumbling"] = q_tumbling
+
+
+def q_kinematics_split(sf_dir):
+    """Feature chain via sub-conversation splitting (stages/split.py,
+    sub-ranges of 20 turns — far below real thresholds so every
+    conversation actually splits) — value-identical to the SQL oracle."""
+    from ptrail_ray.stages.split import featurize_split
+
+    ds = derive_from_events(sf_dir)
+    out = featurize_split(
+        ds, subrange_rows=20, num_buckets=16, gap_seconds=GAP, segment_seconds=SEG
+    )
+    return finalize(out.select_columns(["conv_id", "turn_idx"] + KIN_COLS))
+
+
+ORACLE_SQL["q_kinematics_split"] = ORACLE_SQL["q_kinematics"]
+QUERIES["q_kinematics_split"] = q_kinematics_split
