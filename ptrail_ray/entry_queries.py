@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ptrail_ray.schema import STATS_FEATURES, STATS_STATS, stats_ordered_cols
+from ptrail_ray.schema import STATS_FEATURES, stats_ordered_cols
 from ptrail_ray.sources.transcripts import (
     SIDE_SCD_SQL,
     TRANSCRIPTS_SQL,

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ptrail_ray.schema import CONV_ID, ROLE, TEXT, TOOL, TS, TURN_IDX, M1, M2
+from ptrail_ray.schema import TEXT, M1, M2
 from ptrail_ray.stages.asof import asof_join
 from ptrail_ray.stages.kernels import ALL_FEATURES, compute_features
 from ptrail_ray.stages.bucket import map_conv_buckets

@@ -147,8 +147,6 @@ def grouped_agg_by_bucket(
     ``agg_fn: DataFrame -> DataFrame`` receives all rows of a bucket
     (every group fully contained) and aggregates internally.
     """
-    import pandas as pd_  # noqa: F401
-
     def add_key_bucket(batch: pa.Table) -> pa.Table:
         h = stable_hash(batch[key_col])
         b = (h % np.uint64(num_buckets)).astype(np.int32)

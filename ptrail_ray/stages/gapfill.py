@@ -31,7 +31,6 @@ channel) and ``is_synthetic`` marker; real rows pass through byte-equal.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ptrail_ray.schema import CONV_ID, ROLE, TEXT, TOOL, TS, TURN_IDX

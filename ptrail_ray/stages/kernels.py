@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ptrail_ray.schema import CONV_ID, M1, M2, ROLE, TEXT, TOOL, TS, TURN_IDX
+from ptrail_ray.schema import CONV_ID, M1, M2, ROLE, TEXT, TOOL, TS
 from ptrail_ray.stages.bucket import conv_runs
 
 DEFAULT_GAP_SECONDS = 120.0

@@ -37,7 +37,6 @@ through the normal (or salted) path and union the results
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

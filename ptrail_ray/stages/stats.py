@@ -165,8 +165,6 @@ def conv_sums_kernel(table: pa.Table) -> pa.Table:
     (get_distance_travelled_by_traj_id analog, nansum semantics —
     ptrail/features/kinematic_features.py:763-802): total absolute
     text-length change, total inter-turn seconds, total characters."""
-    import pyarrow.compute as pc
-
     from ptrail_ray.stages.kernels import KernelContext
 
     ctx = KernelContext(table)

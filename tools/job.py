@@ -54,7 +54,7 @@ def main(argv=None):
     DataContext.get_current().enable_progress_bars = False
 
     from ptrail_ray.pipelines.flagship import project_measures
-    from ptrail_ray.sources.transcripts import read_transcripts, side_scd_from_events
+    from ptrail_ray.sources.transcripts import read_transcripts
     from ptrail_ray.stages.kernels import compute_features
     from ptrail_ray.stages.salt import detect_hot_convs
     from ptrail_ray.stages.temporal import add_temporal_columns
