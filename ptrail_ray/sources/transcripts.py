@@ -297,6 +297,13 @@ def synth_transcripts(
     cum = cum - np.repeat(cum[starts] - deltas[starts] * 1e6, sizes)
     ts_col = base + (np.repeat(conv_t0, sizes) + cum).astype("timedelta64[us]")
 
+    # out-of-order ts vs turn_idx (FIXTURES.md: sort-correctness / signed
+    # delta_t): swap the timestamps of ~0.3% of adjacent turn pairs
+    swap = np.flatnonzero(rng.random(n - 1) < 0.003)
+    swap = swap[~np.isin(swap, starts - 1) & ~np.isin(swap, starts)]
+    if len(swap):
+        ts_col[swap], ts_col[swap + 1] = ts_col[swap + 1].copy(), ts_col[swap].copy()
+
     rl = rng.choice(_ROLES, size=n)
     tool_pick = rng.choice(_TOOLS[:-1], size=n)
     tl = np.where(rl == "tool", tool_pick, None)

@@ -223,14 +223,28 @@ def featurize_split(
             [base_map_[(c, int(s))] for c, s in zip(conv, sub)], dtype=np.int64
         )
 
-        is_first = turn == 0
-        elapsed = (ts - row_fts) / 1e6
-        rel = elapsed.copy()
-        elapsed[is_first] = np.nan
-        cum = m1 - row_fm1
-        cum[is_first] = np.nan
-        sess = t["session_id"].to_numpy(zero_copy_only=False) + base
-        seg = np.floor_divide(rel, segment_seconds).astype(np.int64)
+        # sub-0 rows already carry EXACT values from the kernel (its slice
+        # start IS the conversation start, so NaN-seeding and dup-row tie
+        # semantics match the whole-conversation path bit for bit); only
+        # rows of later sub-ranges need the conversation-level state
+        # injected. base is 0 for sub 0 by construction.
+        fix = sub > 0
+        rel = (ts - row_fts) / 1e6
+
+        def col_or(name, fallback):
+            if name in t.column_names:
+                return t[name].to_numpy(zero_copy_only=False)
+            return fallback
+
+        elapsed_old = col_or("elapsed_s", rel)
+        cum_old = col_or("cum_len", m1 - row_fm1)
+        seg_old = col_or("seg_id", np.floor_divide(rel, segment_seconds).astype(np.int64))
+        elapsed = np.where(fix, rel, elapsed_old)
+        cum = np.where(fix, m1 - row_fm1, cum_old)
+        seg = np.where(
+            fix, np.floor_divide(rel, segment_seconds).astype(np.int64), seg_old
+        )
+        sess = col_or("session_id", np.zeros(len(sub), np.int64)) + base
 
         for name, arr in [
             ("session_id", pa.array(sess, pa.int64())),

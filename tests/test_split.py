@@ -15,9 +15,13 @@ LAGS = ["lag1_role", "lead1_role", "lag1_tool", "lead1_tool"]
 
 
 def _cmp(base: pd.DataFrame, split: pd.DataFrame):
-    key = ["conv_id", "turn_idx", "ts"]
-    base = base.sort_values(key).reset_index(drop=True)
-    split = split.sort_values(key).reset_index(drop=True)
+    # exact-duplicate rows tie on (conv_id, turn_idx, ts) but carry
+    # different feature values (first occurrence vs zero-delta dup);
+    # feature columns as secondary sort keys make row alignment
+    # deterministic in both frames
+    key = ["conv_id", "turn_idx", "ts"] + CHECK
+    base = base.sort_values(key, na_position="last").reset_index(drop=True)
+    split = split.sort_values(key, na_position="last").reset_index(drop=True)
     assert len(base) == len(split)
     for col in CHECK + ["elapsed_s", "cum_len"]:
         a = base[col].to_numpy(dtype=float)
