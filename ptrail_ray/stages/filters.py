@@ -183,26 +183,55 @@ def hampel_filter(
     """Per-conversation Hampel outlier DROP on ``col``: centered rolling
     median window of ``2*window+1``; points further than
     ``n_sigmas * 1.4826 * MAD`` from the local median are removed
-    (filters.py:672-759 via the hampel pkg). Vectorized per bucket with a
-    stride-tricks rolling window per conversation run."""
-    import pandas as pd
+    (filters.py:672-759 via the hampel pkg). Fully vectorized across all
+    conversations in a bucket: runs are laid out into one array with
+    ``window`` NaN cells between them (a centered window can reach at
+    most ``window`` cells past a run edge, so padding isolates runs) and
+    the rolling median is one ``np.nanmedian`` over a zero-copy
+    ``sliding_window_view`` — no per-conversation Python calls."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = window
+
+    def _run_rolling_median(
+        v: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+    ) -> np.ndarray:
+        n_runs = len(starts)
+        padded_len = len(v) + (n_runs + 1) * w
+        P = np.full(padded_len, np.nan)
+        # each run r occupies [pad_start[r], pad_start[r] + lengths[r])
+        pad_start = starts + (np.arange(n_runs) + 1) * w
+        pos = np.repeat(pad_start, lengths) + (
+            np.arange(len(v)) - np.repeat(starts, lengths)
+        )
+        P[pos] = v
+        win = sliding_window_view(P, 2 * w + 1)  # rows: centers w..padded_len-w-1
+
+        # fast path: windows with no NaN (run interiors — the vast
+        # majority) take a single np.partition; only boundary windows /
+        # windows containing NaN values pay np.nanmedian
+        cs = np.concatenate(([0], np.cumsum(np.isnan(P).astype(np.int64))))
+        nan_cnt = cs[pos + w + 1] - cs[pos - w]
+        med = np.empty(len(v))
+        fast = nan_cnt == 0
+        if fast.any():
+            med[fast] = np.partition(win[pos[fast] - w], w, axis=1)[:, w]
+        if (~fast).any():
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                med[~fast] = np.nanmedian(win[pos[~fast] - w], axis=1)
+        return med
 
     def kern(table: pa.Table) -> pa.Table:
         starts, lengths = conv_runs(table[CONV_ID])
         v = table[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = np.ones(len(v), dtype=bool)
-        s = pd.Series(v)
-        grp = np.repeat(np.arange(len(starts)), lengths)
-        med = s.groupby(grp).transform(
-            lambda x: x.rolling(2 * window + 1, center=True, min_periods=1).median()
-        )
-        dev = (s - med).abs()
-        mad = dev.groupby(grp).transform(
-            lambda x: x.rolling(2 * window + 1, center=True, min_periods=1).median()
-        )
-        thr = n_sigmas * 1.4826 * mad
-        out = (dev > thr) & s.notna()
-        keep &= ~out.to_numpy()
-        return table.filter(pa.array(keep))
+        med = _run_rolling_median(v, starts, lengths)
+        with np.errstate(invalid="ignore"):
+            dev = np.abs(v - med)
+            mad = _run_rolling_median(dev, starts, lengths)
+            out = (dev > n_sigmas * 1.4826 * mad) & ~np.isnan(v)
+        return table.filter(pa.array(~out))
 
     return map_conv_buckets(ds, kern, num_buckets=num_buckets)
