@@ -325,7 +325,8 @@ def q_doc_tokens(sf_dir):
     out = add_text_stats(_docs(sf_dir), concurrency=2)
     return finalize(
         out.select_columns(
-            ["doc_id", "n_chars_calc", "n_tokens", "n_alpha_words", "n_digits"]
+            ["doc_id", "n_chars_calc", "n_tokens", "n_alpha_words", "n_digits",
+             "n_bpe_tokens"]
         )
     )
 
@@ -584,7 +585,9 @@ ORACLE_SQL: dict[str, str] = {
                min(ts) AS min_ts, max(ts) AS max_ts
         FROM transcripts""",
     "q_doc_tokens": _DOCSTATS_SQL
-    + "SELECT doc_id, n_chars_calc, n_tokens, n_alpha_words, n_digits FROM s",
+    + """SELECT doc_id, n_chars_calc, n_tokens, n_alpha_words, n_digits,
+         CAST(len(regexp_extract_all(t, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+         FROM s""",
     "q_doc_quality": _DOCSTATS_SQL
     + f"""
         SELECT doc_id,
@@ -881,3 +884,23 @@ def q_kinematics_split(sf_dir):
 
 ORACLE_SQL["q_kinematics_split"] = ORACLE_SQL["q_kinematics"]
 QUERIES["q_kinematics_split"] = q_kinematics_split
+
+
+def q_rolling(sf_dir):
+    """Past-only sliding-window aggregate: rolling mean of m1 over the
+    last 5 turns (leakage-safe custom windowed operator)."""
+    ds = _featurized(sf_dir)
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "roll5_mean_m1"]),
+        round_columns=["roll5_mean_m1"],
+    )
+
+
+ORACLE_SQL["q_rolling"] = f"""
+    WITH transcripts AS ({TRANSCRIPTS_SQL})
+    SELECT conv_id, turn_idx,
+           round(avg(CAST(length(coalesce(text,'')) AS BIGINT))
+                 OVER ({W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0
+             AS roll5_mean_m1
+    FROM transcripts"""
+QUERIES["q_rolling"] = q_rolling

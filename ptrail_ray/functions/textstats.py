@@ -23,6 +23,9 @@ import pyarrow as pa
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
 
 TOKEN_RE = r"\S+"
+# BPE-ish subword segmentation (GPT-2-style coarse classes; RE2-compatible
+# so the DuckDB oracle runs the identical pattern)
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
 WORD_RE = r"[A-Za-z]+"
 DIGIT_RE = r"[0-9]"
 
@@ -38,6 +41,7 @@ class TextStats:
         self.tok = re.compile(TOKEN_RE)
         self.word = re.compile(WORD_RE)
         self.digit = re.compile(DIGIT_RE)
+        self.bpe = re.compile(BPE_RE)
         self.stop = set(STOPWORDS)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -50,6 +54,9 @@ class TextStats:
             "int64"
         )
         batch["n_digits"] = text.map(lambda s: len(self.digit.findall(s))).astype(
+            "int64"
+        )
+        batch["n_bpe_tokens"] = text.map(lambda s: len(self.bpe.findall(s))).astype(
             "int64"
         )
         n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop))

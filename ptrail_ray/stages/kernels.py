@@ -276,6 +276,24 @@ def _tok_accel(ctx: KernelContext):
     return safe_div(group_diff(ctx.get("tok_rate"), ctx.starts), ctx.get("delta_t"))
 
 
+# --- rolling (sliding) past-only window aggregate ---------------------------
+
+ROLL_W = 5
+
+
+@register("roll5_mean_m1", deps=(M1,))
+def _roll5_mean_m1(ctx: KernelContext):
+    """Rolling mean of m1 over the last ROLL_W turns (current inclusive,
+    truncated at the conversation start) — a leakage-safe sliding-window
+    aggregate (custom windowed operator; no future turns read)."""
+    m1 = _np_of(ctx, M1)
+    c = group_cumsum(m1, ctx.starts, ctx.lengths)
+    pos = np.arange(ctx.n, dtype=np.int64) - np.repeat(ctx.starts, ctx.lengths)
+    prev = np.where(pos >= ROLL_W, c[np.maximum(np.arange(ctx.n) - ROLL_W, 0)], 0.0)
+    denom = np.minimum(pos + 1, ROLL_W).astype(np.float64)
+    return (c - prev) / denom
+
+
 # --- sessionization / segmentation ------------------------------------------
 
 
@@ -342,7 +360,7 @@ DERIVATIVE_FEATURES = [
 ALL_FEATURES = (
     [M1, M2]
     + DERIVATIVE_FEATURES
-    + ["session_id", "seg_id"]
+    + ["roll5_mean_m1", "session_id", "seg_id"]
     + [f"lag1_{c}" for c in LAG_LEAD_SOURCES]
     + [f"lead1_{c}" for c in LAG_LEAD_SOURCES]
 )
