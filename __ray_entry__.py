@@ -18,8 +18,21 @@ here (or in ptrail_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# robust to being imported by file path: the repo root must be on
+# sys.path for `import ptrail_ray`
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+# NOTE: Ray worker processes resolve `import ptrail_ray` through the
+# directory the RAY SESSION was started from; the driver contract runs
+# ray.init from the repo root, which is what the pipelines assume.
 
 
 def entry() -> Any:
