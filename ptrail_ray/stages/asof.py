@@ -78,6 +78,13 @@ class AsofJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if len(self.side_comp) == 0:  # empty dimension → all-null backfill
+            for c in self.attr_cols:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, self.attrs[c].type)
+                )
+            return batch
+
         ts_col = batch[self.ts_col]
         if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit != "us":
             ts_col = pc.cast(ts_col, pa.timestamp("us"))

@@ -339,7 +339,8 @@ def _make_lag(col: str, k: int):
 
 
 for _col, _t in LAG_LEAD_SOURCES.items():
-    register(f"lag1_{_col}", dtype=_t)(_make_lag(_col, 1))
+    for _k in (1, 2, 3):
+        register(f"lag{_k}_{_col}", dtype=_t)(_make_lag(_col, _k))
     # leads are explicitly named lead_* and excluded from the leakage
     # check (SURVEY.md §2.3 — no *feature* reads a future turn).
     register(f"lead1_{_col}", dtype=_t)(_make_lag(_col, -1))
