@@ -37,6 +37,14 @@ def main(argv=None):
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--gap-seconds", type=float, default=120.0)
     ap.add_argument("--hot-threshold", type=int, default=None)
+    ap.add_argument(
+        "--split-threshold",
+        type=int,
+        default=None,
+        help="conversations above this many turns are processed via "
+        "sub-range splitting (stages/split.py) and written to a "
+        "separate _giants output (features only, no temporal columns)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="only for standalone local runs")
     args = ap.parse_args(argv)
@@ -67,6 +75,24 @@ def main(argv=None):
     if args.hot_threshold:
         hot = detect_hot_convs(ds, args.hot_threshold)
 
+    giants = []
+    if args.split_threshold:
+        from ptrail_ray.stages.project import semi_join_keys
+        from ptrail_ray.stages.split import featurize_split
+
+        giants = detect_hot_convs(ds, args.split_threshold)
+        if giants:
+            giant_rows = semi_join_keys(ds, giants)
+            ds = semi_join_keys(ds, giants, anti=True)
+            featurize_split(
+                giant_rows.map_batches(
+                    project_measures, batch_format="pyarrow", batch_size=262144
+                ),
+                subrange_rows=max(args.split_threshold // 4, 10_000),
+                num_buckets=args.num_buckets,
+                gap_seconds=args.gap_seconds,
+            ).write_parquet(os.path.join(args.output, "_giants"))
+
     ds = ds.map_batches(project_measures, batch_format="pyarrow", batch_size=262144)
 
     def kern(table):
@@ -95,6 +121,7 @@ def main(argv=None):
                 "buckets_written_this_run": int(len(summary)),
                 "buckets_total": len(metrics),
                 "hot_convs_salted": len(hot),
+                "giant_convs_split": len(giants),
                 "turns_per_sec": round(rows / wall, 1),
                 "output": args.output,
             }
