@@ -98,15 +98,31 @@ def nan_to_null(table: pa.Table) -> pa.Table:
     return table
 
 
+def _duckdb_round(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
+    """Bit-exact replica of DuckDB ``round(x, n)`` for doubles:
+    ``std::round(x * 10^n) / 10^n`` (half away from zero). pyarrow's
+    ``pc.round`` descales by multiplying with 10^-n, which differs by
+    1 ulp from DuckDB's division often enough to fail an exact value
+    hash; and its default half_to_even diverges on the half boundaries
+    that 1e-6-granular timestamps interpolate onto."""
+    scale = 10.0 ** ndigits
+    y = x * scale
+    f = np.floor(y)
+    d = y - f  # exact for |y| < 2^53 (same-exponent subtraction)
+    r = np.where(d > 0.5, f + 1.0, f)
+    r = np.where(d == 0.5, np.where(y >= 0, f + 1.0, f), r)
+    return r / scale
+
+
 def round_cols(table: pa.Table, cols: list[str], ndigits: int = 6) -> pa.Table:
     for c in cols:
         if c in table.column_names:
             i = table.column_names.index(c)
             # + 0.0 normalizes IEEE -0.0 to +0.0 (the SQL side does the
             # same) so bitwise value-hashing can't diverge on signed zero
-            table = table.set_column(
-                i, c, pc.add(pc.round(table[i], ndigits=ndigits), pa.scalar(0.0))
-            )
+            v = table[i].to_numpy(zero_copy_only=False).astype(np.float64)
+            rounded = _duckdb_round(v, ndigits) + 0.0
+            table = table.set_column(i, c, pa.array(rounded, type=pa.float64()))
     return table
 
 

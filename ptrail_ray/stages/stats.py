@@ -44,25 +44,28 @@ def _describe_runs(
     no per-conversation Python loop (640k conversations per bucket would
     otherwise mean 640k ``np.percentile`` calls).
 
-    Percentiles use the same linear interpolation as
-    ``numpy.percentile`` / pandas ``describe``; std is sample std
-    (ddof=1) via the sums formula.
+    Percentiles interpolate with DuckDB ``quantile_cont``'s operand
+    order ``lo*(1-frac) + hi*frac``; std is sample std (ddof=1) via a
+    two-pass mean-subtracted sum — the one-pass sums-of-squares formula
+    suffers catastrophic cancellation that can flip the 6th decimal vs
+    DuckDB ``stddev_samp`` under the driver's round-to-6dp value hash.
     """
     n_runs = len(starts)
     grp = np.repeat(np.arange(n_runs), lengths)
     nan = np.isnan(v)
 
-    # per-run non-NaN counts, sums, sums of squares
+    # per-run non-NaN counts and sums
     cnt = (lengths - np.bincount(grp, weights=nan, minlength=n_runs)).astype(np.int64)
     vz = np.where(nan, 0.0, v)
     s1 = np.bincount(grp, weights=vz, minlength=n_runs)
-    s2 = np.bincount(grp, weights=vz * vz, minlength=n_runs)
 
     out: dict[str, np.ndarray] = {}
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(cnt > 0, s1 / np.maximum(cnt, 1), np.nan)
-        var = (s2 - np.maximum(cnt, 1) * mean * mean) / np.maximum(cnt - 1, 1)
-        std = np.sqrt(np.maximum(var, 0.0))
+        # second pass: numerically stable centered sum of squares
+        dev = np.where(nan | ~np.isfinite(mean[grp]), 0.0, v - mean[grp])
+        css = np.bincount(grp, weights=dev * dev, minlength=n_runs)
+        std = np.sqrt(css / np.maximum(cnt - 1, 1))
         std = np.where(cnt > 1, std, np.nan)
     out["mean"] = mean
     out["std"] = std
@@ -84,7 +87,8 @@ def _describe_runs(
         hi = np.ceil(k).astype(np.int64)
         frac = k - lo
         vlo, vhi = at(lo), at(hi)
-        out[name] = vlo + (vhi - vlo) * frac
+        # DuckDB CastInterpolation::Interpolate operand order
+        out[name] = vlo * (1.0 - frac) + vhi * frac
     return out
 
 

@@ -51,7 +51,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
-def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+def compare(
+    name: str, got: pd.DataFrame, exp: pd.DataFrame, exact: bool = False
+) -> list[str]:
     errs = []
     if len(got) != len(exp):
         errs.append(f"rowcount {len(got)} != {len(exp)}")
@@ -67,6 +69,16 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
             a = gv.to_numpy(dtype=float)
             b = ev.to_numpy(dtype=float)
+            if exact:
+                # driver-style: exact value equality (post round/normalize)
+                if not np.array_equal(a, b, equal_nan=True):
+                    bad = np.flatnonzero(
+                        ~((np.isnan(a) & np.isnan(b)) | (a == b))
+                    )
+                    errs.append(
+                        f"col {c}: EXACT {len(bad)} mismatches, first@{bad[:3]}: {a[bad[:3]]!r} vs {b[bad[:3]]!r}"
+                    )
+                continue
             if not (np.array_equal(np.isnan(a), np.isnan(b)) and np.allclose(a, b, equal_nan=True)):
                 bad = np.flatnonzero(
                     ~((np.isnan(a) & np.isnan(b)) | np.isclose(a, b, equal_nan=True))
@@ -89,6 +101,7 @@ def main():
         i = argv.index("--sf")
         sf = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    exact = "--exact" in argv
     args = [a for a in argv if not a.startswith("--")]
 
     import ray
@@ -130,7 +143,7 @@ def main():
             print(f"FAIL {name}: sql error: {str(ex)[:300]}")
             n_fail += 1
             continue
-        errs = compare(name, got, exp)
+        errs = compare(name, got, exp, exact=exact)
         if errs:
             n_fail += 1
             print(f"FAIL {name} [{time.perf_counter()-t0:.1f}s]")
