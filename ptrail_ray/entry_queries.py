@@ -381,8 +381,10 @@ def q_dedup_exact_docs(sf_dir):
 
 def q_word_jaccard_adjacent(sf_dir):
     """Exact word-set Jaccard between doc i and doc i+1 (validates the
-    set-similarity kernel; pair generation via pair_id groupby — scalable,
-    no driver loop)."""
+    set-similarity kernel). Pair co-location via ONE hash-bucketed
+    exchange on pair_id (grouped_agg_by_bucket) — not a Ray map_groups
+    Python call per pair."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -393,25 +395,25 @@ def q_word_jaccard_adjacent(sf_dir):
                 rows.append((did - 1, did, 1, words))
         return pd.DataFrame(rows, columns=["pair_id", "doc_id", "side", "words"])
 
-    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
-        if group["side"].nunique() < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        a = group[group["side"] == 0].iloc[0]
-        b = group[group["side"] == 1].iloc[0]
-        sa, sb = set(a["words"]), set(b["words"])
-        denom = len(sa | sb)
-        j = len(sa & sb) / denom if denom else 0.0
-        return pd.DataFrame(
-            {"doc_a": [a["doc_id"]], "doc_b": [b["doc_id"]], "jaccard": [round(j, 6)]}
-        )
+    def pair_jaccard_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("pair_id", sort=False):
+            if g["side"].nunique() < 2:
+                continue
+            a = g[g["side"] == 0].iloc[0]
+            b = g[g["side"] == 1].iloc[0]
+            sa, sb = set(a["words"]), set(b["words"])
+            denom = len(sa | sb)
+            j = len(sa & sb) / denom if denom else 0.0
+            rows.append((a["doc_id"], b["doc_id"], round(j, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    out = (
-        _docs(sf_dir)
-        .map_batches(explode, batch_format="pandas", batch_size=None)
-        .groupby("pair_id")
-        .map_groups(pair_jaccard, batch_format="pandas")
+    return grouped_agg_by_bucket(
+        _docs(sf_dir).map_batches(explode, batch_format="pandas", batch_size=None),
+        "pair_id",
+        pair_jaccard_bucket,
+        num_buckets=16,
     )
-    return out
 
 
 def q_ann_cosine(sf_dir):
@@ -420,7 +422,7 @@ def q_ann_cosine(sf_dir):
     from ptrail_ray.functions.ann import brute_force_topk, _stack
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     queries = _stack(qdf["embedding"])
     out = brute_force_topk(ds, queries, k=10)
     out["sim"] = out["sim"].round(6) + 0.0

@@ -2,24 +2,37 @@
 
 * ``brute_force_topk`` — exact cosine top-k: the query matrix is
   broadcast once (``ray.put``), each batch does one float64 GEMM
-  against it and emits only its local top-k per query; a tiny final
-  reduce merges the per-batch partials. No full-dataset materialization,
-  no shuffle of the embeddings.
-* ``lsh_topk`` — scale path: random-hyperplane LSH bucketing; each
-  embedding lands in one bucket per table, queries probe matching
-  buckets only. Approximate; recall measured in tests against the
-  brute-force baseline.
+  against it and emits only its local top-k per query (keeping ALL
+  candidates tied at the k-th similarity so the deterministic
+  (sim DESC, vec_id ASC) tie-break is applied before truncation); a
+  tiny final reduce merges the per-batch partials. No full-dataset
+  materialization, no shuffle of the embeddings.
+* ``lsh_topk`` — scale path: random-hyperplane LSH signatures; a
+  narrow vectorized filter keeps only rows whose signature matches a
+  query bucket in ANY table, then the same partial-top-k pool runs on
+  the surviving candidates. Approximate; recall measured in tests
+  against the brute-force baseline. No explode, no driver-side
+  candidate collection.
+* ``cosine_pairs`` — exact all-pairs cosine ≥ threshold via
+  block-pair GEMM: the normalized dataset is pinned in the object
+  store (``to_arrow_refs``), and a Dataset of (i, j) block-index pairs
+  fans out one GEMM task per block pair (i ≤ j). The driver holds only
+  object refs; each task fetches exactly two blocks. O(n²/B²) tasks —
+  the inherent cost of *exact* all-pairs — scheduled and backpressured
+  by Ray Data. Recast of the reference's all-pairs vs small-side scan
+  (``ptrail/features/helper_functions.py:487-532``) without its
+  driver-side frame.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from ptrail_ray.stages.pool import pool_size
 
 
 def _stack(col) -> np.ndarray:
@@ -35,6 +48,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_rows(
+    sims: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[list[tuple[int, int, float]], None]:
+    """Per-query local top-k with tie-exact truncation: keep every
+    candidate whose similarity ties the k-th value, then order by
+    (-sim, vec_id) and cut at k — so the global merge's deterministic
+    tie-break can never lose a smaller-id tied candidate to an
+    arbitrary argpartition split (ADVICE r01)."""
+    nq, nb = sims.shape
+    k_eff = min(k, nb)
+    rows: list[tuple[int, int, float]] = []
+    if k_eff == nb:
+        thr = np.full(nq, -np.inf)
+    else:
+        thr = -np.partition(-sims, k_eff - 1, axis=1)[:, k_eff - 1]
+    for qi in range(nq):
+        cand = np.flatnonzero(sims[qi] >= thr[qi])
+        order = cand[np.lexsort((ids[cand], -sims[qi, cand]))][:k_eff]
+        for j in order:
+            rows.append((qi, int(ids[j]), float(sims[qi, j])))
+    return rows, None
+
+
 class _PartialTopK:
     """map_batches stage: local top-k per query against one batch."""
 
@@ -44,29 +80,19 @@ class _PartialTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
         emb = _normalize(_stack(batch["embedding"]))
         sims = self.q @ emb.T  # (nq, nb)
         ids = batch["vec_id"].to_numpy()
-        k = min(self.k, sims.shape[1])
-        # top-k per query within this batch (argpartition = O(nb))
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows = []
-        for qi in range(sims.shape[0]):
-            for j in part[qi]:
-                rows.append((qi, int(ids[j]), float(sims[qi, j])))
+        rows, _ = _topk_rows(sims, ids, self.k)
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
 
 
-def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
-    """Exact cosine top-k. Returns (query_id, vec_id, sim, rank), rank
-    1..k, ties broken by vec_id ascending (deterministic)."""
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pandas", batch_size=None,
-        concurrency=(1, 2),
-    ).to_pandas()
+def _merge_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Tiny driver-side reduce of the bounded per-batch partials."""
+    if len(partials) == 0:
+        return pd.DataFrame(columns=["query_id", "vec_id", "sim", "rank"])
     out = []
     for qi, g in partials.groupby("query_id"):
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
@@ -76,21 +102,41 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-class _LshBucketer:
-    """Random-hyperplane signature per embedding (one bucket per table)."""
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k. Returns (query_id, vec_id, sim, rank), rank
+    1..k, ties broken by vec_id ascending (deterministic)."""
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pandas", batch_size=4096,
+        concurrency=pool_size(),
+    ).to_pandas()
+    return _merge_partials(partials, k)
 
-    def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref)  # (tables, bits, d)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        emb = _normalize(_stack(batch["embedding"]))
-        rows = []
-        for t in range(self.planes.shape[0]):
-            sig = (emb @ self.planes[t].T > 0).astype(np.uint64)
-            code = (sig << np.arange(sig.shape[1], dtype=np.uint64)).sum(axis=1)
-            for vid, c, e in zip(batch["vec_id"], code, batch["embedding"]):
-                rows.append((t, int(c), int(vid), e))
-        return pd.DataFrame(rows, columns=["table", "code", "vec_id", "embedding"])
+def _lsh_probe_filter(
+    batch: pd.DataFrame, planes_ref, want_codes: list[np.ndarray]
+) -> pd.DataFrame:
+    """Narrow vectorized candidate filter: keep rows whose hyperplane
+    signature matches a query bucket in ANY of the LSH tables. One
+    (nb × bits) GEMM per table per batch, membership via np.isin
+    against the wanted codes — no per-row Python, no explode, no
+    embedding payload duplication. Runs as an elastic task pool
+    (stateless; the planes ref resolves from local plasma per call)."""
+    if len(batch) == 0:
+        return batch
+    planes = ray.get(planes_ref)  # (tables, bits, d)
+    emb = _normalize(_stack(batch["embedding"]))
+    keep = np.zeros(len(batch), dtype=bool)
+    weights = np.uint64(1) << np.arange(planes.shape[1], dtype=np.uint64)
+    for t in range(planes.shape[0]):
+        sig = (emb @ planes[t].T > 0).astype(np.uint64)
+        code = (sig * weights).sum(axis=1)
+        keep |= np.isin(code, want_codes[t])
+        if keep.all():
+            break
+    return batch[keep]
 
 
 def lsh_topk(
@@ -104,8 +150,10 @@ def lsh_topk(
 ) -> pd.DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
-    Embeddings are bucketed once (tables × one signature each); each
-    query probes only its own buckets. Returns the same shape as
+    The probe runs as a distributed filter (signatures recomputed per
+    batch — cheaper than shuffling an exploded index) followed by the
+    same partial-top-k pool as the exact path; only bounded per-batch
+    top-k partials ever reach the driver. Returns the same shape as
     ``brute_force_topk``; recall is tested against it.
     """
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -114,44 +162,32 @@ def lsh_topk(
     planes = rng.normal(size=(tables, bits, d))
     planes_ref = ray.put(planes)
 
-    bucketed = ds.map_batches(
-        _LshBucketer,
-        fn_constructor_kwargs={"planes_ref": planes_ref},
-        batch_format="pandas", batch_size=None,
-        concurrency=(1, 2),
-    )
-
-    # query signatures → the (table, code) cells to probe
-    want = set()
+    # query signatures → the codes to probe, per table
+    want_codes = []
     for t in range(tables):
         sig = (q @ planes[t].T > 0).astype(np.uint64)
-        code = (sig << np.arange(bits, dtype=np.uint64)).sum(axis=1)
-        for c in code:
-            want.add((t, int(c)))
-    want_df = sorted(want)
+        code = (sig * (np.uint64(1) << np.arange(bits, dtype=np.uint64))).sum(axis=1)
+        want_codes.append(np.unique(code))
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        key = list(zip(batch["table"], batch["code"]))
-        mask = [kk in want for kk in key]
-        return batch[mask]
+    import functools
 
-    cand = bucketed.map_batches(probe, batch_format="pandas", batch_size=None).to_pandas()
-    cand = cand.drop_duplicates(subset=["vec_id"])
-    if len(cand) == 0:
-        return pd.DataFrame(columns=["query_id", "vec_id", "sim", "rank"])
-    emb = _normalize(_stack(cand["embedding"]))
-    sims = q @ emb.T
-    ids = cand["vec_id"].to_numpy()
-    out = []
-    for qi in range(q.shape[0]):
-        order = heapq.nsmallest(
-            min(k, sims.shape[1]),
-            range(sims.shape[1]),
-            key=lambda j: (-sims[qi, j], ids[j]),
+    q_ref = ray.put(q)
+    partials = (
+        ds.map_batches(
+            functools.partial(
+                _lsh_probe_filter, planes_ref=planes_ref, want_codes=want_codes
+            ),
+            batch_format="pandas", batch_size=4096,
         )
-        for r, j in enumerate(order, 1):
-            out.append((qi, int(ids[j]), float(sims[qi, j]), r))
-    return pd.DataFrame(out, columns=["query_id", "vec_id", "sim", "rank"])
+        .map_batches(
+            _PartialTopK,
+            fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+            batch_format="pandas", batch_size=4096,
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+    )
+    return _merge_partials(partials, k)
 
 
 def cosine_pairs(
@@ -159,42 +195,50 @@ def cosine_pairs(
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (exact).
 
-    The candidate id-range (``vec_id < max_id`` when given) is broadcast
-    as a normalized matrix; each batch computes one GEMM against it and
-    emits only pairs with ``sim >= threshold`` and ``a < b`` — so the
-    full n x n similarity matrix never materializes. At 100 TB the
-    broadcast side becomes the LSH-bucketed index (``lsh_topk``) and this
-    exact kernel runs per bucket; this function is the exact baseline the
-    approximate path is tested against.
-    """
+    Block-pair GEMM: the (filtered) dataset is pinned in the object
+    store as Arrow blocks; a Dataset of (i, j) block-index pairs with
+    i ≤ j fans out one GEMM per block pair, each task fetching exactly
+    two blocks by ref. Every unordered vector pair is examined in
+    exactly one task (cross pairs once per (i, j), within-block pairs
+    under a < b), so the emitted pair set is exact and duplicate-free
+    without any driver-side matrix."""
     sub = ds
     if max_id is not None:
         sub = sub.filter(expr=f"vec_id < {max_id}")
-    ref_pdf = sub.select_columns(["vec_id", "embedding"]).to_pandas()
-    ref_ids = ref_pdf["vec_id"].to_numpy()
-    ref_m = _normalize(_stack(ref_pdf["embedding"]))
-    ref_obj = ray.put((ref_ids, ref_m))
+    mat = sub.select_columns(["vec_id", "embedding"]).materialize()
+    refs = mat.to_arrow_refs()
+    nb = len(refs)
+    if nb == 0:
+        return pd.DataFrame({"a": [], "b": [], "sim": []})
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref_obj)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if max_id is not None:
-                batch = batch[batch["vec_id"] < max_id]
-            if len(batch) == 0:
-                return pd.DataFrame({"a": [], "b": [], "sim": []})
-            emb = _normalize(_stack(batch["embedding"]))
-            sims = emb @ self.m.T  # (nb, nref)
-            bids = batch["vec_id"].to_numpy()
-            rows_i, rows_j = np.nonzero(sims >= threshold)
-            a = bids[rows_i]
-            b = self.ids[rows_j]
+    def gemm_block_pair(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, j in zip(batch["i"], batch["j"]):
+            ti: pa.Table = ray.get(refs[int(i)])
+            tj = ti if i == j else ray.get(refs[int(j)])
+            if ti.num_rows == 0 or tj.num_rows == 0:
+                continue
+            ids_i = ti["vec_id"].to_numpy(zero_copy_only=False)
+            ids_j = tj["vec_id"].to_numpy(zero_copy_only=False)
+            mi = _normalize(_stack(ti["embedding"]))
+            mj = mi if i == j else _normalize(_stack(tj["embedding"]))
+            sims = mi @ mj.T
+            ri, rj = np.nonzero(sims >= threshold)
+            a, b = ids_i[ri], ids_j[rj]
             keep = a < b
-            return pd.DataFrame(
-                {"a": a[keep], "b": b[keep], "sim": sims[rows_i, rows_j][keep]}
+            outs.append(
+                pd.DataFrame({"a": a[keep], "b": b[keep], "sim": sims[ri, rj][keep]})
             )
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        return pd.concat(outs, ignore_index=True)
 
-    return ds.map_batches(
-        PairFinder, batch_format="pandas", batch_size=None, concurrency=(1, 4)
+    ij = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    )
+    out = ij.map_batches(
+        gemm_block_pair, batch_format="pandas", batch_size=1
     ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": [], "b": [], "sim": []})
+    return out

@@ -111,17 +111,29 @@ class MinHasher:
 
 
 def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
-    out_band, out_hash, out_id = [], [], []
-    for did, sig in zip(batch["doc_id"], batch["minhash"]):
-        s = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
-            out_band.append(b)
-            out_hash.append(h)
-            out_id.append(did)
-    return pd.DataFrame({"band_id": out_band, "band_hash": out_hash, "doc_id": out_id})
+    """Explode signatures to (band_id, band_hash, doc_id) rows.
+
+    The band key is md5 of the decimal-joined sub-signature prefixed by
+    the band id — a STRING construction (not raw bytes) so the DuckDB
+    oracle can reproduce it with md5(concat(...)). Vectorized string
+    assembly per band; md5 per (doc, band) is inherent."""
+    sig_mat = np.stack(
+        [np.asarray(s, dtype=np.uint64) for s in batch["minhash"]]
+    )  # (n, num_perm)
+    n = len(sig_mat)
+    ids = batch["doc_id"].to_numpy()
+    out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+    out_id = np.tile(ids, bands)
+    hashes = []
+    for b in range(bands):
+        chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+        strs = chunk.astype("U20")
+        joined = strs[:, 0]
+        for c in range(1, rows_per_band):
+            joined = np.char.add(np.char.add(joined, "-"), strs[:, c])
+        joined = np.char.add(f"{b}:", joined)
+        hashes.extend(hashlib.md5(s.encode()).hexdigest()[:16] for s in joined)
+    return pd.DataFrame({"band_id": out_band, "band_hash": hashes, "doc_id": out_id})
 
 
 def minhash_lsh_pairs(
@@ -132,44 +144,54 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
-    verify_concurrency: int = 4,
 ):
     """Near-duplicate candidate pairs via MinHash-LSH, verified with
     exact shingle Jaccard. Returns a Dataset of
     (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
 
-    Pipeline: signature (actor pool) → band explode → groupby
+    Pipeline: signature (pinned actor pool) → band explode → groupby
     (band_id, band_hash) → pairs per bucket → dedup pairs → exact-verify
-    against broadcast texts (small side at test scale; at 100 TB the
-    verify stage re-joins text by id with a bucket join instead).
+    via a distributed bucket join: pair requests are exploded to one row
+    per (pair, side) keyed by doc_id, co-located with the text table in
+    doc_id hash buckets, then regrouped by pair to compute exact shingle
+    Jaccard — text is re-shipped only for docs that appear in candidate
+    pairs, and nothing unbounded ever reaches the driver.
     """
-    import ray
-    import ray.data as rd
+    from ptrail_ray.stages.pool import pool_size
 
     rows_per_band = num_perm // bands
     sigged = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas", batch_size=None,
-        concurrency=(1, 2),
+        batch_format="pandas", batch_size=4096,
+        concurrency=pool_size(),
     )
     band = sigged.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band), batch_format="pandas", batch_size=None
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        if len(ids) < 2:
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per hash-bucket of band cells (NOT one
+        # Ray map_groups call per cell — ~ms per group at high
+        # cardinality); pairs via triu indices
+        outs_a, outs_b = [], []
+        for _, g in df.groupby("band_hash", sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            ids = ids[:max_bucket]  # bounded; hot cells truncate
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        if not outs_a:
             return pd.DataFrame({"a": [], "b": []})
-        ids = ids[:max_bucket]  # bounded; hot buckets (e.g. empty docs) truncate
-        pairs = list(itertools.combinations(ids, 2))
-        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+        return pd.DataFrame(
+            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+        )
 
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
-    cand = band.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cand = grouped_agg_by_bucket(band, "band_hash", bucket_pairs, num_buckets=32)
 
     def add_pair_key(df: pd.DataFrame) -> pd.DataFrame:
         df["pair_key"] = (
@@ -184,30 +206,106 @@ def minhash_lsh_pairs(
         num_buckets=16,
     )
 
-    texts_ref = ray.put(
-        dict(zip(*(lambda p: (p["doc_id"].tolist(), p["text"].tolist()))(
-            ds.select_columns(["doc_id", "text"]).to_pandas()
-        )))
+    return verify_pairs_jaccard(
+        pairs,
+        ds,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
     )
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.k = shingle_k
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a, b in zip(batch["a"], batch["b"]):
-                sa, sb = _shingles(self.texts[a] or "", self.k), _shingles(
-                    self.texts[b] or "", self.k
-                )
-                denom = len(sa | sb)
-                jac.append(len(sa & sb) / denom if denom else 0.0)
-            batch["jaccard"] = jac
-            return batch[batch["jaccard"] >= jaccard_threshold]
+def verify_pairs_jaccard(
+    pairs,
+    docs,
+    *,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_buckets: int = 32,
+):
+    """Exact shingle-Jaccard verification of candidate (a, b) pairs via
+    a distributed bucket join — the 100 TB verify path.
 
-    return pairs.map_batches(
-        Verify, batch_format="pandas", batch_size=None, concurrency=(1, verify_concurrency)
+    Two bounded exchanges, no driver materialization:
+
+    1. pairs explode to one request row per (pair, side) keyed by
+       doc_id; union with the (doc_id, text) table; hash-bucket on
+       doc_id; one vectorized merge per bucket attaches each request's
+       text.
+    2. re-bucket the textized requests on pair_key; per bucket, align
+       side 0/1 and compute exact shingle Jaccard (set ops inherent).
+
+    Only texts of docs that appear in candidate pairs are shipped
+    through exchange 2.
+    """
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = a * np.int64(1 << 32) + b
+        n = len(a)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "pair_key": pa.array(np.concatenate([pk, pk]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "text": pa.nulls(2 * n, pa.large_string()),
+            }
+        )
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "pair_key": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "text": t["text"].cast(pa.large_string()),
+            }
+        )
+
+    req = pairs.map_batches(explode_pairs, batch_format="pyarrow", batch_size=None)
+    txt = docs.select_columns(["doc_id", "text"]).map_batches(
+        tag_texts, batch_format="pyarrow", batch_size=None
+    )
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["side"] == -1][["doc_id", "text"]]
+        r = df[df["side"] != -1][["doc_id", "pair_key", "side"]]
+        m = r.merge(t, on="doc_id", how="left")
+        return m[["pair_key", "side", "text"]]
+
+    textized = grouped_agg_by_bucket(
+        txt.union(req), "doc_id", attach_text, num_buckets=num_buckets
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a_side = df[df["side"] == 0][["pair_key", "text"]]
+        b_side = df[df["side"] == 1][["pair_key", "text"]]
+        m = a_side.merge(b_side, on="pair_key", suffixes=("_a", "_b"))
+        jac = np.empty(len(m), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(m["text_a"], m["text_b"])):
+            sa = _shingles(ta or "", shingle_k)
+            sb = _shingles(tb or "", shingle_k)
+            denom = len(sa | sb)
+            jac[i] = len(sa & sb) / denom if denom else 0.0
+        pk = m["pair_key"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "a": pk >> 32,
+                "b": pk & np.int64((1 << 32) - 1),
+                "jaccard": jac,
+            }
+        )
+        return out[out["jaccard"] >= jaccard_threshold]
+
+    return grouped_agg_by_bucket(
+        textized, "pair_key", verify, num_buckets=num_buckets
     )
 
 
@@ -217,24 +315,34 @@ def minhash_lsh_pairs(
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """64-bit SimHash over word tokens (md5-derived token hashes)."""
-    out = []
-    for t in batch["text"].fillna(""):
-        toks = _tokens(t)
-        if not toks:
-            out.append(0)
-            continue
-        hv = np.array([_md5_u64(w) for w in toks], dtype=np.uint64)
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for i in range(64):
-            if v[i] > 0:
-                sh |= np.uint64(1) << np.uint64(i)
-        out.append(int(sh))
-    batch["simhash"] = np.array(out, dtype=np.uint64).astype("int64")  # 2's-complement
+    """64-bit SimHash over word tokens (md5-derived token hashes).
+
+    Vectorized across the whole batch: md5 runs once per UNIQUE token
+    (natural text repeats heavily), bit matrices and the per-doc
+    sign-sums are single numpy ops (cumsum + boundary diff — handles
+    empty docs without a Python loop)."""
+    texts = batch["text"].fillna("")
+    lists = [_tokens(t) for t in texts]
+    lens = np.array([len(l) for l in lists], dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(lists))
+    if not flat:
+        batch["simhash"] = np.zeros(len(batch), dtype=np.int64)
+        return batch
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hv = np.array([_md5_u64(w) for w in uniq], dtype=np.uint64)
+    bits_u = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    per_tok = 2 * bits_u[inv] - 1  # (n_flat, 64) in {-1, +1}
+    cs = np.vstack(
+        [np.zeros((1, 64), dtype=np.int64), np.cumsum(per_tok, axis=0)]
+    )
+    ends = np.cumsum(lens)
+    v = cs[ends] - cs[ends - lens]  # (n_docs, 64) sign sums
+    sh_bits = (v > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sh = (sh_bits * weights).sum(axis=1, dtype=np.uint64)
+    batch["simhash"] = sh.astype("int64")  # 2's-complement
     return batch
 
 
@@ -242,35 +350,79 @@ def add_simhash(ds):
     return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=None)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (uint64 input)."""
+    return np.unpackbits(
+        x.astype(np.uint64).view(np.uint8).reshape(len(x), 8), axis=1
+    ).sum(axis=1)
+
+
 def simhash_near_pairs(ds, *, max_hamming: int = 3):
     """Near-pairs by SimHash: group by each of four 16-bit sub-blocks
-    (pigeonhole guarantee for distance ≤ 3), verify Hamming distance."""
+    (pigeonhole guarantee for distance ≤ 3), verify Hamming distance.
+
+    The explode and the per-cell pair generation are vectorized (tile /
+    triu / unpackbits popcount); cells go through ONE hash-bucketed
+    exchange, not a Python map_groups call per (blk, sub) cell."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, sh in zip(batch["doc_id"], batch["simhash"]):
-            u = np.uint64(sh % (1 << 64))
-            for blk in range(4):
-                sub = int((u >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
-                rows.append((blk, sub, did, int(sh)))
-        return pd.DataFrame(rows, columns=["blk", "sub", "doc_id", "simhash"])
+        sh = batch["simhash"].to_numpy().astype(np.int64)
+        u = sh.astype(np.uint64)  # 2's-complement reinterpret
+        n = len(sh)
+        subs = np.concatenate(
+            [(u >> np.uint64(16 * blk)) & np.uint64(0xFFFF) for blk in range(4)]
+        ).astype(np.int64)
+        blks = np.repeat(np.arange(4, dtype=np.int64), n)
+        return pd.DataFrame(
+            {
+                "cell": blks * np.int64(1 << 16) + subs,
+                "doc_id": np.tile(batch["doc_id"].to_numpy(), 4),
+                "simhash": np.tile(sh, 4),
+            }
+        )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        recs = group[["doc_id", "simhash"]].drop_duplicates().values.tolist()
-        out = []
-        for (a, ha), (b, hb) in itertools.combinations(sorted(recs), 2):
-            d = bin((int(ha) ^ int(hb)) % (1 << 64)).count("1")
-            if d <= max_hamming:
-                out.append((a, b, d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"])
+    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cell", sort=False):
+            rec = (
+                g[["doc_id", "simhash"]]
+                .drop_duplicates()
+                .sort_values(["doc_id", "simhash"], kind="stable")
+            )
+            ids = rec["doc_id"].to_numpy()
+            hs = rec["simhash"].to_numpy().astype(np.int64)
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            d = _popcount64((hs[ia] ^ hs[ib]).astype(np.uint64))
+            m = d <= max_hamming
+            if m.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[ia][m],
+                            "b": ids[ib][m],
+                            "hamming": d[m].astype(np.int64),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": np.array([], np.int64),
+                    "b": np.array([], np.int64),
+                    "hamming": np.array([], np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
-    cand = (
-        add_simhash(ds)
-        .map_batches(explode, batch_format="pandas", batch_size=None)
-        .groupby(["blk", "sub"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    cand = grouped_agg_by_bucket(
+        add_simhash(ds).map_batches(explode, batch_format="pandas", batch_size=None),
+        "cell",
+        cell_pairs,
+        num_buckets=32,
     )
 
     def add_pair_key(df: pd.DataFrame) -> pd.DataFrame:

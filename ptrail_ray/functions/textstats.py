@@ -3,21 +3,24 @@
 Beyond-reference operators (per the build brief): token counting,
 quality scoring, language ID, document fingerprinting. All are
 vectorized ``map_batches`` stages over the ``documents`` table schema
-(doc_id, text, lang, source, n_chars); the regex-heavy ones are actor
-pools so patterns compile once per actor (``__init__``), not per batch.
+(doc_id, text, lang, source, n_chars).
 
-Every formula here is intentionally SQL-expressible so the driver's
+Everything except the md5 fingerprint runs on Arrow compute kernels
+(``count_substring_regex`` / ``split_pattern_regex`` / ``is_in``) — no
+per-row Python in the hot path — and the stages are stateless task
+pools (RE2 compiles inside Arrow per kernel call; nothing to hold in an
+actor). Every formula is intentionally SQL-expressible so the driver's
 DuckDB oracle can verify it exactly (see oracle_sql in __ray_entry__).
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # must match the SQL stoplist in __ray_entry__ verbatim
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
@@ -29,80 +32,89 @@ BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
 WORD_RE = r"[A-Za-z]+"
 DIGIT_RE = r"[0-9]"
 
-
-class TextStats:
-    """Actor-pool stage: per-doc token/quality metrics.
-
-    Emits: n_chars_calc, n_tokens, n_alpha_words, n_digits, stop_ratio,
-    mean_token_len, quality (all reproducible in ANSI SQL).
-    """
-
-    def __init__(self):
-        self.tok = re.compile(TOKEN_RE)
-        self.word = re.compile(WORD_RE)
-        self.digit = re.compile(DIGIT_RE)
-        self.bpe = re.compile(BPE_RE)
-        self.stop = set(STOPWORDS)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        toks = text.map(self.tok.findall)
-        n_tokens = toks.str.len().astype("int64")
-        batch["n_chars_calc"] = text.str.len().astype("int64")
-        batch["n_tokens"] = n_tokens
-        batch["n_alpha_words"] = text.map(lambda s: len(self.word.findall(s))).astype(
-            "int64"
-        )
-        batch["n_digits"] = text.map(lambda s: len(self.digit.findall(s))).astype(
-            "int64"
-        )
-        batch["n_bpe_tokens"] = text.map(lambda s: len(self.bpe.findall(s))).astype(
-            "int64"
-        )
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop))
-        with np.errstate(invalid="ignore"):
-            batch["stop_ratio"] = np.where(
-                n_tokens > 0, n_stop / n_tokens, np.nan
-            )
-            tok_chars = toks.map(lambda ws: sum(len(w) for w in ws))
-            batch["mean_token_len"] = np.where(
-                n_tokens > 0, tok_chars / n_tokens, np.nan
-            )
-        # simple composite quality score (documented formula, oracle-checked)
-        batch["quality"] = np.where(
-            n_tokens > 0,
-            (batch["stop_ratio"].fillna(0) > 0.05).astype("int64")
-            + (batch["mean_token_len"].between(3, 10)).astype("int64")
-            + (batch["n_chars_calc"].between(50, 10_000)).astype("int64"),
-            0,
-        ).astype("int64")
-        return batch
+# Narrow vectorized stages want large batches (the parquet reader's
+# iterator otherwise feeds ~10k-row slivers).
+TEXT_BATCH = 65536
 
 
-class LangId:
+def _counts(txt: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+    """Shared vectorized counters over a null-filled text column."""
+    out = {
+        "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ),
+        "n_tokens": pc.cast(
+            pc.count_substring_regex(txt, TOKEN_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False),
+    }
+    # stopword hits: split on whitespace, flatten, membership, per-row
+    # sums via the list offsets (one cumsum, no Python loop)
+    lst = pc.split_pattern_regex(txt, r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = pc.list_flatten(lst)
+    hit = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate(([0], np.cumsum(hit, dtype=np.int64)))
+    out["n_stop"] = cs[offsets[1:]] - cs[offsets[:-1]]
+    return out
+
+
+def text_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-doc token/quality metrics: n_chars_calc, n_tokens,
+    n_alpha_words, n_digits, n_bpe_tokens, stop_ratio, mean_token_len,
+    quality (all reproducible in ANSI SQL)."""
+    txt = pc.fill_null(t["text"], "")
+    c = _counts(txt)
+    n_tokens = c["n_tokens"]
+    n_alpha = pc.cast(pc.count_substring_regex(txt, WORD_RE), pa.int64())
+    n_digits = pc.cast(pc.count_substring_regex(txt, DIGIT_RE), pa.int64())
+    n_bpe = pc.cast(pc.count_substring_regex(txt, BPE_RE), pa.int64())
+    tok_chars = pc.cast(pc.count_substring_regex(txt, r"\S"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        stop_ratio = np.where(n_tokens > 0, c["n_stop"] / n_tokens, np.nan)
+        mean_token_len = np.where(n_tokens > 0, tok_chars / n_tokens, np.nan)
+    quality = np.where(
+        n_tokens > 0,
+        (np.nan_to_num(stop_ratio) > 0.05).astype(np.int64)
+        + ((mean_token_len >= 3) & (mean_token_len <= 10)).astype(np.int64)
+        + ((c["n_chars"] >= 50) & (c["n_chars"] <= 10_000)).astype(np.int64),
+        0,
+    ).astype(np.int64)
+    for name, col in (
+        ("n_chars_calc", pa.array(c["n_chars"], pa.int64())),
+        ("n_tokens", pa.array(n_tokens, pa.int64())),
+        ("n_alpha_words", n_alpha),
+        ("n_digits", n_digits),
+        ("n_bpe_tokens", n_bpe),
+        ("stop_ratio", pa.array(stop_ratio, pa.float64())),
+        ("mean_token_len", pa.array(mean_token_len, pa.float64())),
+        ("quality", pa.array(quality, pa.int64())),
+    ):
+        t = t.append_column(name, col)
+    return t
+
+
+LANG_TAU = 0.05
+
+
+def lang_id_batch(t: pa.Table) -> pa.Table:
     """Heuristic language ID: stopword-profile scoring.
 
     score = |tokens ∩ english-stoplist| / |tokens|; 'en' if score > tau
     else 'unk'. (n-gram profiles would be the production version; the
     synthetic corpus is English-vocab so the stoplist heuristic is the
-    deterministic, oracle-checkable choice.)
-    """
-
-    TAU = 0.05
-
-    def __init__(self):
-        self.tok = re.compile(TOKEN_RE)
-        self.stop = set(STOPWORDS)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        toks = text.map(self.tok.findall)
-        n = toks.str.len()
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop))
-        with np.errstate(invalid="ignore"):
-            score = np.where(n > 0, n_stop / n, 0.0)
-        batch["lang_pred"] = np.where(score > self.TAU, "en", "unk")
-        return batch
+    deterministic, oracle-checkable choice.)"""
+    txt = pc.fill_null(t["text"], "")
+    c = _counts(txt)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        score = np.where(c["n_tokens"] > 0, c["n_stop"] / c["n_tokens"], 0.0)
+    pred = np.where(score > LANG_TAU, "en", "unk")
+    return t.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -110,23 +122,38 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
     (The rolling-hash shingle fingerprint lives in functions/dedup.py;
     this one is the exact-content id used for exact dedup and lineage.)
+    md5 per row is inherent; the normalization is an Arrow kernel.
     """
-    norm = batch["text"].fillna("").map(lambda s: " ".join(s.split()))
-    batch["fingerprint"] = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    # trim + collapse with RE2 \s (NOT utf8_trim_whitespace, whose
+    # unicode whitespace class is wider than RE2's) — byte-equal to the
+    # oracle's string_agg(regexp_extract_all(text, '\S+'), ' ')
+    norm = (
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pa.array(batch["text"].fillna(""), pa.large_string()),
+                r"^\s+|\s+$",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+        .to_pandas()
+    )
+    batch["fingerprint"] = [
+        hashlib.md5(s.encode()).hexdigest() for s in norm
+    ]
     return batch
 
 
-def add_text_stats(ds, *, concurrency: int = 4, batch_size: int = 4096):
-    return ds.map_batches(
-        TextStats, batch_format="pandas", batch_size=batch_size, concurrency=(1, concurrency)
-    )
+def add_text_stats(ds, *, concurrency: int | None = None, batch_size: int = TEXT_BATCH):
+    """``concurrency`` is accepted for backwards compatibility and
+    ignored — the stage is a stateless task pool now."""
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
-def add_lang_id(ds, *, concurrency: int = 4, batch_size: int = 4096):
-    return ds.map_batches(
-        LangId, batch_format="pandas", batch_size=batch_size, concurrency=(1, concurrency)
-    )
+def add_lang_id(ds, *, concurrency: int | None = None, batch_size: int = TEXT_BATCH):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def add_fingerprint(ds):
-    return ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=None)
+    return ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=TEXT_BATCH)

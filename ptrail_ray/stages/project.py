@@ -49,38 +49,29 @@ def add_turn_flags(ds):
 
 
 class ExtractNumeric:
-    """Actor-pool stage: pull a numeric field out of semi-structured text
-    with a compiled regex (conversions analog). Pattern compiles once per
-    actor in ``__init__``."""
+    """Pull a numeric field out of semi-structured text with a regex
+    (conversions analog). Fully vectorized: ``pc.extract_regex`` runs
+    the RE2 pattern natively over the whole batch — no per-row Python
+    (the reference row-applies a parser; an earlier draft here looped
+    ``re.search`` per row). The pattern must contain ONE named group
+    ``v`` capturing the digits."""
 
-    def __init__(self, pattern: str = r'"k": ([0-9]+)', out_col: str = "k_value"):
-        import re
-
-        self.re = re.compile(pattern)
+    def __init__(self, pattern: str = r'"k": (?P<v>[0-9]+)', out_col: str = "k_value"):
+        self.pattern = pattern
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        txt = batch[TEXT].to_numpy(zero_copy_only=False)
-        out = np.empty(len(txt), dtype=np.float64)
-        out[:] = np.nan
-        for i, s in enumerate(txt):
-            if s:
-                m = self.re.search(s)
-                if m:
-                    out[i] = float(m.group(1))
-        arr = pa.array(out)
-        arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)
-        return batch.append_column(self.out_col, pc.cast(arr, pa.int64()))
+        txt = pc.fill_null(batch[TEXT], "")
+        m = pc.extract_regex(txt, self.pattern)  # struct<v: string> or null
+        val = pc.struct_field(m, "v")
+        return batch.append_column(self.out_col, pc.cast(val, pa.int64()))
 
     @staticmethod
-    def stage(ds, pattern: str = r'"k": ([0-9]+)', out_col: str = "k_value",
-              concurrency=(1, 4)):
-        return ds.map_batches(
-            ExtractNumeric,
-            fn_constructor_kwargs={"pattern": pattern, "out_col": out_col},
-            batch_format="pyarrow", batch_size=None,
-            concurrency=concurrency,
-        )
+    def stage(ds, pattern: str = r'"k": (?P<v>[0-9]+)', out_col: str = "k_value",
+              concurrency=None):
+        # stateless task pool; ``concurrency`` kept for API compat
+        fn = ExtractNumeric(pattern, out_col)
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
 
 
 def membership_flag(ds, values: list[str], *, col: str = TOOL, out_col: str = "flagged"):
