@@ -657,6 +657,145 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+def _minhash_oracle_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+    max_bucket: int = 200,
+) -> str:
+    """Full DuckDB replica of the MinHash-LSH near-dup pipeline
+    (functions/dedup.py): shingle → md5-derived uint64 ids
+    (('0x'||substr(md5,1,16))::UBIGINT == int.from_bytes(digest[:8],
+    'big')) → universal-hash minhash with numpy's uint64 WRAPAROUND
+    semantics replicated via HUGEINT % 2^64 → decimal-joined band
+    strings → md5 band keys → shared-cell pairs → exact shingle
+    Jaccard. The permutation constants are the same default_rng(7)
+    draw the MinHasher actor makes."""
+    from ptrail_ray.functions.dedup import _MERSENNE as _MH_P
+
+    _rng = np.random.default_rng(7)
+    _a = _rng.integers(1, _MH_P, size=num_perm, dtype=np.uint64)
+    _b = _rng.integers(0, _MH_P, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+    perm_vals = ", ".join(
+        f"({i}, {int(_a[i])}::HUGEINT, {int(_b[i])}::HUGEINT)"
+        for i in range(num_perm)
+    )
+    k = shingle_k
+    p64 = 1 << 64
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k-1}), i -> array_to_string(toks[i:i+{k-1}], ' ')))
+    END AS shingles
+  FROM d
+),
+shid AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,16))::UBIGINT)) AS xs
+  FROM sh
+),
+perm(pid, pa, pb) AS (VALUES {perm_vals}),
+shx AS (SELECT doc_id, unnest(xs)::HUGEINT AS x FROM shid),
+hv AS (
+  SELECT s.doc_id, p.pid,
+         min((((p.pa * (s.x % {_MH_P})) % {p64} + p.pb) % {p64}) % {_MH_P}) AS h
+  FROM shx s CROSS JOIN perm p
+  GROUP BY s.doc_id, p.pid
+),
+sigfull AS (
+  SELECT doc_id, pid, h FROM hv
+  UNION ALL
+  SELECT s.doc_id, p.pid, {p64 - 1}::HUGEINT AS h
+  FROM shid s CROSS JOIN perm p WHERE len(s.xs) = 0
+),
+band AS (
+  SELECT doc_id, CAST(pid / {r} AS INT) AS band_id,
+         string_agg(h::VARCHAR, '-' ORDER BY pid) AS joined
+  FROM sigfull GROUP BY doc_id, CAST(pid / {r} AS INT)
+),
+bh AS (
+  SELECT DISTINCT substr(md5(band_id::VARCHAR || ':' || joined), 1, 16) AS band_hash, doc_id
+  FROM band
+),
+kept AS (
+  SELECT band_hash, doc_id FROM (
+    SELECT band_hash, doc_id, row_number() OVER (PARTITION BY band_hash ORDER BY doc_id) AS rn
+    FROM bh) WHERE rn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y USING (band_hash) WHERE x.doc_id < y.doc_id
+),
+jac AS (
+  SELECT c.a, c.b,
+    CASE WHEN len(list_distinct(list_concat(sa.xs, sb.xs))) = 0 THEN 0.0
+         ELSE len(list_intersect(sa.xs, sb.xs))::DOUBLE / len(list_distinct(list_concat(sa.xs, sb.xs)))
+    END AS j
+  FROM cand c JOIN shid sa ON sa.doc_id = c.a JOIN shid sb ON sb.doc_id = c.b
+)
+SELECT a, b, round(j, 6) + 0.0 AS jaccard FROM jac WHERE j >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of the SimHash near-pair pipeline
+    (functions/dedup.py): md5-derived uint64 token hashes, per-bit
+    sign sums (token MULTIPLICITY counts), 2's-complement BIGINT
+    simhash, 16-bit pigeonhole cells via exact HUGEINT division,
+    Hamming via bit_count(xor)."""
+    bit_vals = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    blk_vals = ", ".join(f"({b}, {1 << (16 * b)}::HUGEINT)" for b in range(4))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+th AS (SELECT doc_id, ('0x' || substr(md5(w),1,16))::UBIGINT AS h FROM tok),
+bits(i, w) AS (VALUES {bit_vals}),
+bitsum AS (
+  SELECT t.doc_id, b.i, b.w,
+         sum(CASE WHEN (t.h >> CAST(b.i AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th t CROSS JOIN bits b
+  GROUP BY t.doc_id, b.i, b.w
+),
+tot AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN w ELSE 0::HUGEINT END) AS u
+  FROM bitsum GROUP BY doc_id
+),
+shs AS (
+  SELECT dd.doc_id,
+         CAST(CASE WHEN coalesce(t.u, 0::HUGEINT) >= {1 << 63}::HUGEINT
+                   THEN coalesce(t.u, 0::HUGEINT) - {1 << 64}::HUGEINT
+                   ELSE coalesce(t.u, 0::HUGEINT) END AS BIGINT) AS simhash,
+         coalesce(t.u, 0::HUGEINT) AS us
+  FROM (SELECT DISTINCT doc_id FROM documents) dd LEFT JOIN tot t USING (doc_id)
+),
+blks(blk, dv) AS (VALUES {blk_vals}),
+cell AS (
+  SELECT DISTINCT b.blk, CAST((s.us // b.dv) % 65536 AS BIGINT) AS sub, s.doc_id, s.simhash
+  FROM shs s CROSS JOIN blks b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb
+  FROM cell x JOIN cell y ON x.blk = y.blk AND x.sub = y.sub AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+ORACLE_SQL["q_minhash_pairs"] = _minhash_oracle_sql()
+ORACLE_SQL["q_simhash_pairs"] = _simhash_oracle_sql()
+
+
 QUERIES = {
     "q_transcripts": q_transcripts,
     "q_kinematics": q_kinematics,
