@@ -792,8 +792,107 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 
+def _cubic_oracle_sql(rate: float = RATE) -> str:
+    """DuckDB replica of the natural-cubic-spline gap-fill
+    (stages/gapfill.py::_natural_cubic_eval): the Thomas tridiagonal
+    solve runs as two recursive CTEs advancing every conversation in
+    lockstep (forward sweep on interval index i, back-substitution
+    descending), with each float expression written in the kernel's
+    exact operand order — the result is BIT-equal to the numpy kernel,
+    not merely allclose. ``AS MATERIALIZED`` on the feeder CTEs and on
+    the fwd→bwd hand-off is load-bearing: DuckDB otherwise re-inlines
+    the whole forward recursion into every backward step (measured 74 s
+    → 0.6 s at sf0.01). Runs of n < 3 points fall back to np.interp's
+    slope*(x-x0)+y0 form."""
+    w = W
+    return f"""
+WITH RECURSIVE transcripts AS ({TRANSCRIPTS_SQL}),
+pts AS MATERIALIZED (
+  SELECT conv_id, turn_idx, ts,
+         CAST(length(coalesce(text,'')) AS DOUBLE) AS y,
+         epoch_us(ts)/1e6 AS t,
+         CAST(row_number() OVER ({w}) - 1 AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM transcripts
+),
+seg AS MATERIALIZED (
+  SELECT conv_id, i, n, t, y,
+         lead(t) OVER (PARTITION BY conv_id ORDER BY i) AS t1,
+         lead(y) OVER (PARTITION BY conv_id ORDER BY i) AS y1
+  FROM pts
+),
+hh AS MATERIALIZED (
+  SELECT conv_id, i, n, t, y, t1, y1,
+         CASE WHEN t1 - t = 0 THEN 1e-12 ELSE t1 - t END AS h
+  FROM seg WHERE t1 IS NOT NULL
+),
+coef AS MATERIALIZED (
+  SELECT a.conv_id, a.i, a.n - 2 AS k,
+         6*((b.y1 - b.y)/b.h - (a.y1 - a.y)/a.h) AS rhs,
+         2*(a.h + b.h) AS diag,
+         a.h AS h_lo, b.h AS h_hi
+  FROM hh a JOIN hh b ON b.conv_id = a.conv_id AND b.i = a.i + 1
+),
+fwd AS (
+  SELECT conv_id, i, k,
+         CASE WHEN k > 1 THEN h_hi / diag ELSE 0.0 END AS cp,
+         rhs / diag AS dp
+  FROM coef WHERE i = 0
+  UNION ALL
+  SELECT c.conv_id, c.i, c.k,
+         CASE WHEN c.i < c.k - 1 THEN c.h_hi / (c.diag - c.h_lo * f.cp) ELSE 0.0 END AS cp,
+         (c.rhs - c.h_lo * f.dp) / (c.diag - c.h_lo * f.cp) AS dp
+  FROM coef c JOIN fwd f ON f.conv_id = c.conv_id AND c.i = f.i + 1
+),
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+bwd AS (
+  SELECT conv_id, i, dp AS sol FROM fwd_m WHERE i = k - 1
+  UNION ALL
+  SELECT f.conv_id, f.i, f.dp - f.cp * b.sol AS sol
+  FROM fwd_m f JOIN bwd b ON b.conv_id = f.conv_id AND f.i = b.i - 1
+),
+mm AS MATERIALIZED (SELECT conv_id, i + 1 AS ip, sol AS mval FROM bwd),
+gap AS (
+  SELECT conv_id, i AS j, n, t AS t0, y AS y0, t1, y1, h,
+         t + {rate} AS tq
+  FROM hh WHERE t1 - t > {rate}
+),
+ev3 AS (
+  SELECT g.conv_id, g.tq,
+         g.y0 + (g.tq - g.t0) * (
+           ((g.y1 - g.y0)/g.h - (g.h*(2*coalesce(ma.mval,0.0) + coalesce(mb.mval,0.0)))/6)
+           + (g.tq - g.t0) * (
+               coalesce(ma.mval,0.0)/2
+               + (g.tq - g.t0) * ((coalesce(mb.mval,0.0) - coalesce(ma.mval,0.0))/(6*g.h))
+             )
+         ) AS val
+  FROM gap g
+  LEFT JOIN mm ma ON ma.conv_id = g.conv_id AND ma.ip = g.j
+  LEFT JOIN mm mb ON mb.conv_id = g.conv_id AND mb.ip = g.j + 1
+  WHERE g.n >= 3
+),
+ev2 AS (
+  SELECT conv_id, tq,
+         ((y1 - y0)/(t1 - t0))*(tq - t0) + y0 AS val
+  FROM gap WHERE n < 3
+),
+synth AS (
+  SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx, true AS is_synthetic,
+         round(val, 6) + 0.0 AS m1_ip
+  FROM (SELECT * FROM ev3 UNION ALL SELECT * FROM ev2)
+),
+orig AS (
+  SELECT conv_id, turn_idx, false AS is_synthetic,
+         round(y, 6) + 0.0 AS m1_ip
+  FROM pts
+)
+SELECT * FROM orig UNION ALL SELECT * FROM synth
+"""
+
+
 ORACLE_SQL["q_minhash_pairs"] = _minhash_oracle_sql()
 ORACLE_SQL["q_simhash_pairs"] = _simhash_oracle_sql()
+ORACLE_SQL["q_gapfill_cubic"] = _cubic_oracle_sql()
 
 
 QUERIES = {
