@@ -44,12 +44,12 @@ WF = f"{W} ROWS UNBOUNDED PRECEDING"
 FEATURES_SQL = f"""
 transcripts AS ({TRANSCRIPTS_SQL}),
 f0 AS (
-  SELECT *, CAST(length(text) AS BIGINT) AS m1,
-         CAST(octet_length(encode(text)) AS BIGINT) AS m2,
+  SELECT *, CAST(length(coalesce(text, '')) AS BIGINT) AS m1,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS m2,
          date_diff('microsecond', lag(ts) OVER ({W}), ts)/1e6 AS delta_t,
          date_diff('microsecond', first_value(ts) OVER ({WF}), ts)/1e6 AS rel_s,
          row_number() OVER ({W}) AS rn,
-         first_value(CAST(length(text) AS BIGINT)) OVER ({WF}) AS first_m1
+         first_value(CAST(length(coalesce(text, '')) AS BIGINT)) OVER ({WF}) AS first_m1
   FROM transcripts
 ),
 f1 AS (

@@ -35,21 +35,25 @@ from ptrail_ray.stages.bucket import BUCKET_COL, sort_bucket, stable_hash
 DEFAULT_HOT_THRESHOLD = 100_000
 
 
-def detect_hot_convs(ds, threshold: int = DEFAULT_HOT_THRESHOLD) -> list[str]:
+def detect_hot_convs(
+    ds, threshold: int = DEFAULT_HOT_THRESHOLD, *, floor: int | None = None
+) -> list[str]:
     """Conversations with more than ``threshold`` turns.
 
     Partial-aggregate pattern: combine inside map_batches (one row per
     conv per block), then a small groupby over the partials — the wide
-    input is never shuffled for this."""
+    input is never shuffled for this.
 
-    # A conversation only counts toward "hot" through batch-partials of
-    # at least threshold/256 rows — i.e. we assume a hot conversation's
-    # rows are spread over at most ~256 batches (true for any log that
-    # is even loosely time- or file-clustered). A miss only skips
-    # salting for that conversation; correctness is unaffected. This
-    # keeps the partial set tiny, so the groupby over partials is
-    # negligible next to the main job.
-    floor = max(1, threshold // 256)
+    ``floor`` prunes per-block partials below that row count. The
+    default (threshold/256) assumes a hot conversation's rows span at
+    most ~256 batches — fine for SALTING, where a miss only costs skew
+    headroom. Pass ``floor=1`` (exhaustive, still bounded by distinct
+    convs per block) when the result gates a CORRECTNESS-adjacent path
+    such as giant-conversation splitting, where a thinly-spread giant
+    slipping through would defeat the split path's memory contract
+    (ADVICE r01)."""
+    if floor is None:
+        floor = max(1, threshold // 256)
 
     def partial_counts(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(t[CONV_ID])

@@ -277,7 +277,10 @@ def featurize_with_split(
     from ptrail_ray.stages.salt import detect_hot_convs
     from ptrail_ray.stages.kernels import featurize
 
-    giants = detect_hot_convs(ds, split_threshold)
+    # floor=1: giant detection gates the split path's memory contract,
+    # so it must be exhaustive — the salting floor heuristic could miss
+    # a giant spread thinly over many blocks (ADVICE r01)
+    giants = detect_hot_convs(ds, split_threshold, floor=1)
     if not giants:
         return featurize(
             ds,

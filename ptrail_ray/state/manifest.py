@@ -40,6 +40,32 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"bucket={bucket:05d}.json")
 
 
+def _job_manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, "job.json")
+
+
+def load_job_manifest(out_dir: str) -> dict | None:
+    p = _job_manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def save_job_manifest(out_dir: str, config: dict) -> None:
+    """Persist the partition-defining job config (num_buckets, hot-conv
+    list, split config) so a resumed run reuses the EXACT same bucket
+    mapping. Re-deriving the hot set on resume is unsafe: the detection
+    heuristic depends on block boundaries (ncpu / override_num_blocks),
+    so a resume with different --num-cpus could shift salted bucket ids
+    and silently skip rows that were never written (ADVICE r01)."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    p = _job_manifest_path(out_dir)
+    with open(p + ".tmp", "w") as fh:
+        json.dump(config, fh)
+    os.replace(p + ".tmp", p)
+
+
 def completed_buckets(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
@@ -57,7 +83,7 @@ def load_metrics(out_dir: str) -> list[dict]:
         return []
     rows = []
     for f in sorted(os.listdir(mdir)):
-        if f.endswith(".json"):
+        if f.startswith("bucket=") and f.endswith(".json"):
             with open(os.path.join(mdir, f)) as fh:
                 rows.append(json.load(fh))
     return rows

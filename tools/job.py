@@ -51,7 +51,8 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
@@ -66,32 +67,84 @@ def main(argv=None):
     from ptrail_ray.stages.kernels import compute_features
     from ptrail_ray.stages.salt import detect_hot_convs
     from ptrail_ray.stages.temporal import add_temporal_columns
-    from ptrail_ray.state.manifest import load_metrics, write_resumable
+    from ptrail_ray.state.manifest import (
+        load_job_manifest,
+        load_metrics,
+        save_job_manifest,
+        write_resumable,
+    )
 
     t0 = time.perf_counter()
     ds = read_transcripts(args.input)
 
-    hot = []
-    if args.hot_threshold:
-        hot = detect_hot_convs(ds, args.hot_threshold)
+    # The bucket mapping (num_buckets + salted hot-conv ids + the giant
+    # set) must be IDENTICAL across resume runs — it is derived once on
+    # the first run, persisted in _manifest/job.json, and reused
+    # verbatim on resume. Re-detecting would tie the mapping to block
+    # boundaries (--num-cpus), risking silently skipped rows.
+    resume = not args.no_resume
+    prior = load_job_manifest(args.output) if resume else None
+    if prior is not None:
+        if prior["num_buckets"] != args.num_buckets:
+            raise SystemExit(
+                f"--num-buckets {args.num_buckets} != {prior['num_buckets']} "
+                "recorded in the job manifest; a resume must reuse the "
+                "original bucket count (or pass --no-resume to restart)"
+            )
+        hot = prior["hot_convs"]
+        giants = prior["giants"]
+        giants_done = prior.get("giants_done", False)
+    else:
+        hot = (
+            detect_hot_convs(ds, args.hot_threshold) if args.hot_threshold else []
+        )
+        # exhaustive detection (floor=1) — the split path's memory
+        # contract must not miss a giant spread thinly across blocks
+        giants = (
+            detect_hot_convs(ds, args.split_threshold, floor=1)
+            if args.split_threshold
+            else []
+        )
+        giants_done = False
+        save_job_manifest(
+            args.output,
+            {
+                "num_buckets": args.num_buckets,
+                "hot_threshold": args.hot_threshold,
+                "hot_convs": hot,
+                "split_threshold": args.split_threshold,
+                "giants": giants,
+                "giants_done": False,
+                "input": args.input,
+            },
+        )
 
-    giants = []
-    if args.split_threshold:
+    if giants:
         from ptrail_ray.stages.project import semi_join_keys
-        from ptrail_ray.stages.split import featurize_split
 
-        giants = detect_hot_convs(ds, args.split_threshold)
-        if giants:
-            giant_rows = semi_join_keys(ds, giants)
-            ds = semi_join_keys(ds, giants, anti=True)
+        ds_giants = semi_join_keys(ds, giants)
+        ds = semi_join_keys(ds, giants, anti=True)
+        if not giants_done:
+            import shutil
+
+            from ptrail_ray.stages.split import featurize_split
+
+            gdir = os.path.join(args.output, "_giants")
+            # a previous interrupted run may have written partial files
+            # with no completion marker — clear before (re)writing
+            if os.path.isdir(gdir):
+                shutil.rmtree(gdir)
             featurize_split(
-                giant_rows.map_batches(
+                ds_giants.map_batches(
                     project_measures, batch_format="pyarrow", batch_size=262144
                 ),
-                subrange_rows=max(args.split_threshold // 4, 10_000),
+                subrange_rows=max((args.split_threshold or 40_000) // 4, 10_000),
                 num_buckets=args.num_buckets,
                 gap_seconds=args.gap_seconds,
-            ).write_parquet(os.path.join(args.output, "_giants"))
+            ).write_parquet(gdir)
+            cfg = load_job_manifest(args.output)
+            cfg["giants_done"] = True
+            save_job_manifest(args.output, cfg)
 
     ds = ds.map_batches(project_measures, batch_format="pyarrow", batch_size=262144)
 
@@ -106,7 +159,7 @@ def main(argv=None):
         kern,
         num_buckets=args.num_buckets,
         lineage=args.input,
-        resume=not args.no_resume,
+        resume=resume,
         hot_convs=hot,
     )
     metrics = load_metrics(args.output)
@@ -127,7 +180,10 @@ def main(argv=None):
             }
         )
     )
-    ray.shutdown()
+    if owns_session:
+        # only tear down a session this process created (an embedding
+        # caller — e.g. the test fixture — owns its own lifecycle)
+        ray.shutdown()
 
 
 if __name__ == "__main__":
