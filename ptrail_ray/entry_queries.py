@@ -1160,3 +1160,121 @@ ORACLE_SQL["q_rolling"] = f"""
              AS roll5_mean_m1
     FROM transcripts"""
 QUERIES["q_rolling"] = q_rolling
+
+
+# --- §2 gap closers (VERDICT r01 item 7) -----------------------------------
+
+DIST_POINT = (100.0, 120.0)
+MAXBOTH_DL = 50.0
+MAXBOTH_LR = 1.0
+PATHSUM_CONV = "conv-1"
+
+
+def q_dist_from_point(sf_dir):
+    """Continuous distance-from-fixed-point (kinematic_features.py:374-413
+    analog): per-turn L2 distance in the (m1, m2) measure plane."""
+    from ptrail_ray.stages.project import distance_from_point
+
+    out = distance_from_point(_featurized(sf_dir), DIST_POINT, out_col="dist_ref")
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "dist_ref"]),
+        round_columns=["dist_ref"],
+    )
+
+
+ORACLE_SQL["q_dist_from_point"] = f"""
+    WITH {FEATURES_SQL}
+    SELECT conv_id, turn_idx,
+           round(sqrt((m1 - {DIST_POINT[0]})*(m1 - {DIST_POINT[0]})
+                      + (m2 - {DIST_POINT[1]})*(m2 - {DIST_POINT[1]})), 6) + 0.0
+             AS dist_ref
+    FROM feat"""
+QUERIES["q_dist_from_point"] = q_dist_from_point
+
+
+def q_filter_max_both(sf_dir):
+    """Conjunctive max filter with NaN sentinels
+    (filter_by_max_distance_and_speed, preprocessing/filters.py:467-509)."""
+    from ptrail_ray.stages.filters import filter_by_max_both
+
+    out = filter_by_max_both(
+        _featurized(sf_dir), "delta_len", MAXBOTH_DL, "len_rate", MAXBOTH_LR
+    )
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "delta_len", "len_rate"]),
+        round_columns=["len_rate"],
+    )
+
+
+ORACLE_SQL["q_filter_max_both"] = f"""
+    WITH {FEATURES_SQL}
+    SELECT conv_id, turn_idx, delta_len, round(len_rate, 6) + 0.0 AS len_rate
+    FROM feat
+    WHERE coalesce(delta_len, {MAXBOTH_DL} + 1) <= {MAXBOTH_DL}
+      AND coalesce(len_rate, {MAXBOTH_LR} + 1) <= {MAXBOTH_LR}"""
+QUERIES["q_filter_max_both"] = q_filter_max_both
+
+
+def q_path_sum_day(sf_dir):
+    """distance_travelled_by_date_and_traj_id analog
+    (kinematic_features.py:276-326): one conversation's |Δm1| path sum
+    on its first active date (filter first, deltas recomputed inside
+    the filtered slice)."""
+    from ptrail_ray.stages.stats import path_sum_by_date_and_conv
+
+    out = path_sum_by_date_and_conv(derive_from_events(sf_dir), PATHSUM_CONV)
+    return finalize(out, round_columns=["path_len"])
+
+
+ORACLE_SQL["q_path_sum_day"] = f"""
+    WITH transcripts AS ({TRANSCRIPTS_SQL}),
+    c AS (SELECT conv_id, turn_idx, ts,
+                 CAST(length(coalesce(text,'')) AS BIGINT) AS m1,
+                 CAST(ts AS DATE) AS d
+          FROM transcripts WHERE conv_id = '{PATHSUM_CONV}'),
+    d0 AS (SELECT min(d) AS dmin FROM c),
+    f AS (SELECT c.*, d0.dmin FROM c, d0 WHERE c.d = d0.dmin),
+    g AS (SELECT conv_id, dmin,
+                 m1 - lag(m1) OVER (ORDER BY turn_idx, ts) AS dl
+          FROM f)
+    SELECT conv_id, strftime(min(dmin), '%Y-%m-%d') AS date_str,
+           round(CAST(coalesce(sum(abs(dl)), 0) AS DOUBLE), 6) + 0.0 AS path_len
+    FROM g GROUP BY conv_id"""
+QUERIES["q_path_sum_day"] = q_path_sum_day
+
+
+LSH_RECALL_BOUND = 0.9
+
+
+def q_ann_lsh(sf_dir):
+    """Approximate LSH cosine top-k, SELF-CHECKED against the exact
+    brute-force path: raises if mean recall@10 < {bound}. Deliberately
+    has no SQL oracle (the approximate candidate set is an LSH artifact
+    SQL can't cheaply reproduce); the recorded rows carry the measured
+    per-query recall so the driver's rows-only check still evidences
+    the property (VERDICT r01 item 10)."""
+    import os
+    import ray.data as rd
+    from ptrail_ray.functions.ann import brute_force_topk, lsh_topk, _stack
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = _stack(qdf["embedding"])
+    approx = lsh_topk(ds, queries, k=10, tables=24, bits=5)
+    exact = brute_force_topk(ds, queries, k=10)
+    rows = []
+    for qi, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        rows.append(
+            (int(qi), len(truth), len(got & truth), len(got & truth) / len(truth))
+        )
+    out = pd.DataFrame(rows, columns=["query_id", "k", "n_hit", "recall"])
+    mean_recall = float(out["recall"].mean())
+    assert mean_recall >= LSH_RECALL_BOUND, (
+        f"LSH recall {mean_recall:.3f} < {LSH_RECALL_BOUND} vs brute force"
+    )
+    return out
+
+
+QUERIES["q_ann_lsh"] = q_ann_lsh

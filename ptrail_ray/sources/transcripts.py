@@ -370,11 +370,19 @@ def write_synth(
 
 def read_transcripts_csv(path: str, **kwargs):
     """CSV ingest (Datasets.load_* analog, core/Datasets.py:28-207) —
-    read_csv → schema-normalize to the canonical dtypes."""
+    read_csv → schema-normalize to the canonical dtypes.
+
+    CSV cannot distinguish an empty string from a missing value; this
+    loader reads empty fields as NULL (``strings_can_be_null``), the
+    same convention as pandas ``read_csv``."""
     import ray.data as rd
+    from pyarrow import csv as pacsv
 
     from ptrail_ray.schema import normalize
 
+    kwargs.setdefault(
+        "convert_options", pacsv.ConvertOptions(strings_can_be_null=True)
+    )
     return normalize(rd.read_csv(path, **kwargs))
 
 

@@ -82,6 +82,22 @@ def filter_by_min_both(ds, col_a: str, min_a: float, col_b: str, min_b: float):
     return _mask_batches(ds, mask)
 
 
+def filter_by_max_both(ds, col_a: str, max_a: float, col_b: str, max_b: float):
+    """Conjunctive max filter WITH NaN sentinels: NaN → max+1 → the row
+    drops (``filter_by_max_distance_and_speed``,
+    ptrail/preprocessing/filters.py:467-509 — the reference fillna's
+    each column with its max+1 before the conjunction)."""
+
+    def mask(t: pa.Table) -> pa.Array:
+        a = t[col_a].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t[col_b].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.where(np.isnan(a), max_a + 1, a)
+        b = np.where(np.isnan(b), max_b + 1, b)
+        return pa.array((a <= max_a) & (b <= max_b))
+
+    return _mask_batches(ds, mask)
+
+
 def filter_by_range(ds, col: str, lo, hi, inside: bool = True):
     """Inclusive range filter (bbox / date-window analog,
     filters.py:128-155, 158-311). Raises if hi < lo."""

@@ -74,6 +74,34 @@ class ExtractNumeric:
         return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
 
 
+def distance_from_point(
+    ds,
+    point: tuple[float, float],
+    *,
+    cols: tuple[str, str] = ("m1", "m2"),
+    out_col: str | None = None,
+):
+    """Continuous distance-from-fixed-point: per-row Euclidean distance
+    in measure space to a reference point — the
+    ``create_distance_from_point_column`` analog
+    (ptrail/features/kinematic_features.py:374-413 +
+    helper ``distance_from_given_point_helper``,
+    helper_functions.py:245-277; there haversine to a coordinate, here
+    L2 over the (m1, m2) measure plane). Narrow vectorized stage; the
+    reference fans out a multiprocessing pool per call."""
+    cx, cy = float(point[0]), float(point[1])
+    out_col = out_col or f"dist_from_{point[0]}_{point[1]}"
+    ca, cb = cols
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch[ca].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[cb].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy))
+        return batch.append_column(out_col, pa.array(d, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
 def membership_flag(ds, values: list[str], *, col: str = TOOL, out_col: str = "flagged"):
     """visited_location analog: 0/1 flag — is ``col`` in the broadcast
     value set. The set ships once in the task closure (a few KB); a

@@ -202,3 +202,84 @@ def conv_sums_kernel(table: pa.Table) -> pa.Table:
 def conv_sums(ds, *, num_buckets: int = 32):
     """Per-conversation nansum aggregates over the lag-1 deltas."""
     return map_conv_buckets(ds, conv_sums_kernel, num_buckets=num_buckets)
+
+
+def _date_str(d) -> str:
+    return str(d)[:10]
+
+
+def path_sum_by_date_and_conv(ds, conv_id: str, date: str | None = None):
+    """Total path length of ONE conversation on ONE calendar date —
+    ``distance_travelled_by_date_and_traj_id`` analog
+    (ptrail/features/kinematic_features.py:276-326). The reference
+    filters FIRST and then recomputes consecutive distances inside the
+    filtered frame (so a turn whose predecessor fell on another date
+    contributes 0, matching its ``distances[0] = 0``); this composition
+    does the same: filter_by_conv_id ∘ date filter → per-run |Δm1| sum.
+
+    ``date`` defaults to the conversation's first active date. The
+    filtered slice of one conversation is small by construction, so the
+    delta computation runs in a single final task."""
+    from ptrail_ray.stages.filters import filter_by_conv_id
+
+    sub = filter_by_conv_id(ds, conv_id)
+
+    def day_of(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(pc.floor_temporal(t[TS], unit="day"), pa.date32())
+        return t.append_column("_date", d)
+
+    sub = sub.map_batches(day_of, batch_format="pyarrow", batch_size=None)
+    if date is None:
+        from ray.data.aggregate import Min
+
+        date = sub.aggregate(Min("_date"))["min(_date)"]
+
+    from ptrail_ray.stages.bucket import sort_bucket
+
+    def path_sum(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = sort_bucket(t)
+        if "m1" in t.column_names:
+            m1 = t["m1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            m1 = (
+                pc.cast(
+                    pc.coalesce(pc.utf8_length(t["text"]), pa.scalar(0, pa.int32())),
+                    pa.int64(),
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+        dl = np.abs(np.diff(m1)) if len(m1) > 1 else np.array([], np.float64)
+        return pa.table(
+            {
+                CONV_ID: pa.array([conv_id], pa.string()),
+                "date_str": pa.array([_date_str(date)], pa.string()),
+                "path_len": pa.array([float(dl.sum())], pa.float64()),
+            }
+        )
+
+    # one conversation × one date is small by construction — collapse to
+    # a single block so the delta chain sees the whole slice
+    import datetime as _dt
+
+    target = (
+        date
+        if isinstance(date, _dt.date)
+        else _dt.date.fromisoformat(str(date))
+    )
+
+    def day_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.fill_null(pc.equal(t["_date"], pa.scalar(target, pa.date32())), False)
+        )
+
+    day = sub.map_batches(
+        day_filter, batch_format="pyarrow", batch_size=None
+    ).repartition(1)
+    return day.map_batches(path_sum, batch_size=None, batch_format="pyarrow")
