@@ -1278,3 +1278,70 @@ def q_ann_lsh(sf_dir):
 
 
 QUERIES["q_ann_lsh"] = q_ann_lsh
+
+
+INTERSECT_REGION = (0.0, 500.0, 0.0, 600.0)
+
+
+def q_conv_intersect(sf_dir):
+    """3-way overlay (traj_intersect_inside_polygon analog,
+    contextual_features.py:231-301): coinciding (m1, m2) points of two
+    conversations inside a measure-space region."""
+    from ptrail_ray.stages.project import conv_intersect_in_region
+
+    out = conv_intersect_in_region(
+        _featurized(sf_dir), "conv-1", "conv-2", INTERSECT_REGION
+    )
+    return finalize(out)
+
+
+ORACLE_SQL["q_conv_intersect"] = f"""
+    WITH {FEATURES_SQL},
+    a AS (SELECT conv_id, ts, m1, m2 FROM feat
+          WHERE conv_id = 'conv-1'
+            AND m1 BETWEEN {INTERSECT_REGION[0]} AND {INTERSECT_REGION[1]}
+            AND m2 BETWEEN {INTERSECT_REGION[2]} AND {INTERSECT_REGION[3]}),
+    b AS (SELECT conv_id, ts, m1, m2 FROM feat
+          WHERE conv_id = 'conv-2'
+            AND m1 BETWEEN {INTERSECT_REGION[0]} AND {INTERSECT_REGION[1]}
+            AND m2 BETWEEN {INTERSECT_REGION[2]} AND {INTERSECT_REGION[3]})
+    SELECT a.conv_id AS conv_id_1, a.ts AS ts_1, a.m1, a.m2,
+           b.conv_id AS conv_id_2, b.ts AS ts_2
+    FROM a JOIN b ON a.m1 = b.m1 AND a.m2 = b.m2"""
+QUERIES["q_conv_intersect"] = q_conv_intersect
+
+
+def q_media_decode(sf_dir):
+    """Multimodal plumbing end-to-end over REAL driver data: binary
+    payloads derived from the documents table (utf-8 bytes as an opaque
+    media column), pushed through the actor-pool decode stage with the
+    deterministic fake decoder (no codecs in this container —
+    functions/multimodal.py). Returns per-item decode status + feature
+    dimensionality; rows-only driver check (the md5-seeded fake feature
+    values are deliberately not SQL-reproducible)."""
+    import ray.data as rd
+    from ptrail_ray.functions.multimodal import decode_features
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["doc_id"].cast(pa.int64()),
+                "media_type": pa.array(["image"] * t.num_rows, pa.string()),
+                "payload": pc.cast(
+                    pc.fill_null(t["text"], ""), pa.binary()
+                ),
+            }
+        )
+
+    media = _docs(sf_dir).map_batches(to_media, batch_format="pyarrow", batch_size=None)
+    out = decode_features(media, fake=True).to_pandas()
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "decoded_ok": out["decoded_ok"].astype(bool),
+            "n_feat": out["feature"].map(len).astype("int64"),
+        }
+    )
+
+
+QUERIES["q_media_decode"] = q_media_decode

@@ -83,13 +83,19 @@ class DecodeImage:
         return batch.drop(columns=["payload"])  # drop payload → small output
 
 
-def decode_features(ds, *, fake: bool = False, concurrency: int = 2, batch_size: int = 16):
+def decode_features(
+    ds, *, fake: bool = False, concurrency: int | None = None, batch_size: int = 16
+):
     """Media Dataset → per-item feature vectors (payload dropped on
-    output; small batch_size because payloads dominate memory)."""
+    output; small batch_size because payloads dominate memory). The
+    pool is pinned and cluster-sized by default (autoscaling pools ramp
+    from 1 actor — stages/pool.py)."""
+    from ptrail_ray.stages.pool import pool_size
+
     return ds.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"fake": fake},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=concurrency or pool_size(),
     )

@@ -115,6 +115,75 @@ def membership_flag(ds, values: list[str], *, col: str = TOOL, out_col: str = "f
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def conv_intersect_in_region(
+    ds,
+    conv_a: str,
+    conv_b: str,
+    region: tuple[float, float, float, float],
+    *,
+    cols: tuple[str, str] = ("m1", "m2"),
+):
+    """3-way overlay: points of two conversations that fall inside a
+    measure-space region AND coincide exactly — the
+    ``traj_intersect_inside_polygon`` analog
+    (ptrail/features/contextual_features.py:231-301: clip both
+    single-trajectory frames to the polygon, then point-intersect).
+
+    The region is an (m1_lo, m1_hi, m2_lo, m2_hi) rectangle. Like the
+    reference (which requires single-trajectory inputs), side B is ONE
+    conversation — small by contract — so it is clipped and broadcast
+    once; side A streams through a narrow vectorized merge per batch.
+    Output: one row per coinciding point pair
+    (conv_id_1, ts_1, m1, m2, conv_id_2, ts_2).
+    """
+    import ray
+
+    ca, cb = cols
+    m1_lo, m1_hi, m2_lo, m2_hi = region
+
+    def clip(conv_id):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.equal(t[CONV_ID], pa.scalar(conv_id)), False)
+            m = pc.and_(m, pc.greater_equal(t[ca], pa.scalar(m1_lo)))
+            m = pc.and_(m, pc.less_equal(t[ca], pa.scalar(m1_hi)))
+            m = pc.and_(m, pc.greater_equal(t[cb], pa.scalar(m2_lo)))
+            m = pc.and_(m, pc.less_equal(t[cb], pa.scalar(m2_hi)))
+            return t.filter(pc.fill_null(m, False))
+
+        return fn
+
+    side_b = (
+        ds.map_batches(clip(conv_b), batch_format="pyarrow", batch_size=None)
+        .select_columns([CONV_ID, "ts", ca, cb])
+        .to_pandas()
+    )
+    b_ref = ray.put(side_b)
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = ray.get(b_ref)
+        a = clip(conv_a)(t).select([CONV_ID, "ts", ca, cb]).to_pandas()
+        if len(a) == 0 or len(b) == 0:
+            return pa.table(
+                {
+                    "conv_id_1": pa.array([], pa.string()),
+                    "ts_1": pa.array([], pa.timestamp("us")),
+                    ca: pa.array([], pa.int64()),
+                    cb: pa.array([], pa.int64()),
+                    "conv_id_2": pa.array([], pa.string()),
+                    "ts_2": pa.array([], pa.timestamp("us")),
+                }
+            )
+        m = a.merge(b, on=[ca, cb], suffixes=("_1", "_2"))
+        out = m[[f"{CONV_ID}_1", "ts_1", ca, cb, f"{CONV_ID}_2", "ts_2"]].rename(
+            columns={f"{CONV_ID}_1": "conv_id_1", f"{CONV_ID}_2": "conv_id_2"}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+
+
 def semi_join_keys(ds, keys, *, col: str = CONV_ID, anti: bool = False):
     """Semi-join (keep rows whose ``col`` is in the broadcast key set) or
     anti-join (``anti=True``: keep rows whose key is NOT in the set).
