@@ -1345,3 +1345,71 @@ def q_media_decode(sf_dir):
 
 
 QUERIES["q_media_decode"] = q_media_decode
+
+
+def q_gapfill_kinematic(sf_dir):
+    """Velocity-consistent quadratic gap-fill (the 2x2 kinematic solve
+    analog, preprocessing/helpers.py:277-348)."""
+    from ptrail_ray.stages.gapfill import gapfill
+
+    out = gapfill(derive_from_events(sf_dir), RATE, "kinematic")
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "is_synthetic", "m1_ip"]),
+        round_columns=["m1_ip"],
+    )
+
+
+ORACLE_SQL["q_gapfill_kinematic"] = f"""
+    WITH transcripts AS ({TRANSCRIPTS_SQL}),
+    f AS (SELECT conv_id, turn_idx,
+                 CAST(length(coalesce(text,'')) AS DOUBLE) AS y,
+                 epoch_us(ts)/1e6 AS t,
+                 lag(epoch_us(ts)/1e6) OVER ({W}) AS tm1,
+                 lag(CAST(length(coalesce(text,'')) AS DOUBLE)) OVER ({W}) AS ym1,
+                 lead(epoch_us(ts)/1e6) OVER ({W}) AS t1,
+                 lead(CAST(length(coalesce(text,'')) AS DOUBLE)) OVER ({W}) AS y1
+          FROM transcripts),
+    g AS (SELECT *,
+                 t + {RATE} AS tq,
+                 CASE WHEN tm1 IS NOT NULL
+                      THEN (y - ym1) / greatest(t - tm1, 1e-12)
+                      ELSE 0.0 END AS v0,
+                 greatest(t1 - t, 1e-12) AS bigt
+          FROM f WHERE t1 - t > {RATE}),
+    s AS (SELECT conv_id, tq,
+                 y + v0*(tq - t) + 0.5*(2*(y1 - y - v0*bigt)/(bigt*bigt))*(tq - t)*(tq - t) AS val
+          FROM g)
+    SELECT conv_id, turn_idx, false AS is_synthetic,
+           round(CAST(length(coalesce(text,'')) AS DOUBLE), 6) + 0.0 AS m1_ip
+    FROM transcripts
+    UNION ALL
+    SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx, true AS is_synthetic,
+           round(val, 6) + 0.0 AS m1_ip
+    FROM s"""
+QUERIES["q_gapfill_kinematic"] = q_gapfill_kinematic
+
+
+MINBOTH_DT = 30.0
+MINBOTH_M1 = 5.0
+
+
+def q_filter_min_both(sf_dir):
+    """Conjunctive min filter, NO fillna (NaN comparisons are False) —
+    reference preprocessing/filters.py:546-548."""
+    from ptrail_ray.stages.filters import filter_by_min_both
+
+    out = filter_by_min_both(
+        _featurized(sf_dir), "delta_t", MINBOTH_DT, "m1", MINBOTH_M1
+    )
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "delta_t", "m1"]),
+        round_columns=["delta_t"],
+    )
+
+
+ORACLE_SQL["q_filter_min_both"] = f"""
+    WITH {FEATURES_SQL}
+    SELECT conv_id, turn_idx, round(delta_t, 6) + 0.0 AS delta_t, m1
+    FROM feat
+    WHERE delta_t >= {MINBOTH_DT} AND m1 >= {MINBOTH_M1}"""
+QUERIES["q_filter_min_both"] = q_filter_min_both

@@ -92,9 +92,35 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
+        # per-actor shingle→id memo: near-dup corpora repeat shingles
+        # heavily, so most md5 calls are cache hits after warm-up
+        self._memo: dict[str, int] = {}
+
+    def _shingle_ids(self, text: str) -> set[int]:
+        toks = _tokens(text)
+        if not toks:
+            return set()
+        if len(toks) < self.k:
+            keys = [" ".join(toks)]
+        else:
+            keys = [
+                " ".join(toks[i : i + self.k])
+                for i in range(len(toks) - self.k + 1)
+            ]
+        memo = self._memo
+        if len(memo) > 2_000_000:  # bound actor memory
+            memo.clear()
+        out = set()
+        for s in keys:
+            v = memo.get(s)
+            if v is None:
+                v = _md5_u64(s)
+                memo[s] = v
+            out.add(v)
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
+        sh = self._shingle_ids(text)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
