@@ -115,6 +115,23 @@ def membership_flag(ds, values: list[str], *, col: str = TOOL, out_col: str = "f
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def bbox_by_radius(
+    point: tuple[float, float], radius: float
+) -> tuple[float, float, float, float]:
+    """Measure-space bounding rectangle around a point — the
+    ``get_bounding_box_by_radius`` analog
+    (ptrail/utilities/KernelFunctions… see filters bbox helpers;
+    reference computes a lat/lon box from metres via inverse haversine,
+    here the measure plane is Euclidean so the box is ±radius). Returns
+    (m1_lo, m1_hi, m2_lo, m2_hi) — feed it to ``filter_by_range`` /
+    ``conv_intersect_in_region``."""
+    cx, cy = float(point[0]), float(point[1])
+    r = float(radius)
+    if r < 0:
+        raise ValueError(f"negative radius: {radius!r}")
+    return (cx - r, cx + r, cy - r, cy + r)
+
+
 def conv_intersect_in_region(
     ds,
     conv_a: str,

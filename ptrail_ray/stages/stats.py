@@ -151,16 +151,36 @@ def conv_facts(ds, *, num_buckets: int = 32):
 
 def dataset_facts(ds) -> dict:
     """Global dataset facts (the reference's __str__ aggregate,
-    TrajectoryDF.py:333-341): turn count, conversation count, time range."""
+    TrajectoryDF.py:333-341): turn count, conversation count, time range.
+
+    The distinct-conversation count is a partial aggregate (per-block
+    distinct → per-bucket nunique → tiny sum), NOT ``ds.unique()`` —
+    unique() ships the full distinct value list to the driver, which at
+    100 TB scale is billions of ids."""
     from ray.data.aggregate import Count, Max, Min
 
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
     row = ds.aggregate(Count(), Min(TS), Max(TS))
-    n_convs = ds.select_columns([CONV_ID]).unique(CONV_ID)
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({CONV_ID: pc.unique(t[CONV_ID])})
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [df[CONV_ID].nunique()]})
+
+    partial = ds.select_columns([CONV_ID]).map_batches(
+        block_distinct, batch_format="pyarrow", batch_size=1 << 20
+    )
+    counts = grouped_agg_by_bucket(partial, CONV_ID, bucket_count, num_buckets=16)
+    n_convs = int(sum(r["n"] for r in counts.take_all()))
     return {
         "n_turns": row["count()"],
         "min_ts": row[f"min({TS})"],
         "max_ts": row[f"max({TS})"],
-        "n_convs": len(n_convs),
+        "n_convs": n_convs,
     }
 
 

@@ -87,3 +87,13 @@ def test_cosine_pairs_exact(ray_session):
     iu = np.triu_indices(300, 1)
     exp = {(int(a), int(b)) for a, b in zip(iu[0], iu[1]) if sims[a, b] >= 0.9}
     assert pairs == exp
+
+
+def test_bbox_by_radius():
+    from ptrail_ray.stages.project import bbox_by_radius
+
+    assert bbox_by_radius((10.0, 20.0), 5.0) == (5.0, 15.0, 15.0, 25.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bbox_by_radius((0, 0), -1)

@@ -101,7 +101,9 @@ def main():
         i = argv.index("--sf")
         sf = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
-    exact = "--exact" in argv
+    # exact value equality is the DEFAULT — it is what the driver's
+    # hash gate checks; pass --approx for allclose-level debugging
+    exact = "--approx" not in argv
     args = [a for a in argv if not a.startswith("--")]
 
     import ray
