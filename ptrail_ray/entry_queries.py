@@ -1413,3 +1413,47 @@ ORACLE_SQL["q_filter_min_both"] = f"""
     FROM feat
     WHERE delta_t >= {MINBOTH_DT} AND m1 >= {MINBOTH_M1}"""
 QUERIES["q_filter_min_both"] = q_filter_min_both
+
+
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q_winnow(sf_dir):
+    """Winnowing rolling-hash document fingerprints (SIGMOD'03): min of
+    each w-window of word-k-gram hashes, distinct per doc."""
+    from ptrail_ray.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=WINNOW_K, w=WINNOW_W)
+
+
+ORACLE_SQL["q_winnow"] = f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+             WHEN len(toks) < {WINNOW_K} THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(generate_series(1, len(toks)-{WINNOW_K - 1}), i -> array_to_string(toks[i:i+{WINNOW_K - 1}], ' '))
+        END AS grams
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(grams))) AS pos,
+             unnest(grams) AS gram
+      FROM g WHERE len(grams) > 0
+    ),
+    h AS (SELECT doc_id, pos, ('0x' || substr(md5(gram),1,15))::UBIGINT AS hv FROM e),
+    win AS (
+      SELECT doc_id, pos,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wm,
+             count(*) OVER (PARTITION BY doc_id) AS m
+      FROM h
+    )
+    SELECT DISTINCT doc_id, CAST(wm AS BIGINT) AS fp
+    FROM win WHERE pos >= {WINNOW_W} OR (m < {WINNOW_W} AND pos = m)"""
+QUERIES["q_winnow"] = q_winnow

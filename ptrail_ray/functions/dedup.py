@@ -39,6 +39,13 @@ def _md5_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
+def _md5_u60(s: str) -> int:
+    """First 60 bits of the md5 (15 hex chars) — fits in a signed int64,
+    so fingerprints survive pandas/DuckDB comparison without uint64
+    overflow. SQL replica: ('0x' || substr(md5(s),1,15))::UBIGINT."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+
 def _tokens(s: str) -> list[str]:
     return s.split()
 
@@ -462,4 +469,83 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
         "pair_key",
         lambda df: df.drop_duplicates("pair_key").drop(columns=["pair_key"]),
         num_buckets=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def winnow_batch(
+    batch: pd.DataFrame, *, k: int = 3, w: int = 4
+) -> pd.DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the rolling-hash fingerprinting the build brief asks for): hash
+    every word k-gram (md5-derived 60-bit id), slide a window of ``w``
+    consecutive hashes, keep each window's MINIMUM; the distinct kept
+    hashes are the document's fingerprint set. Guarantees any shared
+    run of ≥ w+k-1 words between two documents shares ≥1 fingerprint.
+
+    Vectorized across the batch: md5 once per UNIQUE k-gram, the
+    sliding-window min runs over ONE flat array with max-sentinel
+    padding between documents (same layout trick as the Hampel
+    kernel). Docs shorter than one window contribute their overall min.
+
+    Output: exploded (doc_id, fp) rows, distinct per doc.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    texts = batch["text"].fillna("")
+    gram_lists = []
+    for t in texts:
+        toks = _tokens(t)
+        if len(toks) < k:
+            gram_lists.append([" ".join(toks)] if toks else [])
+        else:
+            gram_lists.append(
+                [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            )
+    lens = np.array([len(g) for g in gram_lists], dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(gram_lists))
+    if not flat:
+        return pd.DataFrame(
+            {"doc_id": np.array([], np.int64), "fp": np.array([], np.int64)}
+        )
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hu = np.array([_md5_u60(g) for g in uniq], dtype=np.int64)
+    hflat = hu[inv]
+
+    # pad w-1 max-sentinels between docs so windows never cross docs
+    n_docs = len(lens)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pad_start = starts + np.arange(n_docs) * (w - 1)
+    padded_len = int(lens.sum()) + (n_docs) * (w - 1)
+    P = np.full(padded_len + (w - 1), np.iinfo(np.int64).max, dtype=np.int64)
+    pos = np.repeat(pad_start, lens) + (np.arange(len(hflat)) - np.repeat(starts, lens))
+    P[pos] = hflat
+    # window ending at each padded position: min over [p-w+1, p]
+    win_min = sliding_window_view(np.concatenate((np.full(w - 1, np.iinfo(np.int64).max, dtype=np.int64), P)), w).min(axis=1)
+    wm = win_min[pos]  # window-min ending at each gram position
+
+    # keep: full windows (local_pos >= w-1) or a short doc's last gram
+    local = np.arange(len(hflat)) - np.repeat(starts, lens)
+    m_of = np.repeat(lens, lens)
+    keep = (local >= w - 1) | ((m_of < w) & (local == m_of - 1))
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(), lens)
+    out = pd.DataFrame({"doc_id": doc_ids[keep], "fp": wm[keep]})
+    return out.drop_duplicates()
+
+
+def winnow_fingerprints(ds, *, k: int = 3, w: int = 4):
+    """Dataset-level winnowing: exploded (doc_id, fp) fingerprint rows,
+    distinct. One narrow vectorized stage — dedup within a batch is
+    exact because a document never spans batches (explode happens in the
+    same task that read the doc)."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(winnow_batch, k=k, w=w),
+        batch_format="pandas",
+        batch_size=4096,
     )

@@ -124,3 +124,29 @@ def test_multimodal_stub(ray_session):
     # non-fake raises (no codec libs in container)
     with pytest.raises(Exception):
         decode_features(rd.from_arrow(synth_media(4)), fake=False, concurrency=1).to_pandas()
+
+
+def test_winnow_guarantee(ray_session):
+    """Winnowing property: two docs sharing a run of >= w+k-1 words
+    share at least one fingerprint; disjoint docs share none."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.functions.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words >= 4+3-1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"one two {shared} three four",
+                f"five six seven {shared} eight",
+                "completely different words everywhere nine ten eleven twelve",
+            ],
+        }
+    )
+    out = winnow_fingerprints(rd.from_pandas(docs), k=3, w=4).to_pandas()
+    fps = {i: set(out[out["doc_id"] == i]["fp"]) for i in range(3)}
+    assert fps[0] & fps[1], "docs sharing an 8-word run must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
