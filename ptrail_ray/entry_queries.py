@@ -1457,3 +1457,34 @@ ORACLE_SQL["q_winnow"] = f"""
     SELECT DISTINCT doc_id, CAST(wm AS BIGINT) AS fp
     FROM win WHERE pos >= {WINNOW_W} OR (m < {WINNOW_W} AND pos = m)"""
 QUERIES["q_winnow"] = q_winnow
+
+
+def q_ann_ivf(sf_dir):
+    """IVF (inverted-file) approximate cosine top-k, self-checked
+    against brute force like q_ann_lsh: raises below 0.9 mean recall.
+    Rows-only by design (k-means assignment isn't SQL-replicable)."""
+    import os
+    import ray.data as rd
+    from ptrail_ray.functions.ann import brute_force_topk, ivf_topk, _stack
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = _stack(qdf["embedding"])
+    approx = ivf_topk(ds, queries, k=10, n_lists=16, nprobe=4)
+    exact = brute_force_topk(ds, queries, k=10)
+    rows = []
+    for qi, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        rows.append(
+            (int(qi), len(truth), len(got & truth), len(got & truth) / len(truth))
+        )
+    out = pd.DataFrame(rows, columns=["query_id", "k", "n_hit", "recall"])
+    mean_recall = float(out["recall"].mean())
+    assert mean_recall >= LSH_RECALL_BOUND, (
+        f"IVF recall {mean_recall:.3f} < {LSH_RECALL_BOUND} vs brute force"
+    )
+    return out
+
+
+QUERIES["q_ann_ivf"] = q_ann_ivf

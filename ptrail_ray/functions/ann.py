@@ -242,3 +242,101 @@ def cosine_pairs(
     if len(out) == 0:
         return pd.DataFrame({"a": [], "b": [], "sim": []})
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k — the second scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(x: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means on the (bounded) training sample.
+    Seeded random init; empty clusters re-seeded from the farthest
+    points, so the centroid count is always exactly n_lists."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    if len(cent) < n_lists:  # tiny dataset: duplicate rows to fill
+        cent = np.resize(cent, (n_lists, x.shape[1]))
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / n if n > 0 else cent[c]
+            else:
+                cent[c] = x[np.argmin(np.max(sims, axis=1))]
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_size: int = 512,
+    iters: int = 10,
+    seed: int = 5,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    classic coarse-quantizer scale path alongside ``lsh_topk``.
+
+    1. TRAIN: a bounded deterministic sample (every n/train_size-th
+       vec_id) is collected once and clustered with seeded Lloyd
+       k-means — the only driver-side data, capped at ``train_size``
+       rows regardless of dataset size.
+    2. PROBE: each query selects its ``nprobe`` nearest centroids; a
+       narrow vectorized filter keeps vectors whose nearest centroid is
+       probed by ANY query (one GEMM vs the broadcast centroid matrix
+       per batch — no index materialization, no shuffle).
+    3. The same partial-top-k pool + tiny merge as the exact path.
+
+    Returns the ``brute_force_topk`` shape; recall is self-checked by
+    ``q_ann_ivf``.
+    """
+    import functools
+
+    n = ds.count()
+    stride = max(1, n // train_size)
+
+    def take_stride(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["vec_id"].to_numpy() % stride == 0]
+
+    sample = (
+        ds.map_batches(take_stride, batch_format="pandas", batch_size=4096)
+        .limit(train_size)
+        .to_pandas()
+    )
+    x = _normalize(_stack(sample["embedding"]))
+    cent = _kmeans(x, n_lists, iters, seed)
+    cent_ref = ray.put(cent)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.unique(
+        np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe].ravel()
+    )
+
+    def probe_filter(batch: pd.DataFrame, cent_ref=cent_ref, probed=probed):
+        if len(batch) == 0:
+            return batch
+        c = ray.get(cent_ref)
+        emb = _normalize(_stack(batch["embedding"]))
+        nearest = np.argmax(emb @ c.T, axis=1)
+        return batch[np.isin(nearest, probed)]
+
+    q_ref = ray.put(q)
+    partials = (
+        ds.map_batches(probe_filter, batch_format="pandas", batch_size=4096)
+        .map_batches(
+            _PartialTopK,
+            fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+            batch_format="pandas", batch_size=4096,
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+    )
+    return _merge_partials(partials, k)

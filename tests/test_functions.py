@@ -150,3 +150,19 @@ def test_winnow_guarantee(ray_session):
     assert fps[0] & fps[1], "docs sharing an 8-word run must share a fingerprint"
     assert not (fps[0] & fps[2])
     assert not (fps[1] & fps[2])
+
+
+def test_ivf_topk_recall(emb_ds):
+    from ptrail_ray.functions.ann import brute_force_topk, ivf_topk
+
+    ds, emb = emb_ds
+    q = emb[:5].astype(np.float64)
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(ds, q, k=5, n_lists=8, nprobe=3)
+    hits = tot = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.5
