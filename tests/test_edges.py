@@ -66,3 +66,74 @@ def test_lag_k_features(synth_ds, synth_pdf):
     for k in (2, 3):
         exp = ref.groupby("conv_id", sort=False)["role"].shift(k)
         assert (out[f"lag{k}_role"].fillna("∅") == exp.fillna("∅")).all()
+
+
+def test_winnow_empty_and_short_docs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.functions.dedup import winnow_fingerprints
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["", None, "one", "a b c d"]}
+    )
+    out = winnow_fingerprints(rd.from_pandas(docs), k=3, w=4).to_pandas()
+    # empty/None docs contribute nothing; short docs one fingerprint
+    assert set(out["doc_id"]) == {2, 3}
+    assert (out.groupby("doc_id").size() == 1).all()
+
+
+def test_conv_intersect_empty_region(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.stages.project import conv_intersect_in_region
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"] * 2),
+            "m1": [1, 2, 1, 3],
+            "m2": [5, 6, 5, 7],
+        }
+    )
+    ds = rd.from_pandas(pdf)
+    # region excludes everything -> empty result, no crash
+    out = conv_intersect_in_region(ds, "a", "b", (-10.0, -5.0, -10.0, -5.0)).to_pandas()
+    assert len(out) == 0
+    # full region -> the shared (1, 5) point matches once
+    out2 = conv_intersect_in_region(ds, "a", "b", (0.0, 10.0, 0.0, 10.0)).to_pandas()
+    assert len(out2) == 1
+    assert out2.iloc[0]["m1"] == 1 and out2.iloc[0]["m2"] == 5
+
+
+def test_ivf_tiny_dataset(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.functions.ann import ivf_topk
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(7, 8))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(7), "embedding": [e.tolist() for e in emb]}
+    )
+    out = ivf_topk(
+        rd.from_pandas(pdf), emb[:2], k=3, n_lists=4, nprobe=4, train_size=16
+    )
+    # nprobe == n_lists -> exhaustive -> exact top-3 incl. self
+    for qi in range(2):
+        g = out[out["query_id"] == qi].sort_values("rank")
+        assert g.iloc[0]["vec_id"] == qi
+
+
+def test_path_sum_missing_conv(synth_ds):
+    from ptrail_ray.stages.stats import path_sum_by_date_and_conv
+
+    import pytest
+
+    # a conversation absent from the data: date inference has nothing to
+    # aggregate -> the reference raises KeyError; we surface a clear error
+    with pytest.raises(Exception):
+        path_sum_by_date_and_conv(synth_ds, "no-such-conv").to_pandas()
