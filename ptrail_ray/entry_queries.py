@@ -1488,3 +1488,37 @@ def q_ann_ivf(sf_dir):
 
 
 QUERIES["q_ann_ivf"] = q_ann_ivf
+
+
+HOP_WIDTH = 7200.0
+HOP_STEP = 3600.0
+
+
+def q_hopping(sf_dir):
+    """Hopping (sliding) event-time windows: 2h windows every 1h; each
+    turn contributes to 2 windows. Aggregated inside the single
+    conv-bucket exchange — no extra shuffle for the overlap."""
+    from ptrail_ray.stages.stats import hopping_agg
+
+    out = hopping_agg(
+        derive_from_events(sf_dir), width_s=HOP_WIDTH, hop_s=HOP_STEP
+    )
+    return finalize(out, round_columns=["mean_m1"])
+
+
+ORACLE_SQL["q_hopping"] = f"""
+    WITH transcripts AS ({TRANSCRIPTS_SQL}),
+    f AS (SELECT conv_id,
+                 CAST(length(coalesce(text,'')) AS BIGINT) AS m1,
+                 epoch_us(ts) AS tus
+          FROM transcripts),
+    j AS (SELECT unnest(generate_series(0, {int(HOP_WIDTH / HOP_STEP) - 1})) AS j),
+    e AS (SELECT conv_id, m1,
+                 (tus // {int(HOP_STEP * 1e6)}) * {int(HOP_STEP * 1e6)}
+                   - j.j * {int(HOP_STEP * 1e6)} AS window_start_us
+          FROM f CROSS JOIN j)
+    SELECT conv_id, CAST(window_start_us AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           round(avg(CAST(m1 AS DOUBLE)), 6) + 0.0 AS mean_m1
+    FROM e GROUP BY conv_id, window_start_us"""
+QUERIES["q_hopping"] = q_hopping

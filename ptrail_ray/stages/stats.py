@@ -30,6 +30,7 @@ from ptrail_ray.schema import (
     CONV_ID,
     STATS_FEATURES,
     STATS_PERCENTILES,
+    TEXT,
     TOOL,
     TS,
 )
@@ -222,6 +223,69 @@ def conv_sums_kernel(table: pa.Table) -> pa.Table:
 def conv_sums(ds, *, num_buckets: int = 32):
     """Per-conversation nansum aggregates over the lag-1 deltas."""
     return map_conv_buckets(ds, conv_sums_kernel, num_buckets=num_buckets)
+
+
+def hopping_agg_kernel(
+    table: pa.Table, *, width_s: float, hop_s: float
+) -> pa.Table:
+    """Hopping (sliding) event-time windows: window length ``width_s``,
+    advancing every ``hop_s`` (width must be an integer multiple of
+    hop). Every turn lands in width/hop windows; aggregation happens
+    INSIDE the existing conv-bucket exchange — the explode is local to
+    the bucket task, so the sliding windows add NO extra shuffle (the
+    streaming-window custom operator from the build brief, alongside
+    the tumbling q_tumbling and rolling q_rolling variants).
+
+    Emits one row per (conv_id, window_start): n_turns, mean_m1."""
+    r = int(round(width_s / hop_s))
+    if abs(r * hop_s - width_s) > 1e-9 or r < 1:
+        raise ValueError("width_s must be a positive integer multiple of hop_s")
+    hop_us = np.int64(int(hop_s * 1e6))
+
+    ts_us = table[TS]
+    if pa.types.is_timestamp(ts_us.type) and ts_us.type.unit != "us":
+        import pyarrow.compute as pc
+
+        ts_us = pc.cast(ts_us, pa.timestamp("us"))
+    t = ts_us.to_numpy(zero_copy_only=False).view("int64")
+    import pyarrow.compute as pc
+
+    m1 = (
+        pc.coalesce(
+            pc.cast(pc.utf8_length(table[TEXT]), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    conv = table[CONV_ID].to_numpy(zero_copy_only=False)
+
+    base = (t // hop_us) * hop_us  # aligned window containing each turn
+    n = len(t)
+    j = np.repeat(np.arange(r, dtype=np.int64), n)
+    ws = np.tile(base, r) - j * hop_us
+    df = pd.DataFrame(
+        {CONV_ID: np.tile(conv, r), "window_start_us": ws, "m1": np.tile(m1, r)}
+    )
+    g = df.groupby([CONV_ID, "window_start_us"], sort=False, observed=True)["m1"]
+    out = g.agg(["size", "mean"]).reset_index()
+    return pa.table(
+        {
+            CONV_ID: pa.array(out[CONV_ID], pa.string()),
+            "window_start_us": pa.array(out["window_start_us"], pa.int64()),
+            "n_turns": pa.array(out["size"].to_numpy().astype(np.int64)),
+            "mean_m1": pa.array(out["mean"], pa.float64()),
+        }
+    )
+
+
+def hopping_agg(ds, *, width_s: float, hop_s: float, num_buckets: int = 32):
+    """Dataset-level hopping-window aggregates (one exchange)."""
+    return map_conv_buckets(
+        ds,
+        lambda t: hopping_agg_kernel(t, width_s=width_s, hop_s=hop_s),
+        num_buckets=num_buckets,
+    )
 
 
 def _date_str(d) -> str:
