@@ -1522,3 +1522,50 @@ ORACLE_SQL["q_hopping"] = f"""
            round(avg(CAST(m1 AS DOUBLE)), 6) + 0.0 AS mean_m1
     FROM e GROUP BY conv_id, window_start_us"""
 QUERIES["q_hopping"] = q_hopping
+
+
+def q_join_orders_customer(sf_dir):
+    """Distributed shuffle equi-join over the TPC-H-ish driver tables:
+    orders ⋈ customer on custkey (both sides large → one hash-bucket
+    exchange each, vectorized per-bucket merge — stages/join.py)."""
+    import os
+    import ray.data as rd
+    from ptrail_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def key_rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderkey", "custkey", "o_totalprice"]
+        )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+
+    def c_rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["custkey", "c_name", "c_acctbal"])
+
+    out = hash_join(
+        orders.map_batches(key_rename, batch_format="pyarrow", batch_size=None),
+        cust.map_batches(c_rename, batch_format="pyarrow", batch_size=None),
+        "custkey",
+    )
+    return finalize(
+        out.select_columns(
+            ["o_orderkey", "custkey", "o_totalprice", "c_name", "c_acctbal"]
+        ),
+        round_columns=["o_totalprice", "c_acctbal"],
+    )
+
+
+ORACLE_SQL["q_join_orders_customer"] = """
+    SELECT o.o_orderkey, o.o_custkey AS custkey,
+           round(o.o_totalprice, 6) + 0.0 AS o_totalprice,
+           c.c_name, round(c.c_acctbal, 6) + 0.0 AS c_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+QUERIES["q_join_orders_customer"] = q_join_orders_customer

@@ -1,0 +1,100 @@
+"""Distributed hash equi-join.
+
+Ray Data 2.49 has no general join; this engine's joins so far are
+broadcast-shaped (membership/semi/anti in stages/project.py, the as-of
+actor pool in stages/asof.py) because the reference's side tables are
+small. For two LARGE sides the standard shuffle-join applies, built on
+the same single-exchange machinery as everything else:
+
+    pad both sides to one common schema (missing columns → typed nulls,
+    plus a _side marker) → union → ONE hash-bucket exchange on the key
+    → per bucket: split by _side, one vectorized pandas merge.
+
+Each row moves exactly once; the per-bucket merge is C-speed. Key skew
+is bounded by ``num_buckets`` exactly like the conv exchange — a hot
+key's rows all land in one bucket, so the bucket count is the memory
+knob (and a salted broadcast of the hot key's small side would be the
+escape hatch, mirroring stages/salt.py).
+
+Contract: a single key column with the same name on both sides, and
+otherwise disjoint column names (TPC-H-style prefixed schemas satisfy
+this; pack composite keys into one column first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+SIDE_COL = "_side"
+
+
+def _common_schema(left_schema: pa.Schema, right_schema: pa.Schema, on: str) -> pa.Schema:
+    fields = []
+    seen = set()
+    for sch in (left_schema, right_schema):
+        for f in sch:
+            if f.name in seen:
+                if f.name != on:
+                    raise ValueError(
+                        f"hash_join requires disjoint non-key columns; "
+                        f"duplicate: {f.name!r}"
+                    )
+                continue
+            seen.add(f.name)
+            fields.append(f)
+    fields.append(pa.field(SIDE_COL, pa.int8()))
+    return pa.schema(fields)
+
+
+def hash_join(left, right, on: str, *, how: str = "inner", num_buckets: int = 64):
+    """Shuffle join of two Datasets on ``on``. ``how``: 'inner' or
+    'left'. Returns key + all columns of both sides."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(list(zip(s.names, s.types)))
+
+    lsch = _arrow_schema(left)
+    rsch = _arrow_schema(right)
+    schema = _common_schema(lsch, rsch, on)
+    lcols = [f.name for f in lsch]
+    rcols = [f.name for f in rsch if f.name != on]
+
+    def pad(side_flag: int, own_cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = []
+            for f in schema:
+                if f.name == SIDE_COL:
+                    arrays.append(pa.array(np.full(n, side_flag, np.int8), pa.int8()))
+                elif f.name in t.column_names:
+                    col = t[f.name]
+                    arrays.append(col.cast(f.type) if col.type != f.type else col)
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
+                schema=schema,
+            )
+
+        return fn
+
+    both = left.map_batches(pad(0, lcols), batch_format="pyarrow", batch_size=None).union(
+        right.map_batches(pad(1, rcols), batch_format="pyarrow", batch_size=None)
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df[SIDE_COL] == 0][[c for c in lcols]]
+        r = df[df[SIDE_COL] == 1][[on] + rcols]
+        out = l.merge(r, on=on, how=how)
+        return out
+
+    return grouped_agg_by_bucket(both, on, merge, num_buckets=num_buckets)

@@ -97,3 +97,37 @@ def test_bbox_by_radius():
 
     with pytest.raises(ValueError):
         bbox_by_radius((0, 0), -1)
+
+
+def test_hash_join_inner_and_left(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.stages.join import hash_join
+
+    l = pd.DataFrame({"k": [1, 2, 3, 3], "lv": ["a", "b", "c", "d"]})
+    r = pd.DataFrame({"k": [2, 3, 4], "rv": [20.0, 30.0, 40.0]})
+    inner = (
+        hash_join(rd.from_pandas(l), rd.from_pandas(r), "k")
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = l.merge(r, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inner[["k", "lv", "rv"]], exp)
+
+    left = (
+        hash_join(rd.from_pandas(l), rd.from_pandas(r), "k", how="left")
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert len(left) == 4
+    assert left[left["k"] == 1]["rv"].isna().all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_join(
+            rd.from_pandas(l), rd.from_pandas(l), "k"
+        )  # duplicate non-key column 'lv'
