@@ -60,7 +60,11 @@ def hash_join(left, right, on: str, *, how: str = "inner", num_buckets: int = 64
         base = getattr(s, "base_schema", None)
         if isinstance(base, pa.Schema):
             return base
-        return pa.schema(list(zip(s.names, s.types)))
+        # pandas-backed datasets report python/numpy types; pull one
+        # pyarrow batch for the real arrow schema (only non-arrow
+        # sources pay this, and only one block executes)
+        batch = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+        return batch.schema
 
     lsch = _arrow_schema(left)
     rsch = _arrow_schema(right)
