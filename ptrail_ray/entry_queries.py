@@ -1563,6 +1563,98 @@ def q_join_orders_customer(sf_dir):
     )
 
 
+def q_lineitem_pricing(sf_dir):
+    """TPC-H-Q1-shaped pricing summary over lineitem — the classic
+    analytics shape, showing the partial-aggregation pattern: one
+    vectorized partial per batch (6 groups), then ONE tiny exchange of
+    the partials (grouped_agg_by_bucket), never a wide groupby over the
+    raw rows. All money math runs in exact integer cents (doubles are
+    2-dp currency), so the sums are accumulation-order-independent and
+    hash-exact vs the oracle; int64 bounds hold to ~1e9 rows."""
+    import os
+    import ray.data as rd
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+        ],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"].round().astype("int64")
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_c = (df["l_discount"] * 100).round().astype("int64")
+        tax_c = (df["l_tax"] * 100).round().astype("int64")
+        work = pd.DataFrame(
+            {
+                "grp": df["l_returnflag"] + "|" + df["l_linestatus"],
+                "qty": qty,
+                "price_c": price_c,
+                "disc_c": disc_c,
+                "disc_price4": price_c * (100 - disc_c),
+                "charge6": price_c * (100 - disc_c) * (100 + tax_c),
+                "n": 1,
+            }
+        )
+        return work.groupby("grp", sort=False, observed=True).sum().reset_index()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.groupby("grp", sort=False, observed=True).sum().reset_index()
+        rf = t["grp"].str.split("|").str[0]
+        ls = t["grp"].str.split("|").str[1]
+        n = t["n"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "l_returnflag": rf,
+                "l_linestatus": ls,
+                "sum_qty": t["qty"].astype("int64"),
+                "sum_base_price": t["price_c"] / 100.0,
+                "sum_disc_price": t["disc_price4"] / 10000.0,
+                "sum_charge": t["charge6"] / 1000000.0,
+                "avg_qty": t["qty"] / n,
+                "avg_price": (t["price_c"] / 100.0) / n,
+                "avg_disc": (t["disc_c"] / 100.0) / n,
+                "count_order": n,
+            }
+        )
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=1 << 20)
+    out = grouped_agg_by_bucket(partials, "grp", combine, num_buckets=4)
+    return finalize(
+        out,
+        round_columns=[
+            "sum_base_price", "sum_disc_price", "sum_charge",
+            "avg_qty", "avg_price", "avg_disc",
+        ],
+    )
+
+
+ORACLE_SQL["q_lineitem_pricing"] = """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+             CAST(round(l_discount*100) AS BIGINT) AS disc_c,
+             CAST(round(l_tax*100) AS BIGINT) AS tax_c
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           sum(qty)::BIGINT AS sum_qty,
+           round(sum(price_c)/100.0, 6) + 0.0 AS sum_base_price,
+           round(sum(price_c*(100-disc_c))/10000.0, 6) + 0.0 AS sum_disc_price,
+           round(sum(price_c*(100-disc_c)*(100+tax_c))/1000000.0, 6) + 0.0 AS sum_charge,
+           round(sum(qty)::DOUBLE / count(*), 6) + 0.0 AS avg_qty,
+           round((sum(price_c)/100.0) / count(*), 6) + 0.0 AS avg_price,
+           round((sum(disc_c)/100.0) / count(*), 6) + 0.0 AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus"""
+QUERIES["q_lineitem_pricing"] = q_lineitem_pricing
+
+
 ORACLE_SQL["q_join_orders_customer"] = """
     SELECT o.o_orderkey, o.o_custkey AS custkey,
            round(o.o_totalprice, 6) + 0.0 AS o_totalprice,
