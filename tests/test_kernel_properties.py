@@ -46,3 +46,68 @@ def test_kernel_matches_oracle(pdf):
         assert np.array_equal(np.isnan(a), np.isnan(b)), col
         assert np.allclose(a, b, equal_nan=True), col
     assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(transcript_frames())
+def test_hopping_kernel_matches_pandas(pdf):
+    """Hopping-window kernel == brute-force pandas reimplementation on
+    arbitrary conversation shapes (dup ts, 1-turn convs, big gaps)."""
+    from ptrail_ray.stages.stats import hopping_agg_kernel
+
+    width, hop = 400.0, 200.0
+    table = sort_bucket(pa.Table.from_pandas(pdf, preserve_index=False))
+    got = (
+        hopping_agg_kernel(table, width_s=width, hop_s=hop)
+        .to_pandas()
+        .sort_values(["conv_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+
+    sdf = table.to_pandas()
+    sdf["m1"] = sdf["text"].fillna("").str.len().astype(float)
+    t_us = sdf["ts"].astype("datetime64[us]").astype("int64")
+    hop_us = int(hop * 1e6)
+    r = int(width / hop)
+    frames = []
+    for j in range(r):
+        f = sdf[["conv_id", "m1"]].copy()
+        f["window_start_us"] = (t_us // hop_us) * hop_us - j * hop_us
+        frames.append(f)
+    exp = (
+        pd.concat(frames)
+        .groupby(["conv_id", "window_start_us"])["m1"]
+        .agg(n_turns="size", mean_m1="mean")
+        .reset_index()
+        .sort_values(["conv_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    exp["n_turns"] = exp["n_turns"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 8), min_size=0, max_size=20),
+    st.lists(st.integers(0, 8), min_size=0, max_size=20),
+)
+def test_hash_join_matches_pandas(lkeys, rkeys):
+    import ray.data as rd
+
+    from ptrail_ray.stages.join import hash_join
+
+    l = pd.DataFrame({"k": lkeys, "lv": np.arange(len(lkeys))})
+    r = pd.DataFrame({"k": rkeys, "rv": np.arange(len(rkeys)) * 10.0})
+    if len(l) == 0 or len(r) == 0:
+        return  # empty Ray datasets lose their schema; join contract needs one
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r), "k").to_pandas()
+    exp = (
+        l.merge(r, on="k")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    if len(exp) == 0:
+        assert len(got) == 0  # empty Ray result loses its schema
+        return
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    pd.testing.assert_frame_equal(got, exp)
