@@ -415,39 +415,60 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
         )
 
     def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        # Candidate generation runs over DISTINCT hashes per cell, not
+        # docs: a corpus with duplicate content (the normal near-dup
+        # situation) makes the doc-level triu quadratic in the
+        # duplication factor, while the distinct-hash triu + doc-pair
+        # expansion is bounded by the candidate and OUTPUT volume.
+        # Output-identical: intra-hash doc pairs are hamming 0; a
+        # cross-hash pair's hamming applies to every doc pair in the
+        # two groups.
+        out_a, out_b, out_d = [], [], []
         for _, g in df.groupby("cell", sort=False):
-            rec = (
-                g[["doc_id", "simhash"]]
-                .drop_duplicates()
-                .sort_values(["doc_id", "simhash"], kind="stable")
-            )
-            ids = rec["doc_id"].to_numpy()
-            hs = rec["simhash"].to_numpy().astype(np.int64)
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            d = _popcount64((hs[ia] ^ hs[ib]).astype(np.uint64))
-            m = d <= max_hamming
-            if m.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "a": ids[ia][m],
-                            "b": ids[ib][m],
-                            "hamming": d[m].astype(np.int64),
-                        }
-                    )
-                )
-        if not outs:
+            rec = g[["doc_id", "simhash"]].drop_duplicates()
+            ids_all = rec["doc_id"].to_numpy()
+            hs_all = rec["simhash"].to_numpy().astype(np.int64)
+            hs_u, inv = np.unique(hs_all, return_inverse=True)
+            order = np.lexsort((ids_all, inv))
+            ids_sorted = ids_all[order]
+            counts = np.bincount(inv, minlength=len(hs_u))
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            # intra-hash pairs (identical simhash → hamming 0)
+            for gi in np.flatnonzero(counts >= 2):
+                docs = ids_sorted[offs[gi] : offs[gi + 1]]
+                ia, ib = np.triu_indices(len(docs), k=1)
+                out_a.append(docs[ia])
+                out_b.append(docs[ib])
+                out_d.append(np.zeros(len(ia), np.int64))
+            # cross-hash candidates over distinct hashes only
+            if len(hs_u) >= 2:
+                ia, ib = np.triu_indices(len(hs_u), k=1)
+                d = _popcount64((hs_u[ia] ^ hs_u[ib]).astype(np.uint64))
+                m = np.flatnonzero(d <= max_hamming)
+                for pi in m:
+                    gi, gj = ia[pi], ib[pi]
+                    da = ids_sorted[offs[gi] : offs[gi + 1]]
+                    db = ids_sorted[offs[gj] : offs[gj + 1]]
+                    x = np.repeat(da, len(db))
+                    y = np.tile(db, len(da))
+                    out_a.append(np.minimum(x, y))
+                    out_b.append(np.maximum(x, y))
+                    out_d.append(np.full(len(x), d[pi], np.int64))
+        if out_a:
             return pd.DataFrame(
                 {
-                    "a": np.array([], np.int64),
-                    "b": np.array([], np.int64),
-                    "hamming": np.array([], np.int64),
+                    "a": np.concatenate(out_a),
+                    "b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_d),
                 }
             )
-        return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "a": np.array([], np.int64),
+                "b": np.array([], np.int64),
+                "hamming": np.array([], np.int64),
+            }
+        )
 
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
