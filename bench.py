@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "q_doc_tokens",
     "q_dedup_exact_docs",
     "q_ann_cosine",
+    "q_winnow",
+    "q_hopping",
+    "q_join_orders_customer",
 ]
 
 
