@@ -1655,6 +1655,56 @@ ORACLE_SQL["q_lineitem_pricing"] = """
 QUERIES["q_lineitem_pricing"] = q_lineitem_pricing
 
 
+def q_clean_corpus(sf_dir):
+    """Training-data corpus cleaning pipeline (pipelines/datapipe.py):
+    exact dedup → text stats → language ID → quality+language gate —
+    the composition a pretraining pipeline runs, fully SQL-verified."""
+    from ptrail_ray.pipelines.datapipe import clean_corpus
+
+    out = clean_corpus(_docs(sf_dir), min_quality=2, lang="en")
+    return finalize(
+        out.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+    )
+
+
+ORACLE_SQL["q_clean_corpus"] = f"""
+    WITH kept AS (
+      SELECT * FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY md5(coalesce(list_aggregate(regexp_extract_all(coalesce(text,''), '\\S+'), 'string_agg', ' '), ''))
+                 ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+      FROM kept
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars_calc,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+             CAST(length(list_aggregate(toks, 'string_agg', '')) AS BIGINT) AS tok_chars
+      FROM d
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens > 0 THEN
+               (CASE WHEN coalesce(CAST(n_stop AS DOUBLE)/n_tokens, 0) > 0.05 THEN 1 ELSE 0 END)
+               + (CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars_calc BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+               ELSE 0 END AS BIGINT) AS quality,
+             CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens > 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred
+      FROM s
+    )
+    SELECT doc_id, n_tokens, quality, lang_pred
+    FROM q WHERE quality >= 2 AND lang_pred = 'en'"""
+QUERIES["q_clean_corpus"] = q_clean_corpus
+
+
 ORACLE_SQL["q_join_orders_customer"] = """
     SELECT o.o_orderkey, o.o_custkey AS custkey,
            round(o.o_totalprice, 6) + 0.0 AS o_totalprice,
