@@ -32,8 +32,6 @@ import pyarrow as pa
 
 import ray
 
-from ptrail_ray.stages.pool import pool_size
-
 
 def _stack(col) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix."""
@@ -71,22 +69,23 @@ def _topk_rows(
     return rows, None
 
 
-class _PartialTopK:
-    """map_batches stage: local top-k per query against one batch."""
+def _partial_topk_batch(batch: pd.DataFrame, q_ref, k: int) -> pd.DataFrame:
+    """map_batches stage: local top-k per query against one batch.
 
-    def __init__(self, q_ref, k: int):
-        q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
-        self.q = _normalize(q)  # (nq, d)
-        self.k = k
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-        emb = _normalize(_stack(batch["embedding"]))
-        sims = self.q @ emb.T  # (nq, nb)
-        ids = batch["vec_id"].to_numpy()
-        rows, _ = _topk_rows(sims, ids, self.k)
-        return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+    A stateless TASK, not an actor pool: the only per-call state is one
+    plasma read of the broadcast query matrix (node-local after the
+    first task) and a trivial normalize — while a pinned actor pool
+    pays its spawn cost up front, which dominated small inputs
+    (q_ann_cosine: 16 actors for 2 batches). Tasks scale elastically
+    with the input at 100 TB as well."""
+    if len(batch) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+    q = _normalize(ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref)
+    emb = _normalize(_stack(batch["embedding"]))
+    sims = q @ emb.T  # (nq, nb)
+    ids = batch["vec_id"].to_numpy()
+    rows, _ = _topk_rows(sims, ids, k)
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
 
 
 def _merge_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -105,12 +104,12 @@ def _merge_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k. Returns (query_id, vec_id, sim, rank), rank
     1..k, ties broken by vec_id ascending (deterministic)."""
+    import functools
+
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        functools.partial(_partial_topk_batch, q_ref=q_ref, k=k),
         batch_format="pandas", batch_size=4096,
-        concurrency=pool_size(),
     ).to_pandas()
     return _merge_partials(partials, k)
 
@@ -180,10 +179,8 @@ def lsh_topk(
             batch_format="pandas", batch_size=4096,
         )
         .map_batches(
-            _PartialTopK,
-            fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+            functools.partial(_partial_topk_batch, q_ref=q_ref, k=k),
             batch_format="pandas", batch_size=4096,
-            concurrency=pool_size(),
         )
         .to_pandas()
     )
@@ -332,10 +329,8 @@ def ivf_topk(
     partials = (
         ds.map_batches(probe_filter, batch_format="pandas", batch_size=4096)
         .map_batches(
-            _PartialTopK,
-            fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+            functools.partial(_partial_topk_batch, q_ref=q_ref, k=k),
             batch_format="pandas", batch_size=4096,
-            concurrency=pool_size(),
         )
         .to_pandas()
     )
