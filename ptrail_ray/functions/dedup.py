@@ -193,11 +193,16 @@ def minhash_lsh_pairs(
     from ptrail_ray.stages.pool import pool_size
 
     rows_per_band = num_perm // bands
+    # autoscaling (1, N) here on purpose: the signature stage's batch
+    # count tracks the corpus size (1 batch at 500 docs, dozens at
+    # 100k), so ramping actors with the queue beats paying a full
+    # pinned pool's spawn cost on small inputs; the per-actor state
+    # (perm arrays + shingle memo) still warrants actors over tasks.
     sigged = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pandas", batch_size=4096,
-        concurrency=pool_size(),
+        concurrency=(1, pool_size()),
     )
     band = sigged.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band), batch_format="pandas", batch_size=None
