@@ -187,6 +187,28 @@ def lsh_topk(
     return _merge_partials(partials, k)
 
 
+def _duckdb_cosine_matrix(mi: np.ndarray, mj: np.ndarray) -> np.ndarray:
+    """(n,d) × (m,d) → (n,m) cosine sims BIT-EQUAL to DuckDB
+    ``list_cosine_similarity``: dot and norms accumulate in ascending-k
+    order (scalar loop order — NOT numpy's pairwise summation, NOT a
+    BLAS GEMM whose tiling varies with matrix shape), result
+    ``dot / (sqrt(na) * sqrt(nb))``. Shape-independent arithmetic is
+    what makes threshold membership DETERMINISTIC across Ray's runtime
+    block boundaries — a BLAS path flaked a pair sitting within 1 ulp
+    of the 0.35 threshold (270 vs 271 rows, run-dependent)."""
+    n, d = mi.shape
+    m = mj.shape[0]
+    dot = np.zeros((n, m))
+    na = np.zeros(n)
+    nb = np.zeros(m)
+    for k in range(d):
+        dot += mi[:, k][:, None] * mj[:, k][None, :]
+        na += mi[:, k] * mi[:, k]
+        nb += mj[:, k] * mj[:, k]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+
+
 def cosine_pairs(
     ds, *, threshold: float = 0.35, max_id: int | None = None
 ) -> pd.DataFrame:
@@ -217,15 +239,26 @@ def cosine_pairs(
                 continue
             ids_i = ti["vec_id"].to_numpy(zero_copy_only=False)
             ids_j = tj["vec_id"].to_numpy(zero_copy_only=False)
-            mi = _normalize(_stack(ti["embedding"]))
-            mj = mi if i == j else _normalize(_stack(tj["embedding"]))
-            sims = mi @ mj.T
+            mi = _stack(ti["embedding"])
+            mj = mi if i == j else _stack(tj["embedding"])
+            sims = _duckdb_cosine_matrix(mi, mj)
             ri, rj = np.nonzero(sims >= threshold)
             a, b = ids_i[ri], ids_j[rj]
-            keep = a < b
-            outs.append(
-                pd.DataFrame({"a": a[keep], "b": b[keep], "sim": sims[ri, rj][keep]})
-            )
+            if i == j:
+                # within-block: every unordered pair appears twice
+                # (plus the diagonal) — a < b dedups it
+                keep = a < b
+                a, b, sv = a[keep], b[keep], sims[ri, rj][keep]
+            else:
+                # cross-block: every unordered pair appears EXACTLY
+                # once, but object-store block order does NOT follow id
+                # order (observed: block 9 holding ids 96-127 after
+                # block 8's 314-344), so normalize by swapping — an
+                # a < b FILTER here silently drops pairs whose smaller
+                # id lives in the later block
+                sv = sims[ri, rj]
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            outs.append(pd.DataFrame({"a": a, "b": b, "sim": sv}))
         if not outs:
             return pd.DataFrame({"a": [], "b": [], "sim": []})
         return pd.concat(outs, ignore_index=True)

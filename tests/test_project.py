@@ -131,3 +131,27 @@ def test_hash_join_inner_and_left(ray_session):
         hash_join(
             rd.from_pandas(l), rd.from_pandas(l), "k"
         )  # duplicate non-key column 'lv'
+
+
+def test_cosine_pairs_block_order_invariance(ray_session):
+    """Regression: cross-block pairs must survive arbitrary object-store
+    block ordering (a smaller id in a LATER block was silently dropped
+    by an a<b filter before the swap fix)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.functions.ann import cosine_pairs
+
+    rng = np.random.default_rng(17)
+    emb = rng.normal(size=(120, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(120), "embedding": [e.tolist() for e in emb]}
+    )
+    plain = cosine_pairs(rd.from_pandas(pdf), threshold=0.5)
+    scrambled = cosine_pairs(
+        rd.from_pandas(pdf).random_shuffle(seed=3), threshold=0.5
+    )
+    key = lambda df: set(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert len(plain) > 0
+    assert key(plain) == key(scrambled)
