@@ -458,6 +458,23 @@ def q_gapfill_cubic(sf_dir):
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+def _mean_sql(f: str) -> str:
+    """Mean expression: exact integer sums for granular features
+    (order-independent — DuckDB's parallel avg() accumulation order is
+    nondeterministic and µs/char-granular means straddle 6-dp rounding
+    half-boundaries; see stages/stats.GRANULAR_SCALE)."""
+    from ptrail_ray.stages.stats import GRANULAR_SCALE
+
+    scale = GRANULAR_SCALE.get(f)
+    if scale is None:
+        return f"round(avg({f}), 6) + 0.0 AS mean_{f}"
+    si = int(scale)
+    return (
+        f"round((sum(CAST(round({f}*{si}) AS BIGINT)) / {float(scale)!r}) "
+        f"/ count({f}), 6) + 0.0 AS mean_{f}"
+    )
+
+
 _STATS_AGG_SQL = ", ".join(
     ", ".join(
         [
@@ -468,7 +485,7 @@ _STATS_AGG_SQL = ", ".join(
             f"round(quantile_cont({f}, 0.90), 6) + 0.0 AS p90_{f}",
             f"round(min({f}), 6) + 0.0 AS min_{f}",
             f"round(max({f}), 6) + 0.0 AS max_{f}",
-            f"round(avg({f}), 6) + 0.0 AS mean_{f}",
+            _mean_sql(f),
             f"round(stddev_samp({f}), 6) + 0.0 AS std_{f}",
         ]
     )
@@ -1034,7 +1051,7 @@ ORACLE_SQL.update(
               FROM transcripts)
             SELECT conv_id,
                    round(coalesce(sum(abs(delta_len)), 0), 6) + 0.0 AS path_len,
-                   round(coalesce(sum(delta_t), 0), 6) + 0.0 AS active_s,
+                   round(coalesce(sum(CAST(round(delta_t*1000000) AS BIGINT)), 0)/1e6, 6) + 0.0 AS active_s,
                    CAST(sum(m1) AS BIGINT) AS total_chars
             FROM f GROUP BY conv_id""",
         "q_embed_near_dup": f"""

@@ -37,8 +37,23 @@ from ptrail_ray.schema import (
 from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
 
 
+# Features whose values are exact multiples of 1/scale: their per-conv
+# MEANS are computed from exact integer sums (order-independent) because
+# a float sum's accumulation order — DuckDB's parallel aggregation
+# included — is nondeterministic, and granular quantities land exactly
+# on 6-dp rounding half-boundaries often enough to flake the value hash
+# (observed: mean_delta_t off by 1e-6 in ~1 of 10 runs).
+GRANULAR_SCALE = {
+    "delta_t": 1e6,
+    "elapsed_s": 1e6,
+    "delta_len": 1.0,
+    "cum_len": 1.0,
+    "tok_delta": 1.0,
+}
+
+
 def _describe_runs(
-    v: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+    v: np.ndarray, starts: np.ndarray, lengths: np.ndarray, scale: float | None = None
 ) -> dict[str, np.ndarray]:
     """Per-run describe of one feature column (NaN-skipping), fully
     vectorized across ALL runs at once: one lexsort + index arithmetic —
@@ -62,7 +77,13 @@ def _describe_runs(
 
     out: dict[str, np.ndarray] = {}
     with np.errstate(invalid="ignore", divide="ignore"):
-        mean = np.where(cnt > 0, s1 / np.maximum(cnt, 1), np.nan)
+        if scale is not None:
+            # exact integer sum at the feature's granularity
+            vi = np.where(nan, 0.0, np.rint(v * scale))
+            s1i = np.bincount(grp, weights=vi, minlength=n_runs)
+            mean = np.where(cnt > 0, (s1i / scale) / np.maximum(cnt, 1), np.nan)
+        else:
+            mean = np.where(cnt > 0, s1 / np.maximum(cnt, 1), np.nan)
         # second pass: numerically stable centered sum of squares
         dev = np.where(nan | ~np.isfinite(mean[grp]), 0.0, v - mean[grp])
         css = np.bincount(grp, weights=dev * dev, minlength=n_runs)
@@ -104,7 +125,7 @@ def conv_stats_kernel(
     cols: dict[str, pa.Array] = {CONV_ID: conv_ids}
     for f in features:
         v = table[f].to_numpy(zero_copy_only=False).astype(np.float64)
-        d = _describe_runs(v, starts, lengths)
+        d = _describe_runs(v, starts, lengths, scale=GRANULAR_SCALE.get(f))
         for stat in ("p10", "p25", "p50", "p75", "p90", "min", "max", "mean", "std"):
             cols[f"{stat}_{f}"] = pa.array(d[stat], type=pa.float64())
     return pa.table(cols)
@@ -211,7 +232,13 @@ def conv_sums_kernel(table: pa.Table) -> pa.Table:
             np.bincount(grp, weights=np.nan_to_num(dl), minlength=len(starts))
         ),
         "active_s": pa.array(
-            np.bincount(grp, weights=np.nan_to_num(dt), minlength=len(starts))
+            # exact µs-integer sum (order-independent — see GRANULAR_SCALE)
+            np.bincount(
+                grp,
+                weights=np.where(np.isnan(dt), 0.0, np.rint(dt * 1e6)),
+                minlength=len(starts),
+            )
+            / 1e6
         ),
         "total_chars": pa.array(
             np.bincount(grp, weights=m1, minlength=len(starts)).astype(np.int64)
