@@ -741,14 +741,21 @@ bh AS (
   SELECT DISTINCT substr(md5(band_id::VARCHAR || ':' || joined), 1, 16) AS band_hash, doc_id
   FROM band
 ),
-kept AS (
-  SELECT band_hash, doc_id FROM (
-    SELECT band_hash, doc_id, row_number() OVER (PARTITION BY band_hash ORDER BY doc_id) AS rn
-    FROM bh) WHERE rn <= {max_bucket}
+ranked AS (
+  SELECT band_hash, doc_id,
+         row_number() OVER (PARTITION BY band_hash ORDER BY doc_id) AS rn,
+         min(doc_id) OVER (PARTITION BY band_hash) AS hub
+  FROM bh
 ),
+kept AS (SELECT band_hash, doc_id FROM ranked WHERE rn <= {max_bucket}),
 cand AS (
+  -- all-pairs among the first max_bucket ids of a cell, then STAR
+  -- pairs (cell min-id ↔ each remaining doc): connectivity-preserving
+  -- hot-cell cap, mirroring functions/dedup.py::lsh_bucket_pairs
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM kept x JOIN kept y USING (band_hash) WHERE x.doc_id < y.doc_id
+  UNION
+  SELECT DISTINCT hub AS a, doc_id AS b FROM ranked WHERE rn > {max_bucket}
 ),
 jac AS (
   SELECT c.a, c.b,

@@ -14,9 +14,12 @@ Scale notes (the 100 TB story):
   token×perm matrix); each doc explodes to ``bands`` rows keyed by
   (band_id, band_hash); the groupby co-locates collision buckets; pairs
   are emitted per bucket and verified with exact Jaccard. Bucket sizes
-  are bounded by LSH design (r rows/band); a hot bucket (e.g. empty
-  docs) is truncated at ``max_bucket`` with a logged count — a salted
-  re-bucket is the escape hatch.
+  are bounded by LSH design (r rows/band); a hot cell (e.g. empty or
+  boilerplate docs) keeps all-pairs among its first ``max_bucket``
+  doc_ids and STAR pairs (cell min-id ↔ each remaining doc) beyond
+  that — connected components, which dedup clustering consumes, are
+  preserved at O(n) pair cost — and every capped cell is counted and
+  logged (``lsh_bucket_pairs``; no silent caps).
 - SimHash is embarrassingly parallel; near-pair search groups by the
   four 16-bit sub-blocks (pigeonhole: Hamming distance ≤3 ⇒ at least
   one identical sub-block).
@@ -29,10 +32,13 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_log = logging.getLogger(__name__)
 
 
 def _md5_u64(s: str) -> int:
@@ -169,6 +175,56 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFr
     return pd.DataFrame({"band_id": out_band, "band_hash": hashes, "doc_id": out_id})
 
 
+def lsh_bucket_pairs(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """Candidate pairs from one hash-bucket of LSH band cells.
+
+    One vectorized pass per hash-bucket (NOT one Ray ``map_groups``
+    call per cell — ~ms of Python per group at high cardinality);
+    pairs via triu indices over each cell's distinct doc_ids.
+
+    Hot-cell cap: a cell larger than ``max_bucket`` emits all-pairs
+    among its first ``max_bucket`` doc_ids plus STAR pairs (cell
+    min-id ↔ each remaining doc). Connectivity is fully preserved —
+    any two docs sharing the cell stay in one connected component via
+    the hub — while pair volume stays O(max_bucket² + n). The cap is
+    never silent: capped-cell and beyond-cap-doc counts are logged per
+    bucket task and returned in ``DataFrame.attrs``
+    (``lsh_capped_cells`` / ``lsh_star_docs``).
+    """
+    outs_a, outs_b = [], []
+    capped_cells = 0
+    star_docs = 0
+    for _, g in df.groupby("band_hash", sort=False):
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        head = ids[:max_bucket]
+        ia, ib = np.triu_indices(len(head), k=1)
+        outs_a.append(head[ia])
+        outs_b.append(head[ib])
+        if len(ids) > max_bucket:
+            capped_cells += 1
+            tail = ids[max_bucket:]
+            star_docs += len(tail)
+            outs_a.append(np.full(len(tail), ids[0], dtype=ids.dtype))
+            outs_b.append(tail)
+    if capped_cells:
+        _log.warning(
+            "minhash LSH capped %d hot cell(s): %d doc(s) beyond "
+            "max_bucket=%d kept via star pairs to the cell min-id",
+            capped_cells, star_docs, max_bucket,
+        )
+    if not outs_a:
+        out = pd.DataFrame({"a": [], "b": []})
+    else:
+        out = pd.DataFrame(
+            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+        )
+    out.attrs["lsh_capped_cells"] = capped_cells
+    out.attrs["lsh_star_docs"] = star_docs
+    return out
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -208,39 +264,21 @@ def minhash_lsh_pairs(
         lambda b: _band_rows(b, bands, rows_per_band), batch_format="pandas", batch_size=None
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pass per hash-bucket of band cells (NOT one
-        # Ray map_groups call per cell — ~ms per group at high
-        # cardinality); pairs via triu indices
-        outs_a, outs_b = [], []
-        for _, g in df.groupby("band_hash", sort=False):
-            ids = np.unique(g["doc_id"].to_numpy())
-            ids = ids[:max_bucket]  # bounded; hot cells truncate
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            outs_a.append(ids[ia])
-            outs_b.append(ids[ib])
-        if not outs_a:
-            return pd.DataFrame({"a": [], "b": []})
-        return pd.DataFrame(
-            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
-        )
-
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
-    cand = grouped_agg_by_bucket(band, "band_hash", bucket_pairs, num_buckets=32)
+    cand = grouped_agg_by_bucket(
+        band,
+        "band_hash",
+        lambda df: lsh_bucket_pairs(df, max_bucket),
+        num_buckets=32,
+    )
 
-    def add_pair_key(df: pd.DataFrame) -> pd.DataFrame:
-        df["pair_key"] = (
-            df["a"].astype("int64") * np.int64(1 << 32) + df["b"].astype("int64")
-        )
-        return df
-
+    # pair identity is the two-column (a, b) key throughout — no packed
+    # int64 key, so doc_ids up to the full int64 range are safe
     pairs = grouped_agg_by_bucket(
-        cand.map_batches(add_pair_key, batch_format="pandas", batch_size=None),
-        "pair_key",
-        lambda df: df.drop_duplicates("pair_key").drop(columns=["pair_key"]),
+        cand,
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
         num_buckets=16,
     )
 
@@ -269,23 +307,27 @@ def verify_pairs_jaccard(
        doc_id; union with the (doc_id, text) table; hash-bucket on
        doc_id; one vectorized merge per bucket attaches each request's
        text.
-    2. re-bucket the textized requests on pair_key; per bucket, align
-       side 0/1 and compute exact shingle Jaccard (set ops inherent).
+    2. re-bucket the textized requests on the (a, b) pair identity;
+       per bucket, align side 0/1 and compute exact shingle Jaccard
+       (set ops inherent).
 
     Only texts of docs that appear in candidate pairs are shipped
-    through exchange 2.
+    through exchange 2. Pair identity is carried as the two int64
+    columns (a, b) end-to-end — no packed single-integer key, so the
+    full int64 doc_id range is safe (a packed a·2³² + b key silently
+    wraps past 2³¹ and collides past 2³²).
     """
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
     def explode_pairs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = a * np.int64(1 << 32) + b
         n = len(a)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-                "pair_key": pa.array(np.concatenate([pk, pk]), pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
                 "side": pa.array(
                     np.concatenate(
                         [np.zeros(n, np.int8), np.ones(n, np.int8)]
@@ -301,7 +343,8 @@ def verify_pairs_jaccard(
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
-                "pair_key": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
                 "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
                 "text": t["text"].cast(pa.large_string()),
             }
@@ -314,36 +357,35 @@ def verify_pairs_jaccard(
 
     def attach_text(df: pd.DataFrame) -> pd.DataFrame:
         t = df[df["side"] == -1][["doc_id", "text"]]
-        r = df[df["side"] != -1][["doc_id", "pair_key", "side"]]
+        r = df[df["side"] != -1][["doc_id", "a", "b", "side"]]
         m = r.merge(t, on="doc_id", how="left")
-        return m[["pair_key", "side", "text"]]
+        return m[["a", "b", "side", "text"]]
 
     textized = grouped_agg_by_bucket(
         txt.union(req), "doc_id", attach_text, num_buckets=num_buckets
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        a_side = df[df["side"] == 0][["pair_key", "text"]]
-        b_side = df[df["side"] == 1][["pair_key", "text"]]
-        m = a_side.merge(b_side, on="pair_key", suffixes=("_a", "_b"))
+        a_side = df[df["side"] == 0][["a", "b", "text"]]
+        b_side = df[df["side"] == 1][["a", "b", "text"]]
+        m = a_side.merge(b_side, on=["a", "b"], suffixes=("_a", "_b"))
         jac = np.empty(len(m), dtype=np.float64)
         for i, (ta, tb) in enumerate(zip(m["text_a"], m["text_b"])):
             sa = _shingles(ta or "", shingle_k)
             sb = _shingles(tb or "", shingle_k)
             denom = len(sa | sb)
             jac[i] = len(sa & sb) / denom if denom else 0.0
-        pk = m["pair_key"].to_numpy()
         out = pd.DataFrame(
             {
-                "a": pk >> 32,
-                "b": pk & np.int64((1 << 32) - 1),
+                "a": m["a"].to_numpy(),
+                "b": m["b"].to_numpy(),
                 "jaccard": jac,
             }
         )
         return out[out["jaccard"] >= jaccard_threshold]
 
     return grouped_agg_by_bucket(
-        textized, "pair_key", verify, num_buckets=num_buckets
+        textized, ["a", "b"], verify, num_buckets=num_buckets
     )
 
 
@@ -484,16 +526,12 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
         num_buckets=32,
     )
 
-    def add_pair_key(df: pd.DataFrame) -> pd.DataFrame:
-        df["pair_key"] = (
-            df["a"].astype("int64") * np.int64(1 << 32) + df["b"].astype("int64")
-        )
-        return df
-
+    # two-column (a, b) pair identity — see verify_pairs_jaccard on why
+    # packed int64 keys are unsafe at doc_id ≥ 2³¹
     return grouped_agg_by_bucket(
-        cand.map_batches(add_pair_key, batch_format="pandas", batch_size=None),
-        "pair_key",
-        lambda df: df.drop_duplicates("pair_key").drop(columns=["pair_key"]),
+        cand,
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
         num_buckets=16,
     )
 

@@ -128,7 +128,7 @@ def map_conv_buckets(
 
 def grouped_agg_by_bucket(
     ds,
-    key_col: str,
+    key_col: "str | list[str]",
     agg_fn: Callable,
     *,
     num_buckets: int = 64,
@@ -144,11 +144,21 @@ def grouped_agg_by_bucket(
 
         shuffle keyed on a small int; #Python calls == num_buckets.
 
+    ``key_col`` may be a list of columns — the bucket key is then a
+    mixed hash of all of them (every composite group still lands whole
+    in one bucket), which avoids packing multi-part identities into one
+    overflow-prone integer column.
+
     ``agg_fn: DataFrame -> DataFrame`` receives all rows of a bucket
     (every group fully contained) and aggregates internally.
     """
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def add_key_bucket(batch: pa.Table) -> pa.Table:
-        h = stable_hash(batch[key_col])
+        h = stable_hash(batch[key_cols[0]])
+        for c in key_cols[1:]:
+            # Fibonacci mix (uint64 wraparound) — order-sensitive combine
+            h = h * np.uint64(0x9E3779B97F4A7C15) + stable_hash(batch[c])
         b = (h % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column(BUCKET_COL, pa.array(b, pa.int32()))
 

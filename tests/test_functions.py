@@ -55,6 +55,64 @@ def test_minhash_lsh_finds_near_dup(docs_ds):
     assert 0.3 <= j.loc[(1, 11)] <= 1.0
 
 
+def test_lsh_hot_cell_cap_is_loud_and_connectivity_preserving(caplog):
+    """A planted >max_bucket LSH cell must (a) report capped-cell /
+    star-doc counts (no silent caps — VERDICT r02 item 2), and (b) keep
+    every doc in the cell connected via star pairs to the cell min-id."""
+    import logging as _logging
+
+    from ptrail_ray.functions.dedup import lsh_bucket_pairs
+
+    n = 250
+    df = pd.DataFrame(
+        {
+            "band_hash": ["hot"] * n + ["cold1", "cold1", "cold2"],
+            "doc_id": list(range(n)) + [900, 901, 950],
+        }
+    )
+    with caplog.at_level(_logging.WARNING, logger="ptrail_ray.functions.dedup"):
+        out = lsh_bucket_pairs(df, max_bucket=200)
+    assert out.attrs["lsh_capped_cells"] == 1
+    assert out.attrs["lsh_star_docs"] == n - 200
+    assert any("capped 1 hot cell" in r.message for r in caplog.records)
+    pairs = set(zip(out["a"], out["b"]))
+    # all-pairs among the first 200 ids
+    assert (0, 199) in pairs and (198, 199) in pairs
+    # beyond the cap: star pairs to the hub (min id), not silence
+    for tail_doc in (200, 249):
+        assert (0, tail_doc) in pairs
+    assert (201, 249) not in pairs  # tail-tail pruned (cap is real)
+    assert (900, 901) in pairs and (900, 950) not in pairs
+    # a < b invariant everywhere
+    assert (out["a"] < out["b"]).all()
+
+
+def test_minhash_pair_identity_survives_64bit_doc_ids(ray_session):
+    """verify_pairs_jaccard carries pair identity as two int64 columns;
+    doc_ids beyond 2^32 (packed-key wraparound territory, ADVICE r02)
+    must come through intact."""
+    from ptrail_ray.functions.dedup import verify_pairs_jaccard
+
+    big_a, big_b = np.int64(2**33 + 5), np.int64(2**35 + 11)
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([big_a, big_b, 7], dtype=np.int64),
+                "text": ["alpha beta gamma delta", "alpha beta gamma delta", "zzz"],
+            }
+        )
+    )
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            {"a": np.array([big_a], np.int64), "b": np.array([big_b], np.int64)}
+        )
+    )
+    out = verify_pairs_jaccard(pairs, docs, jaccard_threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert out["a"].iloc[0] == big_a and out["b"].iloc[0] == big_b
+    assert out["jaccard"].iloc[0] == 1.0
+
+
 def test_simhash_near_pairs(docs_ds):
     from ptrail_ray.functions.dedup import simhash_near_pairs
 
