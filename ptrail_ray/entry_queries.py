@@ -1012,7 +1012,11 @@ def q_embed_near_dup(sf_dir):
     from ptrail_ray.functions.ann import cosine_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = cosine_pairs(ds, threshold=NEARDUP_THRESHOLD, max_id=NEARDUP_MAX_ID)
+    # oracle mode: scalar-order kernel, bit-equal to DuckDB and stable
+    # across block layouts; production default is the BLAS fast path
+    out = cosine_pairs(
+        ds, threshold=NEARDUP_THRESHOLD, max_id=NEARDUP_MAX_ID, deterministic=True
+    )
     out["sim"] = out["sim"].round(6) + 0.0
     return out
 
@@ -1594,7 +1598,16 @@ def q_lineitem_pricing(sf_dir):
     the partials (grouped_agg_by_bucket), never a wide groupby over the
     raw rows. All money math runs in exact integer cents (doubles are
     2-dp currency), so the sums are accumulation-order-independent and
-    hash-exact vs the oracle; int64 bounds hold to ~1e9 rows."""
+    hash-exact vs the oracle.
+
+    Overflow bounds (ADVICE r02): per-row charge6 is ~4e10 (price_c ×
+    100 × 100 scale), so a PER-BATCH int64 partial is safe only to the
+    batch size (2^20 rows × 4e10 ≈ 4e16 ≪ 2^63) — but the combine over
+    many partials would wrap int64 around ~2e8 total rows. The combine
+    therefore accumulates in Python ints (object dtype — arbitrary
+    precision, and only #groups × #partials tiny rows pay for it) and
+    converts to double ONCE at the end, the same single rounding the
+    oracle's HUGEINT-sum → double cast performs."""
     import os
     import ray.data as rd
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
@@ -1626,21 +1639,28 @@ def q_lineitem_pricing(sf_dir):
         return work.groupby("grp", sort=False, observed=True).sum().reset_index()
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        t = df.groupby("grp", sort=False, observed=True).sum().reset_index()
+        # arbitrary-precision accumulation (see docstring): object
+        # dtype makes pandas sum in Python ints, immune to int64 wrap
+        vals = df[["qty", "price_c", "disc_c", "disc_price4", "charge6", "n"]].astype(object)
+        vals.insert(0, "grp", df["grp"])
+        t = vals.groupby("grp", sort=False, observed=True).sum().reset_index()
         rf = t["grp"].str.split("|").str[0]
         ls = t["grp"].str.split("|").str[1]
-        n = t["n"].astype("int64")
+        n = t["n"].map(int).astype("int64")
+        # one int→double rounding per total, then the scale division —
+        # matching the oracle's CAST(sum AS DOUBLE) / 10^k order
+        price_f = np.array([float(v) for v in t["price_c"]])
         out = pd.DataFrame(
             {
                 "l_returnflag": rf,
                 "l_linestatus": ls,
-                "sum_qty": t["qty"].astype("int64"),
-                "sum_base_price": t["price_c"] / 100.0,
-                "sum_disc_price": t["disc_price4"] / 10000.0,
-                "sum_charge": t["charge6"] / 1000000.0,
-                "avg_qty": t["qty"] / n,
-                "avg_price": (t["price_c"] / 100.0) / n,
-                "avg_disc": (t["disc_c"] / 100.0) / n,
+                "sum_qty": t["qty"].map(int).astype("int64"),
+                "sum_base_price": price_f / 100.0,
+                "sum_disc_price": np.array([float(v) for v in t["disc_price4"]]) / 10000.0,
+                "sum_charge": np.array([float(v) for v in t["charge6"]]) / 1000000.0,
+                "avg_qty": t["qty"].map(int).astype("int64") / n,
+                "avg_price": (price_f / 100.0) / n,
+                "avg_disc": (np.array([float(v) for v in t["disc_c"]]) / 100.0) / n,
                 "count_order": n,
             }
         )

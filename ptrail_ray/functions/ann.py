@@ -209,8 +209,27 @@ def _duckdb_cosine_matrix(mi: np.ndarray, mj: np.ndarray) -> np.ndarray:
         return dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
 
 
+def _cosine_matrix_blas(mi: np.ndarray, mj: np.ndarray) -> np.ndarray:
+    """(n,d) × (m,d) → (n,m) cosine sims via one BLAS GEMM + einsum
+    norms — the production kernel (~d× less memory traffic than the
+    scalar-order replica below). BLAS tiling varies with matrix shape,
+    so a similarity within 1 ulp of the threshold can flip membership
+    across runs with different block layouts; callers that need
+    run-stable output at a knife-edge threshold (the DuckDB oracle
+    gate) pass ``deterministic=True`` to get the scalar-order kernel."""
+    dot = mi @ mj.T
+    na = np.sqrt(np.einsum("ij,ij->i", mi, mi))
+    nb = np.sqrt(np.einsum("ij,ij->i", mj, mj))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return dot / (na[:, None] * nb[None, :])
+
+
 def cosine_pairs(
-    ds, *, threshold: float = 0.35, max_id: int | None = None
+    ds,
+    *,
+    threshold: float = 0.35,
+    max_id: int | None = None,
+    deterministic: bool = False,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (exact).
 
@@ -220,7 +239,13 @@ def cosine_pairs(
     two blocks by ref. Every unordered vector pair is examined in
     exactly one task (cross pairs once per (i, j), within-block pairs
     under a < b), so the emitted pair set is exact and duplicate-free
-    without any driver-side matrix."""
+    without any driver-side matrix.
+
+    ``deterministic=False`` (default, production): BLAS GEMM kernel.
+    ``deterministic=True`` (oracle mode): scalar ascending-k kernel
+    bit-equal to DuckDB ``list_cosine_similarity`` — shape-independent
+    arithmetic, so threshold membership never varies with Ray's runtime
+    block boundaries."""
     sub = ds
     if max_id is not None:
         sub = sub.filter(expr=f"vec_id < {max_id}")
@@ -229,6 +254,7 @@ def cosine_pairs(
     nb = len(refs)
     if nb == 0:
         return pd.DataFrame({"a": [], "b": [], "sim": []})
+    kernel = _duckdb_cosine_matrix if deterministic else _cosine_matrix_blas
 
     def gemm_block_pair(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -241,7 +267,7 @@ def cosine_pairs(
             ids_j = tj["vec_id"].to_numpy(zero_copy_only=False)
             mi = _stack(ti["embedding"])
             mj = mi if i == j else _stack(tj["embedding"])
-            sims = _duckdb_cosine_matrix(mi, mj)
+            sims = kernel(mi, mj)
             ri, rj = np.nonzero(sims >= threshold)
             a, b = ids_i[ri], ids_j[rj]
             if i == j:

@@ -109,43 +109,75 @@ class MinHasher:
         # heavily, so most md5 calls are cache hits after warm-up
         self._memo: dict[str, int] = {}
 
-    def _shingle_ids(self, text: str) -> set[int]:
+    def _shingle_keys(self, text: str) -> list[str]:
         toks = _tokens(text)
         if not toks:
-            return set()
+            return []
         if len(toks) < self.k:
-            keys = [" ".join(toks)]
-        else:
-            keys = [
-                " ".join(toks[i : i + self.k])
-                for i in range(len(toks) - self.k + 1)
-            ]
+            return [" ".join(toks)]
+        return [
+            " ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)
+        ]
+
+    def signature(self, text: str) -> np.ndarray:
+        """Single-doc path (tests / ad-hoc); the batch path in
+        ``__call__`` is numerically identical."""
+        out = self._signatures([text])
+        return out[0]
+
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) signatures, vectorized at BATCH level:
+        shingle strings are flattened and deduped ONCE per batch
+        (np.unique), md5 runs once per batch-unique shingle (memoized
+        across batches), and the universal-hash matrix is built over
+        the unique ids in one numpy expression — the per-shingle
+        Python md5 loop was the engine's slowest stage (VERDICT r02
+        item 4, pattern borrowed from the winnow kernel)."""
+        n = len(texts)
+        keys: list[str] = []
+        bounds = np.empty(n + 1, dtype=np.int64)
+        bounds[0] = 0
+        for i, t in enumerate(texts):
+            keys.extend(self._shingle_keys(t))
+            bounds[i + 1] = len(keys)
+        sigs = np.full(
+            (n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        if not keys:
+            return sigs
+        uniq, inv = np.unique(np.array(keys, dtype=object), return_inverse=True)
         memo = self._memo
         if len(memo) > 2_000_000:  # bound actor memory
             memo.clear()
-        out = set()
-        for s in keys:
+        hu = np.empty(len(uniq), dtype=np.uint64)
+        for i, s in enumerate(uniq):
             v = memo.get(s)
             if v is None:
                 v = _md5_u64(s)
                 memo[s] = v
-            out.add(v)
-        return out
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = self._shingle_ids(text)
-        if not sh:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        # (num_perm, n_shingles) universal hash, min over shingles
-        hv = (
-            (self.a[:, None] * (x[None, :] % _MERSENNE)) + self.b[:, None]
-        ) % _MERSENNE
-        return hv.min(axis=1)
+            hu[i] = v
+        # (num_perm, n_unique) universal hash over batch-unique shingles;
+        # per-doc min gathers its occurrence slice (duplicates inside a
+        # doc cannot change a min, so no per-doc dedup needed). Built in
+        # unique-axis chunks so arithmetic temporaries stay ≤ ~64 MB
+        # regardless of batch shingle volume.
+        hvu = np.empty((self.num_perm, len(uniq)), dtype=np.uint64)
+        step = 1 << 17
+        for c0 in range(0, len(uniq), step):
+            xs = hu[c0 : c0 + step] % _MERSENNE
+            hvu[:, c0 : c0 + len(xs)] = (
+                (self.a[:, None] * xs[None, :]) + self.b[:, None]
+            ) % _MERSENNE
+        inv = inv.astype(np.int64)
+        for i in range(n):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                sigs[i] = hvu[:, inv[lo:hi]].min(axis=1)
+        return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t or "") for t in batch["text"].fillna("")]
-        batch["minhash"] = [s.tolist() for s in sigs]
+        sigs = self._signatures([t or "" for t in batch["text"].fillna("")])
+        batch["minhash"] = list(sigs)
         return batch
 
 
@@ -155,7 +187,10 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFr
     The band key is md5 of the decimal-joined sub-signature prefixed by
     the band id — a STRING construction (not raw bytes) so the DuckDB
     oracle can reproduce it with md5(concat(...)). Vectorized string
-    assembly per band; md5 per (doc, band) is inherent."""
+    assembly per band; md5 runs once per UNIQUE band string (near-dup
+    corpora collide heavily by construction — that is the point of
+    LSH — so deduping before hashing collapses the md5 volume from
+    n·bands to the distinct-cell count; VERDICT r02 item 4)."""
     sig_mat = np.stack(
         [np.asarray(s, dtype=np.uint64) for s in batch["minhash"]]
     )  # (n, num_perm)
@@ -163,16 +198,22 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFr
     ids = batch["doc_id"].to_numpy()
     out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
     out_id = np.tile(ids, bands)
-    hashes = []
+    joined_all = []
     for b in range(bands):
         chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
         strs = chunk.astype("U20")
         joined = strs[:, 0]
         for c in range(1, rows_per_band):
             joined = np.char.add(np.char.add(joined, "-"), strs[:, c])
-        joined = np.char.add(f"{b}:", joined)
-        hashes.extend(hashlib.md5(s.encode()).hexdigest()[:16] for s in joined)
-    return pd.DataFrame({"band_id": out_band, "band_hash": hashes, "doc_id": out_id})
+        joined_all.append(np.char.add(f"{b}:", joined))
+    flat = np.concatenate(joined_all)  # band-major, matches out_band
+    uniq, inv = np.unique(flat, return_inverse=True)
+    h_u = np.array(
+        [hashlib.md5(s.encode()).hexdigest()[:16] for s in uniq], dtype=object
+    )
+    return pd.DataFrame(
+        {"band_id": out_band, "band_hash": h_u[inv], "doc_id": out_id}
+    )
 
 
 def lsh_bucket_pairs(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:

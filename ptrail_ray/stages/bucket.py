@@ -133,6 +133,7 @@ def grouped_agg_by_bucket(
     *,
     num_buckets: int = 64,
     partial_batch: int = 1 << 20,
+    group_format: str = "pandas",
 ):
     """Many-small-groups aggregation without per-group Python overhead.
 
@@ -150,7 +151,10 @@ def grouped_agg_by_bucket(
     overflow-prone integer column.
 
     ``agg_fn: DataFrame -> DataFrame`` receives all rows of a bucket
-    (every group fully contained) and aggregates internally.
+    (every group fully contained) and aggregates internally. With
+    ``group_format="pyarrow"`` it receives/returns at Arrow level
+    instead — use when the kernel must see exact Arrow types (pandas
+    blocks widen null-padded int/bool columns to float64).
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
 
@@ -162,12 +166,16 @@ def grouped_agg_by_bucket(
         b = (h % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column(BUCKET_COL, pa.array(b, pa.int32()))
 
-    def per_bucket(df):
-        df = df.drop(columns=[BUCKET_COL])
-        return agg_fn(df)
+    if group_format == "pyarrow":
+        def per_bucket(t):
+            return agg_fn(t.drop_columns([BUCKET_COL]))
+    else:
+        def per_bucket(df):
+            df = df.drop(columns=[BUCKET_COL])
+            return agg_fn(df)
 
     return (
         ds.map_batches(add_key_bucket, batch_format="pyarrow", batch_size=partial_batch)
         .groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format=group_format)
     )

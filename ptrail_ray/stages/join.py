@@ -95,32 +95,21 @@ def hash_join(left, right, on: str, *, how: str = "inner", num_buckets: int = 64
         right.map_batches(pad(1, rcols), batch_format="pyarrow", batch_size=None)
     )
 
-    def _np_dtype(t: pa.DataType):
-        if pa.types.is_integer(t):
-            return t.to_pandas_dtype()
-        if pa.types.is_boolean(t):
-            return bool
-        return None
+    def merge(t: pa.Table) -> pd.DataFrame:
+        # split sides while still in Arrow, THEN convert each side to
+        # pandas separately: each side's own columns keep their exact
+        # Arrow types (no union-null-padding float64 widening, which
+        # silently corrupts int64 > 2^53 and raises on a side whose
+        # own int column genuinely holds nulls). A left join's
+        # unmatched right columns still surface as NaN-float —
+        # pandas merge semantics, same as a SQL engine's .df().
+        import pyarrow.compute as pc
 
-    l_casts = {
-        f.name: d
-        for f in lsch
-        if (d := _np_dtype(f.type)) is not None
-    }
-    r_casts = {
-        f.name: d
-        for f in rsch
-        if f.name != on and (d := _np_dtype(f.type)) is not None
-    }
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # the union's null padding widened each side's int/bool columns
-        # to float in the pandas block; each side's OWN columns are
-        # null-free, so restore the original dtypes before merging
-        # (a left join's unmatched right columns stay NaN-float,
-        # matching pandas merge semantics)
-        l = df[df[SIDE_COL] == 0][[c for c in lcols]].astype(l_casts)
-        r = df[df[SIDE_COL] == 1][[on] + rcols].astype(r_casts)
+        side = t[SIDE_COL]
+        l = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        r = t.filter(pc.equal(side, 1)).select([on] + rcols).to_pandas()
         return l.merge(r, on=on, how=how)
 
-    return grouped_agg_by_bucket(both, on, merge, num_buckets=num_buckets)
+    return grouped_agg_by_bucket(
+        both, on, merge, num_buckets=num_buckets, group_format="pyarrow"
+    )

@@ -182,14 +182,19 @@ def conv_intersect_in_region(
         b = ray.get(b_ref)
         a = clip(conv_a)(t).select([CONV_ID, "ts", ca, cb]).to_pandas()
         if len(a) == 0 or len(b) == 0:
+            # empty-batch schema must mirror the input's actual column
+            # types (hardcoded int64 measures conflict with float
+            # measure columns across blocks and break schema unification
+            # — ADVICE r02)
+            ts_t = t.schema.field("ts").type
             return pa.table(
                 {
-                    "conv_id_1": pa.array([], pa.string()),
-                    "ts_1": pa.array([], pa.timestamp("us")),
-                    ca: pa.array([], pa.int64()),
-                    cb: pa.array([], pa.int64()),
-                    "conv_id_2": pa.array([], pa.string()),
-                    "ts_2": pa.array([], pa.timestamp("us")),
+                    "conv_id_1": pa.array([], t.schema.field(CONV_ID).type),
+                    "ts_1": pa.array([], ts_t),
+                    ca: pa.array([], t.schema.field(ca).type),
+                    cb: pa.array([], t.schema.field(cb).type),
+                    "conv_id_2": pa.array([], t.schema.field(CONV_ID).type),
+                    "ts_2": pa.array([], ts_t),
                 }
             )
         m = a.merge(b, on=[ca, cb], suffixes=("_1", "_2"))

@@ -107,6 +107,34 @@ def test_conv_intersect_empty_region(ray_session):
     assert out2.iloc[0]["m1"] == 1 and out2.iloc[0]["m2"] == 5
 
 
+def test_conv_intersect_float_measures_mixed_empty_blocks(ray_session):
+    """ADVICE r02: the empty-batch schema must derive from the input's
+    column types — float measure columns with some blocks producing
+    empty clips used to emit a conflicting int64 schema and break
+    Dataset schema unification."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.stages.project import conv_intersect_in_region
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"] * 3),
+            "x": [1.5, 2.5, 1.5, 3.5, 9.0, 9.5],
+            "y": [5.25, 6.0, 5.25, 7.0, 9.0, 9.5],
+        }
+    )
+    # 3 blocks: at least one contains no conv 'a' rows → empty clip path
+    ds = rd.from_pandas(pdf, override_num_blocks=3)
+    out = conv_intersect_in_region(
+        ds, "a", "b", (0.0, 8.0, 0.0, 8.0), cols=("x", "y")
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["x"] == 1.5 and out.iloc[0]["y"] == 5.25
+    assert out["x"].dtype == np.float64
+
+
 def test_ivf_tiny_dataset(ray_session):
     import numpy as np
     import pandas as pd

@@ -71,6 +71,31 @@ def test_job_resume_rejects_bucket_mismatch(tmp_path, job_input):
         main(["--input", job_input, "--output", out, "--num-buckets", "16"])
 
 
+def test_job_resume_rejects_any_partition_defining_mismatch(
+    tmp_path, job_input, tmp_path_factory, synth_table
+):
+    """ADVICE r02: resume must also refuse a changed --input dir and
+    changed hot/split thresholds, not just num_buckets — the persisted
+    hot/giant lists were computed from the original corpus."""
+    from job import main
+
+    out = str(tmp_path / "out")
+    main(["--input", job_input, "--output", out, "--num-buckets", "8",
+          "--split-threshold", "300"])
+
+    other_in = tmp_path_factory.mktemp("job_in2")
+    pq.write_table(synth_table, str(other_in / "part.parquet"))
+    with pytest.raises(SystemExit):
+        main(["--input", str(other_in), "--output", out, "--num-buckets", "8",
+              "--split-threshold", "300"])
+    with pytest.raises(SystemExit):
+        main(["--input", job_input, "--output", out, "--num-buckets", "8",
+              "--split-threshold", "500"])
+    with pytest.raises(SystemExit):
+        main(["--input", job_input, "--output", out, "--num-buckets", "8",
+              "--split-threshold", "300", "--hot-threshold", "100"])
+
+
 def test_job_interrupted_giants_rewritten_clean(tmp_path, job_input):
     """A crash after partial _giants files but before the marker must
     lead to a clean rewrite, not an append."""

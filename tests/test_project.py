@@ -133,6 +133,35 @@ def test_hash_join_inner_and_left(ray_session):
         )  # duplicate non-key column 'lv'
 
 
+def test_hash_join_preserves_big_int64_and_nullable_ints(ray_session):
+    """ADVICE r02: the old pandas-block path widened null-padded int64
+    columns to float64 and astype'd back — int64 > 2^53 corrupted
+    silently, and a side whose OWN int column holds nulls raised.
+    The Arrow-split path must do neither."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ptrail_ray.stages.join import hash_join
+
+    big = 2**60 + 12345  # not representable in float64
+    l = pd.DataFrame({"k": [1, 2], "lv": np.array([big, big + 1], np.int64)})
+    r_tbl = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "rv": pa.array([7, None], pa.int64()),  # genuinely-null int
+        }
+    )
+    out = (
+        hash_join(rd.from_pandas(l), rd.from_arrow(r_tbl), "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["lv"].tolist() == [big, big + 1]  # exact, no float roundtrip
+    assert out["rv"].iloc[0] == 7 and pd.isna(out["rv"].iloc[1])
+
+
 def test_cosine_pairs_block_order_invariance(ray_session):
     """Regression: cross-block pairs must survive arbitrary object-store
     block ordering (a smaller id in a LATER block was silently dropped

@@ -85,12 +85,24 @@ def main(argv=None):
     resume = not args.no_resume
     prior = load_job_manifest(args.output) if resume else None
     if prior is not None:
-        if prior["num_buckets"] != args.num_buckets:
-            raise SystemExit(
-                f"--num-buckets {args.num_buckets} != {prior['num_buckets']} "
-                "recorded in the job manifest; a resume must reuse the "
-                "original bucket count (or pass --no-resume to restart)"
-            )
+        # every partition-DEFINING parameter must match the manifest —
+        # resuming with a different input dir or different hot/giant
+        # thresholds would silently reuse bucket/hot/giant sets computed
+        # from a different corpus and skip "already-completed" buckets
+        # that never saw the new rows (ADVICE r02)
+        for cli_val, key, flag in (
+            (args.num_buckets, "num_buckets", "--num-buckets"),
+            (args.input, "input", "--input"),
+            (args.hot_threshold, "hot_threshold", "--hot-threshold"),
+            (args.split_threshold, "split_threshold", "--split-threshold"),
+        ):
+            if key in prior and prior[key] != cli_val:
+                raise SystemExit(
+                    f"{flag} {cli_val!r} != {prior[key]!r} recorded in the "
+                    "job manifest; a resume must reuse the original "
+                    "partition-defining parameters (or pass --no-resume "
+                    "to restart)"
+                )
         hot = prior["hot_convs"]
         giants = prior["giants"]
         giants_done = prior.get("giants_done", False)
