@@ -1190,6 +1190,33 @@ ORACLE_SQL["q_rolling"] = f"""
 QUERIES["q_rolling"] = q_rolling
 
 
+def q_ingest_csv(sf_dir):
+    """CSV ingest parity (Datasets.load_* analog, reference
+    core/Datasets.py:28-207): derive the canonical transcripts, round-
+    trip them through CSV on disk, and read back with
+    ``read_transcripts_csv`` (schema-normalizing loader). The oracle is
+    the parquet-path derivation modulo CSV's one representational gap:
+    an empty string is indistinguishable from NULL, so both sides map
+    '' → NULL."""
+    import hashlib
+    import shutil
+
+    from ptrail_ray.sources.transcripts import read_transcripts_csv
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/ptrail_ingest_csv_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    derive_from_events(sf_dir).write_csv(out_dir)
+    return read_transcripts_csv(out_dir)
+
+
+ORACLE_SQL["q_ingest_csv"] = f"""
+    WITH transcripts AS ({TRANSCRIPTS_SQL})
+    SELECT conv_id, turn_idx, role, nullif(text, '') AS text, tool, ts
+    FROM transcripts"""
+QUERIES["q_ingest_csv"] = q_ingest_csv
+
+
 # --- §2 gap closers (VERDICT r01 item 7) -----------------------------------
 
 DIST_POINT = (100.0, 120.0)

@@ -12,9 +12,11 @@ the same single-exchange machinery as everything else:
 
 Each row moves exactly once; the per-bucket merge is C-speed. Key skew
 is bounded by ``num_buckets`` exactly like the conv exchange — a hot
-key's rows all land in one bucket, so the bucket count is the memory
-knob (and a salted broadcast of the hot key's small side would be the
-escape hatch, mirroring stages/salt.py).
+key's rows all land in one bucket. The escape hatch (mirroring
+stages/salt.py) is ``hot_keys``: rows carrying a declared hot key skip
+the exchange entirely — the hot keys' SMALL side is broadcast once
+(``ray.put``) and the big side streams through a narrow vectorized
+merge, so no bucket ever holds a hot key's full row set.
 
 Contract: a single key column with the same name on both sides, and
 otherwise disjoint column names (TPC-H-style prefixed schemas satisfy
@@ -50,9 +52,25 @@ def _common_schema(left_schema: pa.Schema, right_schema: pa.Schema, on: str) -> 
     return pa.schema(fields)
 
 
-def hash_join(left, right, on: str, *, how: str = "inner", num_buckets: int = 64):
+def hash_join(
+    left,
+    right,
+    on: str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    hot_keys=None,
+):
     """Shuffle join of two Datasets on ``on``. ``how``: 'inner' or
-    'left'. Returns key + all columns of both sides."""
+    'left'. Returns key + all columns of both sides.
+
+    ``hot_keys``: optional iterable of key values whose row volume
+    would overwhelm a single shuffle bucket. Those keys take the
+    broadcast path — the RIGHT side's hot rows (small by contract,
+    as in any skew-broadcast join) are collected once and shipped via
+    ``ray.put``; the left side's hot rows merge against them in a
+    narrow streaming stage. Output is identical to the pure-shuffle
+    plan; only the partitioning differs."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how!r}")
     def _arrow_schema(ds) -> pa.Schema:
@@ -71,6 +89,47 @@ def hash_join(left, right, on: str, *, how: str = "inner", num_buckets: int = 64
     schema = _common_schema(lsch, rsch, on)
     lcols = [f.name for f in lsch]
     rcols = [f.name for f in rsch if f.name != on]
+
+    if hot_keys:
+        import ray
+        import pyarrow.compute as pc
+
+        key_type = lsch.field(on).type
+        hot_set = pa.array(sorted(set(hot_keys)), type=key_type)
+
+        def _is_hot(t: pa.Table) -> pa.Array:
+            return pc.fill_null(pc.is_in(t[on], value_set=hot_set), False)
+
+        def _take(hot: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                m = _is_hot(t)
+                return t.filter(m if hot else pc.invert(m))
+
+            return fn
+
+        # hot keys' small side, collected once and broadcast by ref
+        hot_right = (
+            right.map_batches(_take(True), batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        ref = ray.put(hot_right)
+
+        def hot_merge(t: pa.Table) -> pd.DataFrame:
+            l = t.select(lcols).to_pandas()
+            return l.merge(ray.get(ref), on=on, how=how)
+
+        hot_out = left.map_batches(
+            _take(True), batch_format="pyarrow", batch_size=None
+        ).map_batches(hot_merge, batch_format="pyarrow", batch_size=65536)
+
+        cold_out = hash_join(
+            left.map_batches(_take(False), batch_format="pyarrow", batch_size=None),
+            right.map_batches(_take(False), batch_format="pyarrow", batch_size=None),
+            on,
+            how=how,
+            num_buckets=num_buckets,
+        )
+        return cold_out.union(hot_out)
 
     def pad(side_flag: int, own_cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:

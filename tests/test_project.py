@@ -133,6 +133,39 @@ def test_hash_join_inner_and_left(ray_session):
         )  # duplicate non-key column 'lv'
 
 
+def test_hash_join_hot_key_broadcast_identical_output(ray_session):
+    """VERDICT r02 item 8: a planted hot key (90% of left rows) through
+    the broadcast escape hatch must produce output identical to the
+    pure-shuffle plan, for both inner and left joins."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    lk = np.where(rng.random(n) < 0.9, 777, rng.integers(0, 50, size=n))
+    l = pd.DataFrame({"k": lk.astype(np.int64), "lv": np.arange(n, dtype=np.int64)})
+    # right side: unique keys incl. the hot one (small side per key)
+    r = pd.DataFrame(
+        {"k": np.arange(0, 60, dtype=np.int64).tolist() + [777],
+         "rv": np.arange(0, 61, dtype=np.int64) * 10}
+    )
+    for how in ("inner", "left"):
+        base = (
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), "k", how=how)
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        )
+        hot = (
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), "k", how=how,
+                      hot_keys=[777])
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(hot[base.columns], base)
+        exp = l.merge(r, on="k", how=how).sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(base[exp.columns], exp, check_dtype=False)
+
+
 def test_hash_join_preserves_big_int64_and_nullable_ints(ray_session):
     """ADVICE r02: the old pandas-block path widened null-padded int64
     columns to float64 and astype'd back — int64 > 2^53 corrupted
