@@ -680,6 +680,7 @@ def _minhash_oracle_sql(
     shingle_k: int = 3,
     threshold: float = 0.3,
     max_bucket: int = 200,
+    final_select: str | None = None,
 ) -> str:
     """Full DuckDB replica of the MinHash-LSH near-dup pipeline
     (functions/dedup.py): shingle → md5-derived uint64 ids
@@ -701,8 +702,12 @@ def _minhash_oracle_sql(
     )
     k = shingle_k
     p64 = 1 << 64
+    if final_select is None:
+        final_select = (
+            f"SELECT a, b, round(j, 6) + 0.0 AS jaccard FROM jac WHERE j >= {threshold}"
+        )
     return f"""
-WITH d AS (
+WITH RECURSIVE d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -764,7 +769,7 @@ jac AS (
     END AS j
   FROM cand c JOIN shid sa ON sa.doc_id = c.a JOIN shid sb ON sb.doc_id = c.b
 )
-SELECT a, b, round(j, 6) + 0.0 AS jaccard FROM jac WHERE j >= {threshold}
+{final_select}
 """
 
 
@@ -1188,6 +1193,73 @@ ORACLE_SQL["q_rolling"] = f"""
              AS roll5_mean_m1
     FROM transcripts"""
 QUERIES["q_rolling"] = q_rolling
+
+
+def q_dedup_cluster(sf_dir):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    verified pairs (jaccard ≥ 0.3); cluster_id = min doc_id of the
+    component (functions/dedup.py::connected_components — distributed
+    min-label propagation, one bucket join per round). Oracle: the full
+    md5+HUGEINT MinHash replica feeding a recursive-CTE transitive
+    closure."""
+    from ptrail_ray.functions.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.3)
+    return connected_components(pairs)
+
+
+ORACLE_SQL["q_dedup_cluster"] = _minhash_oracle_sql(
+    final_select="""
+, e AS (
+  SELECT a AS x, b AS y FROM jac WHERE j >= 0.3
+  UNION
+  SELECT b AS x, a AS y FROM jac WHERE j >= 0.3
+),
+reach(x, y) AS (
+  SELECT x, y FROM e
+  UNION
+  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
+)
+SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x"""
+)
+QUERIES["q_dedup_cluster"] = q_dedup_cluster
+
+
+SAMPLE_RATE_P = 0.2
+SPLIT_K, SPLIT_FOLD = 3, 1
+
+
+def q_sample_hash(sf_dir):
+    """Deterministic md5-hash sample of documents at rate 0.2
+    (functions/sample.py — the reproducible train-subset primitive;
+    Ray's random_sample is seed-per-run and layout-dependent)."""
+    from ptrail_ray.functions.sample import sample_by_hash
+
+    out = sample_by_hash(_docs(sf_dir), id_col="doc_id", rate=SAMPLE_RATE_P)
+    return out.select_columns(["doc_id"])
+
+
+ORACLE_SQL["q_sample_hash"] = f"""
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+          < CAST({SAMPLE_RATE_P} * {1 << 60} AS UBIGINT)"""
+QUERIES["q_sample_hash"] = q_sample_hash
+
+
+def q_split_fold(sf_dir):
+    """Hash-fold split: fold 1 of 3 disjoint md5 folds of documents
+    (functions/sample.py::split_by_hash)."""
+    from ptrail_ray.functions.sample import split_by_hash
+
+    out = split_by_hash(_docs(sf_dir), id_col="doc_id", fold=SPLIT_FOLD, k=SPLIT_K)
+    return out.select_columns(["doc_id"])
+
+
+ORACLE_SQL["q_split_fold"] = f"""
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+          % {SPLIT_K} = {SPLIT_FOLD}"""
+QUERIES["q_split_fold"] = q_split_fold
 
 
 def q_media_audio_wav(sf_dir):

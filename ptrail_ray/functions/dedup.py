@@ -578,6 +578,191 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """In-memory union-find with path compression (the small-graph fast
+    path of ``connected_components``). Input columns (node, nbr)."""
+    nodes = np.unique(
+        np.concatenate([edges_df["node"].to_numpy(), edges_df["nbr"].to_numpy()])
+    )
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in zip(edges_df["node"].to_numpy(), edges_df["nbr"].to_numpy()):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-root union
+    roots = np.array([find(i) for i in range(len(nodes))])
+    return pd.DataFrame(
+        {"doc_id": nodes.astype(np.int64), "cluster_id": nodes[roots].astype(np.int64)}
+    )
+
+
+def connected_components(
+    pairs, *, num_buckets: int = 32, max_iters: int = 64, small_edges: int = 1 << 20
+):
+    """(doc_id, cluster_id) labels over the undirected near-dup graph:
+    ``cluster_id`` = min doc_id in the connected component. This is the
+    operator that turns pair output (minhash/simhash/cosine) into
+    actionable dedup: keep each cluster's canonical (min-id) doc.
+
+    Distributed min-label propagation: per round, each node's label is
+    min(own label, neighbor labels), computed as ONE hash-bucket join
+    of the (static) edge set against the current label table plus one
+    grouped min — labels are materialized between rounds (bounded:
+    one row per node in any pair), never the edges to the driver.
+    Converges in O(graph diameter) rounds; the label sum is a strictly
+    decreasing convergence witness (labels are per-node nonincreasing,
+    so an unchanged sum IS the fixed point). LSH hot cells emit STAR
+    pairs (lsh_bucket_pairs), which keeps component diameters small —
+    the property this operator's round count relies on.
+
+    Only nodes that appear in ``pairs`` get a row; isolated docs are
+    their own trivial cluster and never enter the exchange.
+
+    Small-graph fast path: when the symmetric edge count is ≤
+    ``small_edges`` (default 2²⁰ — a BOUNDED driver collect, the same
+    pattern as the ANN partial-top-k merge), a single in-memory
+    union-find replaces the iterative rounds; at near-dup rates the
+    edge set is proportional to the DUP volume, not the corpus, so
+    production graphs beyond the bound still take the distributed path.
+    """
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow", batch_size=None).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+    if n_edges <= small_edges:
+        import ray.data as rd
+
+        return rd.from_pandas(_union_find_components(edges.to_pandas()))
+
+    labels = grouped_agg_by_bucket(
+        edges,
+        "node",
+        lambda df: df.groupby("node", as_index=False)["nbr"]
+        .min()
+        .assign(cluster_id=lambda d: np.minimum(d["node"], d["nbr"]))[
+            ["node", "cluster_id"]
+        ],
+        num_buckets=num_buckets,
+    ).materialize()
+    prev_sum = labels.sum("cluster_id")
+
+    for _ in range(max_iters):
+        # ship each node's label to its neighbors (join on the edge's
+        # nbr end), union with current labels, take the min per node
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["nbr"],
+                    "node": t["node"],
+                    "cluster_id": pa.array(
+                        np.full(t.num_rows, -1, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def tag_label(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["node"],
+                    "node": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                    "cluster_id": t["cluster_id"],
+                }
+            )
+
+        def propagate(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["node"] == -1][["key", "cluster_id"]]
+            e = df[df["node"] != -1][["key", "node"]]
+            m = e.merge(lab, on="key", how="inner")[["node", "cluster_id"]]
+            own = lab.rename(columns={"key": "node"})
+            both = pd.concat([m, own], ignore_index=True)
+            return both.groupby("node", as_index=False)["cluster_id"].min()
+
+        req = edges.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
+        lab = labels.map_batches(tag_label, batch_format="pyarrow", batch_size=None)
+        merged = grouped_agg_by_bucket(
+            lab.union(req), "key", propagate, num_buckets=num_buckets
+        )
+        # second (cheap) regroup: a node's neighbors span key-buckets
+        labels_next = grouped_agg_by_bucket(
+            merged,
+            "node",
+            lambda df: df.groupby("node", as_index=False)["cluster_id"].min(),
+            num_buckets=num_buckets,
+        ).materialize()
+        s = labels_next.sum("cluster_id")
+        labels = labels_next
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def dedup_by_cluster(docs, pairs, *, id_col: str = "doc_id", num_buckets: int = 32):
+    """Near-dup dedup: drop every doc that is in a near-dup cluster but
+    is not its canonical (min-id) representative. Docs in no pair pass
+    through untouched. The non-canonical id set is bounded by the dup
+    volume; it is broadcast once (``ray.put``) into a stateless mask."""
+    import ray
+
+    labels = connected_components(pairs, num_buckets=num_buckets)
+
+    def non_canon(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"drop_id": pa.array(d[d != c], pa.int64())})
+
+    drop = (
+        labels.map_batches(non_canon, batch_format="pyarrow", batch_size=None)
+        .to_pandas()["drop_id"]
+        .to_numpy()
+    )
+    drop_ref = ray.put(np.sort(drop))
+
+    def mask(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        d = ray.get(drop_ref)
+        keep = ~np.isin(ids, d)
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(mask, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # winnowing (rolling-hash document fingerprints)
 # ---------------------------------------------------------------------------
 

@@ -248,6 +248,93 @@ def test_real_ppm_decode_and_resize(ray_session):
     assert np.isclose(out["mean_r"][0], first[:, :, 0].mean())
 
 
+def test_hash_sampling_deterministic_and_partitioning(docs_ds):
+    """sample_by_hash must be layout-independent and consistent with
+    split_by_hash's disjoint-exhaustive folds."""
+    from ptrail_ray.functions.sample import sample_by_hash, split_by_hash
+
+    s1 = set(sample_by_hash(docs_ds, id_col="doc_id", rate=0.3).to_pandas()["doc_id"])
+    s2 = set(
+        sample_by_hash(
+            docs_ds.random_shuffle(seed=1), id_col="doc_id", rate=0.3
+        ).to_pandas()["doc_id"]
+    )
+    assert s1 == s2 and 0 < len(s1) < 80  # layout-independent, non-trivial
+    # higher rate is a superset (nested samples — the rate-sweep property)
+    s_hi = set(sample_by_hash(docs_ds, id_col="doc_id", rate=0.6).to_pandas()["doc_id"])
+    assert s1 <= s_hi
+    folds = [
+        set(split_by_hash(docs_ds, id_col="doc_id", fold=f, k=3).to_pandas()["doc_id"])
+        for f in range(3)
+    ]
+    assert set().union(*folds) == set(range(80))
+    assert sum(len(f) for f in folds) == 80  # disjoint + exhaustive
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sample_by_hash(docs_ds, id_col="doc_id", rate=1.5)
+    with _pt.raises(ValueError):
+        split_by_hash(docs_ds, id_col="doc_id", fold=3, k=3)
+
+
+def test_connected_components_both_paths(ray_session):
+    """Distributed min-label propagation and the union-find fast path
+    must agree with a brute-force BFS reference on a random graph
+    (chains, cycles, isolated pairs)."""
+    from ptrail_ray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 120, size=150)
+    off = rng.integers(1, 8, size=150)
+    pairs = pd.DataFrame(
+        {"a": np.minimum(a, a + off).astype(np.int64),
+         "b": np.maximum(a, a + off).astype(np.int64)}
+    ).drop_duplicates()
+    # brute reference: BFS components
+    adj: dict[int, set] = {}
+    for x, y in zip(pairs["a"], pairs["b"]):
+        adj.setdefault(int(x), set()).add(int(y))
+        adj.setdefault(int(y), set()).add(int(x))
+    exp = {}
+    seen: set = set()
+    for s in sorted(adj):
+        if s in seen:
+            continue
+        comp, stack = [], [s]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        m = min(comp)
+        for v in comp:
+            exp[v] = m
+
+    ds = rd.from_pandas(pairs)
+    for kw in ({"small_edges": 1 << 20}, {"small_edges": 0, "num_buckets": 4}):
+        out = connected_components(ds, **kw).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+        assert got == exp, f"path {kw} diverged"
+
+
+def test_dedup_by_cluster_keeps_canonical_and_isolated(ray_session):
+    from ptrail_ray.functions.dedup import dedup_by_cluster
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                      "text": [f"t{i}" for i in range(10)]})
+    )
+    pairs = rd.from_pandas(
+        pd.DataFrame({"a": np.array([1, 2, 5], np.int64),
+                      "b": np.array([2, 3, 6], np.int64)})
+    )
+    kept = sorted(dedup_by_cluster(docs, pairs).to_pandas()["doc_id"])
+    # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; isolated pass through
+    assert kept == [0, 1, 4, 5, 7, 8, 9]
+
+
 def test_winnow_guarantee(ray_session):
     """Winnowing property: two docs sharing a run of >= w+k-1 words
     share at least one fingerprint; disjoint docs share none."""
