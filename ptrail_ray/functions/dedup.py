@@ -232,23 +232,43 @@ def lsh_bucket_pairs(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     bucket task and returned in ``DataFrame.attrs``
     (``lsh_capped_cells`` / ``lsh_star_docs``).
     """
+    # Fully vectorized cell → pairs: one Python groupby iteration per
+    # DISTINCT CELL SIZE, not per cell (~100 µs/group × 100k+ cells was
+    # this stage's wall). Cells of equal size n stack into an (m, n)
+    # id matrix and share one triu_indices gather.
+    codes, _ = pd.factorize(df["band_hash"], sort=False)
+    ids_all = df["doc_id"].to_numpy()
+    # unique (cell, doc) then sort ids within cell
+    order = np.lexsort((ids_all, codes))
+    c_s, i_s = codes[order], ids_all[order]
+    keep = np.ones(len(c_s), dtype=bool)
+    keep[1:] = (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])
+    c_s, i_s = c_s[keep], i_s[keep]
+    cell_start = np.flatnonzero(
+        np.concatenate(([True], c_s[1:] != c_s[:-1]))
+    )
+    cell_len = np.diff(np.concatenate((cell_start, [len(c_s)])))
+
     outs_a, outs_b = [], []
     capped_cells = 0
     star_docs = 0
-    for _, g in df.groupby("band_hash", sort=False):
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            continue
-        head = ids[:max_bucket]
-        ia, ib = np.triu_indices(len(head), k=1)
-        outs_a.append(head[ia])
-        outs_b.append(head[ib])
-        if len(ids) > max_bucket:
-            capped_cells += 1
-            tail = ids[max_bucket:]
-            star_docs += len(tail)
-            outs_a.append(np.full(len(tail), ids[0], dtype=ids.dtype))
-            outs_b.append(tail)
+    multi = np.flatnonzero(cell_len >= 2)
+    lens = np.minimum(cell_len[multi], max_bucket)
+    for n in np.unique(lens):
+        sel = multi[lens == n]
+        # (m, n) matrix of the first n sorted ids of each selected cell
+        mat = i_s[cell_start[sel][:, None] + np.arange(n)[None, :]]
+        ia, ib = np.triu_indices(n, k=1)
+        outs_a.append(mat[:, ia].ravel())
+        outs_b.append(mat[:, ib].ravel())
+    over = np.flatnonzero(cell_len > max_bucket)
+    for ci in over:
+        capped_cells += 1
+        s, ln = cell_start[ci], cell_len[ci]
+        tail = i_s[s + max_bucket : s + ln]
+        star_docs += len(tail)
+        outs_a.append(np.full(len(tail), i_s[s], dtype=i_s.dtype))
+        outs_b.append(tail)
     if capped_cells:
         _log.warning(
             "minhash LSH capped %d hot cell(s): %d doc(s) beyond "
@@ -396,37 +416,79 @@ def verify_pairs_jaccard(
         tag_texts, batch_format="pyarrow", batch_size=None
     )
 
-    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[df["side"] == -1][["doc_id", "text"]]
-        r = df[df["side"] != -1][["doc_id", "a", "b", "side"]]
-        m = r.merge(t, on="doc_id", how="left")
-        return m[["a", "b", "side", "text"]]
+    def attach_text(t: pa.Table) -> pa.Table:
+        # Arrow-native (Acero) hash join: requests × texts never pass
+        # through pandas object columns — measured pandas string merges
+        # dominated this stage at the 100k-doc/1M-pair stress scale
+        import pyarrow.compute as pc
+
+        side = t["side"]
+        texts = t.filter(pc.equal(side, -1)).select(["doc_id", "text"]).combine_chunks()
+        reqs = (
+            t.filter(pc.not_equal(side, -1))
+            .select(["doc_id", "a", "b", "side"])
+            .combine_chunks()
+        )
+        m = reqs.join(texts, keys="doc_id", join_type="left outer")
+        return m.select(["a", "b", "side", "text"])
 
     textized = grouped_agg_by_bucket(
-        txt.union(req), "doc_id", attach_text, num_buckets=num_buckets
+        txt.union(req),
+        "doc_id",
+        attach_text,
+        num_buckets=num_buckets,
+        group_format="pyarrow",
     )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        a_side = df[df["side"] == 0][["a", "b", "text"]]
-        b_side = df[df["side"] == 1][["a", "b", "text"]]
-        m = a_side.merge(b_side, on=["a", "b"], suffixes=("_a", "_b"))
-        jac = np.empty(len(m), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(m["text_a"], m["text_b"])):
-            sa = _shingles(ta or "", shingle_k)
-            sb = _shingles(tb or "", shingle_k)
+    def verify(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        side = t["side"]
+        a_side = (
+            t.filter(pc.equal(side, 0))
+            .select(["a", "b", "text"])
+            .rename_columns(["a", "b", "text_a"])
+            .combine_chunks()
+        )
+        b_side = (
+            t.filter(pc.equal(side, 1))
+            .select(["a", "b", "text"])
+            .rename_columns(["a", "b", "text_b"])
+            .combine_chunks()
+        )
+        m = a_side.join(b_side, keys=["a", "b"], join_type="inner")
+        ta_l = m["text_a"].to_pylist()
+        tb_l = m["text_b"].to_pylist()
+        # shingle once per UNIQUE text within the bucket task, not once
+        # per pair occurrence: a doc in k candidate pairs re-shingled k
+        # times is pure waste (near-dup corpora have high pair/doc
+        # ratios BY CONSTRUCTION)
+        memo: dict[str, set] = {}
+
+        def sh(s0: str) -> set:
+            s = memo.get(s0)
+            if s is None:
+                s = _shingles(s0, shingle_k)
+                memo[s0] = s
+            return s
+
+        jac = np.empty(len(ta_l), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(ta_l, tb_l)):
+            sa = sh(ta or "")
+            sb = sh(tb or "")
             denom = len(sa | sb)
             jac[i] = len(sa & sb) / denom if denom else 0.0
-        out = pd.DataFrame(
+        keep = jac >= jaccard_threshold
+        return pd.DataFrame(
             {
-                "a": m["a"].to_numpy(),
-                "b": m["b"].to_numpy(),
-                "jaccard": jac,
+                "a": m["a"].to_numpy(zero_copy_only=False)[keep],
+                "b": m["b"].to_numpy(zero_copy_only=False)[keep],
+                "jaccard": jac[keep],
             }
         )
-        return out[out["jaccard"] >= jaccard_threshold]
 
     return grouped_agg_by_bucket(
-        textized, ["a", "b"], verify, num_buckets=num_buckets
+        textized, ["a", "b"], verify, num_buckets=num_buckets, group_format="pyarrow"
     )
 
 

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
+sys.path.insert(0, "/root/repo")
+
 
 def build_corpus(sf_dir: str = "/root/testdata/sf0.1", replicas: int = 20) -> pd.DataFrame:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
