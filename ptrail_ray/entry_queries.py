@@ -1347,6 +1347,42 @@ ORACLE_SQL["q_ingest_csv"] = f"""
 QUERIES["q_ingest_csv"] = q_ingest_csv
 
 
+def q_ingest_json(sf_dir):
+    """JSON-lines ingest parity: transcripts round-trip through JSONL
+    (timestamps serialized as ISO-8601 with microseconds so the loader's
+    schema-normalize cast re-parses them losslessly — epoch-ms JSON
+    numbers would silently truncate µs) and back via
+    ``read_transcripts_json``. Unlike CSV, JSON distinguishes '' from
+    null, so the oracle is the plain parquet derivation."""
+    import hashlib
+    import shutil
+
+    from ptrail_ray.sources.transcripts import read_transcripts_json
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/ptrail_ingest_json_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def ts_to_iso(t: pa.Table) -> pa.Table:
+        # Arrow strftime %S includes the fractional seconds for
+        # sub-second timestamp units — no explicit .%f
+        i = t.column_names.index("ts")
+        return t.set_column(
+            i, "ts", pc.strftime(t["ts"], format="%Y-%m-%dT%H:%M:%S")
+        )
+
+    derive_from_events(sf_dir).map_batches(
+        ts_to_iso, batch_format="pyarrow", batch_size=None
+    ).write_json(out_dir)
+    return read_transcripts_json(out_dir)
+
+
+ORACLE_SQL["q_ingest_json"] = (
+    f"WITH transcripts AS ({TRANSCRIPTS_SQL}) SELECT * FROM transcripts"
+)
+QUERIES["q_ingest_json"] = q_ingest_json
+
+
 # --- §2 gap closers (VERDICT r01 item 7) -----------------------------------
 
 DIST_POINT = (100.0, 120.0)

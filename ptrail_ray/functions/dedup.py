@@ -787,6 +787,15 @@ def connected_components(
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # never silent: a component with diameter > max_iters would
+        # return non-minimal labels — callers must raise the budget
+        _log.warning(
+            "connected_components: label propagation did NOT converge "
+            "within max_iters=%d rounds (graph diameter exceeds the "
+            "budget); labels may be non-minimal",
+            max_iters,
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow",
