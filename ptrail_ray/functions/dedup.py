@@ -572,38 +572,62 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
         # expansion is bounded by the candidate and OUTPUT volume.
         # Output-identical: intra-hash doc pairs are hamming 0; a
         # cross-hash pair's hamming applies to every doc pair in the
-        # two groups.
+        # two groups. Fully vectorized across the bucket: one Python
+        # iteration per distinct GROUP SIZE (equal-size runs share a
+        # stacked triu/popcount), plus one loop over SURVIVING
+        # hash-pairs only (output-bounded) for the doc expansion —
+        # never a loop per cell.
+        cell = df["cell"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        sh = df["simhash"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, sh, cell))
+        c, h, d = cell[order], sh[order], doc[order]
+        keep = np.ones(len(c), dtype=bool)
+        keep[1:] = (c[1:] != c[:-1]) | (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        c, h, d = c[keep], h[keep], d[keep]
+
         out_a, out_b, out_d = [], [], []
-        for _, g in df.groupby("cell", sort=False):
-            rec = g[["doc_id", "simhash"]].drop_duplicates()
-            ids_all = rec["doc_id"].to_numpy()
-            hs_all = rec["simhash"].to_numpy().astype(np.int64)
-            hs_u, inv = np.unique(hs_all, return_inverse=True)
-            order = np.lexsort((ids_all, inv))
-            ids_sorted = ids_all[order]
-            counts = np.bincount(inv, minlength=len(hs_u))
-            offs = np.concatenate(([0], np.cumsum(counts)))
+        if len(c):
+            # runs of equal (cell, hash)
+            gstart = np.flatnonzero(
+                np.concatenate(([True], (c[1:] != c[:-1]) | (h[1:] != h[:-1])))
+            )
+            glen = np.diff(np.concatenate((gstart, [len(c)])))
             # intra-hash pairs (identical simhash → hamming 0)
-            for gi in np.flatnonzero(counts >= 2):
-                docs = ids_sorted[offs[gi] : offs[gi + 1]]
-                ia, ib = np.triu_indices(len(docs), k=1)
-                out_a.append(docs[ia])
-                out_b.append(docs[ib])
-                out_d.append(np.zeros(len(ia), np.int64))
-            # cross-hash candidates over distinct hashes only
-            if len(hs_u) >= 2:
-                ia, ib = np.triu_indices(len(hs_u), k=1)
-                d = _popcount64((hs_u[ia] ^ hs_u[ib]).astype(np.uint64))
-                m = np.flatnonzero(d <= max_hamming)
-                for pi in m:
-                    gi, gj = ia[pi], ib[pi]
-                    da = ids_sorted[offs[gi] : offs[gi + 1]]
-                    db = ids_sorted[offs[gj] : offs[gj + 1]]
-                    x = np.repeat(da, len(db))
-                    y = np.tile(db, len(da))
-                    out_a.append(np.minimum(x, y))
-                    out_b.append(np.maximum(x, y))
-                    out_d.append(np.full(len(x), d[pi], np.int64))
+            multi = np.flatnonzero(glen >= 2)
+            lens = glen[multi]
+            for n in np.unique(lens):
+                sel = multi[lens == n]
+                mat = d[gstart[sel][:, None] + np.arange(n)[None, :]]
+                ia, ib = np.triu_indices(n, k=1)
+                out_a.append(mat[:, ia].ravel())
+                out_b.append(mat[:, ib].ravel())
+                out_d.append(np.zeros(len(sel) * len(ia), np.int64))
+            # cross-hash candidates over distinct hashes only: group
+            # CELLS by their distinct-hash count
+            gc, gh = c[gstart], h[gstart]
+            cstart = np.flatnonzero(np.concatenate(([True], gc[1:] != gc[:-1])))
+            clen = np.diff(np.concatenate((cstart, [len(gc)])))
+            cmulti = np.flatnonzero(clen >= 2)
+            clens = clen[cmulti]
+            for n in np.unique(clens):
+                sel = cmulti[clens == n]
+                gidx = cstart[sel][:, None] + np.arange(n)[None, :]  # (m, n)
+                hm = gh[gidx].astype(np.uint64)
+                ia, ib = np.triu_indices(n, k=1)
+                x = hm[:, ia] ^ hm[:, ib]  # (m, n(n-1)/2)
+                dist = _popcount64(x.ravel()).reshape(x.shape)
+                mi, pj = np.nonzero(dist <= max_hamming)
+                for k in range(len(mi)):
+                    g1 = gidx[mi[k], ia[pj[k]]]
+                    g2 = gidx[mi[k], ib[pj[k]]]
+                    da = d[gstart[g1] : gstart[g1] + glen[g1]]
+                    db = d[gstart[g2] : gstart[g2] + glen[g2]]
+                    x2 = np.repeat(da, len(db))
+                    y2 = np.tile(db, len(da))
+                    out_a.append(np.minimum(x2, y2))
+                    out_b.append(np.maximum(x2, y2))
+                    out_d.append(np.full(len(x2), dist[mi[k], pj[k]], np.int64))
         if out_a:
             return pd.DataFrame(
                 {
