@@ -1262,6 +1262,65 @@ ORACLE_SQL["q_split_fold"] = f"""
 QUERIES["q_split_fold"] = q_split_fold
 
 
+STRAT_N = 5
+TOPK_TERMS = 50
+
+
+def q_sample_stratified(sf_dir):
+    """Per-stratum quota sample: 5 docs per language label with the
+    smallest md5(doc_id) hashes (functions/sample.py — balanced
+    training-mix primitive). Stratum = the deterministic lang-ID
+    assigned by the engine itself."""
+    from ptrail_ray.functions.sample import stratified_sample_by_hash
+    from ptrail_ray.functions.textstats import add_lang_id
+
+    ds = add_lang_id(_docs(sf_dir))
+    out = stratified_sample_by_hash(
+        ds, key_col="lang_pred", id_col="doc_id", n_per_key=STRAT_N
+    )
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_top_terms(sf_dir):
+    """Corpus-wide top-50 terms by count (heavy hitters via partial
+    aggregation + per-bucket top-k; bounded driver merge)."""
+    from ptrail_ray.functions.textstats import top_terms
+
+    return top_terms(_docs(sf_dir), k=TOPK_TERMS)
+
+
+ORACLE_SQL["q_sample_stratified"] = f"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS toks FROM documents),
+    l AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 AND
+                  CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)/len(toks) > 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, lang_pred,
+             row_number() OVER (
+               PARTITION BY lang_pred
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT, doc_id
+             ) AS rn
+      FROM l
+    )
+    SELECT doc_id, lang_pred FROM r WHERE rn <= {STRAT_N}"""
+QUERIES["q_sample_stratified"] = q_sample_stratified
+
+
+ORACLE_SQL["q_top_terms"] = f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT w AS term, count(*) AS n FROM tok
+    GROUP BY w ORDER BY n DESC, term ASC LIMIT {TOPK_TERMS}"""
+QUERIES["q_top_terms"] = q_top_terms
+
+
 def q_media_audio_wav(sf_dir):
     """REAL audio decode end-to-end: deterministic RIFF/PCM16 WAV
     payloads (stdlib wave writer) through the DecodeAudio actor pool —

@@ -64,3 +64,36 @@ def split_by_hash(ds, *, id_col: str, fold: int, k: int):
         return t.filter(pa.array(h % np.uint64(k) == np.uint64(fold)))
 
     return ds.map_batches(mask, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_sample_by_hash(
+    ds, *, key_col: str, id_col: str, n_per_key: int, num_buckets: int = 64
+):
+    """Deterministic quota sample: the ``n_per_key`` rows of each
+    stratum with the smallest md5(id) hashes (ties impossible modulo
+    md5 collisions). The per-key quota is what balanced training mixes
+    need — a global rate over-samples hot strata. One hash-bucket
+    exchange on the stratum key; the per-bucket kernel is a vectorized
+    groupby-rank. SQL replica: row_number() OVER (PARTITION BY key
+    ORDER BY md5-hash, id) <= n."""
+    if n_per_key < 1:
+        raise ValueError(f"n_per_key must be >= 1, got {n_per_key}")
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def add_h(t: pa.Table) -> pa.Table:
+        # int64-safe: top 60 bits only (see _md5_u60)
+        return t.append_column(
+            "_h", pa.array(_hash_col(t, id_col).astype(np.int64), pa.int64())
+        )
+
+    def take_quota(df):
+        df = df.sort_values(["_h", id_col], kind="stable")
+        r = df.groupby(key_col, sort=False).cumcount()
+        return df[r < n_per_key].drop(columns=["_h"])
+
+    return grouped_agg_by_bucket(
+        ds.map_batches(add_h, batch_format="pyarrow", batch_size=None),
+        key_col,
+        take_quota,
+        num_buckets=num_buckets,
+    )

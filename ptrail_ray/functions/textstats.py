@@ -157,3 +157,51 @@ def add_lang_id(ds, *, concurrency: int | None = None, batch_size: int = TEXT_BA
 
 def add_fingerprint(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=TEXT_BATCH)
+
+
+def top_terms(ds, *, k: int = 50, text_col: str = "text", num_buckets: int = 32):
+    """Corpus-wide top-k terms by occurrence count (heavy hitters).
+
+    The canonical pre-aggregation shape: a narrow vectorized PARTIAL
+    per batch (flat-tokenize → np.unique counts → (term, n) rows, so
+    only distinct-term partials leave the task, never tokens), ONE
+    hash-bucket exchange on the term, a per-bucket vectorized combine,
+    then per-bucket top-k partials — a term lives wholly in one bucket,
+    so the global top-k is contained in the union of per-bucket top-ks
+    and the driver merge is bounded at num_buckets × k rows.
+    Ties break by term ascending (deterministic, SQL-replicable).
+    """
+    import itertools as _it
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat = list(
+            _it.chain.from_iterable((s or "").split() for s in texts)
+        )
+        if not flat:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.array(flat, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False, sort=False)["n"].sum()
+        g = g.sort_values(["n", "term"], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+    bucket_tops = grouped_agg_by_bucket(
+        parts, "term", combine_topk, num_buckets=num_buckets
+    ).to_pandas()
+    out = bucket_tops.sort_values(
+        ["n", "term"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return out.reset_index(drop=True)

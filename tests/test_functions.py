@@ -335,6 +335,57 @@ def test_dedup_by_cluster_keeps_canonical_and_isolated(ray_session):
     assert kept == [0, 1, 4, 5, 7, 8, 9]
 
 
+def test_stratified_sample_quota_and_determinism(ray_session):
+    from ptrail_ray.functions.sample import stratified_sample_by_hash
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "key": rng.choice(["a", "b", "c"], size=300, p=[0.7, 0.2, 0.1]),
+        }
+    )
+    ds = rd.from_pandas(pdf)
+    out = stratified_sample_by_hash(
+        ds, key_col="key", id_col="doc_id", n_per_key=5
+    ).to_pandas()
+    assert (out.groupby("key").size() == 5).all()  # exact quota per stratum
+    # layout-independent
+    out2 = stratified_sample_by_hash(
+        rd.from_pandas(pdf).random_shuffle(seed=2),
+        key_col="key", id_col="doc_id", n_per_key=5,
+    ).to_pandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+    # nested: the 3-quota sample is a subset of the 5-quota sample
+    out3 = stratified_sample_by_hash(
+        ds, key_col="key", id_col="doc_id", n_per_key=3
+    ).to_pandas()
+    assert set(out3["doc_id"]) <= set(out["doc_id"])
+
+
+def test_top_terms_matches_value_counts(ray_session):
+    from ptrail_ray.functions.textstats import top_terms
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i:03d}" for i in range(200)])
+    weights = 1.0 / np.arange(1, 201)  # zipf-ish skew
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=40, p=weights)) for _ in range(150)
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64), "text": texts})
+    got = top_terms(rd.from_pandas(pdf), k=20, num_buckets=8)
+    counts = pd.Series(" ".join(texts).split()).value_counts()
+    exp = (
+        counts.rename_axis("term").reset_index(name="n")
+        .sort_values(["n", "term"], ascending=[False, True], kind="stable")
+        .head(20).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n": "int64"}), exp.astype({"n": "int64"})
+    )
+
+
 def test_winnow_guarantee(ray_session):
     """Winnowing property: two docs sharing a run of >= w+k-1 words
     share at least one fingerprint; disjoint docs share none."""
