@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q_winnow",
     "q_hopping",
     "q_join_orders_customer",
+    "q_minhash_pairs",
+    "q_top_terms",
+    "q_sample_hash",
 ]
 
 

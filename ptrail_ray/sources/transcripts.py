@@ -187,11 +187,10 @@ def side_scd_from_events(sf_dir: str) -> pa.Table:
     t = pq.read_table(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
+        # predicate pushdown: only row groups containing SCD event
+        # types are decoded ("prune at the read")
+        filters=[("event_type", "in", ["signup", "purchase"])],
     )
-    mask = pc.is_in(
-        t["event_type"], value_set=pa.array(["signup", "purchase"])
-    )
-    t = t.filter(mask)
     key = pc.binary_join_element_wise(
         pa.scalar("conv-"), pc.cast(t["user_id"], pa.string()), pa.scalar("")
     )
