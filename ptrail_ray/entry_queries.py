@@ -681,6 +681,8 @@ def _minhash_oracle_sql(
     threshold: float = 0.3,
     max_bucket: int = 200,
     final_select: str | None = None,
+    source: str = "documents",
+    head_cte: str = "",
 ) -> str:
     """Full DuckDB replica of the MinHash-LSH near-dup pipeline
     (functions/dedup.py): shingle → md5-derived uint64 ids
@@ -707,9 +709,9 @@ def _minhash_oracle_sql(
             f"SELECT a, b, round(j, 6) + 0.0 AS jaccard FROM jac WHERE j >= {threshold}"
         )
     return f"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE {head_cte}d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
-  FROM documents
+  FROM {source}
 ),
 sh AS (
   SELECT doc_id,
@@ -1999,6 +2001,81 @@ ORACLE_SQL["q_clean_corpus"] = f"""
     SELECT doc_id, n_tokens, quality, lang_pred
     FROM q WHERE quality >= 2 AND lang_pred = 'en'"""
 QUERIES["q_clean_corpus"] = q_clean_corpus
+
+
+def q_clean_corpus_neardup(sf_dir):
+    """clean_corpus with the near-dup pass ON: exact dedup → MinHash-LSH
+    verified pairs → connected components → drop non-canonical docs →
+    stats → quality+language gate. The ENTIRE chain, including
+    clustering, is replicated in one DuckDB oracle (md5+HUGEINT minhash
+    over the exact-deduped set feeding a recursive-CTE closure)."""
+    from ptrail_ray.pipelines.datapipe import clean_corpus
+
+    out = clean_corpus(_docs(sf_dir), min_quality=2, lang="en", near_dup=True)
+    return finalize(
+        out.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+    )
+
+
+_XKEPT_CTE = """xkept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(coalesce(list_aggregate(regexp_extract_all(coalesce(text,''), '\\S+'), 'string_agg', ' '), ''))
+             ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+"""
+
+ORACLE_SQL["q_clean_corpus_neardup"] = _minhash_oracle_sql(
+    threshold=0.5,
+    source="xkept",
+    head_cte=_XKEPT_CTE,
+    final_select=f""",
+e AS (
+  SELECT a AS x, b AS y FROM jac WHERE j >= 0.5
+  UNION
+  SELECT b AS x, a AS y FROM jac WHERE j >= 0.5
+),
+reach(x, y) AS (
+  SELECT x, y FROM e
+  UNION
+  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
+),
+lab AS (SELECT x AS did, least(x, min(y)) AS cid FROM reach GROUP BY x),
+kept2 AS (
+  SELECT k.doc_id, k.text FROM xkept k
+  LEFT JOIN lab ON lab.did = k.doc_id
+  WHERE lab.did IS NULL OR lab.cid = k.doc_id
+),
+d2 AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM kept2
+),
+s2 AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_chars_calc,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+         CAST(length(list_aggregate(toks, 'string_agg', '')) AS BIGINT) AS tok_chars
+  FROM d2
+),
+q2 AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens > 0 THEN
+           (CASE WHEN coalesce(CAST(n_stop AS DOUBLE)/n_tokens, 0) > 0.05 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars_calc BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+           ELSE 0 END AS BIGINT) AS quality,
+         CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens > 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM s2
+)
+SELECT doc_id, n_tokens, quality, lang_pred
+FROM q2 WHERE quality >= 2 AND lang_pred = 'en'""",
+)
+QUERIES["q_clean_corpus_neardup"] = q_clean_corpus_neardup
 
 
 ORACLE_SQL["q_join_orders_customer"] = """

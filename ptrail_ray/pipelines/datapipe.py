@@ -9,17 +9,25 @@ data pipeline would run them at 100 TB:
       → quality + language gate (stateless mask)
       → [optionally] near-dup pass / partitioned write
 
-Every stage is a narrow vectorized transform except the single
-dedup exchange; the whole chain streams. The near-dup stage
-(minhash_lsh_pairs) is kept OUT of the oracle-checked default path —
-its pair table feeds a separate drop step — so the driver query stays
-fully SQL-verifiable.
+Every stage is a narrow vectorized transform except the dedup
+exchanges; the whole chain streams. ``near_dup=True`` inserts the full
+MinHash-LSH → verified pairs → connected-components → canonical-doc
+drop between the exact dedup and the stats stages — and BOTH variants
+are oracle-checked end-to-end (`q_clean_corpus`,
+`q_clean_corpus_neardup`).
 """
 
 from __future__ import annotations
 
 
-def clean_corpus(docs, *, min_quality: int = 2, lang: str = "en"):
+def clean_corpus(
+    docs,
+    *,
+    min_quality: int = 2,
+    lang: str = "en",
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.5,
+):
     """documents Dataset → deduped, quality- and language-gated corpus
     with token counts. Returns (doc_id, n_tokens, quality, lang_pred)
     plus the surviving text."""
@@ -30,6 +38,16 @@ def clean_corpus(docs, *, min_quality: int = 2, lang: str = "en"):
     from ptrail_ray.functions.textstats import add_lang_id, add_text_stats
 
     d = exact_dedup(docs)
+    if near_dup:
+        from ptrail_ray.functions.dedup import dedup_by_cluster, minhash_lsh_pairs
+
+        # the exact-deduped set feeds two consumers (signatures + the
+        # verify text side) — checkpoint it once instead of recomputing
+        # the dedup exchange per consumer (at 100 TB this is the natural
+        # stage-boundary checkpoint; the object store spills as needed)
+        d = d.materialize()
+        pairs = minhash_lsh_pairs(d, jaccard_threshold=jaccard_threshold)
+        d = dedup_by_cluster(d, pairs)
     d = add_text_stats(d)
     d = add_lang_id(d)
 
