@@ -2084,3 +2084,102 @@ ORACLE_SQL["q_join_orders_customer"] = """
            c.c_name, round(c.c_acctbal, 6) + 0.0 AS c_acctbal
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
 QUERIES["q_join_orders_customer"] = q_join_orders_customer
+
+
+def q_doc_repetition(sf_dir):
+    """Gopher-style repetition quality signals over documents
+    (functions/textstats.py:repetition_batch) — distinct-token ratio +
+    duplicated bigram/trigram fractions, vectorized (factorize +
+    lexsort run-scan, no per-doc Python)."""
+    from ptrail_ray.functions.textstats import add_repetition
+
+    return finalize(
+        add_repetition(_docs(sf_dir)),
+        round_columns=["distinct_ratio", "dup_bigram_frac", "dup_trigram_frac"],
+    )
+
+
+ORACLE_SQL["q_doc_repetition"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bg,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0
+            THEN round(len(list_distinct(toks)) / n, 6) + 0.0 END AS distinct_ratio,
+       CASE WHEN n >= 2
+            THEN round(1 - len(list_distinct(bg)) / (n - 1), 6) + 0.0 END AS dup_bigram_frac,
+       CASE WHEN n >= 3
+            THEN round(1 - len(list_distinct(tg)) / (n - 2), 6) + 0.0 END AS dup_trigram_frac
+FROM g
+"""
+QUERIES["q_doc_repetition"] = q_doc_repetition
+
+
+RANGE_WIN_US = 60_000_000  # 60 s windows
+
+
+def q_range_join(sf_dir):
+    """Interval (range) join: every event falling inside the 60 s
+    window opened by each 'error' event of the same user
+    (stages/interval.py:range_join — time-bucket quantized single
+    exchange, no broadcast, no all-pairs)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.interval import range_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        lo = t["ts"].cast(pa.timestamp("us"))
+        hi = pc.add(lo.cast(pa.int64()), RANGE_WIN_US).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "win_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "lo": lo,
+                "hi": hi,
+            }
+        )
+
+    wins = ev.map_batches(mk_windows, batch_format="pyarrow", batch_size=None)
+    probe = ev.drop_columns(["event_type"])
+    out = range_join(
+        probe,
+        wins,
+        ts_col="ts",
+        lo_col="lo",
+        hi_col="hi",
+        key="user_id",
+        bucket_width=RANGE_WIN_US,
+        num_buckets=64,
+    )
+    return out.select_columns(["win_id", "event_id", "user_id"])
+
+
+ORACLE_SQL["q_range_join"] = """
+WITH w AS (
+  SELECT event_id AS win_id, user_id,
+         ts AS lo, ts + INTERVAL 60 SECOND AS hi
+  FROM events WHERE event_type = 'error'
+)
+SELECT w.win_id, e.event_id, e.user_id
+FROM w JOIN events e
+  ON e.user_id = w.user_id AND e.ts >= w.lo AND e.ts <= w.hi
+"""
+QUERIES["q_range_join"] = q_range_join

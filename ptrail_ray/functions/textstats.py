@@ -145,6 +145,74 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def repetition_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1
+    repetition filters — public): per doc, the distinct-token ratio and
+    the duplicated bigram/trigram fractions. High dup-n-gram fractions
+    mark boilerplate / degenerate generations that LLM corpus cleaning
+    drops.
+
+    Token spec (matched verbatim by the DuckDB oracle): split on single
+    space, drop empty strings. Fully vectorized: one ``split_pattern``
+    + ``list_flatten``, exact integer token codes via ``pd.factorize``
+    (no hash-collision slack vs the string-exact SQL), and per-doc
+    distinct n-gram counts via one lexsort + run-boundary scan per
+    order — no Python loop over docs or tokens.
+    """
+    txt = pc.fill_null(t[text_col], "")
+    lst = pc.split_pattern(txt, " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.values
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )[keep]
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    ndocs = t.num_rows
+    n = np.bincount(parent, minlength=ndocs).astype(np.int64)
+    codes = pd.factorize(toks)[0].astype(np.int64)
+
+    def distinct_ngrams(g: int) -> np.ndarray:
+        m = len(codes) - g + 1
+        if m <= 0:
+            return np.zeros(ndocs, np.int64)
+        pm = parent[:m]
+        ok = parent[g - 1 : g - 1 + m] == pm  # n-gram fully inside one doc
+        arrs = [codes[j : j + m][ok] for j in range(g)]
+        pp = pm[ok]
+        if len(pp) == 0:
+            return np.zeros(ndocs, np.int64)
+        order = np.lexsort(tuple(reversed(arrs)) + (pp,))
+        pp_s = pp[order]
+        dup = pp_s[1:] == pp_s[:-1]
+        for a in arrs:
+            a_s = a[order]
+            dup &= a_s[1:] == a_s[:-1]
+        new = np.ones(len(pp_s), bool)
+        new[1:] = ~dup
+        return np.bincount(pp_s[new], minlength=ndocs).astype(np.int64)
+
+    d1, d2, d3 = distinct_ngrams(1), distinct_ngrams(2), distinct_ngrams(3)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        distinct_ratio = np.where(n > 0, d1 / n, np.nan)
+        dup_bigram_frac = np.where(n >= 2, 1.0 - d2 / (n - 1), np.nan)
+        dup_trigram_frac = np.where(n >= 3, 1.0 - d3 / (n - 2), np.nan)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(n),
+            "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+            "dup_bigram_frac": pa.array(dup_bigram_frac, pa.float64()),
+            "dup_trigram_frac": pa.array(dup_trigram_frac, pa.float64()),
+        }
+    )
+
+
+def add_repetition(ds, *, batch_size: int = TEXT_BATCH):
+    return ds.map_batches(repetition_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
 def add_text_stats(ds, *, concurrency: int | None = None, batch_size: int = TEXT_BATCH):
     """``concurrency`` is accepted for backwards compatibility and
     ignored — the stage is a stateless task pool now."""

@@ -113,6 +113,67 @@ def test_minhash_pair_identity_survives_64bit_doc_ids(ray_session):
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_collapsed_verify_matches_plain_on_dup_heavy_corpus(ray_session):
+    """verify_pairs_jaccard_collapsed must be row-for-row identical to
+    the plain verify: replicas (exact dups), near-dups, empty docs
+    (identical-but-empty texts must yield jaccard 0, NOT a shortcut 1),
+    and short docs all covered."""
+    from ptrail_ray.functions.dedup import (
+        verify_pairs_jaccard,
+        verify_pairs_jaccard_collapsed,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon CHANGED",
+        "totally different words here now ok",
+        "",  # empty
+        "xy",  # < k tokens
+    ]
+    # 4 exact replicas of each base doc → dup factor 4
+    texts, ids = [], []
+    for r in range(4):
+        for i, t in enumerate(base):
+            ids.append(r * 10 + i)
+            texts.append(t)
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    )
+    # candidate pairs: all cross-replica pairs of (0,1), replicas of the
+    # empty doc, replicas of the short doc, and a non-dup pair
+    cand = []
+    for i in (0, 1, 3, 4):
+        reps = [r * 10 + i for r in range(4)]
+        cand += [(a, b) for ai, a in enumerate(reps) for b in reps[ai + 1 :]]
+    cand += [(0, 1), (0, 11), (2, 12), (0, 2)]
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": np.array([p[0] for p in cand], np.int64),
+                "b": np.array([p[1] for p in cand], np.int64),
+            }
+        )
+    )
+    kw = dict(shingle_k=3, jaccard_threshold=0.5)
+    plain = (
+        verify_pairs_jaccard(pairs, docs, **kw)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    coll = (
+        verify_pairs_jaccard_collapsed(pairs, docs, **kw)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, coll, check_like=True)
+    got = set(zip(coll["a"], coll["b"]))
+    assert (0, 10) in got and (3, 13) not in got  # empty dups: jaccard 0
+    assert (4, 14) in got  # short identical docs: single-shingle, j=1
+    assert (0, 2) not in got  # non-dup filtered
+
+
 def test_simhash_near_pairs(docs_ds):
     from ptrail_ray.functions.dedup import simhash_near_pairs
 
