@@ -2183,3 +2183,85 @@ FROM w JOIN events e
   ON e.user_id = w.user_id AND e.ts >= w.lo AND e.ts <= w.hi
 """
 QUERIES["q_range_join"] = q_range_join
+
+
+def q_scrub_pii(sf_dir):
+    """PII + pattern scrub over documents (functions/pii.py): per-doc
+    match counts on the original text and the masked rewrite, all via
+    Arrow RE2 kernels (DuckDB's regexp engine is RE2 too, so the oracle
+    replays identical semantics). The corpus-hitting 'term' mask proves
+    the rewrite on this synthetic corpus; the PII defaults exercise the
+    shipped patterns (zero hits here, still hash-checked)."""
+    from ptrail_ray.functions.pii import PII_PATTERNS, add_scrub
+
+    patterns = PII_PATTERNS + [("term", r"\b(customer|value)\b", "[MASK]")]
+    out = add_scrub(_docs(sf_dir), patterns=patterns)
+    return finalize(
+        out.select_columns(
+            ["doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "n_term", "scrubbed"]
+        )
+    )
+
+
+ORACLE_SQL["q_scrub_pii"] = r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(txt, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(txt, '\b(customer|value)\b')) AS BIGINT) AS n_term,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+         '\b(customer|value)\b', '[MASK]', 'g') AS scrubbed
+FROM t
+"""
+QUERIES["q_scrub_pii"] = q_scrub_pii
+
+
+N_CENTROIDS = 8
+
+
+def q_centroid_assign(sf_dir):
+    """Nearest-centroid assignment / semantic sharding
+    (functions/cluster.py): centroids = the 8 lowest-id embeddings
+    (deterministic, SQL-replayable pick), every vector assigned to its
+    max-cosine centroid, ties to the lowest centroid id. Oracle mode
+    uses the scalar-order kernel bit-equal to DuckDB
+    list_cosine_similarity."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import assign_centroids, lowest_id_centroids
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cids, cmat = lowest_id_centroids(ds, N_CENTROIDS)
+    out = assign_centroids(ds, cids, cmat, deterministic=True)
+    return finalize(out, round_columns=["sim"])
+
+
+ORACLE_SQL["q_centroid_assign"] = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
+), s AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) AS sim
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+  FROM s
+)
+SELECT vec_id, centroid_id, round(sim, 6) + 0.0 AS sim FROM r WHERE rn = 1
+"""
+QUERIES["q_centroid_assign"] = q_centroid_assign

@@ -487,3 +487,29 @@ def test_ivf_topk_recall(emb_ds):
         hits += len(e & a)
         tot += len(e)
     assert hits / tot >= 0.5
+
+
+def test_scrub_pii_planted(ray_session):
+    """Planted PII: counts on the original text, every pattern masked in
+    the rewrite, nulls and clean docs untouched."""
+    from ptrail_ray.functions.pii import add_scrub
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3, 4], np.int64),
+                "text": [
+                    "mail a.b+c@ex-ample.org and d@e.io end",
+                    "host 10.0.255.7 called 555-123-4567 ssn 123-45-6789",
+                    None,
+                    "no pii here",
+                ],
+            }
+        )
+    )
+    out = add_scrub(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_email"] == 2 and out.loc[1, "scrubbed"] == "mail [EMAIL] and [EMAIL] end"
+    assert out.loc[2, "n_ipv4"] == 1 and out.loc[2, "n_phone"] == 1 and out.loc[2, "n_ssn"] == 1
+    assert out.loc[2, "scrubbed"] == "host [IP] called [PHONE] ssn [SSN]"
+    assert out.loc[3, "scrubbed"] == "" and out.loc[3, "n_email"] == 0
+    assert out.loc[4, "scrubbed"] == "no pii here"
