@@ -2265,3 +2265,141 @@ WITH c AS (
 SELECT vec_id, centroid_id, round(sim, 6) + 0.0 AS sim FROM r WHERE rn = 1
 """
 QUERIES["q_centroid_assign"] = q_centroid_assign
+
+
+TFIDF_K = 5
+
+
+def q_tfidf_topk(sf_dir):
+    """Top-5 TF-IDF terms per document (functions/tfidf.py): DF via
+    partial-agg + one bucket exchange, broadcast idf map, per-doc
+    top-k in a stateless scoring pass. Score computed in DuckDB's
+    exact expression order (tf * ln(n/df)); terms present in every
+    doc score exactly 0 on both engines."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.tfidf import tfidf_topk
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = tfidf_topk(docs, k=TFIDF_K)
+    return finalize(out, round_columns=["score"])
+
+
+ORACLE_SQL["q_tfidf_topk"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM s
+)
+SELECT doc_id, term, tf, df, round(score, 6) + 0.0 AS score
+FROM r WHERE rn <= {TFIDF_K}
+"""
+QUERIES["q_tfidf_topk"] = q_tfidf_topk
+
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q_chunk_docs(sf_dir):
+    """Overlapping token-window chunking (functions/chunk.py): every
+    doc exploded to 32-token windows advancing by 24 — the LLM
+    context-packing shape, verified against DuckDB list slicing."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.chunk import chunk_documents
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return finalize(chunk_documents(docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP))
+
+
+ORACLE_SQL["q_chunk_docs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
+  FROM d WHERE len(toks) > 0
+)
+SELECT doc_id,
+       s // {CHUNK_TOKENS - CHUNK_OVERLAP} AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, len(toks) - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM c
+"""
+QUERIES["q_chunk_docs"] = q_chunk_docs
+
+
+def q_kmeans_step(sf_dir):
+    """One distributed Lloyd M-step from the lowest-id centroid init
+    (functions/cluster.kmeans_mstep): exact int64-quantized component
+    sums (order-independent, bit-safe for the hash gate), k×d-bounded
+    partials, empty centroids dropped on both engines."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import kmeans_mstep, lowest_id_centroids
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cids, cmat = lowest_id_centroids(ds, N_CENTROIDS)
+    out = kmeans_mstep(ds, cids, cmat, deterministic=True)
+    return finalize(pa.Table.from_pandas(out, preserve_index=False), round_columns=["val"])
+
+
+ORACLE_SQL["q_kmeans_step"] = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
+), s AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) AS sim
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+  FROM s
+), a AS (
+  SELECT vec_id, centroid_id FROM r WHERE rn = 1
+), x AS (
+  SELECT a.centroid_id,
+         unnest(range(len(e.embedding))) AS dim,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS v
+  FROM a JOIN embeddings e USING (vec_id)
+)
+SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+       count(*) AS n_assigned,
+       round((sum(CAST(round(v * 1000000000.0) AS BIGINT)) / 1000000000.0)
+             / count(*), 6) + 0.0 AS val
+FROM x GROUP BY centroid_id, dim
+"""
+QUERIES["q_kmeans_step"] = q_kmeans_step

@@ -113,6 +113,113 @@ def assign_centroids(
     )
 
 
+QUANT_SCALE = 1_000_000_000.0  # 1e-9 component quantization for exact sums
+
+
+def _quant_int64(x: np.ndarray, scale: float = QUANT_SCALE) -> np.ndarray:
+    """Replica of DuckDB ``CAST(round(x*scale) AS BIGINT)`` (half away
+    from zero) — quantize doubles to int64 so partial sums are EXACT
+    and accumulation-order-independent (same trick as
+    `stages/stats.GRANULAR_SCALE`; a float sum's order is
+    nondeterministic on both engines). Headroom: |x|≲1 embeddings at
+    1e9 scale leave int64 room for ~9e9 assigned rows per centroid."""
+    y = x * scale
+    f = np.floor(y)
+    d = y - f
+    r = np.where(d > 0.5, f + 1.0, f)
+    r = np.where(d == 0.5, np.where(y >= 0, f + 1.0, f), r)
+    return r.astype(np.int64)
+
+
+def _mstep_partial(
+    t: pa.Table,
+    *,
+    cent_ref,
+    vec_col: str,
+    deterministic: bool,
+) -> pa.Table:
+    """Per-batch Lloyd M-step partial: assign each vector, then emit
+    EXACT int64 per-(centroid, dim) component sums + counts — k×d rows
+    per batch regardless of batch size (the combiner pattern: rows
+    shrink before any exchange)."""
+    cids, cmat = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    k, d = cmat.shape
+    m = _vec_matrix(t[vec_col])
+    empty = pa.table(
+        {
+            "centroid_id": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+    )
+    if m.shape[0] == 0:
+        return empty
+    kernel = _duckdb_cosine_matrix if deterministic else _cosine_matrix_blas
+    best = np.argmax(kernel(m, cmat), axis=1)
+    sums = np.zeros((k, d), np.int64)
+    np.add.at(sums, best, _quant_int64(m))
+    counts = np.bincount(best, minlength=k).astype(np.int64)
+    return pa.table(
+        {
+            "centroid_id": pa.array(np.repeat(cids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+        }
+    )
+
+
+def kmeans_mstep(
+    ds,
+    centroid_ids: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    deterministic: bool = False,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """One distributed Lloyd iteration M-step: mean embedding of the
+    vectors assigned to each centroid, as long-format
+    (centroid_id, dim, n_assigned, val) with empty centroids dropped.
+
+    Scale path: batch partials are k×d int64 rows (exact sums — see
+    `_quant_int64`), an intermediate vectorized combine collapses ~128
+    partials per task, and the driver merges only the surviving k×d ×
+    few rows. Integer addition is associative, so the result is
+    bit-identical under any batch split or merge order — safe for the
+    exact value-hash gate. Repeated application = full k-means fit;
+    ``assign_centroids`` is the E-step.
+    """
+    order = np.argsort(centroid_ids, kind="stable")
+    cids = np.asarray(centroid_ids, np.int64)[order]
+    cmat = np.asarray(centroids, np.float64)[order]
+    cent_ref = ray.put((cids, cmat))
+    parts = ds.map_batches(
+        functools.partial(
+            _mstep_partial,
+            cent_ref=cent_ref,
+            vec_col=vec_col,
+            deterministic=deterministic,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["centroid_id", "dim"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    combined = parts.map_batches(combine, batch_format="pyarrow", batch_size=1 << 20)
+    g = combined.to_pandas().groupby(["centroid_id", "dim"], as_index=False, sort=False).sum()
+    g = g[g["n"] > 0].reset_index(drop=True)
+    # DuckDB expression order: (sum / 1e9) / count
+    g["val"] = (g["s"].to_numpy(np.float64) / QUANT_SCALE) / g["n"].to_numpy(np.float64)
+    return g.rename(columns={"n": "n_assigned"})[
+        ["centroid_id", "dim", "n_assigned", "val"]
+    ]
+
+
 def lowest_id_centroids(
     ds, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:

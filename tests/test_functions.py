@@ -513,3 +513,97 @@ def test_scrub_pii_planted(ray_session):
     assert out.loc[2, "scrubbed"] == "host [IP] called [PHONE] ssn [SSN]"
     assert out.loc[3, "scrubbed"] == "" and out.loc[3, "n_email"] == 0
     assert out.loc[4, "scrubbed"] == "no pii here"
+
+
+def test_tfidf_topk_tiny(ray_session):
+    """Hand-computable corpus: df, tf and scores checked exactly;
+    everywhere-terms score 0; ties break term-ascending."""
+    import math
+
+    from ptrail_ray.functions.tfidf import doc_frequency, tfidf_topk
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3], np.int64),
+                "text": ["cat cat dog", "cat fish", None],
+            }
+        )
+    )
+    vocab = doc_frequency(docs).set_index("term")["df"].to_dict()
+    assert vocab == {"cat": 2, "dog": 1, "fish": 1}
+    out = tfidf_topk(docs, k=2).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}  # empty doc emits no terms
+    d1 = out[out.doc_id == 1].set_index("term")
+    assert d1.loc["cat", "tf"] == 2 and d1.loc["cat", "df"] == 2
+    assert abs(d1.loc["dog", "score"] - math.log(3.0 / 1)) < 1e-12
+    assert abs(d1.loc["cat", "score"] - 2 * math.log(3.0 / 2)) < 1e-12
+
+
+def test_chunk_documents_edges(ray_session):
+    """Empty doc → 0 chunks; short doc → 1 short chunk; exact-stride
+    coverage with overlap reproduces every token."""
+    from ptrail_ray.functions.chunk import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3], np.int64),
+                "text": [" ".join(toks), "one two", None],
+            }
+        )
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    # stride 3: starts 0,3,6,9 → windows 4,4,4,1
+    assert list(d1["n_chunk_tokens"]) == [4, 4, 4, 1]
+    assert d1.iloc[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d1.iloc[3]["chunk_text"] == "t9"
+    assert list(out[out.doc_id == 2]["chunk_text"]) == ["one two"]
+    assert (out.doc_id == 3).sum() == 0
+
+
+def test_kmeans_mstep_order_independent(ray_session):
+    """Identical result across batch splits (exact int sums), and the
+    means match a numpy reference within quantization error."""
+    from ptrail_ray.functions.cluster import kmeans_mstep
+
+    rng = np.random.default_rng(7)
+    n, d, k = 400, 8, 3
+    mat = rng.normal(size=(n, d))
+    cids = np.array([5, 1, 9], np.int64)
+    cmat = rng.normal(size=(k, d))
+    ds = rd.from_arrow(
+        __import__("pyarrow").table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(mat),
+            }
+        )
+    )
+    a = kmeans_mstep(ds, cids, cmat, batch_size=37)
+    b = kmeans_mstep(ds.repartition(11), cids, cmat, batch_size=256)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["centroid_id", "dim"]).reset_index(drop=True),
+        b.sort_values(["centroid_id", "dim"]).reset_index(drop=True),
+    )
+    # numpy reference assignment
+    order = np.argsort(cids)
+    cs, cm = cids[order], cmat[order]
+    sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ (
+        cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ).T
+    best = np.argmax(sims, axis=1)
+    for j, cid in enumerate(cs):
+        sel = mat[best == j]
+        if len(sel) == 0:
+            continue
+        got = a[a.centroid_id == cid].sort_values("dim")["val"].to_numpy()
+        assert np.allclose(got, sel.mean(axis=0), atol=2e-9)
+        assert (a[a.centroid_id == cid]["n_assigned"] == len(sel)).all()
