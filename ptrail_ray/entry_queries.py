@@ -2403,3 +2403,107 @@ SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
 FROM x GROUP BY centroid_id, dim
 """
 QUERIES["q_kmeans_step"] = q_kmeans_step
+
+
+DECONTAM_N = 2  # bigrams: the 31-term synthetic vocab makes 5-grams vanishingly rare
+
+
+def q_decontam(sf_dir):
+    """Benchmark decontamination (functions/decontam.py): docs with
+    doc_id % 97 == 0 act as the held-out benchmark; every other doc is
+    flagged if it shares any word bigram with the benchmark set.
+    Benchmark gram set broadcast once; corpus side never shuffles."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.decontam import ngram_overlap_flags
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def mod_split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 97 == 0) if keep_bench else (ids % 97 != 0)
+        return t.filter(pa.array(mask))
+
+    import functools as _ft
+
+    bench = docs.map_batches(
+        _ft.partial(mod_split, keep_bench=True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        _ft.partial(mod_split, keep_bench=False), batch_format="pyarrow"
+    )
+    return finalize(ngram_overlap_flags(corpus, bench, n=DECONTAM_N))
+
+
+ORACLE_SQL["q_decontam"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {DECONTAM_N} THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(toks) - {DECONTAM_N - 1}),
+                                  i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' '))
+         END AS grams
+  FROM d
+), b AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0
+), cnt AS (
+  SELECT e.doc_id, count(*) AS n_overlap FROM e JOIN b USING (gram) GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(cnt.n_overlap, 0) AS n_overlap,
+       coalesce(cnt.n_overlap, 0) > 0 AS contaminated
+FROM d LEFT JOIN cnt USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+QUERIES["q_decontam"] = q_decontam
+
+
+def q_unigram_lp(sf_dir):
+    """Corpus unigram-LM quality score (functions/lm.py): per-doc mean
+    token log-probability under global term frequencies — the CCNet
+    perplexity-gate analog. Exact int64-quantized log-prob sums keep
+    the mean accumulation-order-independent on both engines."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.lm import unigram_logprob
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return finalize(unigram_logprob(docs), round_columns=["mean_logprob"])
+
+
+ORACLE_SQL["q_unigram_lp"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM d
+), cnt AS (
+  SELECT term, count(*) AS c FROM tok GROUP BY term
+), tt AS (
+  SELECT sum(c) AS total FROM cnt
+), x AS (
+  SELECT tok.doc_id,
+         CAST(round(ln(CAST(cnt.c AS DOUBLE) / tt.total) * 1000000000.0) AS BIGINT) AS q
+  FROM tok JOIN cnt USING (term) CROSS JOIN tt
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round((sum(q) / 1000000000.0) / count(*), 6) + 0.0 AS mean_logprob
+FROM x GROUP BY doc_id
+"""
+QUERIES["q_unigram_lp"] = q_unigram_lp

@@ -1,0 +1,144 @@
+"""Corpus unigram language-model scoring (CCNet-style quality signal).
+
+CCNet / RedPajama rank documents by language-model perplexity to
+select "natural" text; the in-container analog (no KenLM binaries
+here) is the corpus's own unigram model: every document scored by the
+mean log-probability of its tokens under global term frequencies.
+Low scorers are boilerplate/rare-token noise, high scorers are
+stop-word soup — both ends are what quality gates trim. Shares the
+whitespace token model of `textstats`/`tfidf` so one SQL token model
+replays every text query. Beyond-reference (the reference has no text
+ops).
+
+Design for 100 TB, two passes (same shape as `tfidf`):
+
+1. global term counts — per-batch `np.unique` partials, ONE bucket
+   exchange, vocabulary collect bounded by Heaps' law and guarded by
+   ``max_vocab`` (loud, never truncating);
+2. scoring — the (term → count) map broadcast ONCE via `ray.put`,
+   then a stateless `map_batches`: vectorized count lookup, per-token
+   log-prob, per-doc mean. No shuffle; each doc lives in one batch.
+
+Exactness: a float sum's accumulation order is nondeterministic on
+both engines, so per-token log-probs are quantized to int64 at 1e-9
+(`round(lp * 1e9)` half away from zero — the same GRANULAR_SCALE
+trick as `stages/stats`) and summed exactly; the mean divides the
+exact sum. Bit-identical under any batch split, and replayed verbatim
+by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ptrail_ray.functions.cluster import _quant_int64
+from ptrail_ray.functions.tfidf import TEXT_BATCH, _flat_tokens
+
+
+def term_counts(
+    ds,
+    *,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    max_vocab: int = 1 << 22,
+    batch_size: int = TEXT_BATCH,
+) -> pd.DataFrame:
+    """Global (term, n) occurrence counts — one exchange, vocab-bounded."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t[text_col].to_pylist())
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False, sort=False)["n"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    vocab = grouped_agg_by_bucket(parts, "term", combine, num_buckets=num_buckets).to_pandas()
+    if len(vocab) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(vocab)} exceeds max_vocab={max_vocab}; "
+            "raise the cap or pre-filter — lm does not silently truncate"
+        )
+    return vocab
+
+
+def _score_batch(
+    t: pa.Table, *, cnt_ref, total: int, id_col: str, text_col: str
+) -> pa.Table:
+    cnt_map: pd.Series = ray.get(cnt_ref) if isinstance(cnt_ref, ray.ObjectRef) else cnt_ref
+    flat, idx = _flat_tokens(t[text_col].to_pylist())
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "mean_logprob": pa.array([], pa.float64()),
+        }
+    )
+    if len(flat) == 0:
+        return empty
+    ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    c = cnt_map.reindex(flat).to_numpy(np.float64)
+    # DuckDB order: ln(CAST(c AS DOUBLE) / total), quantized to int64
+    q = _quant_int64(np.log(c / float(total)))
+    sums = np.bincount(idx, weights=None, minlength=len(ids))  # token counts
+    qs = np.zeros(len(ids), np.int64)
+    np.add.at(qs, idx, q)
+    n_tok = sums.astype(np.int64)
+    keep = n_tok > 0  # tokenless docs emit no score (SQL GROUP BY drops them)
+    mean_lp = (qs[keep].astype(np.float64) / 1_000_000_000.0) / n_tok[keep].astype(
+        np.float64
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "mean_logprob": pa.array(mean_lp, pa.float64()),
+        }
+    )
+
+
+def unigram_logprob(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    max_vocab: int = 1 << 22,
+    batch_size: int = TEXT_BATCH,
+):
+    """Per-doc mean unigram log-probability (module docstring).
+
+    Returns a Dataset of (id_col, n_tokens, mean_logprob); docs with
+    no tokens emit no row.
+    """
+    vocab = term_counts(
+        ds, text_col=text_col, num_buckets=num_buckets,
+        max_vocab=max_vocab, batch_size=batch_size,
+    )
+    total = int(vocab["n"].sum())
+    cnt_map = pd.Series(
+        vocab["n"].to_numpy(np.int64), index=vocab["term"].to_numpy(dtype=object)
+    )
+    cnt_ref = ray.put(cnt_map)
+    return ds.map_batches(
+        functools.partial(
+            _score_batch, cnt_ref=cnt_ref, total=total, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

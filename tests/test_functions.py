@@ -607,3 +607,55 @@ def test_kmeans_mstep_order_independent(ray_session):
         got = a[a.centroid_id == cid].sort_values("dim")["val"].to_numpy()
         assert np.allclose(got, sel.mean(axis=0), atol=2e-9)
         assert (a[a.centroid_id == cid]["n_assigned"] == len(sel)).all()
+
+
+def test_decontam_planted(ray_session):
+    """Planted overlap: exact gram-position counts, short docs immune."""
+    from ptrail_ray.functions.decontam import ngram_overlap_flags
+
+    bench = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.array([100], np.int64), "text": ["alpha beta gamma"]})
+    )
+    corpus = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3, 4], np.int64),
+                "text": [
+                    "x alpha beta gamma y alpha beta z",  # grams: alpha beta (x2), beta gamma (x1)
+                    "nothing shared here",
+                    "beta",  # shorter than n → immune
+                    None,
+                ],
+            }
+        )
+    )
+    out = (
+        ngram_overlap_flags(corpus, bench, n=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_overlap"] == 3 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_overlap"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_overlap"] == 0 and out.loc[4, "n_overlap"] == 0
+
+
+def test_unigram_logprob_tiny(ray_session):
+    """Hand-checked: total=4 tokens, p(cat)=1/2, p(dog)=p(fish)=1/4."""
+    import math
+
+    from ptrail_ray.functions.lm import unigram_logprob
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3], np.int64),
+                "text": ["cat dog", "cat fish", ""],
+            }
+        )
+    )
+    out = unigram_logprob(docs).to_pandas().set_index("doc_id")
+    assert 3 not in out.index  # tokenless docs emit no row
+    expect = (math.log(0.5) + math.log(0.25)) / 2
+    assert abs(out.loc[1, "mean_logprob"] - expect) < 1e-8
+    assert out.loc[1, "n_tokens"] == 2
