@@ -12,7 +12,7 @@ ops).
 
 Design for 100 TB, two passes (same shape as `tfidf`):
 
-1. global term counts — per-batch `np.unique` partials, ONE bucket
+1. global term counts — per-batch dictionary-encode partials, ONE bucket
    exchange, vocabulary collect bounded by Heaps' law and guarded by
    ``max_vocab`` (loud, never truncating);
 2. scoring — the (term → count) map broadcast ONCE via `ray.put`,
@@ -38,7 +38,8 @@ import pyarrow as pa
 import ray
 
 from ptrail_ray.functions.cluster import _quant_int64
-from ptrail_ray.functions.tfidf import TEXT_BATCH, _flat_tokens
+from ptrail_ray.functions.tfidf import TEXT_BATCH
+from ptrail_ray.functions.tokenize import encoded_tokens
 
 
 def term_counts(
@@ -53,15 +54,12 @@ def term_counts(
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
     def partial(t: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(t[text_col].to_pylist())
-        if len(flat) == 0:
+        codes, vocab, _ = encoded_tokens(t[text_col])
+        if len(codes) == 0:
             return pa.table({"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-        uniq, counts = np.unique(flat, return_counts=True)
+        counts = np.bincount(codes, minlength=len(vocab))
         return pa.table(
-            {
-                "term": pa.array(uniq, pa.string()),
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-            }
+            {"term": vocab.cast(pa.string()), "n": pa.array(counts.astype(np.int64), pa.int64())}
         )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -81,7 +79,7 @@ def _score_batch(
     t: pa.Table, *, cnt_ref, total: int, id_col: str, text_col: str
 ) -> pa.Table:
     cnt_map: pd.Series = ray.get(cnt_ref) if isinstance(cnt_ref, ray.ObjectRef) else cnt_ref
-    flat, idx = _flat_tokens(t[text_col].to_pylist())
+    codes, vocab, idx = encoded_tokens(t[text_col])
     empty = pa.table(
         {
             id_col: pa.array([], pa.int64()),
@@ -89,12 +87,14 @@ def _score_batch(
             "mean_logprob": pa.array([], pa.float64()),
         }
     )
-    if len(flat) == 0:
+    if len(codes) == 0:
         return empty
     ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    c = cnt_map.reindex(flat).to_numpy(np.float64)
+    # one lookup + one log per UNIQUE term, scattered by code (tokens
+    # repeat heavily — Zipf — so this is ~vocab work, not ~token work)
+    c = cnt_map.reindex(vocab.to_pylist()).to_numpy(np.float64)
     # DuckDB order: ln(CAST(c AS DOUBLE) / total), quantized to int64
-    q = _quant_int64(np.log(c / float(total)))
+    q = _quant_int64(np.log(c / float(total)))[codes]
     sums = np.bincount(idx, weights=None, minlength=len(ids))  # token counts
     qs = np.zeros(len(ids), np.int64)
     np.add.at(qs, idx, q)

@@ -239,23 +239,19 @@ def top_terms(ds, *, k: int = 50, text_col: str = "text", num_buckets: int = 32)
     and the driver merge is bounded at num_buckets × k rows.
     Ties break by term ascending (deterministic, SQL-replicable).
     """
-    import itertools as _it
-
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+    from ptrail_ray.functions.tokenize import encoded_tokens
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        flat = list(
-            _it.chain.from_iterable((s or "").split() for s in texts)
-        )
-        if not flat:
+        codes, vocab, _ = encoded_tokens(t[text_col])
+        if len(codes) == 0:
             return pa.table(
                 {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        uniq, counts = np.unique(np.array(flat, dtype=object), return_counts=True)
+        counts = np.bincount(codes, minlength=len(vocab))
         return pa.table(
             {
-                "term": pa.array(uniq, pa.string()),
+                "term": vocab.cast(pa.string()),
                 "n": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )

@@ -57,15 +57,18 @@ def _flat_tokens(texts: list) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _df_partial(t: pa.Table, *, text_col: str) -> pa.Table:
-    flat, idx = _flat_tokens(t[text_col].to_pylist())
-    if len(flat) == 0:
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    codes, vocab, idx = encoded_tokens(t[text_col])
+    if len(codes) == 0:
         return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-    pairs = pd.DataFrame({"term": flat, "i": idx}).drop_duplicates()
-    c = pairs.groupby("term", sort=False).size()
+    # unique (doc, term) pairs as one int key — pure int np.unique
+    key = idx * np.int64(len(vocab)) + codes
+    df_counts = np.bincount(np.unique(key) % len(vocab), minlength=len(vocab))
     return pa.table(
         {
-            "term": pa.array(c.index.to_numpy(dtype=object), pa.string()),
-            "df": pa.array(c.to_numpy(np.int64), pa.int64()),
+            "term": vocab.cast(pa.string()),
+            "df": pa.array(df_counts.astype(np.int64), pa.int64()),
         }
     )
 
@@ -112,10 +115,12 @@ def _score_batch(
     id_col: str,
     text_col: str,
 ) -> pa.Table:
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
     df_map: pd.Series = (
         ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
     )
-    flat, idx = _flat_tokens(t[text_col].to_pylist())
+    codes, vocab, idx = encoded_tokens(t[text_col])
     empty = pa.table(
         {
             id_col: pa.array([], pa.int64()),
@@ -125,31 +130,38 @@ def _score_batch(
             "score": pa.array([], pa.float64()),
         }
     )
-    if len(flat) == 0:
+    if len(codes) == 0:
         return empty
     ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    g = (
-        pd.DataFrame({"doc": ids[idx], "term": flat})
-        .groupby(["doc", "term"], sort=False)
-        .size()
-        .reset_index(name="tf")
-    )
-    dfv = df_map.reindex(g["term"]).to_numpy(np.int64)
+    # (doc, term) frequencies via ONE int np.unique on a packed key;
+    # df lookup + log run per UNIQUE term (Zipf: vocab ≪ tokens)
+    V = np.int64(len(vocab))
+    ukey, tf = np.unique(idx * V + codes, return_counts=True)
+    doc_pos = (ukey // V).astype(np.int64)
+    tc = (ukey % V).astype(np.int64)
+    terms_np = np.asarray(vocab.to_pylist(), dtype=object)
+    df_uniq = df_map.reindex(terms_np).to_numpy(np.int64)
     # DuckDB expression order: ln(CAST(n AS DOUBLE)/df) then * tf
-    score = g["tf"].to_numpy(np.float64) * np.log(float(n_docs) / dfv)
-    g["df"] = dfv
-    g["score"] = score
-    g = g.sort_values(
-        ["doc", "score", "term"], ascending=[True, False, True], kind="stable"
-    )
-    g = g.groupby("doc", sort=False).head(k)
+    idf_uniq = np.log(float(n_docs) / df_uniq)
+    score = tf.astype(np.float64) * idf_uniq[tc]
+    # top-k fully in int/float space: the term-ASC tie-break becomes a
+    # rank over the sorted vocab, so pair-row term strings are never
+    # materialized — only the ≤ k-per-doc survivors get strings
+    vrank = np.empty(int(V), np.int64)
+    vrank[np.argsort(terms_np, kind="stable")] = np.arange(int(V))
+    srt = np.lexsort((vrank[tc], -score, ids[doc_pos]))
+    d = ids[doc_pos][srt]
+    first = np.ones(len(d), bool)
+    first[1:] = d[1:] != d[:-1]
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(len(d)), 0))
+    keep = srt[(np.arange(len(d)) - grp_start) < k]
     return pa.table(
         {
-            id_col: pa.array(g["doc"].to_numpy(np.int64), pa.int64()),
-            "term": pa.array(g["term"].to_numpy(dtype=object), pa.string()),
-            "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
-            "df": pa.array(g["df"].to_numpy(np.int64), pa.int64()),
-            "score": pa.array(g["score"].to_numpy(np.float64), pa.float64()),
+            id_col: pa.array(ids[doc_pos][keep], pa.int64()),
+            "term": pa.array(terms_np[tc[keep]], pa.string()),
+            "tf": pa.array(tf[keep].astype(np.int64), pa.int64()),
+            "df": pa.array(df_uniq[tc[keep]], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
         }
     )
 
