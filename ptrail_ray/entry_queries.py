@@ -2507,3 +2507,58 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM x GROUP BY doc_id
 """
 QUERIES["q_unigram_lp"] = q_unigram_lp
+
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_neardup(sf_dir):
+    """SemDeDup-style semantic near-dup (functions/cluster.py): shard
+    every vector to its nearest lowest-id centroid, exact cosine pairs
+    WITHIN each shard (the documented boundary-miss trade-off of
+    semantic sharding — the oracle replays the same sharded
+    definition). One exchange on centroid_id; O(sum shard^2) not
+    O(n^2)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import lowest_id_centroids, semantic_neardup_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cids, cmat = lowest_id_centroids(ds, N_CENTROIDS)
+    out = semantic_neardup_pairs(
+        ds, cids, cmat, threshold=SEMDEDUP_THRESHOLD, deterministic=True
+    )
+    return finalize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        round_columns=["sim"],
+    )
+
+
+ORACLE_SQL["q_semantic_neardup"] = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
+), s AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) AS sim
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+  FROM s
+), a AS (
+  SELECT vec_id, centroid_id FROM r WHERE rn = 1
+), e AS (
+  SELECT a.centroid_id, emb.vec_id, CAST(emb.embedding AS DOUBLE[]) AS emb
+  FROM a JOIN embeddings emb USING (vec_id)
+)
+SELECT x.vec_id AS a, y.vec_id AS b, x.centroid_id,
+       round(list_cosine_similarity(x.emb, y.emb), 6) + 0.0 AS sim
+FROM e x JOIN e y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.emb, y.emb) >= {SEMDEDUP_THRESHOLD}
+"""
+QUERIES["q_semantic_neardup"] = q_semantic_neardup

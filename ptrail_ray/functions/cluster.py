@@ -220,6 +220,129 @@ def kmeans_mstep(
     ]
 
 
+def kmeans_fit(
+    ds,
+    k: int,
+    *,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = False,
+    batch_size: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full distributed Lloyd fit: ``lowest_id_centroids`` init, then
+    ``n_iter`` alternations of E-step (``assign_centroids`` math inside
+    the M-step pass) and exact-sum M-step. Cosine assignment is
+    magnitude-invariant, so raw means need no re-normalization — the
+    objective (mean best-cosine) is the spherical k-means one. Empty
+    centroids keep their previous position (standard Lloyd handling).
+    Per iteration: one streaming pass over the data, k×d-bounded
+    driver state — nothing else materializes.
+    """
+    cids, cmat = lowest_id_centroids(ds, k, id_col=id_col, vec_col=vec_col)
+    for _ in range(n_iter):
+        m = kmeans_mstep(
+            ds, cids, cmat, vec_col=vec_col,
+            deterministic=deterministic, batch_size=batch_size,
+        )
+        piv = m.pivot(index="centroid_id", columns="dim", values="val")
+        pos = np.searchsorted(cids, piv.index.to_numpy(np.int64))
+        cmat[pos] = piv.to_numpy(np.float64)
+    return cids, cmat
+
+
+def semantic_neardup_pairs(
+    ds,
+    centroid_ids: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = False,
+    num_buckets: int = 8,
+    batch_size: int = 4096,
+):
+    """SemDeDup-style semantic near-dup pairs: shard by nearest
+    centroid, exact cosine pairs WITHIN each shard only.
+
+    This is the scale path for embedding near-dup (Abbas et al. 2023,
+    SemDeDup): all-pairs is O(n²) globally but O(Σ nᵢ²) after
+    sharding — pick k so shards fit a task. The documented trade-off
+    is identical to the paper's: a near-dup pair straddling a centroid
+    boundary is NOT emitted (the oracle replays the same semantics, so
+    the gate checks the sharded definition exactly).
+
+    One assignment pass attaches centroid ids to (id, vector) rows,
+    ONE exchange co-locates each shard, and a per-shard vectorized
+    kernel emits (a, b, centroid_id, sim) with a < b. ``deterministic``
+    selects the DuckDB-bit-equal scalar kernel (oracle mode).
+    """
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    order = np.argsort(centroid_ids, kind="stable")
+    cids = np.asarray(centroid_ids, np.int64)[order]
+    cmat = np.asarray(centroids, np.float64)[order]
+    cent_ref = ray.put((cids, cmat))
+    kernel = _duckdb_cosine_matrix if deterministic else _cosine_matrix_blas
+
+    def attach(t: pa.Table) -> pa.Table:
+        cs, cm = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        m = _vec_matrix(t[vec_col])
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "centroid_id": pa.array([], pa.int64()),
+                    vec_col: t[vec_col],
+                }
+            )
+        best = np.argmax(kernel(m, cm), axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "centroid_id": pa.array(cs[best], pa.int64()),
+                vec_col: t[vec_col],
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, g in df.groupby("centroid_id", sort=False):
+            m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
+            ids_g = g[id_col].to_numpy(np.int64)
+            o = np.argsort(ids_g, kind="stable")
+            ids_g, m = ids_g[o], m[o]
+            sims = kernel(m, m)
+            ai, bi = np.triu_indices(len(ids_g), k=1)
+            hit = sims[ai, bi] >= threshold
+            out.append(
+                pd.DataFrame(
+                    {
+                        "a": ids_g[ai[hit]],
+                        "b": ids_g[bi[hit]],
+                        "centroid_id": np.full(int(hit.sum()), cid, np.int64),
+                        "sim": sims[ai[hit], bi[hit]],
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "a": np.array([], np.int64),
+                    "b": np.array([], np.int64),
+                    "centroid_id": np.array([], np.int64),
+                    "sim": np.array([], np.float64),
+                }
+            )
+        )
+
+    attached = ds.map_batches(attach, batch_format="pyarrow", batch_size=batch_size)
+    return grouped_agg_by_bucket(attached, "centroid_id", pairs, num_buckets=num_buckets)
+
+
 def lowest_id_centroids(
     ds, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -659,3 +659,69 @@ def test_unigram_logprob_tiny(ray_session):
     expect = (math.log(0.5) + math.log(0.25)) / 2
     assert abs(out.loc[1, "mean_logprob"] - expect) < 1e-8
     assert out.loc[1, "n_tokens"] == 2
+
+
+def test_kmeans_fit_converges(ray_session):
+    """Objective (mean best-cosine) is non-decreasing across Lloyd
+    iterations on a 3-blob corpus, and the fitted centroids separate
+    the blobs."""
+    import pyarrow as _pa
+
+    from ptrail_ray.functions.cluster import assign_centroids, kmeans_fit, lowest_id_centroids
+
+    rng = np.random.default_rng(3)
+    d, per = 16, 120
+    blobs = rng.normal(size=(3, d)) * 4
+    mat = np.concatenate([b + rng.normal(scale=0.4, size=(per, d)) for b in blobs])
+    ds = rd.from_arrow(
+        _pa.table({"vec_id": np.arange(3 * per, dtype=np.int64), "embedding": list(mat)})
+    )
+
+    def objective(cids, cmat):
+        a = assign_centroids(ds, cids, cmat).to_pandas()
+        return a["sim"].mean()
+
+    cids0, cmat0 = lowest_id_centroids(ds, 3)
+    o0 = objective(cids0, cmat0)
+    cids, cmat = kmeans_fit(ds, 3, n_iter=4)
+    o1 = objective(cids, cmat)
+    assert o1 >= o0 - 1e-12
+    # blob separation: assignments agree with true blob partition
+    a = assign_centroids(ds, cids, cmat).to_pandas().sort_values("vec_id")
+    lab = a["centroid_id"].to_numpy()
+    for blk in range(3):
+        seg = lab[blk * per : (blk + 1) * per]
+        # each true blob maps to one dominant fitted centroid
+        assert (seg == np.bincount(seg).argmax()).mean() > 0.95
+
+
+def test_semantic_neardup_planted(ray_session):
+    """A planted duplicate inside one shard is found; a cross-shard
+    near-identical pair is (by design) not emitted."""
+    import pyarrow as _pa
+
+    from ptrail_ray.functions.cluster import semantic_neardup_pairs
+
+    d = 8
+    c0 = np.zeros(d); c0[0] = 1.0
+    c1 = np.zeros(d); c1[1] = 1.0
+    # vecs 0,1 near c0 and near-identical; vec 2 near c1; vec 3 on the
+    # boundary but assigned c1, near-identical to vec 0
+    v0 = c0 + 0.01
+    v1 = c0 + 0.011
+    v2 = c1 * 2.0
+    v3 = 0.49 * c0 + 0.51 * c1
+    ds = rd.from_arrow(
+        _pa.table(
+            {
+                "vec_id": np.arange(4, dtype=np.int64),
+                "embedding": [v0, v1, v2, v3],
+            }
+        )
+    )
+    out = semantic_neardup_pairs(
+        ds, np.array([10, 11], np.int64), np.stack([c0, c1]), threshold=0.9
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs          # same-shard dup found
+    assert (0, 3) not in pairs      # cross-shard dup: documented miss
