@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "q_minhash_pairs",
     "q_top_terms",
     "q_sample_hash",
+    "q_scrub_pii",
+    "q_tfidf_topk",
+    "q_unigram_lp",
+    "q_chunk_docs",
+    "q_decontam",
+    "q_centroid_assign",
+    "q_semantic_neardup",
 ]
 
 

@@ -262,6 +262,7 @@ def semantic_neardup_pairs(
     deterministic: bool = False,
     num_buckets: int = 8,
     batch_size: int = 4096,
+    max_shard: int = 30_000,
 ):
     """SemDeDup-style semantic near-dup pairs: shard by nearest
     centroid, exact cosine pairs WITHIN each shard only.
@@ -309,6 +310,13 @@ def semantic_neardup_pairs(
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for cid, g in df.groupby("centroid_id", sort=False):
+            if len(g) > max_shard:
+                raise ValueError(
+                    f"shard for centroid {cid} has {len(g)} vectors > "
+                    f"max_shard={max_shard}: the within-shard sims matrix "
+                    "would not fit a task — raise k (more, smaller shards) "
+                    "or max_shard explicitly; no silent truncation"
+                )
             m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
             ids_g = g[id_col].to_numpy(np.int64)
             o = np.argsort(ids_g, kind="stable")

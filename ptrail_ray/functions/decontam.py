@@ -63,9 +63,12 @@ def _flag_batch(
     lens = np.fromiter((len(g) for g in gl), np.int64, count=len(gl))
     flat = np.array(list(_it.chain.from_iterable(gl)), dtype=object)
     n_overlap = np.zeros(len(ids), np.int64)
-    if len(flat):
+    if len(flat) and len(bench):
         uniq, inv = np.unique(flat, return_inverse=True)
-        hit = np.isin(uniq, bench)[inv]  # one isin per unique gram
+        # membership via searchsorted against the ALREADY-sorted bench
+        # array (np.isin would re-sort the benchmark side every batch)
+        pos = np.searchsorted(bench, uniq).clip(max=len(bench) - 1)
+        hit = (bench[pos] == uniq)[inv]
         doc_of = np.repeat(np.arange(len(ids)), lens)
         n_overlap = np.bincount(doc_of[hit], minlength=len(ids)).astype(np.int64)
     return pa.table(

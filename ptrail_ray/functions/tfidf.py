@@ -175,12 +175,16 @@ def tfidf_topk(
     num_buckets: int = 32,
     max_vocab: int = 1 << 22,
     batch_size: int = TEXT_BATCH,
+    n_docs: int | None = None,
 ):
     """Top-k TF-IDF terms per document (see module docstring).
 
     Returns a Dataset of (id_col, term, tf, df, score), ties broken by
     term ascending. Terms present in every document score exactly 0
     (ln(1)) on both engines, so even degenerate ties are stable.
+    Pass ``n_docs`` (total docs INCLUDING token-less ones) when the
+    input is a derived pipeline — otherwise ``ds.count()`` re-executes
+    it (free only for metadata-countable reads).
     """
     vocab = doc_frequency(
         ds,
@@ -189,7 +193,8 @@ def tfidf_topk(
         max_vocab=max_vocab,
         batch_size=batch_size,
     )
-    n_docs = ds.count()
+    if n_docs is None:
+        n_docs = ds.count()
     df_map = pd.Series(
         vocab["df"].to_numpy(np.int64), index=vocab["term"].to_numpy(dtype=object)
     )
