@@ -2562,3 +2562,134 @@ FROM e x JOIN e y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.emb, y.emb) >= {SEMDEDUP_THRESHOLD}
 """
 QUERIES["q_semantic_neardup"] = q_semantic_neardup
+
+
+_SCRUB_SQL = r"""regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+         '\b(customer|value)\b', '[MASK]', 'g')"""
+
+
+CLEANFULL_N = 3  # trigrams: partial drop (171/494 at sf0.01); bigrams drop everything
+
+
+def q_clean_corpus_full(sf_dir):
+    """The full production corpus-prep composition
+    (pipelines/datapipe.clean_corpus with every stage on): PII+term
+    scrub FIRST (downstream never sees raw text) → benchmark split
+    (doc_id % 97) → exact dedup on scrubbed content → text stats →
+    language ID → quality+language gate → n-gram decontamination drop
+    against the benchmark side. One SQL oracle replays the entire
+    chain."""
+    import functools as _ft
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.pii import PII_PATTERNS
+    from ptrail_ray.pipelines.datapipe import clean_corpus
+
+    patterns = PII_PATTERNS + [("term", r"\b(customer|value)\b", "[MASK]")]
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def mod_split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 97 == 0) if keep_bench else (ids % 97 != 0)
+        return t.filter(pa.array(mask))
+
+    # benchmark side scrubbed identically (gram models must match)
+    from ptrail_ray.functions.pii import add_scrub
+
+    def bench_swap(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("text"), "text", t["scrubbed"])
+        return t.drop_columns(["scrubbed"] + [f"n_{n}" for n, _, _ in patterns])
+
+    bench = add_scrub(
+        docs.map_batches(_ft.partial(mod_split, keep_bench=True), batch_format="pyarrow"),
+        patterns=patterns,
+    ).map_batches(bench_swap, batch_format="pyarrow")
+    corpus = docs.map_batches(
+        _ft.partial(mod_split, keep_bench=False), batch_format="pyarrow"
+    )
+    out = clean_corpus(
+        corpus,
+        min_quality=2,
+        lang="en",
+        scrub_patterns=patterns,
+        decontam_bench=bench,
+        decontam_n=CLEANFULL_N,
+    )
+    return finalize(out.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"]))
+
+
+ORACLE_SQL["q_clean_corpus_full"] = f"""
+WITH scrubbed AS (
+  SELECT doc_id, {_SCRUB_SQL} AS text FROM documents
+),
+corp AS (SELECT * FROM scrubbed WHERE doc_id % 97 <> 0),
+benchd AS (SELECT * FROM scrubbed WHERE doc_id % 97 = 0),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(coalesce(list_aggregate(regexp_extract_all(coalesce(text,''), '\\S+'), 'string_agg', ' '), ''))
+             ORDER BY doc_id) AS rn
+    FROM corp) WHERE rn = 1
+),
+d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM kept
+),
+s AS (
+  SELECT doc_id, toks,
+         CAST(length(t) AS BIGINT) AS n_chars_calc,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+         CAST(length(list_aggregate(toks, 'string_agg', '')) AS BIGINT) AS tok_chars
+  FROM d
+),
+q AS (
+  SELECT doc_id, toks, n_tokens,
+         CAST(CASE WHEN n_tokens > 0 THEN
+           (CASE WHEN coalesce(CAST(n_stop AS DOUBLE)/n_tokens, 0) > 0.05 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars_calc BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+           ELSE 0 END AS BIGINT) AS quality,
+         CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens > 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM s
+),
+gated AS (
+  SELECT * FROM q WHERE quality >= 2 AND lang_pred = 'en'
+),
+bg AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(toks) < {CLEANFULL_N} THEN []::VARCHAR[]
+         ELSE list_transform(generate_series(1, len(toks) - {CLEANFULL_N - 1}),
+                             i -> array_to_string(toks[i:i+{CLEANFULL_N - 1}], ' '))
+    END) AS gram
+  FROM (SELECT regexp_extract_all(coalesce(text,''), '\\S+') AS toks FROM benchd)
+),
+eg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < {CLEANFULL_N} THEN []::VARCHAR[]
+         ELSE list_transform(generate_series(1, len(toks) - {CLEANFULL_N - 1}),
+                             i -> array_to_string(toks[i:i+{CLEANFULL_N - 1}], ' '))
+    END) AS gram
+  FROM gated
+),
+contaminated AS (
+  SELECT DISTINCT eg.doc_id FROM eg JOIN bg USING (gram)
+)
+SELECT g.doc_id, g.n_tokens, g.quality, g.lang_pred
+FROM gated g WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+QUERIES["q_clean_corpus_full"] = q_clean_corpus_full

@@ -53,7 +53,8 @@ def _bench_partial(t: pa.Table, *, text_col: str, n: int) -> pa.Table:
 
 
 def _flag_batch(
-    t: pa.Table, *, bench_ref, n: int, id_col: str, text_col: str
+    t: pa.Table, *, bench_ref, n: int, id_col: str, text_col: str,
+    keep_cols: bool = False,
 ) -> pa.Table:
     bench: np.ndarray = (
         ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
@@ -71,6 +72,10 @@ def _flag_batch(
         hit = (bench[pos] == uniq)[inv]
         doc_of = np.repeat(np.arange(len(ids)), lens)
         n_overlap = np.bincount(doc_of[hit], minlength=len(ids)).astype(np.int64)
+    if keep_cols:
+        return t.append_column(
+            "n_overlap", pa.array(n_overlap, pa.int64())
+        ).append_column("contaminated", pa.array(n_overlap > 0, pa.bool_()))
     return pa.table(
         {
             id_col: pa.array(ids, pa.int64()),
@@ -114,11 +119,14 @@ def ngram_overlap_flags(
     text_col: str = "text",
     max_bench_grams: int = 1 << 26,
     batch_size: int = TEXT_BATCH,
+    keep_cols: bool = False,
 ):
     """Per-corpus-doc (id, n_overlap, contaminated) — module docstring.
 
     ``n_overlap`` counts overlapping gram POSITIONS (a gram repeated in
     the doc counts each occurrence), matching the SQL join count.
+    ``keep_cols=True`` appends the two flag columns to the input rows
+    instead (for in-pipeline filtering without a join).
     """
     bench_ref = ray.put(bench_ngrams(
         bench_ds, n=n, text_col=text_col,
@@ -126,7 +134,8 @@ def ngram_overlap_flags(
     ))
     return corpus_ds.map_batches(
         functools.partial(
-            _flag_batch, bench_ref=bench_ref, n=n, id_col=id_col, text_col=text_col
+            _flag_batch, bench_ref=bench_ref, n=n, id_col=id_col,
+            text_col=text_col, keep_cols=keep_cols,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -27,15 +27,43 @@ def clean_corpus(
     lang: str = "en",
     near_dup: bool = False,
     jaccard_threshold: float = 0.5,
+    scrub_patterns=None,
+    decontam_bench=None,
+    decontam_n: int = 2,
 ):
     """documents Dataset → deduped, quality- and language-gated corpus
     with token counts. Returns (doc_id, n_tokens, quality, lang_pred)
-    plus the surviving text."""
+    plus the surviving text.
+
+    ``scrub_patterns``: (name, regex, replacement) triples — masks the
+    text FIRST (functions/pii.py), so dedup keys, stats, language ID
+    and gating all see the scrubbed text (the order a production prep
+    pipeline runs: PII never reaches any downstream artifact).
+    ``decontam_bench``: a benchmark Dataset — after the quality gate,
+    docs sharing any ``decontam_n``-gram with it are DROPPED
+    (functions/decontam.py; gram set broadcast once, no corpus
+    shuffle). Both stages compose streaming; the full chain is
+    oracle-replayed end-to-end by ``q_clean_corpus_full``.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ptrail_ray.functions.dedup import exact_dedup
     from ptrail_ray.functions.textstats import add_lang_id, add_text_stats
+
+    if scrub_patterns:
+        from ptrail_ray.functions.pii import add_scrub
+
+        def swap_text(t: pa.Table) -> pa.Table:
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", t["scrubbed"]
+            )
+            drop = ["scrubbed"] + [f"n_{n}" for n, _, _ in scrub_patterns]
+            return t.drop_columns(drop)
+
+        docs = add_scrub(docs, patterns=scrub_patterns).map_batches(
+            swap_text, batch_format="pyarrow", batch_size=65536
+        )
 
     d = exact_dedup(docs)
     if near_dup:
@@ -58,4 +86,19 @@ def clean_corpus(
         )
         return t.filter(pc.fill_null(m, False))
 
-    return d.map_batches(gate, batch_format="pyarrow", batch_size=65536)
+    d = d.map_batches(gate, batch_format="pyarrow", batch_size=65536)
+    if decontam_bench is not None:
+        from ptrail_ray.functions.decontam import ngram_overlap_flags
+
+        flagged = ngram_overlap_flags(
+            d, decontam_bench, n=decontam_n, keep_cols=True
+        )
+
+        def drop_contaminated(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["contaminated"], False))
+            return t.drop_columns(["n_overlap", "contaminated"])
+
+        d = flagged.map_batches(
+            drop_contaminated, batch_format="pyarrow", batch_size=65536
+        )
+    return d
