@@ -2693,3 +2693,42 @@ SELECT g.doc_id, g.n_tokens, g.quality, g.lang_pred
 FROM gated g WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 QUERIES["q_clean_corpus_full"] = q_clean_corpus_full
+
+
+def q_source_profile(sf_dir):
+    """Per-(source, lang) corpus mix profile (functions/textstats.py):
+    exact int64 doc/token/char sums via bounded per-batch partials —
+    the data-mix report a pretraining run derives sampling weights
+    from."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import source_profile
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "lang"],
+    )
+    out = source_profile(docs)
+    return finalize(
+        pa.Table.from_pandas(out, preserve_index=False), round_columns=["mean_tokens"]
+    )
+
+
+ORACLE_SQL["q_source_profile"] = """
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_chars) AS max_chars, min(n_chars) AS min_chars,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) + 0.0 AS mean_tokens
+FROM d GROUP BY source, lang
+"""
+QUERIES["q_source_profile"] = q_source_profile

@@ -269,3 +269,55 @@ def top_terms(ds, *, k: int = 50, text_col: str = "text", num_buckets: int = 32)
         ["n", "term"], ascending=[False, True], kind="stable"
     ).head(k)
     return out.reset_index(drop=True)
+
+
+def source_profile(ds, *, group_cols=("source", "lang"), text_col: str = "text"):
+    """Per-(source, lang) corpus profile: doc/token/char totals, mean
+    tokens, char extremes — the data-mix summary a pretraining run
+    reports before sampling weights are chosen.
+
+    Scale shape: per-batch vectorized partials (one pandas groupby over
+    the batch), driver combine bounded by |sources|×|langs| (small by
+    construction — these are catalog dimensions, not data). Token and
+    char sums are exact int64, so the means are accumulation-order-
+    independent; token model = the shared Arrow tokenizer.
+    """
+    import pyarrow.compute as _pc
+
+    from ptrail_ray.functions.tokenize import arrow_tokens
+
+    gcols = list(group_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, idx = arrow_tokens(t[text_col])
+        n_tok = np.bincount(idx, minlength=t.num_rows).astype(np.int64)
+        n_chars = _pc.utf8_length(_pc.fill_null(t[text_col], "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df = pd.DataFrame({c: t[c].to_pandas() for c in gcols})
+        df["n_docs"] = 1
+        df["total_tokens"] = n_tok
+        df["total_chars"] = n_chars
+        df["max_chars"] = n_chars
+        df["min_chars"] = n_chars
+        g = df.groupby(gcols, as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            total_tokens=("total_tokens", "sum"),
+            total_chars=("total_chars", "sum"),
+            max_chars=("max_chars", "max"),
+            min_chars=("min_chars", "min"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = parts.groupby(gcols, as_index=False, sort=False).agg(
+        n_docs=("n_docs", "sum"),
+        total_tokens=("total_tokens", "sum"),
+        total_chars=("total_chars", "sum"),
+        max_chars=("max_chars", "max"),
+        min_chars=("min_chars", "min"),
+    )
+    out["mean_tokens"] = out["total_tokens"].to_numpy(np.float64) / out[
+        "n_docs"
+    ].to_numpy(np.float64)
+    return out
