@@ -2732,3 +2732,159 @@ SELECT source, lang, count(*) AS n_docs,
 FROM d GROUP BY source, lang
 """
 QUERIES["q_source_profile"] = q_source_profile
+
+
+# ---------------------------------------------------------------------------
+# smoothing / normalization / resample / packing / entropy (round 3)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma(sf_dir):
+    """Per-conv exponential smoothing + expanding z-score
+    (stages/kernels.py ewma_m1/zexp_m1): the streaming-smoother analog
+    of the reference's rolling cleaners, leakage-safe (past-only).
+    Oracle: recursive CTE replaying the identical dyadic-α recursion +
+    exact int64 prefix sums."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(
+        ds, ["ewma_m1", "zexp_m1"], num_buckets=16, gap_seconds=GAP, segment_seconds=SEG
+    )
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "ewma_m1", "zexp_m1"]),
+        round_columns=["ewma_m1", "zexp_m1"],
+    )
+
+
+ORACLE_SQL["q_ewma"] = f"""
+WITH RECURSIVE {FEATURES_SQL},
+base AS MATERIALIZED (SELECT conv_id, turn_idx, m1, rn, ts FROM feat),
+ew(conv_id, turn_idx, rn, y) AS (
+  SELECT conv_id, turn_idx, rn, CAST(m1 AS DOUBLE) FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, b.rn, 0.75 * e.y + 0.25 * CAST(b.m1 AS DOUBLE)
+  FROM base b JOIN ew e ON b.conv_id = e.conv_id AND b.rn = e.rn + 1
+),
+zs AS (
+  SELECT conv_id, turn_idx,
+         CAST(m1 AS DOUBLE) AS m1f,
+         CAST(sum(m1) OVER ({WF}) AS DOUBLE) AS s,
+         CAST(sum(m1 * m1) OVER ({WF}) AS DOUBLE) AS ss,
+         CAST(rn AS DOUBLE) AS k
+  FROM base
+)
+SELECT z.conv_id, z.turn_idx,
+       round(e.y, 6) + 0.0 AS ewma_m1,
+       CASE WHEN (z.ss - z.s * z.s / z.k) / z.k > 0
+            THEN round((z.m1f - z.s / z.k)
+                       / sqrt((z.ss - z.s * z.s / z.k) / z.k), 6) + 0.0
+            ELSE NULL END AS zexp_m1
+FROM zs z JOIN ew e ON z.conv_id = e.conv_id AND z.turn_idx = e.turn_idx
+"""
+QUERIES["q_ewma"] = q_ewma
+
+
+def q_resample(sf_dir):
+    """Grid downsample (stages/resample.py): last turn per conv per
+    epoch-aligned 60-s window; text byte-equal passthrough."""
+    from ptrail_ray.stages.resample import resample_last
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    out = resample_last(ds, width_s=60.0, num_buckets=16)
+    return out.select_columns(["conv_id", "window_ts", "turn_idx", "text"])
+
+
+ORACLE_SQL["q_resample"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, date_trunc('minute', ts) AS window_ts, turn_idx, text
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, date_trunc('minute', ts)
+    ORDER BY turn_idx DESC, ts DESC) AS rnn
+  FROM transcripts)
+WHERE rnn = 1
+"""
+QUERIES["q_resample"] = q_resample
+
+
+PACK_BUDGET = 1024
+
+
+def q_pack_greedy(sf_dir):
+    """Greedy sequence packing (functions/pack.py): docs → fixed
+    token-budget training bins per source stream; only
+    (source, doc_id, n_tokens) moves through the exchange."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.pack import pack_greedy
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    out = pack_greedy(docs, budget=PACK_BUDGET, num_buckets=8)
+    return out.select_columns(["source", "doc_id", "n_tokens", "bin_id"])
+
+
+ORACLE_SQL["q_pack_greedy"] = f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p(source, doc_id, rn, n_tokens, bin_id, fill) AS (
+  SELECT source, doc_id, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.rn, d.n_tokens,
+         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > {PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > {PACK_BUDGET}
+              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id FROM p
+"""
+QUERIES["q_pack_greedy"] = q_pack_greedy
+
+
+def q_char_entropy(sf_dir):
+    """Character-level Shannon entropy per doc
+    (functions/textstats.py char_entropy_batch) — Gopher/C4-style
+    quality signal; one np.unique over packed (doc, codepoint) keys."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import add_char_entropy
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return finalize(add_char_entropy(docs), round_columns=["char_entropy"])
+
+
+ORACLE_SQL["q_char_entropy"] = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(t)), i -> t[i:i])) AS ch,
+         length(t) AS L
+  FROM d WHERE length(t) > 0
+),
+h AS (SELECT doc_id, ch, count(*) AS cnt, any_value(L) AS L FROM c GROUP BY doc_id, ch),
+e AS (
+  SELECT doc_id,
+         round(-sum((CAST(cnt AS DOUBLE) / L) * log2(CAST(cnt AS DOUBLE) / L)), 6) + 0.0
+           AS char_entropy
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM d LEFT JOIN e USING (doc_id)
+"""
+QUERIES["q_char_entropy"] = q_char_entropy

@@ -321,3 +321,46 @@ def source_profile(ds, *, group_cols=("source", "lang"), text_col: str = "text")
         "n_docs"
     ].to_numpy(np.float64)
     return out
+
+
+# --- character-level Shannon entropy (quality signal) ------------------------
+
+# entropy batches decode to UTF-32 (4 B/char); keep them smaller than the
+# narrow regex stages so a batch stays ~tens of MB even at 2k chars/doc
+ENTROPY_BATCH = 8192
+
+
+def char_entropy_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-doc character Shannon entropy in bits: ``-Σ p_c·log2(p_c)``
+    over the doc's codepoint histogram (empty/null text → 0.0).
+
+    A standard low-quality-text signal (boilerplate and mojibake sit at
+    the entropy extremes — Gopher/C4-style quality rules). Vectorized:
+    the batch's texts are joined once, decoded to a UTF-32 codepoint
+    array (C-speed), and ALL per-doc histograms come from one
+    ``np.unique`` over ``doc_idx·2²¹ + codepoint`` packed keys (Unicode
+    max 0x10FFFF < 2²¹) — no per-doc loop.
+    """
+    txt = pc.fill_null(t[text_col], "")
+    n = t.num_rows
+    lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "".join(txt.to_pylist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    ent = np.zeros(n, dtype=np.float64)
+    if len(cp):
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = doc_idx << np.int64(21) | cp
+        uniq, counts = np.unique(key, return_counts=True)
+        doc_of = (uniq >> np.int64(21)).astype(np.int64)
+        p = counts.astype(np.float64) / lens[doc_of].astype(np.float64)
+        ent = -np.bincount(doc_of, weights=p * np.log2(p), minlength=n)
+        ent = ent + 0.0  # -0.0 → +0.0 for single-char docs (p == 1)
+    return pa.table(
+        {"doc_id": t["doc_id"], "char_entropy": pa.array(ent, type=pa.float64())}
+    )
+
+
+def add_char_entropy(ds, *, batch_size: int = ENTROPY_BATCH):
+    return ds.map_batches(
+        char_entropy_batch, batch_format="pyarrow", batch_size=batch_size
+    )

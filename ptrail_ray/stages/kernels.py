@@ -294,6 +294,62 @@ def _roll5_mean_m1(ctx: KernelContext):
     return (c - prev) / denom
 
 
+# --- exponential smoothing / expanding normalization ------------------------
+
+# dyadic α: (1-α) and α are exact binary fractions and (1-α)+α == 1.0
+# exactly, so the adjust=False recursion y_t = (1-α)·y_{t-1} + α·x_t is
+# reproducible bit-for-bit by the DuckDB recursive-CTE oracle.
+EWMA_ALPHA = 0.25
+
+
+@register("ewma_m1", deps=(M1,))
+def _ewma_m1(ctx: KernelContext):
+    """Per-conv exponential smoothing of m1 (past-only recursion
+    ``y_t = (1-α)·y_{t-1} + α·m1_t``, ``y_0 = m1_0``) — the streaming
+    smoother analog of the reference's rolling-neighborhood cleaners
+    (``ptrail/preprocessing/filters.py`` Hampel window family), leakage-
+    safe by construction. Computed by pandas' Cython grouped EWM
+    (adjust=False); m1 is never null so no NaN-weight handling applies.
+    """
+    import pandas as pd
+
+    m1 = _np_of(ctx, M1)
+    run_id = np.repeat(np.arange(len(ctx.starts), dtype=np.int64), ctx.lengths)
+    out = (
+        pd.Series(m1)
+        .groupby(run_id, sort=False)
+        .ewm(alpha=EWMA_ALPHA, adjust=False)
+        .mean()
+        .to_numpy()
+    )
+    return out
+
+
+@register("zexp_m1", deps=(M1,))
+def _zexp_m1(ctx: KernelContext):
+    """Expanding (prefix) z-score of m1: ``(x - mean_{1..t}) / std_{1..t}``
+    with population variance over the turns seen SO FAR — a leakage-safe
+    per-entity normalizer (no future turn read; SURVEY.md §1.3-2 zero-
+    leakage policy). Partials are exact int64 prefix sums of m1 and m1²,
+    so the float expression ``(ss - s·s/k)/k`` is evaluated from identical
+    exact integers on both engine and oracle sides (bit-equal); var ≤ 0
+    (k = 1, or all-equal prefix) → NaN/NULL.
+    """
+    v = ctx.get(M1)
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        v = v.to_numpy(zero_copy_only=False)
+    m1_i = np.asarray(v, dtype=np.int64)
+    s = group_cumsum(m1_i, ctx.starts, ctx.lengths).astype(np.float64)
+    ss = group_cumsum(m1_i * m1_i, ctx.starts, ctx.lengths).astype(np.float64)
+    pos = np.arange(ctx.n, dtype=np.int64) - np.repeat(ctx.starts, ctx.lengths)
+    k = (pos + 1).astype(np.float64)
+    var = (ss - s * s / k) / k
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (m1_i.astype(np.float64) - s / k) / np.sqrt(var)
+    z[~(var > 0)] = np.nan
+    return z
+
+
 # --- sessionization / segmentation ------------------------------------------
 
 

@@ -1,0 +1,156 @@
+"""Round-3 operators: EWMA / expanding z-score kernels, grid resample,
+greedy sequence packing, char entropy."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ptrail_ray.stages.kernels import EWMA_ALPHA, featurize
+
+
+@pytest.fixture(scope="module")
+def smooth_out(synth_ds):
+    out = featurize(synth_ds, ["ewma_m1", "zexp_m1", "m1"], num_buckets=8).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+
+
+def test_ewma_matches_recursion(smooth_out):
+    """Engine EWMA == the scalar recursion y_t = (1-α)y_{t-1} + αx_t,
+    bit-for-bit (dyadic α)."""
+    for _, g in smooth_out.groupby("conv_id", sort=False):
+        x = g["m1"].to_numpy(np.float64)
+        y = np.empty_like(x)
+        y[0] = x[0]
+        for i in range(1, len(x)):
+            y[i] = (1.0 - EWMA_ALPHA) * y[i - 1] + EWMA_ALPHA * x[i]
+        assert (g["ewma_m1"].to_numpy() == y).all()
+
+
+def test_zexp_matches_expanding_stats(smooth_out):
+    """Expanding z-score == pandas expanding mean/population-std; first
+    row (and any all-equal prefix) is NaN."""
+    for _, g in smooth_out.groupby("conv_id", sort=False):
+        x = pd.Series(g["m1"].to_numpy(np.float64))
+        mean = x.expanding().mean()
+        std = x.expanding().std(ddof=0)
+        exp = ((x - mean) / std).where(std > 0, np.nan).to_numpy()
+        got = g["zexp_m1"].to_numpy()
+        assert np.isnan(got[0])
+        m = ~np.isnan(exp)
+        assert (np.isnan(got) == ~m).all()
+        assert np.allclose(got[m], exp[m], rtol=1e-9, atol=1e-12)
+
+
+def test_ewma_leakage_free(smooth_out, synth_pdf, ray_session):
+    """Truncating each conversation leaves every surviving EWMA/z-score
+    value unchanged (past-only recursion)."""
+    import ray.data as rd
+
+    kmap = {
+        cid: max(int(g["turn_idx"].max() // 2), 0)
+        for cid, g in synth_pdf.groupby("conv_id")
+    }
+    keep = synth_pdf["turn_idx"] <= synth_pdf["conv_id"].map(kmap)
+    prefix = (
+        featurize(rd.from_pandas(synth_pdf[keep]), ["ewma_m1", "zexp_m1"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "ts"])
+        .reset_index(drop=True)
+    )
+    full_keep = (
+        smooth_out[smooth_out["turn_idx"] <= smooth_out["conv_id"].map(kmap)]
+        .sort_values(["conv_id", "turn_idx", "ts"])
+        .reset_index(drop=True)
+    )
+    for c in ("ewma_m1", "zexp_m1"):
+        a, b = prefix[c].to_numpy(), full_keep[c].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_resample_last_per_window(synth_ds, synth_pdf):
+    from ptrail_ray.stages.resample import resample_last
+
+    out = resample_last(synth_ds, width_s=60.0, num_buckets=4).to_pandas()
+    pdf = synth_pdf.copy()
+    pdf["window_ts"] = pdf["ts"].dt.floor("60s")
+    exp = (
+        pdf.sort_values(["conv_id", "window_ts", "turn_idx", "ts"])
+        .groupby(["conv_id", "window_ts"], sort=False)
+        .tail(1)
+    )
+    assert len(out) == len(exp)
+    got = out.sort_values(["conv_id", "window_ts"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "window_ts"]).reset_index(drop=True)
+    assert (got["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+    assert (got["text"].to_numpy() == exp["text"].to_numpy()).all()  # byte-equal
+
+
+def test_resample_non_monotone_ts():
+    """A window revisited out of turn order still yields one row (the
+    max-turn_idx one)."""
+    from ptrail_ray.stages.resample import resample_last_kernel
+
+    t = pa.table(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "ts": pa.array(
+                [0, 120_000_000, 30_000_000, 125_000_000], pa.timestamp("us")
+            ),
+        }
+    )
+    out = resample_last_kernel(t).to_pandas()
+    assert sorted(out["turn_idx"].tolist()) == [2, 3]  # win0 -> turn2, win2 -> turn3
+
+
+def test_pack_greedy_recursion_equivalence():
+    from ptrail_ray.functions.pack import pack_runs_kernel
+
+    rng = np.random.default_rng(7)
+    tok = rng.integers(0, 1500, 400)  # includes zero-token and oversize docs
+    tbl = pa.table(
+        {
+            "source": pa.array(["a"] * 250 + ["b"] * 150),
+            "doc_id": pa.array(range(400), pa.int64()),
+            "n_tokens": pa.array(tok, pa.int64()),
+        }
+    )
+    got = pack_runs_kernel(tbl, budget=1024, key_col="source")["bin_id"].to_numpy()
+    exp = np.empty(400, np.int64)
+    for lo, hi in ((0, 250), (250, 400)):
+        fill, b = 0, 0
+        for i in range(lo, hi):
+            tk = int(tok[i])
+            if fill > 0 and fill + tk > 1024:
+                b += 1
+                fill = tk
+            else:
+                fill += tk
+            exp[i] = b
+    assert (got == exp).all()
+    # every bin except possibly oversize singletons fits the budget
+    df = pd.DataFrame({"src": tbl["source"].to_pylist(), "b": got, "tok": tok})
+    sums = df.groupby(["src", "b"]).agg(total=("tok", "sum"), n=("tok", "size"))
+    assert ((sums["total"] <= 1024) | (sums["n"] == 1)).all()
+
+
+def test_char_entropy_values():
+    from ptrail_ray.functions.textstats import char_entropy_batch
+
+    texts = ["hello world", "", None, "aaa", "ab", "日本語テキスト x", "a"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    got = char_entropy_batch(t)["char_entropy"].to_pylist()
+    for s, e in zip(texts, got):
+        s = s or ""
+        c = Counter(s)
+        ref = (
+            -sum((v / len(s)) * math.log2(v / len(s)) for v in c.values()) if s else 0.0
+        )
+        assert abs(e - ref) < 1e-12
+        assert not (e == 0.0 and math.copysign(1.0, e) < 0)  # no -0.0
