@@ -2888,3 +2888,90 @@ SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
 FROM d LEFT JOIN e USING (doc_id)
 """
 QUERIES["q_char_entropy"] = q_char_entropy
+
+
+def q_roll_corr(sf_dir):
+    """Rolling 8-turn cross-channel Pearson correlation
+    (stages/kernels.py corr8_m1_m2) — exact int64 windowed partials,
+    bit-equal to the explicit-sum SQL windows."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(
+        ds, ["corr8_m1_m2"], num_buckets=16, gap_seconds=GAP, segment_seconds=SEG
+    )
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "corr8_m1_m2"]),
+        round_columns=["corr8_m1_m2"],
+    )
+
+
+ORACLE_SQL["q_roll_corr"] = f"""
+WITH {FEATURES_SQL},
+s AS (
+  SELECT conv_id, turn_idx,
+         -- DOUBLE sums are exact here (≤8 integer terms ≤1e8 each, every
+         -- partial < 2^53), avoiding DuckDB's HUGEINT window path
+         sum(CAST(m1 AS DOUBLE)) OVER w AS sx,
+         sum(CAST(m2 AS DOUBLE)) OVER w AS sy,
+         sum(CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)) OVER w AS sxx,
+         sum(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) OVER w AS syy,
+         sum(CAST(m1 AS DOUBLE) * CAST(m2 AS DOUBLE)) OVER w AS sxy,
+         CAST(least(rn, 8) AS DOUBLE) AS nn
+  FROM feat
+  WINDOW w AS ({W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN (sxx - sx * sx / nn) > 0 AND (syy - sy * sy / nn) > 0
+            THEN round((sxy - sx * sy / nn)
+                       / sqrt((sxx - sx * sx / nn) * (syy - sy * sy / nn)), 6) + 0.0
+            ELSE NULL END AS corr8_m1_m2
+FROM s
+"""
+QUERIES["q_roll_corr"] = q_roll_corr
+
+
+QBIN_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_quantile_bin(sf_dir):
+    """Global quantile (decile) binning of delta_t — feature
+    discretization against EXACT distributed quantiles
+    (stages/quantiles.py, two streaming passes; thresholds broadcast
+    into a narrow vectorized binning stage). bin = #thresholds strictly
+    below the value; NULL delta_t -> NULL bin."""
+    ds = _featurized(sf_dir).materialize()
+    from ptrail_ray.stages.quantiles import exact_quantiles
+
+    ths = exact_quantiles(ds, "delta_t", QBIN_QS)
+    th_arr = np.asarray(ths, dtype=np.float64)
+
+    def binize(t: pa.Table) -> pa.Table:
+        v = t["delta_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = (v[:, None] > th_arr[None, :]).sum(axis=1).astype(np.int64)
+        arr = pa.array(bins, type=pa.int64(), mask=np.isnan(v))
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "delta_t": t["delta_t"],
+                "dt_bin": arr,
+            }
+        )
+
+    return finalize(ds.map_batches(binize, batch_format="pyarrow", batch_size=None))
+
+
+ORACLE_SQL["q_quantile_bin"] = f"""
+WITH {FEATURES_SQL},
+th AS (
+  SELECT {", ".join(f"quantile_cont(delta_t, {q}) AS t{i}" for i, q in enumerate(QBIN_QS))}
+  FROM feat
+)
+SELECT conv_id, turn_idx, delta_t,
+       CASE WHEN delta_t IS NULL THEN NULL ELSE CAST(
+         {" + ".join(f"CASE WHEN delta_t > t{i} THEN 1 ELSE 0 END" for i in range(9))}
+       AS BIGINT) END AS dt_bin
+FROM feat, th
+"""
+QUERIES["q_quantile_bin"] = q_quantile_bin

@@ -294,6 +294,53 @@ def _roll5_mean_m1(ctx: KernelContext):
     return (c - prev) / denom
 
 
+# --- rolling cross-channel correlation ---------------------------------------
+
+CORR_W = 8
+
+
+@register("corr8_m1_m2", deps=(M1, M2))
+def _corr8_m1_m2(ctx: KernelContext):
+    """Rolling Pearson correlation of the two measure channels over the
+    last CORR_W turns (current inclusive, truncated at the conversation
+    start) — the cross-channel interplay feature the reference's
+    two-channel design (Distance chain × Bearing chain) gestures at but
+    never computes. Past-only (leakage-safe).
+
+    All five windowed sums (Σx, Σy, Σx², Σy², Σxy) are exact int64
+    prefix-sum differences, so the float expression
+    ``(Sxy - SxSy/n) / sqrt((Sxx - Sx²/n)(Syy - Sy²/n))`` is evaluated
+    from identical exact integers on engine and oracle sides
+    (bit-equal); degenerate windows (either variance ≤ 0) → NaN/NULL.
+    """
+
+    def ints(name):
+        v = ctx.get(name)
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            v = v.to_numpy(zero_copy_only=False)
+        return np.asarray(v, dtype=np.int64)
+
+    x, y = ints(M1), ints(M2)
+    pos = np.arange(ctx.n, dtype=np.int64) - np.repeat(ctx.starts, ctx.lengths)
+    idx_prev = np.maximum(np.arange(ctx.n, dtype=np.int64) - CORR_W, 0)
+
+    def wsum(v: np.ndarray) -> np.ndarray:
+        c = group_cumsum(v, ctx.starts, ctx.lengths)
+        prev = np.where(pos >= CORR_W, c[idx_prev], np.int64(0))
+        return (c - prev).astype(np.float64)
+
+    sx, sy = wsum(x), wsum(y)
+    sxx, syy, sxy = wsum(x * x), wsum(y * y), wsum(x * y)
+    nn = np.minimum(pos + 1, CORR_W).astype(np.float64)
+    vx = sxx - sx * sx / nn
+    vy = syy - sy * sy / nn
+    cov = sxy - sx * sy / nn
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov / np.sqrt(vx * vy)
+    corr[~((vx > 0) & (vy > 0))] = np.nan
+    return corr
+
+
 # --- exponential smoothing / expanding normalization ------------------------
 
 # dyadic α: (1-α) and α are exact binary fractions and (1-α)+α == 1.0

@@ -154,3 +154,46 @@ def test_char_entropy_values():
         )
         assert abs(e - ref) < 1e-12
         assert not (e == 0.0 and math.copysign(1.0, e) < 0)  # no -0.0
+
+
+def test_corr8_matches_pandas_rolling(synth_ds):
+    out = featurize(synth_ds, ["m1", "m2", "corr8_m1_m2"], num_buckets=8).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+    for _, g in out.groupby("conv_id", sort=False):
+        x = pd.Series(g["m1"].to_numpy(np.float64))
+        y = pd.Series(g["m2"].to_numpy(np.float64))
+        exp = x.rolling(8, min_periods=1).corr(y).to_numpy()
+        exp[~np.isfinite(exp)] = np.nan
+        got = g["corr8_m1_m2"].to_numpy()
+        m = ~np.isnan(exp)
+        assert (np.isnan(got) == ~m).all()
+        assert np.allclose(got[m], exp[m], rtol=1e-8, atol=1e-10)
+
+
+def test_corr8_leakage_free(synth_ds, synth_pdf, ray_session):
+    import ray.data as rd
+
+    full = (
+        featurize(synth_ds, ["corr8_m1_m2"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "ts"])
+        .reset_index(drop=True)
+    )
+    kmap = {
+        cid: max(int(g["turn_idx"].max() // 2), 0)
+        for cid, g in synth_pdf.groupby("conv_id")
+    }
+    keep = synth_pdf["turn_idx"] <= synth_pdf["conv_id"].map(kmap)
+    prefix = (
+        featurize(rd.from_pandas(synth_pdf[keep]), ["corr8_m1_m2"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "ts"])
+        .reset_index(drop=True)
+    )
+    full_keep = (
+        full[full["turn_idx"] <= full["conv_id"].map(kmap)]
+        .sort_values(["conv_id", "turn_idx", "ts"])
+        .reset_index(drop=True)
+    )
+    a, b = prefix["corr8_m1_m2"].to_numpy(), full_keep["corr8_m1_m2"].to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
