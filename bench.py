@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "q_decontam",
     "q_centroid_assign",
     "q_semantic_neardup",
+    "q_ewma",
+    "q_roll_corr",
+    "q_resample",
+    "q_pack_greedy",
+    "q_char_entropy",
+    "q_topk_turns",
+    "q_top_bigrams",
 ]
 
 

@@ -2975,3 +2975,65 @@ SELECT conv_id, turn_idx, delta_t,
 FROM feat, th
 """
 QUERIES["q_quantile_bin"] = q_quantile_bin
+
+
+def q_topk_turns(sf_dir):
+    """Per-conversation top-3 turns by m1 (grouped top-k without a
+    global sort — stages/stats.topk_per_conv)."""
+    from ptrail_ray.stages.kernels import featurize
+    from ptrail_ray.stages.stats import topk_per_conv
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["m1"], num_buckets=16)
+    out = topk_per_conv(ds, col="m1", k=3, num_buckets=16)
+    return finalize(out.select_columns(["conv_id", "turn_idx", "m1", "rank"]))
+
+
+ORACLE_SQL["q_topk_turns"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY length(coalesce(text, '')) DESC,
+           turn_idx ASC) AS rank
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, m1, rank FROM m WHERE rank <= 3
+"""
+QUERIES["q_topk_turns"] = q_topk_turns
+
+
+def q_top_bigrams(sf_dir):
+    """Corpus top-30 adjacent-token bigrams (heavy hitters;
+    functions/textstats.top_bigrams) — int-coded pair counts per
+    batch, one bigram-keyed exchange, bounded driver merge."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import top_bigrams
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = top_bigrams(docs, k=30)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_top_bigrams"] = """
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 30
+"""
+QUERIES["q_top_bigrams"] = q_top_bigrams

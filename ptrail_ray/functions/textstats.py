@@ -364,3 +364,53 @@ def add_char_entropy(ds, *, batch_size: int = ENTROPY_BATCH):
     return ds.map_batches(
         char_entropy_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def top_bigrams(ds, *, k: int = 30, text_col: str = "text", num_buckets: int = 32):
+    """Corpus-wide top-k adjacent-token bigrams (heavy hitters).
+
+    Same pre-aggregation shape as ``top_terms``: per-batch partial
+    (adjacent join of the flat token stream, masked at document
+    boundaries, counted per distinct bigram via ``np.unique`` over
+    dictionary codes), ONE hash-bucket exchange on the bigram string,
+    bounded per-bucket top-k, driver merge ≤ num_buckets × k rows.
+    Ties break by bigram ascending (deterministic, SQL-replicable).
+    """
+    from ptrail_ray.functions.tokenize import encoded_tokens
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, vocab, idx = encoded_tokens(t[text_col])
+        empty = pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if len(codes) < 2:
+            return empty
+        same_doc = idx[1:] == idx[:-1]
+        if not same_doc.any():
+            return empty
+        a, b = codes[:-1][same_doc], codes[1:][same_doc]
+        # count per distinct (a, b) code pair — ints, never strings
+        key = a * np.int64(len(vocab)) + b
+        uniq, counts = np.unique(key, return_counts=True)
+        ua, ub = uniq // len(vocab), uniq % len(vocab)
+        big = pc.binary_join_element_wise(
+            pc.take(vocab, pa.array(ua, pa.int64())).cast(pa.string()),
+            pc.take(vocab, pa.array(ub, pa.int64())).cast(pa.string()),
+            " ",
+        )
+        return pa.table({"bigram": big, "n": pa.array(counts.astype(np.int64))})
+
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", as_index=False, sort=False)["n"].sum()
+        g = g.sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+    bucket_tops = grouped_agg_by_bucket(
+        parts, "bigram", combine_topk, num_buckets=num_buckets
+    ).to_pandas()
+    out = bucket_tops.sort_values(
+        ["n", "bigram"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return out.reset_index(drop=True)

@@ -33,6 +33,7 @@ from ptrail_ray.schema import (
     TEXT,
     TOOL,
     TS,
+    TURN_IDX,
 )
 from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
 
@@ -394,3 +395,33 @@ def path_sum_by_date_and_conv(ds, conv_id: str, date: str | None = None):
         day_filter, batch_format="pyarrow", batch_size=None
     ).repartition(1)
     return day.map_batches(path_sum, batch_size=None, batch_format="pyarrow")
+
+
+def topk_per_conv(ds, *, col: str, k: int = 3, num_buckets: int = 32):
+    """Per-conversation top-k rows by ``col`` (desc, ties by turn_idx
+    asc) with a dense rank — grouped top-k without a global sort: one
+    conv-bucket exchange, then a vectorized lexsort + position-in-run
+    rank per bucket (no per-group Python)."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("rank", pa.array([], pa.int64()))
+        starts, lengths = conv_runs(t[CONV_ID])
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        v = t[col].to_numpy(zero_copy_only=False)
+        turn = t[TURN_IDX].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((turn, -v, run_id))
+        rid_o = run_id[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = rid_o[1:] != rid_o[:-1]
+        run_start_pos = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        rank = np.arange(n, dtype=np.int64) - run_start_pos[grp] + 1
+        keep = rank <= k
+        out = t.take(pa.array(order[keep], type=pa.int64()))
+        return out.append_column("rank", pa.array(rank[keep], type=pa.int64()))
+
+    return map_conv_buckets(ds, kern, num_buckets=num_buckets)

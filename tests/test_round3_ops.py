@@ -197,3 +197,38 @@ def test_corr8_leakage_free(synth_ds, synth_pdf, ray_session):
     )
     a, b = prefix["corr8_m1_m2"].to_numpy(), full_keep["corr8_m1_m2"].to_numpy()
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_topk_per_conv(synth_ds, synth_pdf):
+    from ptrail_ray.stages.stats import topk_per_conv
+
+    ds = featurize(synth_ds, ["m1"], num_buckets=4)
+    out = topk_per_conv(ds, col="m1", k=3, num_buckets=4).to_pandas()
+    pdf = synth_pdf.copy()
+    pdf["m1"] = pdf["text"].fillna("").str.len().astype("int64")
+    exp = (
+        pdf.sort_values(["conv_id", "m1", "turn_idx"], ascending=[True, False, True])
+        .groupby("conv_id", sort=False)
+        .head(3)
+    )
+    assert len(out) == len(exp)
+    got = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+    assert out.groupby("conv_id")["rank"].max().le(3).all()
+
+
+def test_top_bigrams_counts(ray_session):
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import top_bigrams
+
+    texts = ["a b a b c", "b c b c", "x", "", None, "a b"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)})
+    )
+    out = top_bigrams(ds, k=10, num_buckets=2)
+    got = dict(zip(out["bigram"], out["n"]))
+    assert got == {"a b": 3, "b c": 3, "b a": 1, "c b": 1}
+    # deterministic tie order: count desc then bigram asc
+    assert out["bigram"].tolist()[:2] == ["a b", "b c"]
