@@ -3037,3 +3037,44 @@ FROM b GROUP BY bigram
 ORDER BY n DESC, bigram ASC LIMIT 30
 """
 QUERIES["q_top_bigrams"] = q_top_bigrams
+
+
+def q_hll_distinct(sf_dir):
+    """HyperLogLog distinct count (functions/sketch.py), SELF-CHECKED
+    against the exact distinct computed on the same input: raises if
+    relative error > 2.5% (p=14 ⇒ σ ≈ 0.8%). Deliberately has no SQL
+    oracle (the sketch is approximate by design and SipHash is not
+    available to DuckDB); the returned row carries both counts and the
+    measured error so the driver's rows-only check evidences the bound.
+    The estimate itself is DETERMINISTIC: stable hash + max-merge is
+    order/split/retry-independent."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.sketch import hll_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    est = hll_distinct(ev, "user_id")
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["user_id"])
+        return pa.table({"user_id": u})
+
+    parts = ev.map_batches(
+        distinct_partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    exact = int(parts["user_id"].nunique())
+    rel_err = abs(est - exact) / exact
+    assert rel_err <= 0.025, f"HLL error {rel_err:.4f} > 2.5% ({est} vs {exact})"
+    return pd.DataFrame(
+        {
+            "column": ["user_id"],
+            "n_exact": [exact],
+            "n_hll": [float(est)],
+            "rel_err": [float(rel_err)],
+        }
+    )
+
+
+QUERIES["q_hll_distinct"] = q_hll_distinct

@@ -232,3 +232,18 @@ def test_top_bigrams_counts(ray_session):
     assert got == {"a b": 3, "b c": 3, "b a": 1, "c b": 1}
     # deterministic tie order: count desc then bigram asc
     assert out["bigram"].tolist()[:2] == ["a b", "b c"]
+
+
+def test_hll_accuracy_and_merge_independence():
+    from ptrail_ray.functions.sketch import hll_estimate, hll_partial
+
+    rng = np.random.default_rng(0)
+    for true_n in (100, 5000, 200_000):
+        vals = np.unique(rng.integers(0, 10**15, true_n * 3))[:true_n]
+        regs = np.zeros(1 << 14, np.uint8)
+        for part in np.array_split(vals, 7):  # merged partials ...
+            np.maximum(regs, hll_partial(part), out=regs)
+        single = hll_partial(vals)  # ... == one pass (order/split-free)
+        assert (single == regs).all()
+        est = hll_estimate(regs)
+        assert abs(est - true_n) / true_n < 0.03
