@@ -3078,3 +3078,39 @@ def q_hll_distinct(sf_dir):
 
 
 QUERIES["q_hll_distinct"] = q_hll_distinct
+
+
+def q_diversity(sf_dir):
+    """Expanding per-conv diversity counters (stages/kernels.py
+    ntools_seen / nswitches): distinct tools seen so far + speaker
+    switches so far — exact ints, leakage-safe."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["ntools_seen", "nswitches"], num_buckets=16)
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "ntools_seen", "nswitches"])
+    )
+
+
+ORACLE_SQL["q_diversity"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+t AS (
+  SELECT conv_id, turn_idx, ts,
+         coalesce(tool, '') AS tool_c, coalesce(role, '') AS role_c
+  FROM transcripts
+),
+f AS (
+  SELECT *,
+         CASE WHEN row_number() OVER (
+                PARTITION BY conv_id, tool_c ORDER BY turn_idx, ts) = 1
+              THEN 1 ELSE 0 END AS first_tool,
+         CASE WHEN role_c <> lag(role_c) OVER ({W}) THEN 1 ELSE 0 END AS switch
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(sum(first_tool) OVER ({WF}) AS BIGINT) AS ntools_seen,
+       CAST(sum(switch) OVER ({WF}) AS BIGINT) AS nswitches
+FROM f
+"""
+QUERIES["q_diversity"] = q_diversity

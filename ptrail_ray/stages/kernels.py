@@ -294,6 +294,46 @@ def _roll5_mean_m1(ctx: KernelContext):
     return (c - prev) / denom
 
 
+# --- expanding diversity counters (novelty signals) --------------------------
+
+
+@register("ntools_seen", deps=(), dtype=pa.int64())
+def _ntools_seen(ctx: KernelContext):
+    """Distinct tools seen so far in the conversation (current turn
+    inclusive) — an expanding novelty counter (null tool counts as one
+    category, coalesced to '' to pin SQL semantics). Vectorized: one
+    factorize + np.unique(first-index) over packed (run, tool) keys,
+    then a per-run cumsum of the first-occurrence flags. Exact ints;
+    leakage-safe (past-only)."""
+    import pandas as pd
+
+    tool = pc.fill_null(ctx.table[TOOL], "")
+    codes, _ = pd.factorize(tool.to_numpy(zero_copy_only=False), sort=False)
+    run_id = np.repeat(np.arange(len(ctx.starts), dtype=np.int64), ctx.lengths)
+    key = run_id * (np.int64(codes.max()) + 2 if len(codes) else 1) + codes
+    flag = np.zeros(ctx.n, dtype=np.int64)
+    _, first_idx = np.unique(key, return_index=True)
+    flag[first_idx] = 1
+    return group_cumsum(flag, ctx.starts, ctx.lengths)
+
+
+@register("nswitches", deps=(), dtype=pa.int64())
+def _nswitches(ctx: KernelContext):
+    """Speaker switches so far: expanding count of turns whose role
+    differs from the previous turn's (first turn is not a switch).
+    Exact ints; leakage-safe."""
+    role = pc.fill_null(ctx.table[ROLE], "")
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
+    neq = np.zeros(ctx.n, dtype=np.int64)
+    if ctx.n > 1:
+        neq[1:] = pc.not_equal(role.slice(1), role.slice(0, ctx.n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    neq[ctx.starts] = 0
+    return group_cumsum(neq, ctx.starts, ctx.lengths)
+
+
 # --- rolling cross-channel correlation ---------------------------------------
 
 CORR_W = 8

@@ -247,3 +247,22 @@ def test_hll_accuracy_and_merge_independence():
         assert (single == regs).all()
         est = hll_estimate(regs)
         assert abs(est - true_n) / true_n < 0.03
+
+
+def test_diversity_counters(synth_ds, synth_pdf):
+    out = featurize(synth_ds, ["ntools_seen", "nswitches"], num_buckets=4).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+    pdf = synth_pdf.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+    for cid, g in out.groupby("conv_id", sort=False):
+        src = pdf[pdf["conv_id"] == cid]
+        tools = src["tool"].fillna("").tolist()
+        roles = src["role"].fillna("").tolist()
+        seen, exp_seen, exp_sw, sw = set(), [], [], 0
+        for i, (t, r) in enumerate(zip(tools, roles)):
+            seen.add(t)
+            exp_seen.append(len(seen))
+            if i > 0 and r != roles[i - 1]:
+                sw += 1
+            exp_sw.append(sw)
+        assert g["ntools_seen"].tolist() == exp_seen
+        assert g["nswitches"].tolist() == exp_sw
