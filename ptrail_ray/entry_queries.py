@@ -3114,3 +3114,54 @@ SELECT conv_id, turn_idx,
 FROM f
 """
 QUERIES["q_diversity"] = q_diversity
+
+
+def q_context_pairs(sf_dir):
+    """SFT-style training pairs: for every turn, `context` = up to the
+    3 previous turns' text joined by newline, `target` = the turn's
+    text — a text-payload window op (byte-equal strings, SURVEY §1.3-7)
+    built from the engine's per-run shifted-take indices; one exchange,
+    all-Arrow kernels."""
+    from ptrail_ray.schema import CONV_ID, TEXT
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+    from ptrail_ray.stages.kernels import shifted_indices
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        starts, lengths = conv_runs(t[CONV_ID])
+        txt = t[TEXT]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lags = [pc.take(txt, shifted_indices(n, starts, lengths, k)) for k in (3, 2, 1)]
+        # context = Σ over existing lags of (lag_k + '\n'), last lag bare —
+        # the SQL replica is coalesce(lag||chr(10),'') || ... || coalesce(lag1,'')
+        empty = pa.scalar("", pa.string())
+        parts = [
+            pc.if_else(pc.is_null(lg), empty, pc.binary_join_element_wise(lg, "\n", ""))
+            for lg in lags[:2]
+        ] + [pc.coalesce(lags[2], empty)]
+        context = pc.binary_join_element_wise(*parts, "")
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "context": context,
+                "target": txt,
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_context_pairs"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       coalesce(lag(text, 3) OVER ({W}) || chr(10), '')
+       || coalesce(lag(text, 2) OVER ({W}) || chr(10), '')
+       || coalesce(lag(text, 1) OVER ({W}), '') AS context,
+       text AS target
+FROM transcripts
+"""
+QUERIES["q_context_pairs"] = q_context_pairs

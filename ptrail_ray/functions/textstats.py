@@ -227,7 +227,14 @@ def add_fingerprint(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=TEXT_BATCH)
 
 
-def top_terms(ds, *, k: int = 50, text_col: str = "text", num_buckets: int = 32):
+def top_terms(
+    ds,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    batch_size: int | None = 1 << 18,
+):
     """Corpus-wide top-k terms by occurrence count (heavy hitters).
 
     The canonical pre-aggregation shape: a narrow vectorized PARTIAL
@@ -238,6 +245,14 @@ def top_terms(ds, *, k: int = 50, text_col: str = "text", num_buckets: int = 32)
     so the global top-k is contained in the union of per-bucket top-ks
     and the driver merge is bounded at num_buckets × k rows.
     Ties break by term ascending (deterministic, SQL-replicable).
+
+    ``batch_size``: the 1<<18 default coalesces the parquet reader's
+    ~10k-row sliver batches (CLAUDE.md perf rule). For datasets already
+    materialized as MANY SMALL BLOCKS (e.g. ``from_pandas(...,
+    override_num_blocks=N)``) pass ``None`` — coalescing across blocks
+    funnels the whole input into ONE task and stalls in Ray's bundling
+    path (measured 0.4 s per-block vs 23-60 s coalesced on a 100k-doc
+    64-block corpus; BASELINE.md r03).
     """
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
     from ptrail_ray.functions.tokenize import encoded_tokens
@@ -261,7 +276,7 @@ def top_terms(ds, *, k: int = 50, text_col: str = "text", num_buckets: int = 32)
         g = g.sort_values(["n", "term"], ascending=[False, True], kind="stable")
         return g.head(k)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     bucket_tops = grouped_agg_by_bucket(
         parts, "term", combine_topk, num_buckets=num_buckets
     ).to_pandas()
@@ -366,7 +381,14 @@ def add_char_entropy(ds, *, batch_size: int = ENTROPY_BATCH):
     )
 
 
-def top_bigrams(ds, *, k: int = 30, text_col: str = "text", num_buckets: int = 32):
+def top_bigrams(
+    ds,
+    *,
+    k: int = 30,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    batch_size: int | None = 1 << 18,
+):
     """Corpus-wide top-k adjacent-token bigrams (heavy hitters).
 
     Same pre-aggregation shape as ``top_terms``: per-batch partial
@@ -375,6 +397,8 @@ def top_bigrams(ds, *, k: int = 30, text_col: str = "text", num_buckets: int = 3
     dictionary codes), ONE hash-bucket exchange on the bigram string,
     bounded per-bucket top-k, driver merge ≤ num_buckets × k rows.
     Ties break by bigram ascending (deterministic, SQL-replicable).
+    ``batch_size`` semantics: see ``top_terms`` (None for many-small-
+    block inputs).
     """
     from ptrail_ray.functions.tokenize import encoded_tokens
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
@@ -406,7 +430,7 @@ def top_bigrams(ds, *, k: int = 30, text_col: str = "text", num_buckets: int = 3
         g = g.sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
         return g.head(k)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     bucket_tops = grouped_agg_by_bucket(
         parts, "bigram", combine_topk, num_buckets=num_buckets
     ).to_pandas()
