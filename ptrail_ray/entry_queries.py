@@ -3165,3 +3165,35 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 """
 QUERIES["q_context_pairs"] = q_context_pairs
+
+
+def q_time_window(sf_dir):
+    """Trailing 1-hour time-RANGE window aggregates per conv
+    (stages/kernels.py win1h_count / win1h_sum_m1): the time-radius
+    neighborhood analog of the reference's point-within-range feature.
+    One global composite-key searchsorted per bucket — no per-conv loop."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["win1h_count", "win1h_sum_m1"], num_buckets=16)
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "win1h_count", "win1h_sum_m1"])
+    )
+
+
+ORACLE_SQL["q_time_window"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CAST(count(*) OVER w AS BIGINT) AS win1h_count,
+       CAST(sum(m1) OVER w AS BIGINT) AS win1h_sum_m1
+FROM m
+WINDOW w AS (
+  PARTITION BY conv_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+QUERIES["q_time_window"] = q_time_window

@@ -294,6 +294,71 @@ def _roll5_mean_m1(ctx: KernelContext):
     return (c - prev) / denom
 
 
+# --- trailing time-range window aggregates ------------------------------------
+
+WIN_RANGE_US = np.int64(3_600_000_000)  # 1 hour
+# composite (run, ts) key: run_id in the top 13 bits, ts_us (< 2^51,
+# good through 2041) below — globally monotone when each run's segment
+# is ts-sorted, so BOTH range-window bounds come from ONE global
+# searchsorted instead of a per-conversation loop
+_TS_BITS = np.int64(51)
+
+
+def _run_ts_index(ctx: KernelContext):
+    """(order, key_sorted, ts_sorted_idx) for trailing-range windows."""
+    key = ("_idx", "run_ts")
+    if key not in ctx._cache:
+        ts = ctx.ts_us()
+        run_id = np.repeat(
+            np.arange(len(ctx.starts), dtype=np.int64), ctx.lengths
+        )
+        if len(ctx.starts) >= (1 << 12):  # 13-bit headroom check
+            raise ValueError(
+                f"too many conversations in one bucket for the composite "
+                f"range-window key ({len(ctx.starts)} >= 4096); raise "
+                f"num_buckets"
+            )
+        comp = (run_id << _TS_BITS) | ts
+        order = np.argsort(comp, kind="stable")  # per-run ts-sorted
+        ctx._cache[key] = (run_id, ts, order, comp[order])
+    return ctx._cache[key]
+
+
+@register("win1h_count", deps=(), dtype=pa.int64())
+def _win1h_count(ctx: KernelContext):
+    """Turns in the trailing hour: count of this conversation's turns
+    with ts in [ts_i − 1 h, ts_i] (inclusive, ties included — SQL RANGE
+    frame semantics). The time-radius neighborhood analog of the
+    reference's point-within-range feature
+    (kinematic_features.py:329-371), on the time axis. Exact ints;
+    robust to ts non-monotone in turn order. NOTE: like any SQL RANGE
+    frame this includes ts-peers, so a simultaneous LATER turn is
+    counted — time-causal, but not strictly turn-prefix-safe at ties
+    (excluded from the prefix-truncation leakage tests for that reason).
+    """
+    run_id, ts, order, comp_sorted = _run_ts_index(ctx)
+    base = run_id << _TS_BITS
+    hi = np.searchsorted(comp_sorted, base | ts, side="right")
+    lo = np.searchsorted(comp_sorted, base | np.maximum(ts - WIN_RANGE_US, 0), side="left")
+    return hi - lo
+
+
+@register("win1h_sum_m1", deps=(M1,), dtype=pa.int64())
+def _win1h_sum_m1(ctx: KernelContext):
+    """Σ m1 over the same trailing-hour range window — exact int64
+    prefix sums over the per-run ts-sorted order."""
+    run_id, ts, order, comp_sorted = _run_ts_index(ctx)
+    v = ctx.get(M1)
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        v = v.to_numpy(zero_copy_only=False)
+    m1_sorted = np.asarray(v, dtype=np.int64)[order]
+    pre = np.concatenate(([0], np.cumsum(m1_sorted)))
+    base = run_id << _TS_BITS
+    hi = np.searchsorted(comp_sorted, base | ts, side="right")
+    lo = np.searchsorted(comp_sorted, base | np.maximum(ts - WIN_RANGE_US, 0), side="left")
+    return pre[hi] - pre[lo]
+
+
 # --- expanding diversity counters (novelty signals) --------------------------
 
 

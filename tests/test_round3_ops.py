@@ -266,3 +266,18 @@ def test_diversity_counters(synth_ds, synth_pdf):
             exp_sw.append(sw)
         assert g["ntools_seen"].tolist() == exp_seen
         assert g["nswitches"].tolist() == exp_sw
+
+
+def test_time_range_window(synth_ds, synth_pdf):
+    """win1h_count/sum == brute-force per-conv time-radius counts
+    (inclusive bounds, ties included), incl. the dup-ts edge convs."""
+    out = featurize(synth_ds, ["win1h_count", "win1h_sum_m1", "m1"], num_buckets=4)
+    out = out.to_pandas().sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+    for cid, g in out.groupby("conv_id", sort=False):
+        ts = g["ts"].astype("int64").to_numpy()  # us
+        m1 = g["m1"].to_numpy(np.int64)
+        w = np.int64(3600) * 1_000_000  # ts is datetime64[us]
+        for i in range(len(g)):
+            m = (ts >= ts[i] - w) & (ts <= ts[i])
+            assert g["win1h_count"].iloc[i] == m.sum()
+            assert g["win1h_sum_m1"].iloc[i] == m1[m].sum()
