@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "q_char_entropy",
     "q_topk_turns",
     "q_top_bigrams",
+    "q_diversity",
+    "q_time_window",
+    "q_context_pairs",
+    "q_quantile_bin",
+    "q_hll_distinct",
 ]
 
 
