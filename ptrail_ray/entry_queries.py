@@ -3197,3 +3197,59 @@ WINDOW w AS (
   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
 QUERIES["q_time_window"] = q_time_window
+
+
+def q_tool_transitions(sf_dir):
+    """Corpus-wide tool-transition matrix: counts of consecutive
+    (prev tool → tool) pairs within conversations (first turns
+    excluded; null tool ≡ ''). Per-bucket vectorized pair extraction +
+    bounded pandas partials; driver combine is catalog²-bounded."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "from_tool": pa.array([], pa.string()),
+                    "to_tool": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        starts, _ = conv_runs(t[CONV_ID])
+        tool = pc.fill_null(t[TOOL], "")
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        df = pd.DataFrame(
+            {
+                "from_tool": tool.slice(0, n - 1).to_pandas(),
+                "to_tool": tool.slice(1).to_pandas(),
+            }
+        )[keep[1:]]  # boolean mask of length n-1 (row i = pair ending at i+1)
+        g = df.groupby(["from_tool", "to_tool"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    out = parts.groupby(["from_tool", "to_tool"], as_index=False, sort=False)["n"].sum()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tool_transitions"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT lag(coalesce(tool, '')) OVER ({W}) AS from_tool,
+         coalesce(tool, '') AS to_tool,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+)
+SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE rn > 1 GROUP BY from_tool, to_tool
+"""
+QUERIES["q_tool_transitions"] = q_tool_transitions

@@ -281,3 +281,51 @@ def test_time_range_window(synth_ds, synth_pdf):
             m = (ts >= ts[i] - w) & (ts <= ts[i])
             assert g["win1h_count"].iloc[i] == m.sum()
             assert g["win1h_sum_m1"].iloc[i] == m1[m].sum()
+
+
+def test_tool_transitions(synth_ds, synth_pdf, ray_session):
+    """Transition-matrix counts == the pandas per-conv lag/groupby."""
+    import ray.data as rd
+
+    from ptrail_ray.entry_queries import QUERIES  # noqa: F401  (pattern check only)
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    pdf = synth_pdf.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+    t = pdf.assign(tool_c=pdf["tool"].fillna(""))
+    t["from_tool"] = t.groupby("conv_id", sort=False)["tool_c"].shift(1)
+    exp = (
+        t.dropna(subset=["from_tool"])
+        .groupby(["from_tool", "tool_c"], as_index=False)
+        .size()
+        .rename(columns={"tool_c": "to_tool", "size": "n"})
+    )
+
+    def kern(tab):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = tab.num_rows
+        starts, _ = conv_runs(tab[CONV_ID])
+        tool = pc.fill_null(tab[TOOL], "")
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        df = pd.DataFrame(
+            {
+                "from_tool": tool.slice(0, n - 1).to_pandas(),
+                "to_tool": tool.slice(1).to_pandas(),
+            }
+        )[keep[1:]]
+        g = df.groupby(["from_tool", "to_tool"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = map_conv_buckets(synth_ds, kern, num_buckets=4).to_pandas()
+    got = parts.groupby(["from_tool", "to_tool"], as_index=False)["n"].sum()
+    merged = got.merge(exp, on=["from_tool", "to_tool"], how="outer", suffixes=("_g", "_e"))
+    assert merged["n_g"].fillna(-1).equals(merged["n_e"].fillna(-1).astype(merged["n_g"].dtype))
