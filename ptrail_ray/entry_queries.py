@@ -3253,3 +3253,57 @@ SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
 FROM p WHERE rn > 1 GROUP BY from_tool, to_tool
 """
 QUERIES["q_tool_transitions"] = q_tool_transitions
+
+
+GQ_QS = [0.25, 0.5, 0.75, 0.9]
+
+
+def q_grouped_quantiles(sf_dir):
+    """Per-source doc-length quantiles (stages/quantiles.
+    grouped_exact_quantiles): EXACT linear-interp percentiles for every
+    group in one exchange + one vectorized kernel; rounded 6 dp both
+    sides (interp arithmetic is 1-ulp sensitive)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.pack import count_tokens_batch
+    from ptrail_ray.stages.quantiles import grouped_exact_quantiles
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    counted = docs.map_batches(
+        count_tokens_batch, batch_format="pyarrow", batch_size=65536
+    )
+
+    def to_f(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n_tokens"),
+            "n_tokens",
+            pc.cast(t["n_tokens"], pa.float64()),
+        )
+
+    out = grouped_exact_quantiles(
+        counted.map_batches(to_f, batch_format="pyarrow"),
+        "source",
+        "n_tokens",
+        GQ_QS,
+        num_buckets=8,
+    )
+    return finalize(out, round_columns=[f"q{int(q*100)}" for q in GQ_QS])
+
+
+ORACLE_SQL["q_grouped_quantiles"] = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS DOUBLE) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       {", ".join(f"round(quantile_cont(n_tokens, {q}), 6) + 0.0 AS q{int(q*100)}" for q in GQ_QS)}
+FROM d GROUP BY source
+"""
+QUERIES["q_grouped_quantiles"] = q_grouped_quantiles

@@ -115,3 +115,68 @@ def exact_quantiles(
         if ok:
             return out
     raise RuntimeError("exact_quantiles failed to bracket")  # pragma: no cover
+
+
+def grouped_exact_quantiles(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    *,
+    num_buckets: int = 32,
+    out_names: list[str] | None = None,
+):
+    """EXACT linear-interpolation quantiles per group, distributed.
+
+    One key-hash exchange co-locates each group, then ONE vectorized
+    kernel per bucket computes every group's quantiles simultaneously:
+    lexsort by (group, value), per-run rank gather at floor/ceil of
+    k = (n−1)·q, linear interp — no per-group Python. Matches
+    ``quantile_cont`` / ``pandas.Series.quantile`` semantics.
+    NaN values are excluded per group (groups that are all-NaN emit
+    NULL quantiles).
+    """
+    import pyarrow.compute as pc
+
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    names = out_names or [f"q{int(q * 100)}" for q in qs]
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = {key_col: pa.array([], t.schema.field(key_col).type)}
+        empty.update({nm: pa.array([], pa.float64()) for nm in names})
+        if n == 0:
+            return pa.table(empty)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # one row per group key: group runs on the bucket sorted by key
+        kcol = t[key_col]
+        starts, lengths = conv_runs(kcol)
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        nanmask = np.isnan(v)
+        order = np.lexsort((nanmask, v, run_id))  # NaNs sort last per run
+        v_sorted = v[order]
+        valid = np.bincount(run_id[order], weights=~nanmask[order]).astype(np.int64)
+        keys = pc.take(kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol,
+                       pa.array(starts, pa.int64()))
+        cols = {key_col: keys}
+        for q, nm in zip(qs, names):
+            out = np.full(len(starts), np.nan)
+            has = valid > 0
+            k = (valid[has] - 1) * q
+            lo = np.floor(k).astype(np.int64)
+            hi = np.ceil(k).astype(np.int64)
+            base = starts[has]
+            lo_v = v_sorted[base + lo]
+            hi_v = v_sorted[base + hi]
+            out[has] = lo_v + (hi_v - lo_v) * (k - lo)
+            cols[nm] = pa.array(out, pa.float64())
+        return pa.table(cols)
+
+    return map_conv_buckets(
+        ds,
+        kern,
+        num_buckets=num_buckets,
+        key_col=key_col,
+        sort_keys=(key_col,),
+    )

@@ -329,3 +329,27 @@ def test_tool_transitions(synth_ds, synth_pdf, ray_session):
     got = parts.groupby(["from_tool", "to_tool"], as_index=False)["n"].sum()
     merged = got.merge(exp, on=["from_tool", "to_tool"], how="outer", suffixes=("_g", "_e"))
     assert merged["n_g"].fillna(-1).equals(merged["n_e"].fillna(-1).astype(merged["n_g"].dtype))
+
+
+def test_grouped_exact_quantiles(ray_session):
+    import ray.data as rd
+
+    from ptrail_ray.stages.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    keys = rng.choice([f"g{i}" for i in range(7)], n)
+    vals = rng.normal(100, 25, n)
+    vals[rng.random(n) < 0.05] = np.nan  # per-group NaN exclusion
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    out = (
+        grouped_exact_quantiles(rd.from_arrow(t), "k", "v", [0.25, 0.5, 0.9], num_buckets=4)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    for g, grp in pdf.groupby("k"):
+        for q, nm in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            exp = grp["v"].quantile(q)  # pandas linear interp, NaN-skipped
+            assert abs(out.loc[g, nm] - exp) < 1e-9, (g, nm)
