@@ -3307,3 +3307,29 @@ SELECT source,
 FROM d GROUP BY source
 """
 QUERIES["q_grouped_quantiles"] = q_grouped_quantiles
+
+
+def q_roll_median(sf_dir):
+    """Rolling 5-turn median of m1 (robust smoother kernel
+    roll5_med_m1); NULL until the window completes."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["roll5_med_m1"], num_buckets=16)
+    return finalize(ds.select_columns(["conv_id", "turn_idx", "roll5_med_m1"]))
+
+
+ORACLE_SQL["q_roll_median"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN rn >= 5 THEN median(CAST(m1 AS DOUBLE)) OVER (
+         {W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END AS roll5_med_m1
+FROM m
+"""
+QUERIES["q_roll_median"] = q_roll_median

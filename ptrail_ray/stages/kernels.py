@@ -294,6 +294,29 @@ def _roll5_mean_m1(ctx: KernelContext):
     return (c - prev) / denom
 
 
+# --- rolling median (robust smoother) ----------------------------------------
+
+
+@register("roll5_med_m1", deps=(M1,))
+def _roll5_med_m1(ctx: KernelContext):
+    """Rolling median of m1 over the last ROLL_W turns — the robust
+    sibling of roll5_mean_m1 (the reference's Hampel filter uses the
+    same window-median core, preprocessing/filters.py:196-230 analog).
+    NULL until the window is complete (pos < W-1), so windows never
+    cross a conversation boundary. Vectorized: one
+    sliding_window_view + np.median along the window axis."""
+    m1 = _np_of(ctx, M1)
+    out = np.full(ctx.n, np.nan)
+    if ctx.n >= ROLL_W:
+        med = np.median(
+            np.lib.stride_tricks.sliding_window_view(m1, ROLL_W), axis=1
+        )
+        pos = np.arange(ctx.n, dtype=np.int64) - np.repeat(ctx.starts, ctx.lengths)
+        full = pos >= ROLL_W - 1
+        out[full] = med[np.flatnonzero(full) - (ROLL_W - 1)]
+    return out
+
+
 # --- trailing time-range window aggregates ------------------------------------
 
 WIN_RANGE_US = np.int64(3_600_000_000)  # 1 hour

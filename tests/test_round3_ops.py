@@ -353,3 +353,12 @@ def test_grouped_exact_quantiles(ray_session):
         for q, nm in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
             exp = grp["v"].quantile(q)  # pandas linear interp, NaN-skipped
             assert abs(out.loc[g, nm] - exp) < 1e-9, (g, nm)
+
+
+def test_roll_median_matches_pandas(synth_ds):
+    out = featurize(synth_ds, ["m1", "roll5_med_m1"], num_buckets=4).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+    for _, g in out.groupby("conv_id", sort=False):
+        exp = pd.Series(g["m1"].to_numpy(np.float64)).rolling(5).median().to_numpy()
+        got = g["roll5_med_m1"].to_numpy()
+        assert ((got == exp) | (np.isnan(got) & np.isnan(exp))).all()
