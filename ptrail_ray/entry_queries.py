@@ -3333,3 +3333,146 @@ SELECT conv_id, turn_idx,
 FROM m
 """
 QUERIES["q_roll_median"] = q_roll_median
+
+
+def q_lang_confusion(sf_dir):
+    """Language-ID evaluation: confusion matrix of catalog lang vs the
+    engine's stopword-profile prediction — the quality report a corpus
+    pipeline emits before trusting a lang gate. Per-batch bounded
+    partials (|langs|×2 cells), driver combine."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import add_lang_id
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pred = add_lang_id(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "lang_pred": t["lang_pred"].to_pandas()}
+        )
+        g = df.groupby(["lang", "lang_pred"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pred.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = parts.groupby(["lang", "lang_pred"], as_index=False, sort=False)["n"].sum()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_lang_confusion"] = f"""
+WITH d AS (
+  SELECT lang, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0 AND
+              CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)/len(toks) > 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM d
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY lang, lang_pred
+"""
+QUERIES["q_lang_confusion"] = q_lang_confusion
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_event_funnel(sf_dir):
+    """Ordered event funnel per user (signup → click → purchase):
+    earliest step-1 time, earliest step-2 STRICTLY AFTER it, earliest
+    step-3 strictly after that, and the stage reached. One user-keyed
+    exchange; per bucket every user's three mins come from masked
+    np.minimum.reduceat over the run structure — no per-user loop."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    SENT = np.int64(np.iinfo(np.int64).max)
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "t_signup": pa.array([], pa.timestamp("us")),
+                    "t_click": pa.array([], pa.timestamp("us")),
+                    "t_purchase": pa.array([], pa.timestamp("us")),
+                    "stage": pa.array([], pa.int64()),
+                }
+            )
+        starts, lengths = conv_runs(t["user_id"])
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+
+        def step_min(step: str, after: np.ndarray) -> np.ndarray:
+            # per-run min ts of `step` events strictly after `after[run]`
+            gate = np.repeat(after, lengths)
+            masked = np.where((et == step) & (ts_us > gate), ts_us, SENT)
+            return np.minimum.reduceat(masked, starts)
+
+        t1 = step_min(FUNNEL_STEPS[0], np.full(len(starts), np.int64(-1)))
+        t2 = step_min(FUNNEL_STEPS[1], t1)
+        t3 = step_min(FUNNEL_STEPS[2], t2)
+        users = pc.take(
+            t["user_id"].combine_chunks()
+            if isinstance(t["user_id"], pa.ChunkedArray)
+            else t["user_id"],
+            pa.array(starts, pa.int64()),
+        )
+        stage = (t1 != SENT).astype(np.int64) + (t2 != SENT) + (t3 != SENT)
+        cols = {"user_id": users}
+        for nm, v in (("t_signup", t1), ("t_click", t2), ("t_purchase", t3)):
+            cols[nm] = pa.array(v, pa.timestamp("us"), mask=(v == SENT))
+        cols["stage"] = pa.array(stage, pa.int64())
+        return pa.table(cols)
+
+    return map_conv_buckets(
+        ev, kern, num_buckets=16, key_col="user_id", sort_keys=("user_id",)
+    )
+
+
+ORACLE_SQL["q_event_funnel"] = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t_signup
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+       CAST((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+            + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+FROM u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+QUERIES["q_event_funnel"] = q_event_funnel

@@ -362,3 +362,40 @@ def test_roll_median_matches_pandas(synth_ds):
         exp = pd.Series(g["m1"].to_numpy(np.float64)).rolling(5).median().to_numpy()
         got = g["roll5_med_m1"].to_numpy()
         assert ((got == exp) | (np.isnan(got) & np.isnan(exp))).all()
+
+
+def test_event_funnel_strict_ordering(ray_session):
+    """Strictly-after semantics: a click BEFORE signup doesn't count;
+    ties don't count (strict >)."""
+    import ray.data as rd
+
+    from ptrail_ray.entry_queries import q_event_funnel  # noqa: F401
+    from ptrail_ray.entry_queries import FUNNEL_STEPS
+    import ptrail_ray.entry_queries as eq
+
+    rows = [
+        # user 1: click before signup, another click after -> stage 2 (no purchase)
+        (1, "click", 100), (1, "signup", 200), (1, "click", 300),
+        # user 2: purchase exactly AT click time -> tie excluded -> stage 2
+        (2, "signup", 100), (2, "click", 200), (2, "purchase", 200),
+        # user 3: full funnel
+        (3, "signup", 10), (3, "click", 20), (3, "purchase", 30),
+        # user 4: never signed up -> stage 0
+        (4, "click", 5), (4, "purchase", 6),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] * 1_000_000 for r in rows], pa.timestamp("us")),
+        }
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pq
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q_event_funnel(d).to_pandas().set_index("user_id").sort_index()
+    assert out.loc[1, "stage"] == 2 and out.loc[1, "t_click"].value == 300_000_000 * 1000
+    assert out.loc[2, "stage"] == 2 and pd.isna(out.loc[2, "t_purchase"])
+    assert out.loc[3, "stage"] == 3
+    assert out.loc[4, "stage"] == 0
