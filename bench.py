@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "q_context_pairs",
     "q_quantile_bin",
     "q_hll_distinct",
+    "q_grouped_quantiles",
+    "q_roll_median",
+    "q_tool_transitions",
+    "q_lang_confusion",
+    "q_event_funnel",
 ]
 
 
