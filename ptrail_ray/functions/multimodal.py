@@ -58,16 +58,21 @@ def synth_media(n: int = 64, seed: int = 21) -> pa.Table:
     )
 
 
-def synth_wav_media(n: int = 256, seed: int = 23) -> pa.Table:
-    """Deterministic REAL WAV payloads (RIFF/PCM16 mono sine tones,
-    written with stdlib ``wave``) plus the generator's ground truth
-    (sample rate / frame count) for decode self-checks."""
+def _build_wav(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
+    """One pass building BOTH the WAV media table and its expected
+    DecodeAudio features (driver ground truth). A single loop draws all
+    randomness so the two tables can never drift; the GT features are
+    computed from the very PCM written into the payload with the same
+    float64 ops the decode path runs (``wave`` round-trips PCM bytes
+    untouched), so decode output is bit-identical to GT."""
     rng = np.random.default_rng(seed)
     rates = rng.choice([8000, 16000, 22050], size=n)
     n_frames = rng.integers(400, 4000, size=n)
     freqs = rng.uniform(100.0, 2000.0, size=n)
     amps = rng.uniform(0.1, 0.9, size=n)
     payloads = []
+    rms = np.empty(n, np.float64)
+    dur = np.empty(n, np.int64)
     for i in range(n):
         t = np.arange(int(n_frames[i])) / float(rates[i])
         pcm = (amps[i] * np.sin(2 * np.pi * freqs[i] * t) * 32767).astype("<i2")
@@ -78,7 +83,10 @@ def synth_wav_media(n: int = 256, seed: int = 23) -> pa.Table:
             w.setframerate(int(rates[i]))
             w.writeframes(pcm.tobytes())
         payloads.append(bio.getvalue())
-    return pa.table(
+        x = pcm.astype(np.float64) / 32768.0  # mirrors parse_wav exactly
+        rms[i] = float(np.sqrt(np.mean(x * x)))
+        dur[i] = int(round(1000.0 * len(x) / int(rates[i])))
+    media = pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "media_type": pa.array(["audio"] * n, pa.string()),
@@ -87,20 +95,47 @@ def synth_wav_media(n: int = 256, seed: int = 23) -> pa.Table:
             "true_frames": pa.array(n_frames.astype(np.int32), pa.int32()),
         }
     )
+    gt = pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "sample_rate": pa.array(rates.astype(np.int64), pa.int64()),
+            "n_samples": pa.array(n_frames.astype(np.int64), pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+        }
+    )
+    return media, gt
 
 
-def synth_ppm_media(n: int = 256, seed: int = 29) -> pa.Table:
-    """Deterministic REAL binary-PPM (P6) payloads + ground-truth
-    dimensions for decode self-checks."""
+def synth_wav_media(n: int = 256, seed: int = 23) -> pa.Table:
+    """Deterministic REAL WAV payloads (RIFF/PCM16 mono sine tones,
+    written with stdlib ``wave``) plus the generator's ground truth
+    (sample rate / frame count) for decode self-checks."""
+    return _build_wav(n, seed)[0]
+
+
+def wav_ground_truth(n: int = 256, seed: int = 23) -> pa.Table:
+    """Expected DecodeAudio output for ``synth_wav_media(n, seed)`` —
+    the driver-oracle ground-truth table (rms unrounded float64)."""
+    return _build_wav(n, seed)[1]
+
+
+def _build_ppm(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
+    """One pass building BOTH the PPM media table and its expected
+    DecodeImage features. The per-channel means run the exact reduction
+    the decode path runs (``reshape(-1, 3).mean(axis=0)`` over the same
+    C-order uint8 array) so decode output is bit-identical to GT."""
     rng = np.random.default_rng(seed)
     ws = rng.integers(8, 64, size=n)
     hs = rng.integers(8, 64, size=n)
     payloads = []
+    means = np.empty((n, 3), np.float64)
     for i in range(n):
         w, h = int(ws[i]), int(hs[i])
         pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         payloads.append(f"P6\n{w} {h}\n255\n".encode() + pix.tobytes())
-    return pa.table(
+        means[i] = pix.reshape(-1, 3).mean(axis=0)
+    media = pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "media_type": pa.array(["image"] * n, pa.string()),
@@ -109,6 +144,29 @@ def synth_ppm_media(n: int = 256, seed: int = 29) -> pa.Table:
             "true_height": pa.array(hs.astype(np.int32), pa.int32()),
         }
     )
+    gt = pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "width": pa.array(ws.astype(np.int64), pa.int64()),
+            "height": pa.array(hs.astype(np.int64), pa.int64()),
+            "mean_r": pa.array(means[:, 0], pa.float64()),
+            "mean_g": pa.array(means[:, 1], pa.float64()),
+            "mean_b": pa.array(means[:, 2], pa.float64()),
+        }
+    )
+    return media, gt
+
+
+def synth_ppm_media(n: int = 256, seed: int = 29) -> pa.Table:
+    """Deterministic REAL binary-PPM (P6) payloads + ground-truth
+    dimensions for decode self-checks."""
+    return _build_ppm(n, seed)[0]
+
+
+def ppm_ground_truth(n: int = 256, seed: int = 29) -> pa.Table:
+    """Expected DecodeImage output for ``synth_ppm_media(n, seed)`` —
+    the driver-oracle ground-truth table (means unrounded float64)."""
+    return _build_ppm(n, seed)[1]
 
 
 def parse_pnm(buf: bytes) -> np.ndarray:
