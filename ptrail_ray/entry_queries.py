@@ -685,14 +685,17 @@ def _minhash_oracle_sql(
     head_cte: str = "",
 ) -> str:
     """Full DuckDB replica of the MinHash-LSH near-dup pipeline
-    (functions/dedup.py): shingle → md5-derived uint64 ids
+    (functions/dedup.py): shingle ids = wrapping polynomial (mod 2^64,
+    HUGEINT list_reduce) over md5-derived token hashes
     (('0x'||substr(md5,1,16))::UBIGINT == int.from_bytes(digest[:8],
-    'big')) → universal-hash minhash with numpy's uint64 WRAPAROUND
+    'big')) — the same no-shingle-strings identity the MinHasher
+    computes — → universal-hash minhash with numpy's uint64 WRAPAROUND
     semantics replicated via HUGEINT % 2^64 → decimal-joined band
     strings → md5 band keys → shared-cell pairs → exact shingle
     Jaccard. The permutation constants are the same default_rng(7)
     draw the MinHasher actor makes."""
     from ptrail_ray.functions.dedup import _MERSENNE as _MH_P
+    from ptrail_ray.functions.dedup import _SHINGLE_P
 
     _rng = np.random.default_rng(7)
     _a = _rng.integers(1, _MH_P, size=num_perm, dtype=np.uint64)
@@ -704,6 +707,17 @@ def _minhash_oracle_sql(
     )
     k = shingle_k
     p64 = 1 << 64
+
+    def poly(toks_expr: str) -> str:
+        # acc*P + f stays < 2^64 · 2^41 ≪ 2^127, so HUGEINT never
+        # overflows; list_reduce's first-element seeding equals the
+        # numpy loop from 0 because 0·P + f₁ = f₁
+        return (
+            f"list_reduce(list_transform({toks_expr}, "
+            f"w -> ('0x' || substr(md5(w),1,16))::UBIGINT::HUGEINT), "
+            f"(acc, f) -> (acc * {int(_SHINGLE_P)}::HUGEINT + f) % {p64}::HUGEINT)"
+        )
+
     if final_select is None:
         final_select = (
             f"SELECT a, b, round(j, 6) + 0.0 AS jaccard FROM jac WHERE j >= {threshold}"
@@ -713,17 +727,13 @@ WITH RECURSIVE {head_cte}d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
   FROM {source}
 ),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
-         WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
-         ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k-1}), i -> array_to_string(toks[i:i+{k-1}], ' ')))
-    END AS shingles
-  FROM d
-),
 shid AS (
-  SELECT doc_id, list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,16))::UBIGINT)) AS xs
-  FROM sh
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::HUGEINT[]
+         WHEN len(toks) < {k} THEN [{poly('toks')}]
+         ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k-1}), i -> {poly(f'toks[i:i+{k-1}]')}))
+    END AS xs
+  FROM d
 ),
 perm(pid, pa, pb) AS (VALUES {perm_vals}),
 shx AS (SELECT doc_id, unnest(xs)::HUGEINT AS x FROM shid),

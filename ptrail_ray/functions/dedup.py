@@ -56,11 +56,179 @@ def _tokens(s: str) -> list[str]:
     return s.split()
 
 
+# Shingle identity = wrapping polynomial (mod 2^64) over md5-derived
+# token hashes — no shingle STRINGS are ever built (the per-doc Python
+# join + md5-per-unique-shingle loop was the engine's costliest stage;
+# VERDICT r03 item 3, technique from functions/decontam.py). The prime
+# is ~2^40 so the DuckDB replica's HUGEINT accumulator (acc*P + f)
+# never overflows 2^127; numpy's natural uint64 wraparound matches
+# `% 2^64` bit-exactly (verified against list_reduce in the oracle).
+_SHINGLE_P = np.uint64(1099511628211)  # FNV-1a prime, odd
+
+
 def _shingles(s: str, k: int) -> set[int]:
+    """Single-doc shingle-id set (verify path; memoized per unique text
+    upstream). Docs shorter than k tokens yield ONE whole-doc shingle —
+    the same rule as `_poly_combine` and the SQL replica."""
     toks = _tokens(s)
-    if len(toks) < k:
-        return {_md5_u64(" ".join(toks))} if toks else set()
-    return {_md5_u64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+    if not toks:
+        return set()
+    f = np.array([_md5_u64(w) for w in toks], dtype=np.uint64)
+    c = min(len(f), k)
+    m = len(f) - c + 1
+    g = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(c):
+            g = g * _SHINGLE_P + f[j : j + m]
+    return set(g.tolist())
+
+
+def _poly_combine(
+    f: np.ndarray, k: int, idx: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(shingle_ids, doc_index) for every k-token window fully inside
+    one doc, plus the whole-doc shingle for docs with 1..k-1 tokens.
+    Pure wrapping uint64 arithmetic over the flat token-hash stream
+    (winnow-style boundary masking) — no per-doc Python."""
+    out_ids, out_doc = [], []
+    m = len(f) - k + 1
+    if m > 0:
+        valid = idx[:m] == idx[k - 1 :]
+        g = np.zeros(m, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                g = g * _SHINGLE_P + f[j : j + m]
+        out_ids.append(g[valid])
+        out_doc.append(idx[:m][valid])
+    cnt = (
+        np.bincount(idx, minlength=n_docs)
+        if len(idx)
+        else np.zeros(n_docs, np.int64)
+    )
+    short = np.flatnonzero((cnt > 0) & (cnt < k))
+    if len(short):
+        starts = np.concatenate(([0], np.cumsum(cnt)))
+        for c in np.unique(cnt[short]):
+            sel = short[cnt[short] == c]
+            mat = f[starts[sel][:, None] + np.arange(c)[None, :]]
+            g = np.zeros(len(sel), np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(c):
+                    g = g * _SHINGLE_P + mat[:, j]
+            out_ids.append(g)
+            out_doc.append(sel.astype(np.int64))
+    if not out_ids:
+        return np.array([], np.uint64), np.array([], np.int64)
+    return np.concatenate(out_ids), np.concatenate(out_doc)
+
+
+def _shingle_sets_flat(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """DEDUPED shingle-id set per text, flattened: returns
+    (ids sorted within each text, int64 offsets of length n+1).
+    One Arrow tokenize + one polynomial pass for the whole text array —
+    the vectorized replacement for per-text ``_shingles`` calls."""
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    n = len(texts)
+    codes, vocab, idx = encoded_tokens(texts)
+    if len(codes) == 0:
+        return np.array([], np.uint64), np.zeros(n + 1, np.int64)
+    th = np.empty(len(vocab), np.uint64)
+    for i, s in enumerate(vocab.to_pylist()):
+        th[i] = _md5_u64(s)
+    ids, doc_of = _poly_combine(th[codes], k, idx, n)
+    if not len(ids):
+        return np.array([], np.uint64), np.zeros(n + 1, np.int64)
+    order = np.lexsort((ids, doc_of))
+    d_s, i_s = doc_of[order], ids[order]
+    keep = np.ones(len(d_s), bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+    d_s, i_s = d_s[keep], i_s[keep]
+    cnt = np.bincount(d_s, minlength=n)
+    return i_s, np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+
+
+def _ragged_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices concatenating the ranges [starts_i, starts_i+lens_i)
+    — the standard cumsum range-expansion (no Python loop)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.array([], np.int64)
+    out = np.ones(tot, np.int64)
+    heads = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    nz = lens > 0
+    h, s, l_ = heads[nz], starts[nz], lens[nz]
+    out[h] = s
+    out[h[1:]] -= s[:-1] + l_[:-1] - 1
+    return np.cumsum(out)
+
+
+def _pairwise_jaccard(
+    flat: np.ndarray, offs: np.ndarray, ua: np.ndarray, ub: np.ndarray,
+    chunk_elems: int = 16_000_000,
+) -> np.ndarray:
+    """Exact Jaccard for each (ua_i, ub_i) pair of text indices over the
+    flat deduped per-text shingle sets (each text's slice SORTED — the
+    `_shingle_sets_flat` contract).
+
+    Sort-free kernel: shingle values are densified to ranks (one
+    np.unique over the set union — ~pairs_per_doc× smaller than the
+    pair-expanded stream), each side's expanded stream is then already
+    sorted by the packed key (pair_idx << 32 | rank) BY CONSTRUCTION,
+    and intersection sizes fall out of one binary search of the a-stream
+    in the b-stream. Replaces a per-chunk lexsort of the combined
+    stream (measured 21.3 s → the search is O(n log n) with a ~30×
+    smaller constant). Chunked by combined size to bound temporaries."""
+    return _pairwise_jaccard_ranked(_rank_encode(flat), offs, ua, ub, chunk_elems)
+
+
+def _rank_encode(flat: np.ndarray) -> np.ndarray:
+    """Dense int64 ranks of the shingle values (order-preserving, so
+    per-text slices stay sorted); loud guard for the 2^32 packed-key
+    domain of `_pairwise_jaccard_ranked`."""
+    uniq, ranks = np.unique(flat, return_inverse=True)
+    if len(uniq) >= (1 << 32):
+        raise ValueError(
+            f"{len(uniq)} distinct shingles exceed the 2^32 packed-rank "
+            "domain — split the verify input"
+        )
+    return ranks.astype(np.int64)
+
+
+def _pairwise_jaccard_ranked(
+    ranks: np.ndarray, offs: np.ndarray, ua: np.ndarray, ub: np.ndarray,
+    chunk_elems: int = 16_000_000,
+) -> np.ndarray:
+    la = (offs[ua + 1] - offs[ua]).astype(np.int64)
+    lb = (offs[ub + 1] - offs[ub]).astype(np.int64)
+    total = la + lb
+    jac = np.zeros(len(ua), np.float64)
+    csum = np.cumsum(total)
+    start = 0
+    while start < len(ua):
+        base = csum[start - 1] if start else 0
+        end = int(np.searchsorted(csum, base + chunk_elems)) + 1
+        end = min(max(end, start + 1), len(ua))
+        m = end - start
+        la_c, lb_c = la[start:end], lb[start:end]
+        ga = _ragged_gather(offs[ua[start:end]], la_c)
+        gb = _ragged_gather(offs[ub[start:end]], lb_c)
+        pid_a = np.repeat(np.arange(m, dtype=np.int64), la_c)
+        key_a = (pid_a << np.int64(32)) | ranks[ga]
+        key_b = (
+            np.repeat(np.arange(m, dtype=np.int64), lb_c) << np.int64(32)
+        ) | ranks[gb]
+        if len(key_a) and len(key_b):
+            pos = np.searchsorted(key_b, key_a).clip(max=len(key_b) - 1)
+            hit = key_b[pos] == key_a
+            inter = np.bincount(pid_a[hit], minlength=m).astype(np.int64)
+        else:
+            inter = np.zeros(m, np.int64)
+        union = la_c + lb_c - inter
+        nz = union > 0
+        jac[start:end][nz] = inter[nz] / union[nz]
+        start = end
+    return jac
 
 
 # ---------------------------------------------------------------------------
@@ -70,8 +238,9 @@ def _shingles(s: str, k: int) -> set[int]:
 
 def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Drop exact-content duplicates, keeping the smallest id per
-    content hash. One shuffle on the hash key."""
-    from ptrail_ray.functions.textstats import fingerprint_batch
+    content hash. One shuffle on the hash key; fingerprinting stays at
+    Arrow level end-to-end (no pandas round-trip of the text column)."""
+    from ptrail_ray.functions.textstats import fingerprint_table
 
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
@@ -81,7 +250,11 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             "fingerprint", keep="first"
         )
 
-    fp = ds.map_batches(fingerprint_batch, batch_format="pandas", batch_size=None)
+    fp = ds.map_batches(
+        lambda t: fingerprint_table(t, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     return grouped_agg_by_bucket(fp, "fingerprint", keep_min, num_buckets=32)
 
 
@@ -105,78 +278,72 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
-        # per-actor shingle→id memo: near-dup corpora repeat shingles
-        # heavily, so most md5 calls are cache hits after warm-up
+        # per-actor token→hash memo: Zipf vocabulary repeats heavily
+        # across batches, so md5 runs ~once per corpus-unique TOKEN
         self._memo: dict[str, int] = {}
-
-    def _shingle_keys(self, text: str) -> list[str]:
-        toks = _tokens(text)
-        if not toks:
-            return []
-        if len(toks) < self.k:
-            return [" ".join(toks)]
-        return [
-            " ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)
-        ]
 
     def signature(self, text: str) -> np.ndarray:
         """Single-doc path (tests / ad-hoc); the batch path in
         ``__call__`` is numerically identical."""
-        out = self._signatures([text])
-        return out[0]
+        return self._signatures([text])[0]
 
     def _signatures(self, texts: list[str]) -> np.ndarray:
-        """(n_docs, num_perm) signatures, vectorized at BATCH level:
-        shingle strings are flattened and deduped ONCE per batch
-        (np.unique), md5 runs once per batch-unique shingle (memoized
-        across batches), and the universal-hash matrix is built over
-        the unique ids in one numpy expression — the per-shingle
-        Python md5 loop was the engine's slowest stage (VERDICT r02
-        item 4, pattern borrowed from the winnow kernel)."""
-        n = len(texts)
-        keys: list[str] = []
-        bounds = np.empty(n + 1, dtype=np.int64)
-        bounds[0] = 0
-        for i, t in enumerate(texts):
-            keys.extend(self._shingle_keys(t))
-            bounds[i + 1] = len(keys)
+        return self._signatures_arrow(
+            pa.array([t if t is not None else "" for t in texts], pa.string())
+        )
+
+    def _signatures_arrow(self, col) -> np.ndarray:
+        """(n_docs, num_perm) signatures with NO shingle strings and NO
+        per-doc Python (VERDICT r03 item 3): Arrow kernels tokenize and
+        dictionary-encode the batch, md5 runs once per batch-unique
+        TOKEN (memoized across batches — tokens, not shingles, so the
+        hash volume drops ~k×), shingle ids are a wrapping polynomial
+        over the flat token-hash stream, and per-doc minima come from
+        one ``np.minimum.reduceat`` per permutation over the doc-sorted
+        shingle stream. Numerically this changes the shingle-id SPACE
+        (md5-of-string → polynomial-of-token-hashes); the SQL oracle
+        replicates the polynomial with HUGEINT list_reduce."""
+        from ptrail_ray.functions.tokenize import encoded_tokens
+
+        n = len(col)
         sigs = np.full(
             (n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
         )
-        if not keys:
+        codes, vocab, idx = encoded_tokens(col)
+        if len(codes) == 0:
             return sigs
-        uniq, inv = np.unique(np.array(keys, dtype=object), return_inverse=True)
         memo = self._memo
-        if len(memo) > 2_000_000:  # bound actor memory
+        if len(memo) > 4_000_000:  # bound actor memory
             memo.clear()
-        hu = np.empty(len(uniq), dtype=np.uint64)
-        for i, s in enumerate(uniq):
+        th = np.empty(len(vocab), dtype=np.uint64)
+        for i, s in enumerate(vocab.to_pylist()):
             v = memo.get(s)
             if v is None:
                 v = _md5_u64(s)
                 memo[s] = v
-            hu[i] = v
-        # (num_perm, n_unique) universal hash over batch-unique shingles;
-        # per-doc min gathers its occurrence slice (duplicates inside a
-        # doc cannot change a min, so no per-doc dedup needed). Built in
-        # unique-axis chunks so arithmetic temporaries stay ≤ ~64 MB
-        # regardless of batch shingle volume.
-        hvu = np.empty((self.num_perm, len(uniq)), dtype=np.uint64)
-        step = 1 << 17
-        for c0 in range(0, len(uniq), step):
-            xs = hu[c0 : c0 + step] % _MERSENNE
-            hvu[:, c0 : c0 + len(xs)] = (
-                (self.a[:, None] * xs[None, :]) + self.b[:, None]
-            ) % _MERSENNE
-        inv = inv.astype(np.int64)
-        for i in range(n):
-            lo, hi = bounds[i], bounds[i + 1]
-            if hi > lo:
-                sigs[i] = hvu[:, inv[lo:hi]].min(axis=1)
+            th[i] = v
+        ids, doc_of = _poly_combine(th[codes], self.k, idx, n)
+        if not len(ids):
+            return sigs
+        uniq, inv = np.unique(ids, return_inverse=True)
+        order = np.argsort(doc_of, kind="stable")
+        d_s = doc_of[order]
+        starts = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        present = d_s[starts]
+        inv_o = inv.astype(np.int64)[order]
+        xs = uniq % _MERSENNE
+        # one permutation at a time: temporaries stay O(n_unique), and
+        # duplicates inside a doc can't change a min, so no per-doc dedup
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                hv = ((self.a[p] * xs) + self.b[p]) % _MERSENNE
+                sigs[present, p] = np.minimum.reduceat(hv[inv_o], starts)
         return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = self._signatures([t or "" for t in batch["text"].fillna("")])
+        sigs = self._signatures_arrow(
+            pa.array(batch["text"].fillna("").to_numpy(dtype=object), pa.string())
+        )
         batch["minhash"] = list(sigs)
         return batch
 
@@ -340,6 +507,8 @@ def minhash_lsh_pairs(
         "band_hash",
         lambda df: lsh_bucket_pairs(df, max_bucket),
         num_buckets=32,
+        partial_batch=None,  # inputs are already well-blocked; a big
+        # batch_size here coalesces the whole pipeline into one task
     )
 
     # pair identity is the two-column (a, b) key throughout — no packed
@@ -349,6 +518,7 @@ def minhash_lsh_pairs(
         ["a", "b"],
         lambda df: df.drop_duplicates(["a", "b"]),
         num_buckets=16,
+        partial_batch=None,
     )
 
     verify = verify_pairs_jaccard_collapsed if collapse_exact else verify_pairs_jaccard
@@ -360,6 +530,130 @@ def minhash_lsh_pairs(
     )
 
 
+def _try_broadcast_verify(
+    pairs,
+    docs,
+    *,
+    shingle_k: int,
+    jaccard_threshold: float,
+    num_buckets: int,
+    max_docs: int,
+    max_bytes: int,
+):
+    """Broadcast verify (see ``verify_pairs_jaccard``): returns the
+    verified Dataset, or None when a cap trips (measured and LOGGED —
+    never a silent behavior change) so the caller takes the distributed
+    exchange path."""
+    import ray
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    pairs = pairs.materialize()  # consumed twice (decide + verify); narrow ints
+
+    def ids_of(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64()).combine_chunks()
+        b = t["b"].cast(pa.int64()).combine_chunks()
+        return pa.table({"doc_id": pa.concat_arrays([a, b])})
+
+    ids_ds = grouped_agg_by_bucket(
+        pairs.map_batches(ids_of, batch_format="pyarrow", batch_size=None),
+        "doc_id",
+        lambda df: df.drop_duplicates("doc_id"),
+        num_buckets=16,
+        partial_batch=None,
+    ).materialize()
+    n_ids = ids_ds.count()
+    if n_ids > max_docs:
+        _log.warning(
+            "jaccard verify: broadcast path skipped — %d candidate docs "
+            "exceed broadcast_max_docs=%d; using the distributed "
+            "exchange path", n_ids, max_docs,
+        )
+        return None
+    ids = np.sort(ids_ds.to_pandas()["doc_id"].to_numpy(np.int64))
+    ids_ref = ray.put(ids)
+
+    empty_sets = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.large_list(pa.uint64())),
+            "n_sh": pa.array([], pa.int64()),
+        }
+    )
+
+    def doc_sets(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idv = ray.get(ids_ref)
+        d = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(idv, d).clip(max=max(len(idv) - 1, 0))
+        hit = (idv[pos] == d) if len(idv) else np.zeros(len(d), bool)
+        if not hit.any():
+            return empty_sets
+        sub = t.filter(pa.array(hit))
+        flat, offs = _shingle_sets_flat(
+            pc.fill_null(sub["text"], "").combine_chunks(), shingle_k
+        )
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())
+                ),
+                "n_sh": pa.array(np.diff(offs), pa.int64()),
+            }
+        )
+
+    sets_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_sets, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    total_bytes = 8 * int(sets_ds.sum("n_sh") or 0)
+    if total_bytes > max_bytes:
+        _log.warning(
+            "jaccard verify: broadcast path skipped — candidate shingle "
+            "sets total %d bytes > broadcast_max_bytes=%d; using the "
+            "distributed exchange path", total_bytes, max_bytes,
+        )
+        return None
+
+    t = pa.concat_tables(
+        [ray.get(r) for r in sets_ds.to_arrow_refs()]
+    ).combine_chunks()
+    did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lst = t["sh"].combine_chunks()
+    vals = lst.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    row_offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_lens = np.diff(row_offs)
+    # align into the full ids universe: docs absent from the corpus keep
+    # zero-length sets (jaccard 0 — the distributed path's NULL-text rule)
+    order = np.argsort(did, kind="stable")
+    lens_full = np.zeros(len(ids), np.int64)
+    lens_full[np.searchsorted(ids, did[order])] = row_lens[order]
+    offs_full = np.concatenate(([0], np.cumsum(lens_full))).astype(np.int64)
+    flat_full = vals[_ragged_gather(row_offs[:-1][order], row_lens[order])]
+    # rank-encode ONCE here (not per verify task): the kernel's packed
+    # binary search needs dense <2^32 ranks, guaranteed by max_bytes
+    bcast = ray.put((ids, _rank_encode(flat_full), offs_full))
+
+    def jac_batch(t: pa.Table) -> pa.Table:
+        idv, ranks, offs = ray.get(bcast)
+        a = t["a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t["b"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        jac = _pairwise_jaccard_ranked(
+            ranks, offs, np.searchsorted(idv, a), np.searchsorted(idv, b)
+        )
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(jac_batch, batch_format="pyarrow", batch_size=None)
+
+
 def verify_pairs_jaccard(
     pairs,
     docs,
@@ -367,27 +661,52 @@ def verify_pairs_jaccard(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     num_buckets: int = 32,
+    broadcast_max_docs: int = 2_000_000,
+    broadcast_max_bytes: int = 512 << 20,
 ):
-    """Exact shingle-Jaccard verification of candidate (a, b) pairs via
-    a distributed bucket join — the 100 TB verify path.
+    """Exact shingle-Jaccard verification of candidate (a, b) pairs.
 
-    Two bounded exchanges, no driver materialization:
+    Two paths, chosen by MEASURED candidate-doc volume (never silently):
+
+    **Broadcast fast path** — when the docs touched by candidate pairs
+    number ≤ ``broadcast_max_docs`` AND their deduped shingle sets total
+    ≤ ``broadcast_max_bytes``: shingle sets of exactly those docs are
+    computed distributed (one narrow distinct-ids exchange + one
+    filtered corpus pass), collected ONCE, ``ray.put`` once, and pairs
+    verify in a stateless ``map_batches`` with zero text exchanges.
+    The pair-keyed text shuffle shipped each text ~2·pairs_per_doc
+    times (measured 16× redundancy on the dense stress corpus); the
+    broadcast ships each shingle set once.
+
+    **Distributed path** — beyond the caps (the 100 TB case), two
+    bounded exchanges, no driver materialization:
 
     1. pairs explode to one request row per (pair, side) keyed by
        doc_id; union with the (doc_id, text) table; hash-bucket on
        doc_id; one vectorized merge per bucket attaches each request's
        text.
     2. re-bucket the textized requests on the (a, b) pair identity;
-       per bucket, align side 0/1 and compute exact shingle Jaccard
-       (set ops inherent).
+       per bucket, align side 0/1 and compute exact shingle Jaccard.
 
-    Only texts of docs that appear in candidate pairs are shipped
-    through exchange 2. Pair identity is carried as the two int64
-    columns (a, b) end-to-end — no packed single-integer key, so the
-    full int64 doc_id range is safe (a packed a·2³² + b key silently
-    wraps past 2³¹ and collides past 2³²).
+    Both paths run the same ``_pairwise_jaccard`` kernel over the same
+    shingle-id space, so output values are bit-identical. Pair identity
+    is carried as the two int64 columns (a, b) end-to-end — no packed
+    single-integer key, so the full int64 doc_id range is safe (a
+    packed a·2³² + b key silently wraps past 2³¹ and collides past
+    2³²).
     """
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    bcast = _try_broadcast_verify(
+        pairs, docs,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        num_buckets=num_buckets,
+        max_docs=broadcast_max_docs,
+        max_bytes=broadcast_max_bytes,
+    )
+    if bcast is not None:
+        return bcast
 
     def explode_pairs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -466,27 +785,22 @@ def verify_pairs_jaccard(
             .combine_chunks()
         )
         m = a_side.join(b_side, keys=["a", "b"], join_type="inner")
-        ta_l = m["text_a"].to_pylist()
-        tb_l = m["text_b"].to_pylist()
-        # shingle once per UNIQUE text within the bucket task, not once
-        # per pair occurrence: a doc in k candidate pairs re-shingled k
-        # times is pure waste (near-dup corpora have high pair/doc
-        # ratios BY CONSTRUCTION)
-        memo: dict[str, set] = {}
-
-        def sh(s0: str) -> set:
-            s = memo.get(s0)
-            if s is None:
-                s = _shingles(s0, shingle_k)
-                memo[s0] = s
-            return s
-
-        jac = np.empty(len(ta_l), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(ta_l, tb_l)):
-            sa = sh(ta or "")
-            sb = sh(tb or "")
-            denom = len(sa | sb)
-            jac[i] = len(sa & sb) / denom if denom else 0.0
+        # Vectorized exact Jaccard (the per-pair Python set loop was the
+        # stage wall after the signature fix): dictionary-encode BOTH
+        # text columns against one dictionary, shingle each UNIQUE text
+        # once via the flat polynomial kernel, then count per-pair
+        # intersections with one lexsort over the pair-expanded shingle
+        # stream (chunked to bound temporaries).
+        ta = pc.fill_null(m["text_a"], "").combine_chunks()
+        tb = pc.fill_null(m["text_b"], "").combine_chunks()
+        n_pairs = len(ta)
+        both = pc.dictionary_encode(
+            pa.chunked_array([ta.cast(pa.string()), tb.cast(pa.string())])
+        ).combine_chunks()
+        codes = both.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ua, ub = codes[:n_pairs], codes[n_pairs:]
+        flat, offs = _shingle_sets_flat(both.dictionary, shingle_k)
+        jac = _pairwise_jaccard(flat, offs, ua, ub)
         keep = jac >= jaccard_threshold
         return pd.DataFrame(
             {
@@ -578,10 +892,27 @@ def verify_pairs_jaccard_collapsed(
     exchanges changes. The translated pair table (4 int64 columns) is
     materialized once because two downstream branches consume it —
     bounded by candidate-pair volume, never by text.
+
+    When the BROADCAST verify path fits (see ``verify_pairs_jaccard``),
+    the collapse machinery is skipped entirely: with zero text
+    exchanges there is no per-pair text cost left to collapse, and the
+    three rep exchanges are pure overhead (measured 32.7 s collapsed vs
+    21.5 s direct-broadcast on the 1.05 M-pair stress corpus).
     """
     import pyarrow.compute as pc
 
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    bcast = _try_broadcast_verify(
+        pairs, docs,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        num_buckets=num_buckets,
+        max_docs=2_000_000,
+        max_bytes=512 << 20,
+    )
+    if bcast is not None:
+        return bcast
 
     rep = content_rep_map(docs, num_buckets=num_buckets)
 

@@ -117,31 +117,43 @@ def lang_id_batch(t: pa.Table) -> pa.Table:
     return t.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
-def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Content fingerprint: md5 of the whitespace-normalized text.
+def fingerprint_table(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Arrow-native content fingerprint: md5 of the whitespace-
+    normalized text, appended as a ``fingerprint`` column. The batch
+    never round-trips through pandas object columns (VERDICT r03
+    item 7); the md5-per-row loop is inherent (oracle parity), the
+    normalization is an Arrow kernel chain.
 
     (The rolling-hash shingle fingerprint lives in functions/dedup.py;
     this one is the exact-content id used for exact dedup and lineage.)
-    md5 per row is inherent; the normalization is an Arrow kernel.
     """
     # trim + collapse with RE2 \s (NOT utf8_trim_whitespace, whose
     # unicode whitespace class is wider than RE2's) — byte-equal to the
     # oracle's string_agg(regexp_extract_all(text, '\S+'), ' ')
-    norm = (
+    norm = pc.replace_substring_regex(
         pc.replace_substring_regex(
-            pc.replace_substring_regex(
-                pa.array(batch["text"].fillna(""), pa.large_string()),
-                r"^\s+|\s+$",
-                "",
-            ),
-            r"\s+",
-            " ",
-        )
-        .to_pandas()
+            pc.fill_null(t[text_col], "").cast(pa.large_string()),
+            r"^\s+|\s+$",
+            "",
+        ),
+        r"\s+",
+        " ",
     )
-    batch["fingerprint"] = [
-        hashlib.md5(s.encode()).hexdigest() for s in norm
-    ]
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    fp = pa.array(
+        [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()],
+        pa.string(),
+    )
+    return t.append_column("fingerprint", fp)
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """pandas wrapper over ``fingerprint_table`` (kept for callers whose
+    surrounding stage is pandas-level)."""
+    batch["fingerprint"] = fingerprint_table(
+        pa.table({"text": pa.array(batch["text"].fillna(""), pa.large_string())})
+    )["fingerprint"].to_pylist()
     return batch
 
 
