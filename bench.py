@@ -179,17 +179,30 @@ def run_headline() -> dict:
 
 
 def run_queries() -> dict[str, float]:
+    """Median-of-3 per query, with one untimed pilot before the first
+    query (VERDICT r03 #3: single-run per-query numbers swung 2-3×
+    round-over-round with VM phase; medians make them comparable)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    reps = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     out = {}
+    first = True
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        res = qs[name](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        if first:  # untimed pilot: session/object-store first-touch costs
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            first = False
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            walls.append(time.perf_counter() - t0)
+        out[name] = round(sorted(walls)[len(walls) // 2], 3)
     return out
 
 

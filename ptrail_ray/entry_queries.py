@@ -3295,6 +3295,14 @@ def q_tool_transitions(sf_dir):
                 "to_tool": tool.slice(1).to_pandas(),
             }
         )[keep[1:]]  # boolean mask of length n-1 (row i = pair ending at i+1)
+        if df.empty:  # all-single-turn bucket: empty object cols would infer null type
+            return pa.table(
+                {
+                    "from_tool": pa.array([], pa.string()),
+                    "to_tool": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         g = df.groupby(["from_tool", "to_tool"], as_index=False, sort=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
@@ -3416,6 +3424,14 @@ def q_lang_confusion(sf_dir):
     pred = add_lang_id(docs)
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty object cols would infer null type
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         df = pd.DataFrame(
             {"lang": t["lang"].to_pandas(), "lang_pred": t["lang_pred"].to_pandas()}
         )

@@ -328,7 +328,10 @@ _TS_BITS = np.int64(51)
 
 
 def _run_ts_index(ctx: KernelContext):
-    """(order, key_sorted, ts_sorted_idx) for trailing-range windows."""
+    """Returns the cached 4-tuple (run_id, ts, order, comp_sorted):
+    per-row run ids, ts_us, the stable argsort of the composite key
+    (used by win1h_sum_m1's value gather), and the sorted composite
+    keys that both range-window bounds binary-search against."""
     key = ("_idx", "run_ts")
     if key not in ctx._cache:
         ts = ctx.ts_us()
@@ -340,6 +343,13 @@ def _run_ts_index(ctx: KernelContext):
                 f"too many conversations in one bucket for the composite "
                 f"range-window key ({len(ctx.starts)} >= 4096); raise "
                 f"num_buckets"
+            )
+        if len(ts) and (ts.min() < 0 or ts.max() >= (1 << _TS_BITS)):
+            raise ValueError(
+                f"ts_us outside the composite range-window key domain "
+                f"[0, 2^{int(_TS_BITS)}) — min={ts.min()} max={ts.max()}; "
+                f"pre-1970 or post-2041 timestamps would silently corrupt "
+                f"win1h results, refusing"
             )
         comp = (run_id << _TS_BITS) | ts
         order = np.argsort(comp, kind="stable")  # per-run ts-sorted

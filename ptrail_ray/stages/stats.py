@@ -399,7 +399,8 @@ def path_sum_by_date_and_conv(ds, conv_id: str, date: str | None = None):
 
 def topk_per_conv(ds, *, col: str, k: int = 3, num_buckets: int = 32):
     """Per-conversation top-k rows by ``col`` (desc, ties by turn_idx
-    asc) with a dense rank — grouped top-k without a global sort: one
+    asc) with a row-number rank (ties broken by turn_idx asc) — grouped
+    top-k without a global sort: one
     conv-bucket exchange, then a vectorized lexsort + position-in-run
     rank per bucket (no per-group Python)."""
     from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
