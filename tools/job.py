@@ -46,6 +46,12 @@ def main(argv=None):
         "separate _giants output (features only, no temporal columns)",
     )
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--validate",
+        action="store_true",
+        help="after the write, assert row conservation: manifest rows "
+        "+ _giants rows == input parquet rows (metadata-only count)",
+    )
     ap.add_argument("--num-cpus", type=int, default=None, help="only for standalone local runs")
     args = ap.parse_args(argv)
 
@@ -132,9 +138,16 @@ def main(argv=None):
         )
 
     if giants:
+        import pyarrow.dataset as pads
+
         from ptrail_ray.stages.project import semi_join_keys
 
-        ds_giants = semi_join_keys(ds, giants)
+        # giants are <<1% of rows: push the membership filter into the
+        # parquet scan (row-group stats + C++ scan-level filtering)
+        # instead of shipping every non-giant row into Ray to drop it
+        ds_giants = read_transcripts(
+            args.input, filter=pads.field("conv_id").isin(giants)
+        )
         ds = semi_join_keys(ds, giants, anti=True)
         if not giants_done:
             import shutil
@@ -192,12 +205,44 @@ def main(argv=None):
     metrics = load_metrics(args.output)
     wall = time.perf_counter() - t0
     rows = int(sum(m["rows"] for m in metrics))
+
+    validation = None
+    if args.validate:
+        # row conservation across BOTH arms: every input turn must appear
+        # exactly once in the main partitioned output or in _giants.
+        # Metadata-only counts — no data read.
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        def _meta_rows(d: str) -> int:
+            return sum(
+                pq.read_metadata(f).num_rows
+                for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            )
+
+        input_rows = _meta_rows(args.input)
+        gdir = os.path.join(args.output, "_giants")
+        giants_rows = _meta_rows(gdir) if os.path.isdir(gdir) else 0
+        if rows + giants_rows != input_rows:
+            raise SystemExit(
+                f"row conservation FAILED: main={rows} + giants={giants_rows} "
+                f"= {rows + giants_rows} != input={input_rows}"
+            )
+        validation = {
+            "input_rows": input_rows,
+            "main_rows": rows,
+            "giants_rows": giants_rows,
+            "conserved": True,
+        }
+
     print(
         json.dumps(
             {
                 "status": "ok",
                 "wall_s": round(wall, 2),
                 "rows": rows,
+                **({"validation": validation} if validation else {}),
                 "buckets_written_this_run": int(len(summary)),
                 "buckets_total": len(metrics),
                 "hot_convs_salted": len(hot),
