@@ -28,7 +28,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # small-cluster level is compute-bound (saturated, not overhead-bound)
 # while one run stays well under a minute at 32 CPUs. Doubling the
 # corpus was measured to REDUCE 32-CPU throughput (1.6M vs 2.3M
-# turns/s) — the single-socket DRAM bandwidth wall, see BASELINE.md.
+# turns/s) — measured on the r03 FUSED config; r04 unfused config does
+# 3.2M turns/s on the same corpus (BASELINE.md "scaling root cause").
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "640000"))
 BENCH_MEAN_TURNS = int(os.environ.get("BENCH_MEAN_TURNS", "45"))
 BENCH_SEED = 42
@@ -74,6 +75,7 @@ BENCH_QUERIES = [
     "q_tool_transitions",
     "q_lang_confusion",
     "q_event_funnel",
+    "q_ngram_jaccard",
 ]
 
 
@@ -108,6 +110,9 @@ def run_headline() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # push-based sort shuffle pipelines the map/merge phases — measured
+    # ~5% off the 16-CPU flagship wall, neutral at 4 CPUs (r04 sweep)
+    ctx.use_push_based_shuffle = True
 
     from ptrail_ray.pipelines.flagship import flagship
     from ptrail_ray.sources.transcripts import read_transcripts, side_scd_from_events
@@ -129,8 +134,15 @@ def run_headline() -> dict:
             fh.read()
 
     side = side_scd_from_events(SF_DIR)
-    num_buckets = max(32, NUM_CPUS * 4)
-    asof_conc = max(2, NUM_CPUS // 4)
+    # r04 sweep (BASELINE.md "scaling root cause"): 4 read blocks/CPU
+    # keeps the read/project phase pipelined ahead of the sort barrier
+    # (1 block/CPU measured 30 s vs 16 s at 16 CPUs); ≥128 buckets give
+    # the post-sort kernel task pool enough grain to fill every CPU;
+    # asof actors at num_cpus=0.5 (see stages/asof.py) stay UNFUSED so
+    # the kernel stage runs full-width as tasks.
+    read_blocks = NUM_CPUS * 4
+    num_buckets = max(128, NUM_CPUS * 4)
+    asof_conc = max(2, NUM_CPUS // 2)
 
     # The pilot is one UNTIMED full-corpus run with the same parameters
     # as the timed runs: besides worker imports and executor estimates,
@@ -139,7 +151,7 @@ def run_headline() -> dict:
     # (measured: 167 s first run vs 23 s steady-state at 58M turns) —
     # a one-off session cost on this VM, not per-pipeline compute.
     flagship(
-        read_transcripts(path),
+        read_transcripts(path, override_num_blocks=read_blocks),
         side,
         num_buckets=num_buckets,
         gap_seconds=120.0,
@@ -155,7 +167,7 @@ def run_headline() -> dict:
     for _ in range(n_runs):
         t0 = time.perf_counter()
         out = flagship(
-            read_transcripts(path),
+            read_transcripts(path, override_num_blocks=read_blocks),
             side,
             num_buckets=num_buckets,
             gap_seconds=120.0,

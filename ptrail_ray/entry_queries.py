@@ -3558,6 +3558,82 @@ LEFT JOIN s3 USING (user_id)
 QUERIES["q_event_funnel"] = q_event_funnel
 
 
+def q_ngram_jaccard(sf_dir):
+    """Exact n-gram Jaccard near-dup pairs with deterministic
+    min-shingle anchor blocking (functions/dedup.py::ngram_jaccard_pairs)
+    — the estimation-free member of the dedup family: candidates share
+    the min shingle id (1-perm MinHash block, recall ≥ θ by
+    construction), every candidate verified with its EXACT Jaccard."""
+    from ptrail_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, num_buckets=16, max_block=200
+    )
+    return finalize(out, round_columns=["jaccard"])
+
+
+def _ngram_jaccard_oracle_sql(
+    k: int = 3, threshold: float = 0.5, max_block: int = 200
+) -> str:
+    """DuckDB replica of ngram_jaccard_pairs: the same polynomial
+    shingle identity as the MinHash oracle (wrapping uint64 via HUGEINT
+    % 2^64 over md5 token hashes), anchor = list_min of the deduped
+    shingle set, rank-capped all-pairs + hub star pairs per anchor
+    block, exact list_intersect/list_distinct Jaccard."""
+    from ptrail_ray.functions.dedup import _SHINGLE_P
+
+    p64 = 1 << 64
+
+    def poly(toks_expr: str) -> str:
+        return (
+            f"list_reduce(list_transform({toks_expr}, "
+            f"w -> ('0x' || substr(md5(w),1,16))::UBIGINT::HUGEINT), "
+            f"(acc, f) -> (acc * {int(_SHINGLE_P)}::HUGEINT + f) % {p64}::HUGEINT)"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+anch AS (
+  SELECT doc_id, xs, list_min(xs) AS m FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) < {k} THEN [{poly('toks')}]
+           ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k-1}), i -> {poly(f'toks[i:i+{k-1}]')}))
+      END AS xs
+    FROM d WHERE len(toks) > 0
+  )
+),
+ranked AS (
+  SELECT doc_id, m,
+         row_number() OVER (PARTITION BY m ORDER BY doc_id) AS rn,
+         min(doc_id) OVER (PARTITION BY m) AS hub
+  FROM anch
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ranked x JOIN ranked y
+    ON x.m = y.m AND x.doc_id < y.doc_id
+   AND x.rn <= {max_block} AND y.rn <= {max_block}
+  UNION ALL
+  SELECT hub AS a, doc_id AS b FROM ranked WHERE rn > {max_block}
+),
+jac AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.xs, sb.xs))::DOUBLE
+           / len(list_distinct(list_concat(sa.xs, sb.xs))) AS j
+  FROM cand c JOIN anch sa ON sa.doc_id = c.a JOIN anch sb ON sb.doc_id = c.b
+)
+SELECT a, b, round(j, 6) + 0.0 AS jaccard FROM jac WHERE j >= {threshold}
+"""
+
+
+ORACLE_SQL["q_ngram_jaccard"] = _ngram_jaccard_oracle_sql()
+QUERIES["q_ngram_jaccard"] = q_ngram_jaccard
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -3571,9 +3647,9 @@ QUERIES["q_event_funnel"] = q_event_funnel
 # driver's sample is 100% hash-comparable.
 
 _PRIORITY = [
-    # round-4 fixes needing fresh driver-green rows
+    # round-4 fixes/additions needing fresh driver-green rows
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
-    "q_minhash_pairs", "q_dedup_exact_docs",
+    "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",

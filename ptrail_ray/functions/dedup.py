@@ -1514,3 +1514,154 @@ def winnow_fingerprints(ds, *, k: int = 3, w: int = 4):
         batch_format="pandas",
         batch_size=4096,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (min-shingle anchor blocking)
+# ---------------------------------------------------------------------------
+
+
+def _minsh_sets_batch(t: pa.Table, *, k: int, id_col: str, text_col: str) -> pa.Table:
+    """Per-doc (id, anchor, shingle set) rows for the n-gram Jaccard
+    operator: anchor = MIN shingle id of the doc's deduped k-token
+    shingle set. Docs with no tokens emit nothing (no anchor, no
+    block). One vectorized tokenize + polynomial pass per batch
+    (`_shingle_sets_flat`); the anchor is each slice's head because
+    per-doc slices are sorted ascending by contract."""
+    flat, offs = _shingle_sets_flat(t[text_col], k)
+    lens = np.diff(offs)
+    keep = lens > 0
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    minsh = np.zeros(len(t), np.uint64)
+    if keep.any():
+        minsh[keep] = flat[offs[:-1][keep]]
+    sets = pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())
+    )
+    out = pa.table({id_col: ids, "minsh": pa.array(minsh, pa.uint64()), "shset": sets})
+    return out.filter(pa.array(keep))
+
+
+def _jaccard_block_pairs(
+    t: pa.Table, *, id_col: str, threshold: float, max_block: int
+) -> pa.Table:
+    """One bucket of anchor blocks → exact-Jaccard pairs ≥ threshold.
+    Vectorized like `lsh_bucket_pairs` (one Python iteration per
+    DISTINCT block size, not per block); hot anchors capped with the
+    same connectivity-preserving star-pair rule (all-pairs among the
+    first ``max_block`` ids + hub↔tail stars, loudly logged)."""
+    id_type = t.schema.field(id_col).type
+    empty = pa.table(
+        {
+            "a": pa.array([], id_type),
+            "b": pa.array([], id_type),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    minsh = t["minsh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids_np = t[id_col].to_numpy(zero_copy_only=False)
+    shset = t["shset"]
+    if isinstance(shset, pa.ChunkedArray):
+        shset = shset.combine_chunks()
+    flat = shset.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offs = shset.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.lexsort((ids_np, minsh))
+    m_s = minsh[order]
+    run_start = np.flatnonzero(np.concatenate(([True], m_s[1:] != m_s[:-1])))
+    run_len = np.diff(np.concatenate((run_start, [len(m_s)])))
+
+    outs_a, outs_b = [], []  # positions into `order`
+    multi = np.flatnonzero(run_len >= 2)
+    lens = np.minimum(run_len[multi], max_block)
+    for n in np.unique(lens):
+        sel = multi[lens == n]
+        mat = run_start[sel][:, None] + np.arange(n)[None, :]
+        ia, ib = np.triu_indices(n, k=1)
+        outs_a.append(mat[:, ia].ravel())
+        outs_b.append(mat[:, ib].ravel())
+    over = np.flatnonzero(run_len > max_block)
+    star_docs = 0
+    for ri in over:
+        s, ln = run_start[ri], run_len[ri]
+        tail = np.arange(s + max_block, s + ln, dtype=np.int64)
+        star_docs += len(tail)
+        outs_a.append(np.full(len(tail), s, dtype=np.int64))
+        outs_b.append(tail)
+    if len(over):
+        _log.warning(
+            "ngram_jaccard capped %d hot anchor block(s): %d doc(s) beyond "
+            "max_block=%d kept via star pairs to the block min-id",
+            len(over), star_docs, max_block,
+        )
+    if not outs_a:
+        return empty
+    ua = order[np.concatenate(outs_a)]
+    ub = order[np.concatenate(outs_b)]
+    jac = _pairwise_jaccard(flat, offs, ua, ub)
+    m = jac >= threshold
+    ids_arr = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+    return pa.table(
+        {
+            "a": ids_arr.take(pa.array(ua[m], pa.int64())),
+            "b": ids_arr.take(pa.array(ub[m], pa.int64())),
+            "jaccard": pa.array(jac[m], pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    docs,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_buckets: int = 32,
+    max_block: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 16384,
+):
+    """EXACT token-n-gram Jaccard near-dup pairs with deterministic
+    min-shingle anchor blocking — the estimation-free sibling of
+    ``minhash_lsh_pairs`` (dedup family per the task brief; candidate →
+    verify shape mirrors the reference's filter pipelines,
+    ptrail/preprocessing/filters.py). Two docs are candidates iff they
+    share the MINIMUM shingle id of their deduped k-token shingle sets
+    (the classic 1-permutation MinHash block: P[shared anchor] equals
+    the pair's true Jaccard, so recall at threshold θ is ≥ θ by
+    construction); every candidate pair gets its exact Jaccard. The
+    blocking rule is part of the operator's CONTRACT — deterministic
+    and SQL-replicable — not a lossy heuristic hidden from the caller.
+
+    Scale shape: one narrow exchange keyed on the anchor where each
+    doc's shingle set travels WITH its row (list<uint64> column — no
+    second text shuffle, unlike the LSH verify path which must re-ship
+    text); all pair work vectorized per bucket; hot anchor blocks
+    capped via the connectivity-preserving star-pair rule, loudly."""
+    import functools
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    prep = docs.map_batches(
+        functools.partial(
+            _minsh_sets_batch, k=shingle_k, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return grouped_agg_by_bucket(
+        prep,
+        "minsh",
+        functools.partial(
+            _jaccard_block_pairs,
+            id_col=id_col,
+            threshold=threshold,
+            max_block=max_block,
+        ),
+        num_buckets=num_buckets,
+        group_format="pyarrow",
+    )

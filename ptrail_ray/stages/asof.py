@@ -117,7 +117,8 @@ def asof_join(
     *,
     key_col: str = "conv_id",
     concurrency: "int | tuple" = (1, 8),
-    batch_size: int = 65536,
+    batch_size: "int | None" = 65536,
+    num_cpus: float = 0.5,
 ):
     """Dataset-level as-of backfill: broadcast ``side`` and join in an
     actor pool. Appends ``attr_num`` (float64) and ``attr_cat`` (string);
@@ -125,7 +126,18 @@ def asof_join(
 
     ``concurrency``: an int pins the pool size (all actors spawn at
     execution start — use for throughput runs); a (min, max) tuple
-    autoscales (use when CPU budget is tight)."""
+    autoscales (use when CPU budget is tight).
+
+    ``num_cpus=0.5`` is load-bearing, not a tuning nicety: with the
+    default (1.0) Ray's planner FUSES the upstream task-based stage
+    into this actor pool, so an expensive window-kernel stage ends up
+    running on ``concurrency`` actors while every other CPU idles
+    (measured r04: the fused plan ran the whole kernel+asof phase on
+    NUM_CPUS/4 actors — 40-55 s vs 36-39 s unfused at 4 CPUs on the
+    29M-turn bench corpus). A distinct resource spec blocks that
+    fusion AND halves the pool's CPU reservation, leaving the kernels
+    to a full-width task pool; the probe itself is one vectorized
+    searchsorted per batch and nowhere near a core's worth of work."""
     side_ref = put_side_table(side)
     return ds.map_batches(
         AsofJoiner,
@@ -133,4 +145,5 @@ def asof_join(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )

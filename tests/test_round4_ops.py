@@ -1,0 +1,111 @@
+"""Round-4 operators: exact n-gram Jaccard near-dup pairs with
+min-shingle anchor blocking (functions/dedup.py::ngram_jaccard_pairs).
+
+Reference model: a pure-Python replica of the CONTRACT — per-doc deduped
+k-token shingle sets (`_shingles`), anchor = min shingle id, candidate
+pairs from rank-capped all-pairs + hub star pairs within each anchor
+block, exact set Jaccard — compared pair-for-pair against the
+distributed operator."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ptrail_ray.functions.dedup import _shingles, ngram_jaccard_pairs
+
+K = 3
+
+
+def _expected(docs: dict[int, str], threshold: float, max_block: int) -> pd.DataFrame:
+    sets = {i: _shingles(t, K) for i, t in docs.items()}
+    sets = {i: s for i, s in sets.items() if s}
+    blocks: dict[int, list[int]] = {}
+    for i in sorted(sets):
+        blocks.setdefault(min(sets[i]), []).append(i)
+    rows = []
+    for ids in blocks.values():
+        ids = sorted(ids)
+        head = ids[:max_block]
+        cand = [(a, b) for ai, a in enumerate(head) for b in head[ai + 1:]]
+        cand += [(ids[0], b) for b in ids[max_block:]]
+        for a, b in cand:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                rows.append((a, b, j))
+    return (
+        pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+def _corpus() -> dict[int, str]:
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs: dict[int, str] = {}
+    for i in range(12):
+        docs[i] = " ".join(rng.choice(vocab, size=25))
+    # near-dups: copy with small perturbations (high Jaccard)
+    for i in range(12, 18):
+        base = docs[i - 12].split()
+        base[rng.integers(0, len(base))] = "zz"
+        docs[i] = " ".join(base)
+    # exact dups — identical sets share the anchor with certainty
+    docs[18] = docs[0]
+    docs[19] = docs[5]
+    # short docs (< k tokens → one whole-doc shingle) and an empty doc
+    docs[20] = "a b"
+    docs[21] = "a b"
+    docs[22] = ""
+    return docs
+
+
+def _run(docs: dict[int, str], threshold: float, max_block: int) -> pd.DataFrame:
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs.keys()), "text": list(docs.values())}
+    )
+    out = ngram_jaccard_pairs(
+        rd.from_pandas(pdf, override_num_blocks=4),
+        shingle_k=K,
+        threshold=threshold,
+        num_buckets=4,
+        max_block=max_block,
+        batch_size=None,
+    ).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    docs = _corpus()
+    got = _run(docs, threshold=0.5, max_block=200)
+    exp = _expected(docs, threshold=0.5, max_block=200)
+    assert len(got) == len(exp) and len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64"}), exp.astype({"a": "int64", "b": "int64"})
+    )
+
+
+def test_ngram_jaccard_hot_anchor_cap(ray_session):
+    """Five identical docs share one anchor block; max_block=2 forces
+    the star-pair escape hatch. Connectivity must survive: every doc
+    reachable from the hub."""
+    docs = {i: "x y z x y z q r s" for i in range(5)}
+    docs[5] = "totally different tokens here now ok"
+    got = _run(docs, threshold=0.5, max_block=2)
+    exp = _expected(docs, threshold=0.5, max_block=2)
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64"}), exp.astype({"a": "int64", "b": "int64"})
+    )
+    # hub (min id 0) stars to every capped-out doc
+    assert set(got["a"]).issubset({0, 1}) and {2, 3, 4} <= set(got["b"])
+
+
+def test_ngram_jaccard_threshold_zero_includes_blocked_only(ray_session):
+    """θ=0 emits every blocked pair — pairs NOT sharing their anchor
+    stay out even at θ=0 (the blocking is the contract)."""
+    docs = _corpus()
+    got = _run(docs, threshold=0.0, max_block=200)
+    exp = _expected(docs, threshold=0.0, max_block=200)
+    assert len(got) == len(exp)

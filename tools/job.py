@@ -67,6 +67,9 @@ def main(argv=None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # r04 scaling findings (BASELINE.md "scaling root cause"): push-based
+    # sort shuffle + 4 read blocks per CPU keep the pre-sort pipeline fed
+    DataContext.get_current().use_push_based_shuffle = True
 
     from ptrail_ray.pipelines.flagship import project_measures
     from ptrail_ray.sources.transcripts import read_transcripts
@@ -81,7 +84,8 @@ def main(argv=None):
     )
 
     t0 = time.perf_counter()
-    ds = read_transcripts(args.input)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_transcripts(args.input, override_num_blocks=max(8, ncpu * 4))
 
     # The bucket mapping (num_buckets + salted hot-conv ids + the giant
     # set) must be IDENTICAL across resume runs — it is derived once on
