@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_lang_confusion",
     "q_event_funnel",
     "q_ngram_jaccard",
+    "q_containment",
 ]
 
 

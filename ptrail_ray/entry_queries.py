@@ -3634,6 +3634,81 @@ ORACLE_SQL["q_ngram_jaccard"] = _ngram_jaccard_oracle_sql()
 QUERIES["q_ngram_jaccard"] = q_ngram_jaccard
 
 
+CONTAIN_THRESHOLD = 0.8
+CONTAIN_MAX_CELL = 200
+
+
+def q_containment(sf_dir):
+    """Winnow-fingerprint containment pairs
+    (functions/dedup.py::containment_pairs): |fp(a) ∩ fp(b)| /
+    min(|fp(a)|, |fp(b)|) ≥ 0.8 — the 'A pasted inside B' detector
+    symmetric Jaccard under-scores. Two narrow int64 exchanges, no text
+    shuffle."""
+    from ptrail_ray.functions.dedup import containment_pairs
+
+    out = containment_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        threshold=CONTAIN_THRESHOLD,
+        num_buckets=16,
+        max_cell=CONTAIN_MAX_CELL,
+    )
+    return finalize(out, round_columns=["containment"])
+
+
+ORACLE_SQL["q_containment"] = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < {WINNOW_K} THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks)-{WINNOW_K - 1}), i -> array_to_string(toks[i:i+{WINNOW_K - 1}], ' '))
+    END AS grams
+  FROM d
+),
+e AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(grams))) AS pos,
+         unnest(grams) AS gram
+  FROM g WHERE len(grams) > 0
+),
+h AS (SELECT doc_id, pos, ('0x' || substr(md5(gram),1,15))::UBIGINT AS hv FROM e),
+win AS (
+  SELECT doc_id, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wm,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM h
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(wm AS BIGINT) AS fp
+  FROM win WHERE pos >= {WINNOW_W} OR (m < {WINNOW_W} AND pos = m)
+),
+fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY doc_id),
+ranked AS (
+  SELECT fp, doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fps
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ranked x JOIN ranked y
+    ON x.fp = y.fp AND x.doc_id < y.doc_id
+   AND x.rn <= {CONTAIN_MAX_CELL} AND y.rn <= {CONTAIN_MAX_CELL}
+),
+agg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared FROM pairs GROUP BY a, b)
+SELECT ag.a, ag.b, ag.n_shared,
+       round(ag.n_shared / least(fa.n, fb.n), 6) + 0.0 AS containment
+FROM agg ag JOIN fpc fa ON fa.doc_id = ag.a JOIN fpc fb ON fb.doc_id = ag.b
+WHERE ag.n_shared / least(fa.n, fb.n) >= {CONTAIN_THRESHOLD}
+"""
+QUERIES["q_containment"] = q_containment
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -3650,6 +3725,7 @@ _PRIORITY = [
     # round-4 fixes/additions needing fresh driver-green rows
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
     "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
+    "q_containment",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",

@@ -109,3 +109,49 @@ def test_ngram_jaccard_threshold_zero_includes_blocked_only(ray_session):
     got = _run(docs, threshold=0.0, max_block=200)
     exp = _expected(docs, threshold=0.0, max_block=200)
     assert len(got) == len(exp)
+
+
+def test_containment_matches_bruteforce(ray_session):
+    """Distributed containment composition vs a single-batch replica:
+    winnow_batch (already oracle-proven) + pure-Python pair counting."""
+    from ptrail_ray.functions.dedup import containment_pairs, winnow_batch
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = {i: " ".join(rng.choice(vocab, size=60)) for i in range(10)}
+    docs[10] = docs[0]                                   # exact dup
+    docs[11] = docs[1] + " " + " ".join(rng.choice(vocab, size=200))  # 1 ⊂ 11
+    docs[12] = "a b"                                     # short doc
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    fps = winnow_batch(pdf, k=3, w=4)
+    sets = {int(d): set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    rows = []
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= 0.8:
+                rows.append((a, b, inter, c))
+    exp = pd.DataFrame(
+        rows, columns=["a", "b", "n_shared", "containment"]
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+
+    got = (
+        containment_pairs(
+            rd.from_pandas(pdf, override_num_blocks=3),
+            k=3, w=4, threshold=0.8, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(exp) >= 2  # the dup + the containment pair
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64", "n_shared": "int64"}), exp
+    )
+    # the pasted-inside pair must be found despite low symmetric Jaccard
+    assert ((got["a"] == 1) & (got["b"] == 11)).any()

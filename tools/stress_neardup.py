@@ -77,7 +77,7 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     results = {}
-    if set(ops) & {"minhash", "simhash", "exact", "winnow"}:
+    if set(ops) & {"minhash", "simhash", "exact", "winnow", "ngram", "containment"}:
         corpus = build_corpus()
         print(f"corpus: {len(corpus)} docs", flush=True)
         ds = rd.from_pandas(corpus, override_num_blocks=64).materialize()
@@ -108,6 +108,18 @@ def main() -> int:
                 ds, jaccard_threshold=0.5, collapse_exact=False
             ).count()
             results["minhash_lsh_pairs_plain"] = (time.perf_counter() - t0, nrows)
+        if "ngram" in ops:
+            from ptrail_ray.functions.dedup import ngram_jaccard_pairs
+
+            t0 = time.perf_counter()
+            nrows = ngram_jaccard_pairs(ds, threshold=0.5).count()
+            results["ngram_jaccard_pairs"] = (time.perf_counter() - t0, nrows)
+        if "containment" in ops:
+            from ptrail_ray.functions.dedup import containment_pairs
+
+            t0 = time.perf_counter()
+            nrows = containment_pairs(ds, threshold=0.8).count()
+            results["containment_pairs"] = (time.perf_counter() - t0, nrows)
         if "simhash" in ops:
             from ptrail_ray.functions.dedup import simhash_near_pairs
 
