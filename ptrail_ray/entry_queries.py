@@ -3709,6 +3709,76 @@ WHERE ag.n_shared / least(fa.n, fb.n) >= {CONTAIN_THRESHOLD}
 QUERIES["q_containment"] = q_containment
 
 
+def q_pii_hits(sf_dir):
+    """PII scrub with REAL hits (functions/pii.py::add_scrub): the base
+    corpus contains no PII-shaped strings (q_scrub_pii's defaults are
+    hash-checked at zero hits), so this query deterministically injects
+    doc_id-keyed emails / IPv4s / phones / SSNs into the text — exactly
+    replicable in SQL — then runs the standard scrub. Exercises match
+    counting AND the ordered masked rewrite on every shipped pattern,
+    with hit/no-hit mixtures per pattern (2/3, 1/2, 4/5, 1/7 of docs)."""
+    from ptrail_ray.functions.pii import add_scrub
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        sid = ids.astype(str)
+        last4 = (ids % 10000).astype(str).str.zfill(4)
+        email = np.where(
+            ids % 3 != 0, " contact user" + sid + "@example.com", ""
+        )
+        ip = np.where(
+            ids % 2 == 0,
+            " from 10." + (ids % 256).astype(str) + ".0."
+            + ((ids * 7) % 256).astype(str),
+            "",
+        )
+        phone = np.where(ids % 5 != 1, " call 555-123-" + last4, "")
+        ssn = np.where(ids % 7 == 0, " id 321-54-" + last4, "")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": df["text"].fillna("") + email + ip + phone + ssn,
+            }
+        )
+
+    dirty = _docs(sf_dir).map_batches(
+        inject, batch_format="pandas", batch_size=None
+    )
+    out = add_scrub(dirty)
+    return finalize(
+        out.select_columns(
+            ["doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "scrubbed"]
+        )
+    )
+
+
+ORACLE_SQL["q_pii_hits"] = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 <> 1 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' id 321-54-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(txt, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed
+FROM dirty
+"""
+QUERIES["q_pii_hits"] = q_pii_hits
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -3725,7 +3795,7 @@ _PRIORITY = [
     # round-4 fixes/additions needing fresh driver-green rows
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
     "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
-    "q_containment",
+    "q_containment", "q_pii_hits",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",

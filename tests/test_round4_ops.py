@@ -155,3 +155,47 @@ def test_containment_matches_bruteforce(ray_session):
     )
     # the pasted-inside pair must be found despite low symmetric Jaccard
     assert ((got["a"] == 1) & (got["b"] == 11)).any()
+
+
+def test_pii_scrub_hits_and_idempotence(ray_session):
+    """add_scrub on PII-bearing text: exact per-pattern counts, ordered
+    masked rewrite, and idempotence (re-scrubbing a scrubbed text finds
+    zero hits and changes nothing)."""
+    from ptrail_ray.functions.pii import add_scrub
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b+c@ex-1.org and d@e.io from 10.0.0.1 now",
+                "call 555-123-4567 or ssn 321-54-9876",
+                "clean text only",
+            ],
+        }
+    )
+    out = (
+        add_scrub(rd.from_pandas(pdf, override_num_blocks=2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_email"].tolist() == [2, 0, 0]
+    assert out["n_ipv4"].tolist() == [1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0]
+    assert out.loc[0, "scrubbed"] == "mail [EMAIL] and [EMAIL] from [IP] now"
+    assert out.loc[1, "scrubbed"] == "call [PHONE] or ssn [SSN]"
+    assert out.loc[2, "scrubbed"] == "clean text only"
+
+    again = (
+        add_scrub(
+            rd.from_pandas(out[["doc_id", "scrubbed"]], override_num_blocks=1),
+            text_col="scrubbed",
+            out_col="scrubbed2",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (again[["n_email", "n_ipv4", "n_phone", "n_ssn"]].to_numpy() == 0).all()
+    assert (again["scrubbed2"] == again["scrubbed"]).all()
