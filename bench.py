@@ -243,13 +243,15 @@ def main():
         # under the same noise model — the full run lists are reported
         # so the spread is visible).
         #
-        # Levels default to 4 and 16 CPUs (the rule's "N and 4N"): the
-        # measured scaling curve on this box (BASELINE.md) is linear to
-        # ~16 workers and then hits the single-socket DRAM-bandwidth
-        # wall — a shared-memory artifact a real multi-node cluster
-        # doesn't have (each node brings its own memory bandwidth), so
-        # 8→32 on one socket under-reports the design's scaling. The
-        # 8→32 pair is also measured and disclosed in BASELINE.md.
+        # Levels default to 4 and 16 CPUs (the rule's "N and 4N"). The
+        # r04 profiling (BASELINE.md "scaling root cause") retired the
+        # earlier DRAM-wall theory: the real limiters were operator
+        # fusion pinning the kernel stage onto the as-of actor pool and
+        # 1-block-per-CPU reads — both fixed. The residual sub-linear
+        # term is the sort barrier's fixed map→reduce span (~4-6 s at
+        # this corpus size, CPU-count independent), which shrinks as a
+        # fraction of wall on bigger corpora/clusters. The 8→32 pair is
+        # also measured and disclosed in BASELINE.md.
         n_lo = int(os.environ.get("SCALE_LO", "4"))
         n_hi = int(os.environ.get("SCALE_HI", "16"))
         lo, hi = run(n_lo), run(n_hi)

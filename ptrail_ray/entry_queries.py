@@ -3635,14 +3635,16 @@ QUERIES["q_ngram_jaccard"] = q_ngram_jaccard
 
 
 CONTAIN_THRESHOLD = 0.8
-CONTAIN_MAX_CELL = 200
+CONTAIN_MAX_DF = 200
 
 
 def q_containment(sf_dir):
     """Winnow-fingerprint containment pairs
     (functions/dedup.py::containment_pairs): |fp(a) ∩ fp(b)| /
-    min(|fp(a)|, |fp(b)|) ≥ 0.8 — the 'A pasted inside B' detector
-    symmetric Jaccard under-scores. Two narrow int64 exchanges, no text
+    min(|fp(a)|, |fp(b)|) ≥ 0.8 over fingerprints with document
+    frequency ≤ max_df (stop-fingerprint filter, part of the contract)
+    — the 'A pasted inside B' detector symmetric Jaccard under-scores.
+    One narrow DF pre-pass + two narrow int64 exchanges, no text
     shuffle."""
     from ptrail_ray.functions.dedup import containment_pairs
 
@@ -3652,7 +3654,7 @@ def q_containment(sf_dir):
         w=WINNOW_W,
         threshold=CONTAIN_THRESHOLD,
         num_buckets=16,
-        max_cell=CONTAIN_MAX_CELL,
+        max_df=CONTAIN_MAX_DF,
     )
     return finalize(out, round_columns=["containment"])
 
@@ -3688,19 +3690,14 @@ fps AS (
   SELECT DISTINCT doc_id, CAST(wm AS BIGINT) AS fp
   FROM win WHERE pos >= {WINNOW_W} OR (m < {WINNOW_W} AND pos = m)
 ),
-fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY doc_id),
-ranked AS (
-  SELECT fp, doc_id,
-         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-  FROM fps
-),
-pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
-  FROM ranked x JOIN ranked y
-    ON x.fp = y.fp AND x.doc_id < y.doc_id
-   AND x.rn <= {CONTAIN_MAX_CELL} AND y.rn <= {CONTAIN_MAX_CELL}
-),
-agg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared FROM pairs GROUP BY a, b)
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {CONTAIN_MAX_DF}),
+f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM f2 GROUP BY doc_id),
+agg AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
 SELECT ag.a, ag.b, ag.n_shared,
        round(ag.n_shared / least(fa.n, fb.n), 6) + 0.0 AS containment
 FROM agg ag JOIN fpc fa ON fa.doc_id = ag.a JOIN fpc fb ON fb.doc_id = ag.b
@@ -3779,6 +3776,70 @@ FROM dirty
 QUERIES["q_pii_hits"] = q_pii_hits
 
 
+CMS_LG_W = 5  # w = 32 cells — intentionally tiny so collisions are REAL
+
+
+def q_cms_counts(sf_dir):
+    """Count-Min Sketch term-frequency estimates
+    (functions/sketch.py::cms_sketch / cms_estimate — the mergeable
+    frequency sketch companion to the HLL distinct sketch): one
+    streaming pass builds the d×w counter grid (sum-merged partials,
+    order/retry-independent), then every corpus term is point-queried.
+    w=32 forces heavy collisions so the min-over-rows estimator is
+    genuinely exercised; the CMS guarantee est ≥ exact is asserted
+    in-query. The oracle replays the EXACT sketch contents in SQL —
+    md5-u60 base hash + HUGEINT multiply-shift row hashes — not just
+    an error bound."""
+    from ptrail_ray.functions.sketch import cms_estimate, cms_sketch
+    from ptrail_ray.functions.textstats import top_terms
+
+    docs = _docs(sf_dir)
+    sketch = cms_sketch(docs, "text", d=4, lg_w=CMS_LG_W)
+    cnts = top_terms(docs, k=1 << 40)  # all terms; vocab-bounded merge
+    est = cms_estimate(sketch, cnts["term"].tolist(), lg_w=CMS_LG_W)
+    exact = cnts["n"].to_numpy().astype("int64")
+    assert (est >= exact).all(), "CMS lower-bound guarantee violated"
+    return pd.DataFrame(
+        {"term": cnts["term"], "n": exact, "cms_est": est.astype("int64")}
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from ptrail_ray.functions.sketch import CMS_MULTS
+
+    div = 1 << (64 - CMS_LG_W)
+    m = 1 << 64
+    cells = ", ".join(
+        f"CAST(((CAST({a} AS HUGEINT) * CAST(hv AS HUGEINT)) % {m}) // {div}"
+        f" AS BIGINT) AS i{i}"
+        for i, a in enumerate(CMS_MULTS)
+    )
+    sums = ",\n".join(
+        f"s{i} AS (SELECT i{i} AS cell, sum(n) AS s FROM idx GROUP BY i{i})"
+        for i in range(len(CMS_MULTS))
+    )
+    joins = " ".join(
+        f"JOIN s{i} ON s{i}.cell = a.i{i}" for i in range(len(CMS_MULTS))
+    )
+    least = ", ".join(f"s{i}.s" for i in range(len(CMS_MULTS)))
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term),
+h AS (SELECT term, n, ('0x' || substr(md5(term), 1, 15))::UBIGINT AS hv FROM cnt),
+idx AS (SELECT term, n, {cells} FROM h),
+{sums}
+SELECT a.term, a.n, CAST(least({least}) AS BIGINT) AS cms_est
+FROM idx a {joins}
+"""
+
+
+ORACLE_SQL["q_cms_counts"] = _cms_oracle_sql()
+QUERIES["q_cms_counts"] = q_cms_counts
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -3795,7 +3856,7 @@ _PRIORITY = [
     # round-4 fixes/additions needing fresh driver-green rows
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
     "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
-    "q_containment", "q_pii_hits",
+    "q_containment", "q_pii_hits", "q_cms_counts",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",

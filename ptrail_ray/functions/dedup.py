@@ -1663,6 +1663,7 @@ def ngram_jaccard_pairs(
             max_block=max_block,
         ),
         num_buckets=num_buckets,
+        partial_batch=None,  # prep is already well-blocked map_batches output
         group_format="pyarrow",
     )
 
@@ -1672,15 +1673,57 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _cell_pairs_with_counts(df: pd.DataFrame, *, max_cell: int) -> pd.DataFrame:
-    """One bucket of (doc_id, fp, n_fp) winnow rows → candidate pair
-    rows, ONE PER SHARED FINGERPRINT: grouping the output by (a, b) and
-    counting gives exact |fp(a) ∩ fp(b)|. Vectorized like
-    ``lsh_bucket_pairs`` (one Python iteration per distinct cell size);
-    cells larger than ``max_cell`` keep only their first ``max_cell``
-    doc_ids (rank by id — deterministic and SQL-replicable; no star
-    pairs here because they would corrupt the intersection COUNTS the
-    downstream containment ratio depends on). Capping is loud."""
+def _hot_fingerprints(fps, *, max_df: int, num_buckets: int, max_hot: int) -> np.ndarray:
+    """(doc_id, fp) rows → sorted int64 array of STOP fingerprints
+    (document frequency > ``max_df``). Per-batch partial counts → one
+    fp-bucket exchange → per-bucket totals, keeping hot fps only, so
+    the driver collect is bounded by total_rows / max_df (loud guard
+    at ``max_hot``) — the stages/salt.py hot-key detection shape."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", sort=False).size()
+        return pd.DataFrame(
+            {"fp": g.index.to_numpy(np.int64), "c": g.to_numpy(np.int64)}
+        )
+
+    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("fp", sort=False)["c"].sum()
+        tot = tot[tot > max_df]
+        return pd.DataFrame({"fp": tot.index.to_numpy(np.int64)})
+
+    parts = fps.map_batches(partial, batch_format="pandas", batch_size=None)
+    hot = grouped_agg_by_bucket(
+        parts, "fp", hot_in_bucket, num_buckets=num_buckets, partial_batch=None
+    ).to_pandas()
+    if len(hot) > max_hot:
+        raise ValueError(
+            f"containment: {len(hot)} stop-fingerprints exceed max_hot="
+            f"{max_hot}; raise max_df or max_hot"
+        )
+    if hot.empty:  # all-empty buckets can drop the schema entirely
+        return np.empty(0, dtype=np.int64)
+    return np.sort(hot["fp"].to_numpy(np.int64))
+
+
+def _cell_pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """One fp-bucket of filtered (doc_id, fp, n_fp) rows → PRE-AGGREGATED
+    pair partials (a, b, cnt, na, nb): triu pairs per fingerprint cell
+    (every cell ≤ max_df by the upstream DF filter — no capping, no
+    lower bounds), then one lexsort run-length combine over (a, b) so a
+    pair leaves the bucket ONCE however many fingerprints it shares
+    here. Vectorized: one Python iteration per distinct cell size."""
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "cnt": pd.Series([], dtype="int64"),
+            "na": pd.Series([], dtype="int64"),
+            "nb": pd.Series([], dtype="int64"),
+        }
+    )
+    if df.empty:
+        return empty
     codes, _ = pd.factorize(df["fp"], sort=False)
     ids_all = df["doc_id"].to_numpy()
     nfp_all = df["n_fp"].to_numpy()
@@ -1688,36 +1731,35 @@ def _cell_pairs_with_counts(df: pd.DataFrame, *, max_cell: int) -> pd.DataFrame:
     c_s, i_s, n_s = codes[order], ids_all[order], nfp_all[order]
     cell_start = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
     cell_len = np.diff(np.concatenate((cell_start, [len(c_s)])))
-    if (cell_len > max_cell).any():
-        _log.warning(
-            "containment capped %d hot fingerprint cell(s) at max_cell=%d "
-            "(pairs beyond the first %d ids per cell are dropped — counts "
-            "for those docs are lower bounds)",
-            int((cell_len > max_cell).sum()), max_cell, max_cell,
-        )
-    outs = []
+    pa_parts, pb_parts = [], []
     multi = np.flatnonzero(cell_len >= 2)
-    lens = np.minimum(cell_len[multi], max_cell)
+    lens = cell_len[multi]
     for n in np.unique(lens):
         sel = multi[lens == n]
         mat = cell_start[sel][:, None] + np.arange(n)[None, :]
         ia, ib = np.triu_indices(n, k=1)
-        pa_, pb_ = mat[:, ia].ravel(), mat[:, ib].ravel()
-        outs.append(
-            pd.DataFrame(
-                {"a": i_s[pa_], "b": i_s[pb_], "na": n_s[pa_], "nb": n_s[pb_]}
-            )
-        )
-    if not outs:
-        return pd.DataFrame(
-            {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "na": pd.Series([], dtype="int64"),
-                "nb": pd.Series([], dtype="int64"),
-            }
-        )
-    return pd.concat(outs, ignore_index=True)
+        pa_parts.append(mat[:, ia].ravel())
+        pb_parts.append(mat[:, ib].ravel())
+    if not pa_parts:
+        return empty
+    pa_ = np.concatenate(pa_parts)
+    pb_ = np.concatenate(pb_parts)
+    a, b = i_s[pa_], i_s[pb_]
+    na, nb = n_s[pa_], n_s[pb_]
+    o2 = np.lexsort((b, a))
+    a2, b2 = a[o2], b[o2]
+    new = np.concatenate(([True], (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])))
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.concatenate((starts, [len(a2)])))
+    return pd.DataFrame(
+        {
+            "a": a2[starts].astype(np.int64),
+            "b": b2[starts].astype(np.int64),
+            "cnt": cnt.astype(np.int64),
+            "na": na[o2][starts].astype(np.int64),
+            "nb": nb[o2][starts].astype(np.int64),
+        }
+    )
 
 
 def containment_pairs(
@@ -1727,47 +1769,82 @@ def containment_pairs(
     w: int = 4,
     threshold: float = 0.8,
     num_buckets: int = 32,
-    max_cell: int = 200,
+    max_df: int = 200,
+    max_hot: int = 2_000_000,
 ):
     """Document-containment near-dup pairs over winnowing fingerprints
     (MOSS / Schleimer-Wilkerson-Aiken SIGMOD'03, the overlap-detection
     use the winnow operator exists for): for every pair of docs sharing
-    ≥1 fingerprint cell, containment = |fp(a) ∩ fp(b)| / min(|fp(a)|,
+    ≥1 kept fingerprint, containment = |fp(a) ∩ fp(b)| / min(|fp(a)|,
     |fp(b)|) — catches "A is mostly inside B" cases that symmetric
     Jaccard under-scores (a 10-line doc pasted into a 1000-line doc has
     tiny Jaccard but containment ≈ 1).
 
-    Scale shape: two narrow int64 exchanges, no text ever shuffles —
-    (1) fingerprint rows keyed by fp emit one (a, b) row PER SHARED
-    fingerprint (counting them IS the intersection size; per-doc set
-    sizes travel denormalized on the rows), (2) pair rows keyed by
-    (a, b) reduce to counts and the ratio. Hot fingerprint cells are
-    rank-capped (loud, deterministic, SQL-replicable)."""
-    import functools
+    CONTRACT: fingerprints with document frequency > ``max_df`` are
+    STOP fingerprints, excluded from every set and every denominator —
+    the MOSS practice of ignoring over-common fingerprints (they carry
+    no authorship signal, and a df-D cell costs O(D²) pairs).
+    Deterministic and SQL-replicable (``HAVING count(*) <= max_df``);
+    no rank caps, no lower-bound caveats.
+
+    Scale shape, text never shuffles: (0) a narrow DF pre-pass over
+    (doc_id, fp) int64 rows finds the stop list (bounded by
+    rows / max_df, loud guard) and broadcasts it once via ``ray.put``;
+    (1) one fp-bucket exchange of the filtered rows — per-cell triu
+    pairs (cells ≤ max_df by construction) are pre-aggregated per
+    (a, b) BEFORE leaving the bucket; (2) one (a, b)-bucket exchange of
+    5-int64 partials, sum-combine, ratio + threshold. Winnowing runs
+    twice (passes 0 and 1) — cheaper than materializing the (doc, fp)
+    rows at scale."""
+    import ray
 
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
-    def winnow_with_counts(batch: pd.DataFrame) -> pd.DataFrame:
+    fp_empty = {
+        "doc_id": pd.Series([], dtype="int64"),
+        "fp": pd.Series([], dtype="int64"),
+    }
+
+    def winnow_only(batch: pd.DataFrame) -> pd.DataFrame:
         out = winnow_batch(batch, k=k, w=w)
         if out.empty:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "fp": pd.Series([], dtype="int64"),
-                    "n_fp": pd.Series([], dtype="int64"),
-                }
-            )
-        out = out.assign(
+            return pd.DataFrame(fp_empty)
+        return out[["doc_id", "fp"]]
+
+    raw = docs.map_batches(winnow_only, batch_format="pandas", batch_size=4096)
+    hot = _hot_fingerprints(
+        raw, max_df=max_df, num_buckets=num_buckets, max_hot=max_hot
+    )
+    if len(hot):
+        _log.info(
+            "containment: excluding %d stop-fingerprints (df > %d)",
+            len(hot), max_df,
+        )
+    hot_ref = ray.put(hot)
+
+    def winnow_filter_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({**fp_empty, "n_fp": pd.Series([], dtype="int64")})
+        out = winnow_batch(batch, k=k, w=w)
+        if out.empty:
+            return empty
+        h = ray.get(hot_ref)
+        if len(h):
+            fpv = out["fp"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(h, fpv), len(h) - 1)
+            out = out[h[pos] != fpv]
+            if out.empty:
+                return empty
+        return out.assign(
             n_fp=out.groupby("doc_id")["fp"].transform("size").astype("int64")
         )
-        return out
 
-    fps = docs.map_batches(winnow_with_counts, batch_format="pandas", batch_size=4096)
-    pair_rows = grouped_agg_by_bucket(
-        fps,
-        "fp",
-        functools.partial(_cell_pairs_with_counts, max_cell=max_cell),
-        num_buckets=num_buckets,
+    fps = docs.map_batches(
+        winnow_filter_counts, batch_format="pandas", batch_size=4096
+    )
+    pair_parts = grouped_agg_by_bucket(
+        fps, "fp", _cell_pair_partials, num_buckets=num_buckets,
+        partial_batch=None,  # winnow output is already well-blocked; a big
+        # batch_size here coalesces across blocks and stalls (CLAUDE.md rule)
     )
 
     def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -1781,7 +1858,7 @@ def containment_pairs(
                 }
             )
         g = df.groupby(["a", "b"], as_index=False, sort=False).agg(
-            n_shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
+            n_shared=("cnt", "sum"), na=("na", "first"), nb=("nb", "first")
         )
         g["n_shared"] = g["n_shared"].astype("int64")
         g["containment"] = g["n_shared"] / np.minimum(g["na"], g["nb"])
@@ -1789,5 +1866,6 @@ def containment_pairs(
         return g[["a", "b", "n_shared", "containment"]]
 
     return grouped_agg_by_bucket(
-        pair_rows, ["a", "b"], reduce_pairs, num_buckets=num_buckets
+        pair_parts, ["a", "b"], reduce_pairs, num_buckets=num_buckets,
+        partial_batch=None,
     )

@@ -82,3 +82,106 @@ def hll_distinct(ds, col: str, *, p: int = HLL_P, batch_size: int = 1 << 18) -> 
     for row in parts:
         np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable frequency estimates (Cormode-Muthukrishnan '05)
+# ---------------------------------------------------------------------------
+# The frequency-sketch companion to the HLL above: at 10^12 tokens an
+# exact per-term count table is vocabulary-sized state behind an
+# all-to-all exchange; a CMS is ONE narrow streaming pass — each task
+# emits a d×w int64 counter-grid partial, partials merge by elementwise
+# SUM (commutative/associative, so block order, retries and splits
+# cannot change the answer), and any term's count is estimated as
+# min_i grid[i][cell_i(term)] — always ≥ the true count, ≤ true +
+# ε·N with ε = e/w at probability 1 − e^−d.
+#
+# Hashing is chosen for the engine's exact-oracle discipline, not
+# speed: the base hash is the 60-bit md5 prefix the dedup family uses
+# (SQL replica `('0x' || substr(md5(t),1,15))::UBIGINT`), and the d
+# row hashes are multiply-shift (Dietzfelbinger et al. '97)
+# `(aᵢ·h mod 2^64) >> (64 − lg w)` with fixed odd constants — both
+# exactly replayable in DuckDB HUGEINT arithmetic, so the sketch
+# contents (not just its error bound) are hash-checkable.
+
+CMS_D = 4
+# public mixing constants (splitmix64 / xxhash / wyhash finalizers) —
+# any fixed odd 64-bit values work for multiply-shift
+CMS_MULTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0xD6E8FEB86659FD93,
+    0xA0761D6478BD642F,
+)
+
+
+def _cms_cells(h: np.ndarray, *, d: int, lg_w: int) -> np.ndarray:
+    """(d, n) int64 cell indices for uint64 base hashes ``h``."""
+    shift = np.uint64(64 - lg_w)
+    return np.stack(
+        [((np.uint64(a) * h) >> shift).astype(np.int64) for a in CMS_MULTS[:d]]
+    )
+
+
+def _term_hashes(terms) -> np.ndarray:
+    """md5-u60 base hash per term (uint64). Python-loop per UNIQUE term
+    only — callers pass batch-deduplicated vocab (Zipf-bounded), the
+    same cost model as the MinHash/decontam token hashing."""
+    from ptrail_ray.functions.dedup import _md5_u60
+
+    return np.array([_md5_u60(t) for t in terms], dtype=np.uint64)
+
+
+def cms_sketch(
+    ds,
+    text_col: str = "text",
+    *,
+    d: int = CMS_D,
+    lg_w: int = 16,
+    batch_size: int | None = 1 << 18,
+) -> np.ndarray:
+    """Build the merged (d, w) int64 token-frequency sketch in ONE
+    streaming pass over ``ds[text_col]``.
+
+    Per-batch partial: tokenize → dictionary-encode (md5 once per
+    batch-UNIQUE token) → weighted bincount per row — tokens never
+    leave the task, only the d×w grid does. Driver fold is a bounded
+    ``num_batches × d·w·8 bytes`` sum (2 MB per partial at lg_w=16;
+    size lg_w to the fold budget — queries that only need coarse
+    counts use lg_w ≤ 8 = 2 KB partials)."""
+    if d > len(CMS_MULTS):
+        raise ValueError(f"d={d} exceeds the {len(CMS_MULTS)} fixed row hashes")
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    w = 1 << lg_w
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, vocab, _ = encoded_tokens(t[text_col])
+        grid = np.zeros((d, w), dtype=np.int64)
+        if len(codes):
+            cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+            cells = _cms_cells(_term_hashes(vocab.to_pylist()), d=d, lg_w=lg_w)
+            for i in range(d):
+                grid[i] = np.bincount(cells[i], weights=cnt, minlength=w).astype(
+                    np.int64
+                )
+        return pa.table({"grid": pa.array([grid.ravel()], pa.list_(pa.int64()))})
+
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .take_all()
+    )
+    merged = np.zeros(d * w, dtype=np.int64)
+    for row in parts:
+        merged += np.asarray(row["grid"], dtype=np.int64)
+    return merged.reshape(d, w)
+
+
+def cms_estimate(sketch: np.ndarray, terms, *, lg_w: int) -> np.ndarray:
+    """Point-query estimates (int64, one per term): min over the d rows
+    of the term's cell — the standard CMS upper-bound estimator."""
+    d = sketch.shape[0]
+    cells = _cms_cells(_term_hashes(terms), d=d, lg_w=lg_w)
+    ests = np.stack([sketch[i, cells[i]] for i in range(d)])
+    return ests.min(axis=0).astype(np.int64)

@@ -199,3 +199,95 @@ def test_pii_scrub_hits_and_idempotence(ray_session):
     )
     assert (again[["n_email", "n_ipv4", "n_phone", "n_ssn"]].to_numpy() == 0).all()
     assert (again["scrubbed2"] == again["scrubbed"]).all()
+
+
+def test_containment_stop_fingerprint_filter(ray_session):
+    """max_df contract: fingerprints shared by more than max_df docs are
+    excluded from sets AND denominators. A 4-doc common phrase becomes a
+    stop fingerprint at max_df=3; the pure-Python replica applies the
+    same rule."""
+    from ptrail_ray.functions.dedup import containment_pairs, winnow_batch
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = {
+        0: common + " one two three four five six",
+        1: common + " one two three four five six",          # dup of 0
+        2: common + " seven eight nine ten eleven twelve",
+        3: common + " thirteen fourteen fifteen sixteen seventeen",
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    max_df = 3
+
+    fps = winnow_batch(pdf, k=3, w=4)
+    df_count = fps.groupby("fp")["doc_id"].nunique()
+    stop = set(df_count[df_count > max_df].index)
+    assert stop, "test premise: the common phrase must create stop fps"
+    sets = {
+        int(d): set(g["fp"]) - stop for d, g in fps.groupby("doc_id")
+    }
+    rows = []
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= 0.5:
+                rows.append((a, b, inter, c))
+    exp = pd.DataFrame(
+        rows, columns=["a", "b", "n_shared", "containment"]
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+
+    got = (
+        containment_pairs(
+            rd.from_pandas(pdf, override_num_blocks=2),
+            k=3, w=4, threshold=0.5, num_buckets=4, max_df=max_df,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64", "n_shared": "int64"}), exp
+    )
+    # without the filter the common phrase would link every pair; with it
+    # docs 2 and 3 share nothing
+    assert not ((got["a"] == 2) & (got["b"] == 3)).any()
+    assert ((got["a"] == 0) & (got["b"] == 1)).any()
+
+
+def test_cms_sketch_properties(ray_session):
+    """CMS invariants: (1) the multiply-shift cell math matches an
+    arbitrary-precision replica, (2) est ≥ exact always, est == exact
+    when w is collision-free, (3) the sketch is split-invariant (sum
+    merge): 1 block ≡ 4 blocks."""
+    from ptrail_ray.functions.sketch import (
+        CMS_MULTS, _cms_cells, _term_hashes, cms_estimate, cms_sketch,
+    )
+
+    terms = [f"word{i}" for i in range(30)]
+    h = _term_hashes(terms)
+    cells = _cms_cells(h, d=4, lg_w=8)
+    for i, a in enumerate(CMS_MULTS):
+        exp = [((a * int(x)) % (1 << 64)) >> (64 - 8) for x in h]
+        assert cells[i].tolist() == exp
+
+    rng = np.random.default_rng(7)
+    texts = [" ".join(rng.choice(terms, size=40)) for _ in range(200)]
+    pdf = pd.DataFrame({"text": texts})
+    exact = pd.Series(" ".join(texts).split()).value_counts()
+
+    sk1 = cms_sketch(rd.from_pandas(pdf, override_num_blocks=1), "text", lg_w=16, batch_size=None)
+    sk4 = cms_sketch(rd.from_pandas(pdf, override_num_blocks=4), "text", lg_w=16, batch_size=None)
+    assert (sk1 == sk4).all()  # sum-merge: layout-invariant
+
+    est = cms_estimate(sk1, list(exact.index), lg_w=16)
+    assert (est == exact.to_numpy()).all()  # 30 terms in 65536 cells: exact
+
+    sk_small = cms_sketch(rd.from_pandas(pdf, override_num_blocks=2), "text", lg_w=4, batch_size=None)
+    est_small = cms_estimate(sk_small, list(exact.index), lg_w=4)
+    assert (est_small >= exact.to_numpy()).all()  # guaranteed overcount
+    assert (est_small > exact.to_numpy()).any()   # 30 terms in 16 cells: collide
