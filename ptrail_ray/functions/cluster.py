@@ -348,7 +348,9 @@ def semantic_neardup_pairs(
         )
 
     attached = ds.map_batches(attach, batch_format="pyarrow", batch_size=batch_size)
-    return grouped_agg_by_bucket(attached, "centroid_id", pairs, num_buckets=num_buckets)
+    return grouped_agg_by_bucket(
+        attached, "centroid_id", pairs, num_buckets=num_buckets, partial_batch=None
+    )
 
 
 def lowest_id_centroids(

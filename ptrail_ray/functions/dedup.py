@@ -765,6 +765,7 @@ def verify_pairs_jaccard(
         "doc_id",
         attach_text,
         num_buckets=num_buckets,
+        partial_batch=None,
         group_format="pyarrow",
     )
 
@@ -811,7 +812,8 @@ def verify_pairs_jaccard(
         )
 
     return grouped_agg_by_bucket(
-        textized, ["a", "b"], verify, num_buckets=num_buckets, group_format="pyarrow"
+        textized, ["a", "b"], verify, num_buckets=num_buckets,
+        partial_batch=None, group_format="pyarrow"
     )
 
 
@@ -854,7 +856,8 @@ def content_rep_map(docs, *, id_col: str = "doc_id", text_col: str = "text",
         hashes, batch_format="pyarrow", batch_size=None
     )
     return grouped_agg_by_bucket(
-        hashed, ["h1", "h2"], rep_in_bucket, num_buckets=num_buckets
+        hashed, ["h1", "h2"], rep_in_bucket, num_buckets=num_buckets,
+        partial_batch=None,
     )
 
 
@@ -965,6 +968,7 @@ def verify_pairs_jaccard_collapsed(
         "doc_id",
         attach_rep,
         num_buckets=num_buckets,
+        partial_batch=None,
         group_format="pyarrow",
     )
 
@@ -996,7 +1000,8 @@ def verify_pairs_jaccard_collapsed(
         )
 
     translated = grouped_agg_by_bucket(
-        sided, ["a", "b"], fold, num_buckets=num_buckets, group_format="pyarrow"
+        sided, ["a", "b"], fold, num_buckets=num_buckets,
+        partial_batch=None, group_format="pyarrow"
     ).materialize()
 
     # ---- verify DISTINCT content pairs only ----
@@ -1009,6 +1014,7 @@ def verify_pairs_jaccard_collapsed(
         ["lo", "hi"],
         distinct,
         num_buckets=16,
+        partial_batch=None,
     )
     verified = verify_pairs_jaccard(
         rep_pairs,
@@ -1068,6 +1074,7 @@ def verify_pairs_jaccard_collapsed(
         ["lo", "hi"],
         back,
         num_buckets=num_buckets,
+        partial_batch=None,
         group_format="pyarrow",
     )
 
@@ -1231,6 +1238,7 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
         "cell",
         cell_pairs,
         num_buckets=32,
+        partial_batch=None,  # explode output is many small blocks (CLAUDE.md rule)
     )
 
     # two-column (a, b) pair identity — see verify_pairs_jaccard on why
@@ -1240,6 +1248,7 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3):
         ["a", "b"],
         lambda df: df.drop_duplicates(["a", "b"]),
         num_buckets=16,
+        partial_batch=None,
     )
 
 
@@ -1377,7 +1386,8 @@ def connected_components(
         req = edges.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
         lab = labels.map_batches(tag_label, batch_format="pyarrow", batch_size=None)
         merged = grouped_agg_by_bucket(
-            lab.union(req), "key", propagate, num_buckets=num_buckets
+            lab.union(req), "key", propagate, num_buckets=num_buckets,
+            partial_batch=None,
         )
         # second (cheap) regroup: a node's neighbors span key-buckets
         labels_next = grouped_agg_by_bucket(
@@ -1385,6 +1395,7 @@ def connected_components(
             "node",
             lambda df: df.groupby("node", as_index=False)["cluster_id"].min(),
             num_buckets=num_buckets,
+            partial_batch=None,
         ).materialize()
         s = labels_next.sum("cluster_id")
         labels = labels_next
