@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_event_funnel",
     "q_ngram_jaccard",
     "q_containment",
+    "q_segment_dedup",
 ]
 
 

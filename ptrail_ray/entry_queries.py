@@ -2421,6 +2421,61 @@ FROM c
 QUERIES["q_chunk_docs"] = q_chunk_docs
 
 
+SEGDEDUP_N = 8
+
+
+def q_segment_dedup(sf_dir):
+    """CCNet/RefinedWeb-style sub-document dedup (functions/dedup.py
+    ``segment_dedup``): drop every 8-token segment whose content
+    appeared earlier in the corpus (first occurrence by (doc_id,
+    seg_idx) wins), reassemble docs from kept segments. Keeper exchange
+    is narrow 128-bit hashes; corpus text shuffles exactly once for the
+    rebuild."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.dedup import segment_dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return finalize(segment_dedup(docs, n_tokens=SEGDEDUP_N))
+
+
+ORACLE_SQL["q_segment_dedup"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks)/{SEGDEDUP_N}.0) AS BIGINT) - 1)) AS seg_idx
+  FROM d WHERE len(toks) > 0
+), segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(toks[(seg_idx*{SEGDEDUP_N}+1):(seg_idx*{SEGDEDUP_N}+{SEGDEDUP_N})], ' ') AS seg_text
+  FROM s
+), ranked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+), agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx), '') AS text_clean,
+         CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_seg_kept,
+         CAST(count(*) AS BIGINT) AS n_seg_total
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+       coalesce(agg.n_seg_kept, 0) AS n_seg_kept,
+       coalesce(agg.n_seg_total, 0) AS n_seg_total
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+QUERIES["q_segment_dedup"] = q_segment_dedup
+
+
 def q_kmeans_step(sf_dir):
     """One distributed Lloyd M-step from the lowest-id centroid init
     (functions/cluster.kmeans_mstep): exact int64-quantized component
@@ -3856,7 +3911,7 @@ _PRIORITY = [
     # round-4 fixes/additions needing fresh driver-green rows
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
     "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
-    "q_containment", "q_pii_hits", "q_cms_counts",
+    "q_containment", "q_pii_hits", "q_cms_counts", "q_segment_dedup",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",

@@ -1880,3 +1880,209 @@ def containment_pairs(
         pair_parts, ["a", "b"], reduce_pairs, num_buckets=num_buckets,
         partial_batch=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (CCNet/RefinedWeb-style sub-document dedup)
+# ---------------------------------------------------------------------------
+
+_SEG_P2 = np.uint64(0x9E3779B97F4A7C15)  # 2^64/φ, odd — second channel
+_SEG_HASH_KEY2 = "fedcba9876543210"  # second independent SipHash key
+
+
+def _segment_hash_table(
+    t: pa.Table, *, n: int, id_col: str, text_col: str
+) -> pa.Table:
+    """(h1, h2, doc_id, seg_idx) for every n-token segment of every doc.
+
+    Segment identity is a pair of independent 64-bit hashes (SipHash of
+    each batch-unique token via ``pd.util.hash_array``, combined over
+    the segment by a wrapping polynomial) — effectively 128 bits, the
+    decontam collision budget (<1e-18 at 10^9 segments); segment
+    STRINGS never materialize and never shuffle. Trailing segments
+    shorter than ``n`` hash over their actual tokens (the polynomial is
+    length-sensitive), matching the SQL list-slice semantics.
+    """
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    codes, vocab, idx = encoded_tokens(t[text_col])
+    empty = pa.table(
+        {
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "seg_idx": pa.array([], pa.int64()),
+        }
+    )
+    if len(codes) == 0:
+        return empty
+    vs = np.asarray(vocab.to_pylist(), dtype=object)
+    th1 = pd.util.hash_array(vs, categorize=False).astype(np.uint64)
+    th2 = pd.util.hash_array(vs, hash_key=_SEG_HASH_KEY2, categorize=False).astype(
+        np.uint64
+    )
+    f1, f2 = th1[codes], th2[codes]
+    # within-doc token position; a doc's first token restarts pos at 0,
+    # so segments can never span documents
+    doc_first_tok = np.searchsorted(idx, np.arange(len(ids)))
+    pos = np.arange(len(idx), dtype=np.int64) - doc_first_tok[idx]
+    seg_start = np.flatnonzero(pos % n == 0)
+    seg_end = np.concatenate((seg_start[1:], [len(idx)]))
+    seg_len = seg_end - seg_start  # in 1..n
+    g1 = np.zeros(len(seg_start), np.uint64)
+    g2 = np.zeros(len(seg_start), np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            sel = seg_len > j
+            if not sel.any():
+                break
+            p = seg_start[sel] + j
+            g1[sel] = g1[sel] * _SHINGLE_P + f1[p]
+            g2[sel] = g2[sel] * _SEG_P2 + f2[p]
+    return pa.table(
+        {
+            "h1": pa.array(g1.view(np.int64), pa.int64()),
+            "h2": pa.array(g2.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[idx[seg_start]], pa.int64()),
+            "seg_idx": pa.array(pos[seg_start] // n, pa.int64()),
+        }
+    )
+
+
+def segment_dedup(
+    ds,
+    *,
+    n_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    batch_size: int = 16_384,
+):
+    """Corpus-wide sub-document dedup: drop every n-token segment whose
+    content appeared earlier in the corpus (global first occurrence by
+    (doc_id, seg_idx)), then reassemble each doc from its kept segments.
+
+    The CCNet / RefinedWeb line-dedup shape (Wenzek et al. 2020 §4.1;
+    Penedo et al. 2023 §3.3) generalized to fixed token windows because
+    this corpus is single-line text. The reference has no text operator
+    at all (numeric trajectories only — SURVEY.md §2.11); this is a
+    beyond-reference training-data op.
+
+    Scale shape (100 TB story):
+    1. narrow stage: text → (h1, h2, doc_id, seg_idx) int64 rows; text
+       itself never enters the keeper exchange.
+    2. keeper exchange: ONE shuffle keyed on the 128-bit segment hash;
+       per-bucket vectorized keep-min — identical to ``exact_dedup``.
+    3. rebuild exchange: keepers (narrow ints) union the (doc_id, text)
+       pairs, ONE shuffle keyed on doc_id; each doc re-tokenizes locally
+       and re-joins its kept segments with ``pc.binary_join`` — corpus
+       text moves exactly once.
+    Output: (doc_id, text_clean, n_seg_kept, n_seg_total), one row per
+    input doc (docs with no tokens keep '' and 0/0). Whitespace is
+    normalized to single spaces (token-join semantics, same as the SQL
+    ``array_to_string`` oracle).
+    """
+    from ptrail_ray.functions.tokenize import arrow_tokens
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    import functools as _ft
+
+    segs = ds.map_batches(
+        _ft.partial(
+            _segment_hash_table, n=n_tokens, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["h1", "h2", "doc_id", "seg_idx"], kind="stable"
+        ).drop_duplicates(["h1", "h2"], keep="first")
+        return df[["doc_id", "seg_idx"]]
+
+    keepers = grouped_agg_by_bucket(
+        segs, ["h1", "h2"], keep_min, num_buckets=num_buckets, partial_batch=None
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "text": t[text_col].cast(pa.string()),
+                "seg_idx": pa.array(
+                    np.full(len(t), -1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.nulls(len(t), pa.string()),
+                "seg_idx": t["seg_idx"],
+            }
+        )
+
+    docs_side = ds.map_batches(
+        tag_docs, batch_format="pyarrow", batch_size=batch_size
+    )
+    keep_side = keepers.map_batches(tag_keep, batch_format="pyarrow", batch_size=None)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        seg_np = t["seg_idx"].to_numpy(zero_copy_only=False)
+        is_doc = seg_np < 0
+        docs_t = t.filter(pa.array(is_doc))
+        ids = docs_t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        docs_t = docs_t.take(pa.array(order))
+        ids = ids[order]
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        krow = np.searchsorted(ids, all_ids[~is_doc])
+        kseg = seg_np[~is_doc]
+        flat, tok_row = arrow_tokens(docs_t["text"])
+        row_first = np.searchsorted(tok_row, np.arange(len(ids)))
+        pos = np.arange(len(tok_row), dtype=np.int64) - row_first[tok_row]
+        seg_of_tok = pos // n_tokens
+        if seg_of_tok.size and seg_of_tok.max() >= (1 << 32):
+            raise ValueError(
+                "document exceeds 2^32 segments — packed rebuild key overflow"
+            )
+        key_tok = tok_row * (1 << 32) + seg_of_tok
+        key_keep = np.sort(krow * (1 << 32) + kseg)
+        if len(key_keep):
+            p = np.searchsorted(key_keep, key_tok).clip(max=len(key_keep) - 1)
+            mask = key_keep[p] == key_tok
+        else:
+            mask = np.zeros(len(key_tok), bool)
+        kept = flat.filter(pa.array(mask))
+        counts = np.bincount(tok_row[mask], minlength=len(ids))
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), kept)
+        tok_cnt = np.bincount(tok_row, minlength=len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_clean": pc.binary_join(la, " ").cast(pa.string()),
+                "n_seg_kept": pa.array(
+                    np.bincount(krow, minlength=len(ids)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_seg_total": pa.array(
+                    -(-tok_cnt // n_tokens), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_agg_by_bucket(
+        docs_side.union(keep_side),
+        "doc_id",
+        rebuild,
+        num_buckets=num_buckets,
+        partial_batch=None,
+        group_format="pyarrow",
+    )

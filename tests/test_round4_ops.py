@@ -291,3 +291,89 @@ def test_cms_sketch_properties(ray_session):
     est_small = cms_estimate(sk_small, list(exact.index), lg_w=4)
     assert (est_small >= exact.to_numpy()).all()  # guaranteed overcount
     assert (est_small > exact.to_numpy()).any()   # 30 terms in 16 cells: collide
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup (CCNet-style sub-document dedup)
+# ---------------------------------------------------------------------------
+
+
+def _seg_dedup_expected(docs: dict[int, str], n: int) -> pd.DataFrame:
+    """Pure-Python replica of the contract: first corpus occurrence of
+    each n-token segment (by doc_id, seg_idx) keeps; docs reassemble
+    from kept segments with single spaces."""
+    seen: dict[tuple, tuple] = {}
+    segs: dict[int, list[tuple[int, tuple]]] = {}
+    for i in sorted(docs):
+        toks = docs[i].split()
+        segs[i] = [
+            (j // n, tuple(toks[j : j + n])) for j in range(0, len(toks), n)
+        ]
+        for si, s in segs[i]:
+            seen.setdefault(s, (i, si))
+    rows = []
+    for i in sorted(docs):
+        kept = [s for si, s in segs[i] if seen[s] == (i, si)]
+        rows.append(
+            (i, " ".join(" ".join(s) for s in kept), len(kept), len(segs[i]))
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text_clean", "n_seg_kept", "n_seg_total"]
+    )
+
+
+def test_segment_dedup_matches_bruteforce(ray_session):
+    from ptrail_ray.functions.dedup import segment_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for i in range(60)
+    }
+    docs[60] = docs[3]                      # exact duplicate doc
+    docs[61] = docs[5] + " " + docs[7]      # concatenation of two docs
+    docs[62] = ""                           # empty doc
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    for n in (3, 8):
+        out = (
+            segment_dedup(ds, n_tokens=n, num_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = _seg_dedup_expected(docs, n)
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_segment_dedup_unique_corpus_is_identity(ray_session):
+    from ptrail_ray.functions.dedup import segment_dedup
+
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i} eps{i}" for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(20), "text": texts}))
+    out = (
+        segment_dedup(ds, n_tokens=4, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["text_clean"] == pd.Series(texts)).all()
+    assert (out["n_seg_kept"] == out["n_seg_total"]).all()
+
+
+def test_segment_dedup_duplicate_doc_emptied(ray_session):
+    from ptrail_ray.functions.dedup import segment_dedup
+
+    t = "a b c d e f g h i j k l m n o p"  # exactly two 8-token segments
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": [t, t]}))
+    out = (
+        segment_dedup(ds, n_tokens=8, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "text_clean"] == t and out.loc[0, "n_seg_kept"] == 2
+    assert out.loc[1, "text_clean"] == "" and out.loc[1, "n_seg_kept"] == 0
+    assert (out["n_seg_total"] == 2).all()
