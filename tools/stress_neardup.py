@@ -77,7 +77,7 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     results = {}
-    if set(ops) & {"minhash", "simhash", "exact", "winnow", "ngram", "containment"}:
+    if set(ops) & {"minhash", "simhash", "exact", "winnow", "ngram", "containment", "segment"}:
         corpus = build_corpus()
         print(f"corpus: {len(corpus)} docs", flush=True)
         ds = rd.from_pandas(corpus, override_num_blocks=64).materialize()
@@ -120,6 +120,12 @@ def main() -> int:
             t0 = time.perf_counter()
             nrows = containment_pairs(ds, threshold=0.8).count()
             results["containment_pairs"] = (time.perf_counter() - t0, nrows)
+        if "segment" in ops:
+            from ptrail_ray.functions.dedup import segment_dedup
+
+            t0 = time.perf_counter()
+            nrows = segment_dedup(ds, n_tokens=8).count()
+            results["segment_dedup"] = (time.perf_counter() - t0, nrows)
         if "simhash" in ops:
             from ptrail_ray.functions.dedup import simhash_near_pairs
 
