@@ -2150,6 +2150,67 @@ ORACLE_SQL["q_join_orders_customer"] = """
 QUERIES["q_join_orders_customer"] = q_join_orders_customer
 
 
+def q_left_join_customer_orders(sf_dir):
+    """LEFT OUTER shuffle join: customer ⟕ orders on custkey
+    (stages/join.hash_join how='left') — customers with no orders
+    survive with NULL order columns. TPC-H leaves ~1/3 of customers
+    order-less, so the outer path is genuinely exercised.
+
+    Type-stability note: a per-bucket pandas left-merge yields int64
+    ``o_orderkey`` in fully-matched buckets but float64 (NaN-padded)
+    in buckets containing unmatched customers — divergent block
+    schemas. The post-join projection casts the nullable right-side
+    columns to float64 unconditionally so every block agrees (the
+    oracle CASTs the same), and finalize maps NaN→NULL."""
+    import os
+    import ray.data as rd
+    from ptrail_ray.stages.join import hash_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    out = hash_join(cust, orders, "custkey", how="left")
+
+    def stabilize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["custkey"].astype("int64"),
+                "c_name": df["c_name"],
+                "c_acctbal": df["c_acctbal"].astype("float64"),
+                "o_orderkey": df["o_orderkey"].astype("float64"),
+                "o_totalprice": df["o_totalprice"].astype("float64"),
+            }
+        )
+
+    return finalize(
+        out.map_batches(stabilize, batch_format="pandas", batch_size=None),
+        round_columns=["c_acctbal", "o_totalprice"],
+    )
+
+
+ORACLE_SQL["q_left_join_customer_orders"] = """
+    SELECT c.c_custkey AS custkey, c.c_name,
+           round(c.c_acctbal, 6) + 0.0 AS c_acctbal,
+           CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+           round(o.o_totalprice, 6) + 0.0 AS o_totalprice
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"""
+QUERIES["q_left_join_customer_orders"] = q_left_join_customer_orders
+
+
 def q_doc_repetition(sf_dir):
     """Gopher-style repetition quality signals over documents
     (functions/textstats.py:repetition_batch) — distinct-token ratio +
