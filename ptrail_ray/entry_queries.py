@@ -2585,6 +2585,44 @@ FROM x GROUP BY centroid_id, dim
 QUERIES["q_kmeans_step"] = q_kmeans_step
 
 
+def q_embed_covariance(sf_dir):
+    """Distributed population covariance of the embedding table
+    (functions/linalg.embedding_covariance): upper-triangle long
+    format, exact int64-quantized product sums (order-independent,
+    bit-safe for the hash gate), one streaming pass, no shuffle."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.linalg import embedding_covariance
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    out = embedding_covariance(ds)
+    return finalize(pa.Table.from_pandas(out, preserve_index=False), round_columns=["cov"])
+
+
+ORACLE_SQL["q_embed_covariance"] = """
+WITH x AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n,
+       round((sum(CAST(round(a.v * b.v * 1000000000.0) AS BIGINT)) / 1000000000.0)
+                 / count(*)
+             - ((sum(CAST(round(a.v * 1000000000.0) AS BIGINT)) / 1000000000.0)
+                    / count(*))
+               * ((sum(CAST(round(b.v * 1000000000.0) AS BIGINT)) / 1000000000.0)
+                    / count(*)), 6) + 0.0 AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""
+QUERIES["q_embed_covariance"] = q_embed_covariance
+
+
 DECONTAM_N = 2  # bigrams: the 31-term synthetic vocab makes 5-grams vanishingly rare
 
 

@@ -1,0 +1,126 @@
+"""Distributed dense linear algebra over an embedding column.
+
+The PCA / whitening building block a training-data pipeline needs for
+embedding-space analysis (dimensionality reduction before clustering,
+covariance-based outlier gates, feature decorrelation). The reference
+has no embedding ops at all — its numeric aggregates are per-trajectory
+scalar stats (`ptrail/features/kinematic_features.py`); this module is
+a beyond-reference operator in the same spirit as `functions/cluster.py`.
+
+Design for 100 TB: the covariance of a (N, d) embedding table factors
+into per-batch partial sums — Σ xᵢxⱼ over the upper triangle plus the
+per-dim sums and a row count. Each batch emits a FIXED d(d+1)/2-row
+partial regardless of batch size (the combiner pattern — rows shrink
+before anything moves), an intermediate vectorized combine collapses
+~hundreds of partials per task, and the driver merges only the
+surviving d(d+1)/2 × few rows. Nothing shuffles; the data is touched
+in one streaming pass.
+
+Exactness: per-row products are quantized to int64 (DuckDB
+``CAST(round(x*1e9) AS BIGINT)`` replica — `_quant_int64`), so partial
+sums are integer adds: associative, order-independent, bit-identical
+under any batch split — safe for the driver's exact value-hash gate.
+Headroom: |x|≲1 ⇒ |x·y|·1e9 ≤ 1e9 per row ⇒ ~9.2e9 rows before int64
+overflow; the merge asserts loudly instead of wrapping.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ptrail_ray.functions.cluster import QUANT_SCALE, _quant_int64, _vec_matrix
+
+# Rows a single int64 partial can absorb before |Σ round(x·y·1e9)| could
+# exceed int64 for |x|,|y| ≤ 1. Enforced at merge time (see
+# embedding_covariance) — a silent wraparound would poison every pair.
+_MAX_EXACT_ROWS = int((1 << 62) / QUANT_SCALE)
+
+
+def _cov_partial(t: pa.Table, *, vec_col: str, row_chunk: int) -> pa.Table:
+    """Per-batch covariance partial: EXACT int64 sums of quantized
+    pairwise products over the upper triangle, plus per-dim sums and
+    the row count — d(d+1)/2 rows per batch regardless of batch size."""
+    m = _vec_matrix(t[vec_col])
+    n, d = m.shape if m.ndim == 2 else (0, 0)
+    if n == 0:
+        return pa.table(
+            {
+                "dim_i": pa.array([], pa.int64()),
+                "dim_j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "spq": pa.array([], pa.int64()),
+                "si": pa.array([], pa.int64()),
+                "sj": pa.array([], pa.int64()),
+            }
+        )
+    iu, ju = np.triu_indices(d)
+    spq = np.zeros(len(iu), np.int64)
+    # Chunk the (rows × pairs) product block so peak scratch stays
+    # ~row_chunk · d²/2 · 8 B (≈8.5 MB at d=64, row_chunk=512) even for
+    # large batch_size.
+    for lo in range(0, n, row_chunk):
+        blk = m[lo : lo + row_chunk]
+        spq += _quant_int64(blk[:, iu] * blk[:, ju]).sum(axis=0)
+    sdim = _quant_int64(m).sum(axis=0)
+    return pa.table(
+        {
+            "dim_i": pa.array(iu.astype(np.int64), pa.int64()),
+            "dim_j": pa.array(ju.astype(np.int64), pa.int64()),
+            "n": pa.array(np.full(len(iu), n, np.int64), pa.int64()),
+            "spq": pa.array(spq, pa.int64()),
+            "si": pa.array(sdim[iu], pa.int64()),
+            "sj": pa.array(sdim[ju], pa.int64()),
+        }
+    )
+
+
+def embedding_covariance(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+    row_chunk: int = 512,
+) -> pd.DataFrame:
+    """Population covariance matrix of an embedding column, upper
+    triangle in long format: (dim_i, dim_j, n, cov) with
+    cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
+
+    One streaming pass, no shuffle: fixed-size int64 partials per batch
+    (`_cov_partial`), a vectorized intermediate combine, and a
+    d(d+1)/2-bounded driver merge. Float division happens ONCE at the
+    end, in DuckDB expression order ``(s/1e9)/n`` — the result is
+    bit-equal to the SQL replica in `entry_queries.q_embed_covariance`.
+    """
+    parts = ds.map_batches(
+        functools.partial(_cov_partial, vec_col=vec_col, row_chunk=row_chunk),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["dim_i", "dim_j"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    g = (
+        parts.map_batches(combine, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["dim_i", "dim_j"], as_index=False, sort=False)
+        .sum()
+    )
+    if len(g) and int(g["n"].max()) > _MAX_EXACT_ROWS:
+        raise ValueError(
+            f"embedding_covariance: {int(g['n'].max())} rows exceeds the "
+            f"exact-int64 budget ({_MAX_EXACT_ROWS}); shard the input and "
+            "merge covariances via the pooled formula instead"
+        )
+    n = g["n"].to_numpy(np.float64)
+    epq = (g["spq"].to_numpy(np.float64) / QUANT_SCALE) / n
+    ei = (g["si"].to_numpy(np.float64) / QUANT_SCALE) / n
+    ej = (g["sj"].to_numpy(np.float64) / QUANT_SCALE) / n
+    out = g[["dim_i", "dim_j", "n"]].copy()
+    out["cov"] = epq - ei * ej
+    return out.sort_values(["dim_i", "dim_j"], kind="stable").reset_index(drop=True)

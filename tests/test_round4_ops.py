@@ -377,3 +377,33 @@ def test_segment_dedup_duplicate_doc_emptied(ray_session):
     assert out.loc[0, "text_clean"] == t and out.loc[0, "n_seg_kept"] == 2
     assert out.loc[1, "text_clean"] == "" and out.loc[1, "n_seg_kept"] == 0
     assert (out["n_seg_total"] == 2).all()
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    from ptrail_ray.functions.linalg import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 6
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"embedding": list(m)}))
+    out = embedding_covariance(ds, batch_size=64, row_chunk=32)
+    assert len(out) == d * (d + 1) // 2
+    assert (out["n"] == n).all()
+    ref = np.cov(m.astype(np.float64), rowvar=False, bias=True)
+    got = np.zeros((d, d))
+    got[out["dim_i"], out["dim_j"]] = out["cov"]
+    iu = np.triu_indices(d)
+    np.testing.assert_allclose(got[iu], ref[iu], atol=5e-8)
+
+
+def test_embedding_covariance_batch_split_invariant(ray_session):
+    """Integer partials ⇒ bit-identical result under any batch split."""
+    from ptrail_ray.functions.linalg import embedding_covariance
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(257, 5)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"embedding": list(m)}))
+    a = embedding_covariance(ds, batch_size=7, row_chunk=3)
+    b = embedding_covariance(ds, batch_size=1024, row_chunk=1024)
+    assert (a["cov"].to_numpy() == b["cov"].to_numpy()).all()
+    assert (a["spq"].to_numpy() == b["spq"].to_numpy()).all() if "spq" in a else True
