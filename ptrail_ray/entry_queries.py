@@ -2623,6 +2623,47 @@ GROUP BY a.dim, b.dim
 QUERIES["q_embed_covariance"] = q_embed_covariance
 
 
+def q_group_zscore(sf_dir):
+    """Per-conversation z-score normalization of the m1 measure
+    (stages/stats.group_zscore): exact int64 group sums inside the
+    single conv exchange, rows mapped back vectorized; constant
+    conversations get NULL."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.stats import group_zscore
+
+    ds = derive_from_events(sf_dir).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=65536
+    )
+    out = group_zscore(ds, value_col="m1", out_col="z_m1")
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "z_m1"]), round_columns=["z_m1"]
+    )
+
+
+ORACLE_SQL["q_group_zscore"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+base AS (
+  SELECT conv_id, turn_idx,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1
+  FROM transcripts
+),
+g AS (
+  SELECT conv_id, count(*) AS n, sum(m1) AS s, sum(m1 * m1) AS s2
+  FROM base GROUP BY conv_id
+)
+SELECT b.conv_id, b.turn_idx,
+       CASE WHEN (CAST(s2 AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+            THEN round((CAST(b.m1 AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                       / sqrt(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                       6) + 0.0
+            ELSE NULL END AS z_m1
+FROM base b JOIN g USING (conv_id)
+"""
+QUERIES["q_group_zscore"] = q_group_zscore
+
+
 DECONTAM_N = 2  # bigrams: the 31-term synthetic vocab makes 5-grams vanishingly rare
 
 

@@ -426,3 +426,55 @@ def topk_per_conv(ds, *, col: str, k: int = 3, num_buckets: int = 32):
         return out.append_column("rank", pa.array(rank[keep], type=pa.int64()))
 
     return map_conv_buckets(ds, kern, num_buckets=num_buckets)
+
+
+def group_zscore_kernel(
+    table: pa.Table, *, value_col: str, out_col: str
+) -> pa.Table:
+    """Per-conversation z-score normalization of an integer measure:
+    z = (x − mean) / std_pop over the conversation, NULL when the
+    conversation is constant (std 0).
+
+    The classic feature-normalization transform (the reference has no
+    normalizer; its closest analog is the per-trajectory stats pivot,
+    ``ptrail/preprocessing/statistics.py:65-202``, which aggregates but
+    never maps back to rows). Group sums use EXACT int64 arithmetic
+    (m1 is an integer measure), so mean/var are order-independent and
+    the single float expression below is bit-equal to the DuckDB
+    replica in `entry_queries.q_group_zscore` — no quantization needed.
+    Runs inside conv-contiguous buckets: one reduceat per bucket, no
+    extra shuffle, rows map back via np.repeat (vectorized broadcast).
+    """
+    starts, lengths = conv_runs(table[CONV_ID])
+    v = table[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(v) == 0:
+        return table.append_column(out_col, pa.array([], pa.float64()))
+    s = np.add.reduceat(v, starts)
+    s2 = np.add.reduceat(v * v, starts)
+    n = lengths.astype(np.float64)
+    # DuckDB expression order: CAST(s AS DOUBLE)/n, then s2/n - mean*mean
+    mean = s.astype(np.float64) / n
+    var = s2.astype(np.float64) / n - mean * mean
+    mean_row = np.repeat(mean, lengths)
+    var_row = np.repeat(var, lengths)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = np.where(
+            var_row > 0.0,
+            (v.astype(np.float64) - mean_row) / np.sqrt(var_row),
+            np.nan,
+        )
+    return table.append_column(out_col, pa.array(z, pa.float64()))
+
+
+def group_zscore(
+    ds, *, value_col: str = "m1", out_col: str = "z_m1", num_buckets: int = 32
+):
+    """Distributed per-group z-score over the engine's single conv
+    exchange (see `group_zscore_kernel`)."""
+    import functools
+
+    return map_conv_buckets(
+        ds,
+        functools.partial(group_zscore_kernel, value_col=value_col, out_col=out_col),
+        num_buckets=num_buckets,
+    )

@@ -407,3 +407,35 @@ def test_embedding_covariance_batch_split_invariant(ray_session):
     b = embedding_covariance(ds, batch_size=1024, row_chunk=1024)
     assert (a["cov"].to_numpy() == b["cov"].to_numpy()).all()
     assert (a["spq"].to_numpy() == b["spq"].to_numpy()).all() if "spq" in a else True
+
+
+def test_group_zscore_matches_pandas(ray_session):
+    from ptrail_ray.stages.stats import group_zscore
+
+    rng = np.random.default_rng(3)
+    conv = np.repeat([f"conv-{i}" for i in range(20)], 25)
+    df = pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": np.tile(np.arange(25), 20),
+            "role": "user",
+            "text": None,
+            "tool": None,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(500), "s"),
+            "m1": rng.integers(0, 300, 500).astype(np.int64),
+        }
+    )
+    # one constant conversation → std 0 → NaN
+    df.loc[df["conv_id"] == "conv-7", "m1"] = 42
+    out = (
+        group_zscore(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    g = ref.groupby("conv_id")["m1"]
+    exp = (ref["m1"] - g.transform("mean")) / g.transform(lambda x: x.std(ddof=0))
+    exp[ref["conv_id"] == "conv-7"] = np.nan
+    np.testing.assert_allclose(out["z_m1"], exp, atol=1e-9)
+    assert out.loc[out["conv_id"] == "conv-7", "z_m1"].isna().all()
