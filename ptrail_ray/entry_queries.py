@@ -2664,6 +2664,28 @@ FROM base b JOIN g USING (conv_id)
 QUERIES["q_group_zscore"] = q_group_zscore
 
 
+def q_inverted_index(sf_dir):
+    """Inverted-index postings build (functions/textstats.postings):
+    (doc_id, term, tf) long table, one stateless map_batches pass, no
+    shuffle — each doc's term frequencies are final within its batch."""
+    from ptrail_ray.functions.textstats import postings
+
+    return postings(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+ORACLE_SQL["q_inverted_index"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id, w AS term, count(*) AS tf
+FROM tok GROUP BY doc_id, w
+"""
+QUERIES["q_inverted_index"] = q_inverted_index
+
+
 DECONTAM_N = 2  # bigrams: the 31-term synthetic vocab makes 5-grams vanishingly rare
 
 

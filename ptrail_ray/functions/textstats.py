@@ -450,3 +450,46 @@ def top_bigrams(
         ["n", "bigram"], ascending=[False, True], kind="stable"
     ).head(k)
     return out.reset_index(drop=True)
+
+
+def postings(ds, *, text_col: str = "text", batch_size: int | None = 1 << 18):
+    """Inverted-index build: the (term, doc_id, tf) long-format postings
+    table — the retrieval/BM25 primitive over a document corpus.
+
+    Embarrassingly parallel by construction: a document lives whole in
+    one row, so per-(doc, term) term frequencies are FINAL within the
+    batch that holds the doc — a single stateless ``map_batches`` pass,
+    NO exchange anywhere (contrast `top_terms`, whose per-term global
+    counts need one). Per batch: dictionary-encode the flat token
+    stream (`tokenize.encoded_tokens`), pack (row, code) into one int64
+    key, one ``np.unique`` → counts. Output rows ≈ Σ distinct terms per
+    doc; a downstream consumer wanting term-major layout repartitions
+    on ``term`` itself (kept out of here so the index build stays
+    shuffle-free).
+    """
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        codes, vocab, idx = encoded_tokens(t[text_col])
+        if len(codes) == 0:
+            return empty
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(vocab)
+        key = idx.astype(np.int64) * v + codes
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[uk // v], pa.int64()),
+                "term": vocab.take(pa.array(uk % v, pa.int64())).cast(pa.string()),
+                "tf": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)

@@ -439,3 +439,33 @@ def test_group_zscore_matches_pandas(ray_session):
     exp[ref["conv_id"] == "conv-7"] = np.nan
     np.testing.assert_allclose(out["z_m1"], exp, atol=1e-9)
     assert out.loc[out["conv_id"] == "conv-7", "z_m1"].isna().all()
+
+
+def test_postings_matches_python(ray_session):
+    from collections import Counter
+
+    from ptrail_ray.functions.textstats import postings
+
+    docs = {
+        0: "a b a c",
+        1: "",
+        2: "b b b",
+        3: "x y x y z",
+    }
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    out = (
+        postings(ds, batch_size=None)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for d, t in docs.items():
+        for w, c in sorted(Counter(t.split()).items()):
+            exp_rows.append((d, w, c))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "term", "tf"])
+    pd.testing.assert_frame_equal(
+        out.astype({"doc_id": "int64", "tf": "int64"}), exp.astype({"doc_id": "int64", "tf": "int64"})
+    )
