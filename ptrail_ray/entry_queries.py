@@ -2686,6 +2686,54 @@ FROM tok GROUP BY doc_id, w
 QUERIES["q_inverted_index"] = q_inverted_index
 
 
+BM25_TERMS = ("join", "window", "dup", "spark")  # mixed common/rare frequencies
+
+
+def q_bm25(sf_dir):
+    """Okapi BM25 scoring of every document against a fixed query-term
+    set (functions/retrieval.bm25_scores): bounded corpus-stats
+    partials + shuffle-free per-batch scoring; per-term contributions
+    int64-quantized so per-doc sums are order-independent."""
+    from ptrail_ray.functions.retrieval import bm25_scores
+
+    out = bm25_scores(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), list(BM25_TERMS)
+    )
+    return finalize(out, round_columns=["bm25"])
+
+
+ORACLE_SQL["q_bm25"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl FROM d),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM d),
+tf AS (
+  SELECT doc_id, w, any_value(dl) AS dl, count(*) AS tf
+  FROM tok WHERE w IN ('join', 'window', 'dup', 'spark')
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * ((tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                + (0.75 * tf.dl)
+                                  / (CAST(stats.sumdl AS DOUBLE) / stats.n_docs))))
+           * 1000000000.0) AS BIGINT) AS c
+  FROM tf JOIN df USING (w) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(c) / 1000000000.0, 6) + 0.0 AS bm25
+FROM contrib GROUP BY doc_id
+"""
+QUERIES["q_bm25"] = q_bm25
+
+
 DECONTAM_N = 2  # bigrams: the 31-term synthetic vocab makes 5-grams vanishingly rare
 
 

@@ -469,3 +469,42 @@ def test_postings_matches_python(ray_session):
     pd.testing.assert_frame_equal(
         out.astype({"doc_id": "int64", "tf": "int64"}), exp.astype({"doc_id": "int64", "tf": "int64"})
     )
+
+
+def test_bm25_matches_python(ray_session):
+    import math
+
+    from ptrail_ray.functions.retrieval import bm25_scores
+
+    docs = {
+        0: "join the window join",
+        1: "no relevant terms here at all",
+        2: "spark spark spark dup",
+        3: "",
+        4: "window",
+    }
+    terms, k1, b = ["join", "window", "dup", "spark"], 1.2, 0.75
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {w: sum(w in set(v) for v in toks.values()) for w in terms}
+
+    def score(ts):
+        s = 0.0
+        for w in terms:
+            tf = ts.count(w)
+            if not tf or not dfs[w]:
+                continue
+            idf = math.log((n - dfs[w] + 0.5) / (dfs[w] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + (b * len(ts)) / avgdl)
+            )
+        return s
+
+    exp = {i: score(v) for i, v in toks.items() if score(v) != 0.0}
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+    out = bm25_scores(ds, terms, batch_size=None).to_pandas()
+    got = dict(zip(out["doc_id"], out["bm25"]))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-6
