@@ -2623,6 +2623,44 @@ GROUP BY a.dim, b.dim
 QUERIES["q_embed_covariance"] = q_embed_covariance
 
 
+def q_pca_power(sf_dir):
+    """Top-principal-component projection (functions/linalg): exact
+    distributed covariance → driver-side power iteration on the d×d
+    matrix → broadcast GEMV projection of every embedding.
+
+    SELF-CHECKING (no SQL oracle — eigendecomposition is not
+    SQL-expressible): asserts in-query that the power-iteration
+    eigenpair matches ``np.linalg.eigh``'s top eigenpair (λ to 1e-9
+    relative, eigvec to 1e-6 cosine) and that the Rayleigh residual
+    ‖Cv − λv‖∞ is ≤ 1e-8·λ; a violation raises, so a green rows-only
+    driver row certifies the numerical contract held."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ptrail_ray.functions.linalg import (
+        covariance_matrix,
+        embedding_covariance,
+        pca_project,
+        power_iteration,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cov = covariance_matrix(embedding_covariance(ds))
+    lam, v = power_iteration(cov)
+    w, q = np.linalg.eigh(cov)
+    assert abs(lam - w[-1]) <= 1e-9 * max(abs(w[-1]), 1.0), (lam, w[-1])
+    assert abs(float(q[:, -1] @ v)) >= 1.0 - 1e-6, "eigvec mismatch vs eigh"
+    assert float(np.max(np.abs(cov @ v - lam * v))) <= 1e-8 * max(lam, 1.0)
+    return finalize(pca_project(ds, v), round_columns=["pc1"])
+
+
+QUERIES["q_pca_power"] = q_pca_power
+
+
 def q_group_zscore(sf_dir):
     """Per-conversation z-score normalization of the m1 measure
     (stages/stats.group_zscore): exact int64 group sums inside the

@@ -124,3 +124,75 @@ def embedding_covariance(
     out = g[["dim_i", "dim_j", "n"]].copy()
     out["cov"] = epq - ei * ej
     return out.sort_values(["dim_i", "dim_j"], kind="stable").reset_index(drop=True)
+
+
+def covariance_matrix(cov_long: pd.DataFrame) -> np.ndarray:
+    """Long-format upper triangle (`embedding_covariance`) → dense
+    symmetric (d, d) float64 matrix."""
+    d = int(cov_long["dim_j"].max()) + 1 if len(cov_long) else 0
+    m = np.zeros((d, d))
+    i = cov_long["dim_i"].to_numpy(np.int64)
+    j = cov_long["dim_j"].to_numpy(np.int64)
+    c = cov_long["cov"].to_numpy(np.float64)
+    m[i, j] = c
+    m[j, i] = c
+    return m
+
+
+def power_iteration(
+    cov: np.ndarray, *, n_iter: int = 6000, tol: float = 1e-15
+) -> tuple[float, np.ndarray]:
+    """Top eigenpair of a small symmetric PSD matrix (driver-side —
+    cov is d×d, never data-sized). Deterministic start (uniform
+    vector), sign fixed so the largest-|component| coordinate is
+    positive. Raises loudly if the residual hasn't converged — a
+    near-degenerate top eigengap should be visible, not silent.
+
+    ``n_iter`` default sized for slim eigengaps: convergence is
+    |λ₂/λ₁|^k, and the synthetic embeddings' gap ratio is ~0.987
+    (needs ~1.5k iterations for 1e-8); a d×d matvec is microseconds,
+    so the budget is generous rather than clever."""
+    d = cov.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    lam = 0.0
+    for _ in range(n_iter):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            return 0.0, v
+        v_new = w / nrm
+        lam = float(v_new @ (cov @ v_new))
+        if np.linalg.norm(v_new - v) < tol or np.linalg.norm(v_new + v) < tol:
+            v = v_new
+            break
+        v = v_new
+    resid = float(np.max(np.abs(cov @ v - lam * v)))
+    if resid > 1e-6 * max(abs(lam), 1.0):
+        raise ValueError(
+            f"power_iteration: residual {resid:.3e} after {n_iter} iterations "
+            f"(eigengap too small?) — raise n_iter or use full eigh"
+        )
+    k = int(np.argmax(np.abs(v)))
+    if v[k] < 0:
+        v = -v
+    return lam, v
+
+
+def pca_project(ds, v: np.ndarray, *, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Project every embedding onto a fixed direction (the top
+    principal component): one stateless map_batches GEMV, the direction
+    broadcast in the task closure (d floats — never re-shipped per
+    row). Returns (id_col, pc1)."""
+    v64 = np.asarray(v, np.float64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t[vec_col])
+        proj = m @ v64 if m.size else np.empty(0)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "pc1": pa.array(proj, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

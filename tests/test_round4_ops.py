@@ -508,3 +508,29 @@ def test_bm25_matches_python(ray_session):
     assert set(got) == set(exp)
     for i in exp:
         assert abs(got[i] - exp[i]) < 1e-6
+
+
+def test_power_iteration_matches_eigh(ray_session):
+    from ptrail_ray.functions.linalg import (
+        covariance_matrix,
+        embedding_covariance,
+        pca_project,
+        power_iteration,
+    )
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: stretched along a known direction
+    d, n = 8, 600
+    base = rng.normal(size=(n, d))
+    base[:, 2] *= 4.0
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(base.astype(np.float32))})
+    )
+    cov = covariance_matrix(embedding_covariance(ds, batch_size=128))
+    lam, v = power_iteration(cov)
+    w, q = np.linalg.eigh(cov)
+    assert abs(lam - w[-1]) < 1e-10
+    assert abs(float(q[:, -1] @ v)) > 1.0 - 1e-9
+    proj = pca_project(ds, v).to_pandas().sort_values("vec_id")
+    exp = base.astype(np.float32).astype(np.float64) @ v
+    np.testing.assert_allclose(proj["pc1"].to_numpy(), exp, atol=1e-12)
