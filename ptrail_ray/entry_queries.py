@@ -3684,6 +3684,55 @@ FROM d GROUP BY source
 QUERIES["q_grouped_quantiles"] = q_grouped_quantiles
 
 
+def q_roll_max(sf_dir):
+    """Rolling 5-turn max of m1 (envelope kernel roll5_max_m1);
+    NULL until the window completes."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["roll5_max_m1"], num_buckets=16)
+    return finalize(ds.select_columns(["conv_id", "turn_idx", "roll5_max_m1"]))
+
+
+ORACLE_SQL["q_roll_max"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN rn >= 5 THEN max(CAST(m1 AS DOUBLE)) OVER (
+         {W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END AS roll5_max_m1
+FROM m
+"""
+QUERIES["q_roll_max"] = q_roll_max
+
+
+def q_group_rank(sf_dir):
+    """SQL rank() of m1 within each conversation (rank-transform
+    normalization, kernel rank_m1): ties share the min rank, gaps
+    after ties; vectorized lexsort across the whole bucket."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["rank_m1"], num_buckets=16)
+    return finalize(ds.select_columns(["conv_id", "turn_idx", "rank_m1"]))
+
+
+ORACLE_SQL["q_group_rank"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       CAST(rank() OVER (
+         PARTITION BY conv_id
+         ORDER BY CAST(length(coalesce(text, '')) AS BIGINT)) AS DOUBLE)
+         AS rank_m1
+FROM transcripts
+"""
+QUERIES["q_group_rank"] = q_group_rank
+
+
 def q_roll_median(sf_dir):
     """Rolling 5-turn median of m1 (robust smoother kernel
     roll5_med_m1); NULL until the window completes."""

@@ -317,6 +317,51 @@ def _roll5_med_m1(ctx: KernelContext):
     return out
 
 
+@register("roll5_max_m1", deps=(M1,))
+def _roll5_max_m1(ctx: KernelContext):
+    """Rolling max of m1 over the last ROLL_W turns — the envelope
+    sibling of roll5_med_m1 (same NULL-until-complete window contract,
+    so windows never cross a conversation boundary). Vectorized: one
+    sliding_window_view + max along the window axis."""
+    m1 = _np_of(ctx, M1)
+    out = np.full(ctx.n, np.nan)
+    if ctx.n >= ROLL_W:
+        mx = np.max(
+            np.lib.stride_tricks.sliding_window_view(m1, ROLL_W), axis=1
+        )
+        pos = np.arange(ctx.n, dtype=np.int64) - np.repeat(ctx.starts, ctx.lengths)
+        full = pos >= ROLL_W - 1
+        out[full] = mx[np.flatnonzero(full) - (ROLL_W - 1)]
+    return out
+
+
+@register("rank_m1", deps=(M1,))
+def _rank_m1(ctx: KernelContext):
+    """SQL ``rank()`` of m1 within the conversation (ties share the
+    min rank, gaps after ties) — the rank-transform feature
+    normalization. Vectorized across every conversation in the bucket:
+    one lexsort by (run, m1), tie-group starts found by change
+    detection, min-rank forward-filled with ``np.maximum.accumulate``
+    (positions reset per run, so run boundaries restart the fill)."""
+    m1 = _np_of(ctx, M1)
+    run = np.repeat(np.arange(len(ctx.starts), dtype=np.int64), ctx.lengths)
+    order = np.lexsort((m1, run))
+    run_s, m1_s = run[order], m1[order]
+    new = np.ones(ctx.n, bool)
+    if ctx.n > 1:
+        new[1:] = (run_s[1:] != run_s[:-1]) | (m1_s[1:] != m1_s[:-1])
+    # ffill tie-group start as a GLOBAL index (monotone across run
+    # boundaries, and every run start opens a group, so the fill can't
+    # bleed between runs), then rebase to the run start for the rank.
+    idx = np.arange(ctx.n, dtype=np.int64)
+    first_global = np.maximum.accumulate(np.where(new, idx, 0))
+    run_start = np.repeat(ctx.starts, ctx.lengths)
+    rank_s = first_global - run_start + 1
+    out = np.empty(ctx.n)
+    out[order] = rank_s.astype(np.float64)
+    return out
+
+
 # --- trailing time-range window aggregates ------------------------------------
 
 WIN_RANGE_US = np.int64(3_600_000_000)  # 1 hour

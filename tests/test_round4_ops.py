@@ -534,3 +534,34 @@ def test_power_iteration_matches_eigh(ray_session):
     proj = pca_project(ds, v).to_pandas().sort_values("vec_id")
     exp = base.astype(np.float32).astype(np.float64) @ v
     np.testing.assert_allclose(proj["pc1"].to_numpy(), exp, atol=1e-12)
+
+
+def test_rank_and_rollmax_kernels_match_pandas(ray_session):
+    from ptrail_ray.stages.kernels import featurize
+
+    rng = np.random.default_rng(9)
+    sizes = [1, 2, 5, 30, 7]
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for ci, n in enumerate(sizes):
+        for k in range(n):
+            rows.append(
+                (f"conv-{ci}", k, "user",
+                 "x" * int(rng.integers(0, 6)),  # many m1 ties
+                 None, t0 + pd.Timedelta(seconds=len(rows)))
+            )
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = (
+        featurize(rd.from_pandas(df), ["rank_m1", "roll5_max_m1"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    m1 = ref["text"].str.len().fillna(0)
+    exp_rank = m1.groupby(ref["conv_id"]).rank(method="min")
+    np.testing.assert_array_equal(out["rank_m1"], exp_rank)
+    exp_max = (
+        m1.astype(float).groupby(ref["conv_id"]).rolling(5).max().reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["roll5_max_m1"], exp_max)
