@@ -2702,6 +2702,45 @@ FROM base b JOIN g USING (conv_id)
 QUERIES["q_group_zscore"] = q_group_zscore
 
 
+def q_robust_scale(sf_dir):
+    """Per-conversation robust scaling of m1 (stages/stats.robust_scale):
+    (x − median)/IQR with DuckDB quantile_cont interpolation semantics,
+    NULL when the IQR is 0; one conv exchange, vectorized kernel."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.stats import robust_scale
+
+    ds = derive_from_events(sf_dir).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=65536
+    )
+    out = robust_scale(ds, value_col="m1", out_col="robust_m1")
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "robust_m1"]),
+        round_columns=["robust_m1"],
+    )
+
+
+ORACLE_SQL["q_robust_scale"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+base AS (
+  SELECT conv_id, turn_idx,
+         CAST(length(coalesce(text, '')) AS DOUBLE) AS m1
+  FROM transcripts
+),
+g AS (
+  SELECT conv_id,
+         quantile_cont(m1, 0.5) AS med,
+         quantile_cont(m1, 0.75) - quantile_cont(m1, 0.25) AS iqr
+  FROM base GROUP BY conv_id
+)
+SELECT b.conv_id, b.turn_idx,
+       CASE WHEN iqr > 0
+            THEN round((b.m1 - med) / iqr, 6) + 0.0
+            ELSE NULL END AS robust_m1
+FROM base b JOIN g USING (conv_id)
+"""
+QUERIES["q_robust_scale"] = q_robust_scale
+
+
 def q_inverted_index(sf_dir):
     """Inverted-index postings build (functions/textstats.postings):
     (doc_id, term, tf) long table, one stateless map_batches pass, no

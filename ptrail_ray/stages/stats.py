@@ -478,3 +478,60 @@ def group_zscore(
         functools.partial(group_zscore_kernel, value_col=value_col, out_col=out_col),
         num_buckets=num_buckets,
     )
+
+
+def robust_scale_kernel(
+    table: pa.Table, *, value_col: str, out_col: str
+) -> pa.Table:
+    """Per-conversation robust scaling: (x − median) / IQR, NULL when
+    the IQR is 0 — the outlier-insensitive sibling of `group_zscore`
+    (median/quantiles instead of mean/std; the reference's Hampel
+    filter, ptrail/preprocessing/filters.py:196-230, is built on the
+    same median-centering idea but never maps a normalized value back).
+
+    Quantiles interpolate with DuckDB ``quantile_cont``'s operand order
+    (``lo*(1-frac) + hi*frac`` — same contract as `_describe_runs`), so
+    the single float expression is bit-equal to the SQL replica in
+    `entry_queries.q_robust_scale`. Vectorized across all runs: one
+    lexsort + index arithmetic, rows map back via np.repeat.
+    """
+    starts, lengths = conv_runs(table[CONV_ID])
+    v = table[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(v) == 0:
+        return table.append_column(out_col, pa.array([], pa.float64()))
+    n_runs = len(starts)
+    grp = np.repeat(np.arange(n_runs), lengths)
+    order = np.lexsort((v, grp))
+    vs = v[order]
+
+    def quantile(q: float) -> np.ndarray:
+        k = q * (lengths - 1)
+        lo = np.floor(k).astype(np.int64)
+        hi = np.ceil(k).astype(np.int64)
+        frac = k - lo
+        vlo = vs[starts + lo]
+        vhi = vs[starts + hi]
+        # DuckDB CastInterpolation::Interpolate operand order
+        return vlo * (1.0 - frac) + vhi * frac
+
+    med, q25, q75 = quantile(0.5), quantile(0.25), quantile(0.75)
+    iqr = q75 - q25
+    med_row = np.repeat(med, lengths)
+    iqr_row = np.repeat(iqr, lengths)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = np.where(iqr_row > 0.0, (v - med_row) / iqr_row, np.nan)
+    return table.append_column(out_col, pa.array(r, pa.float64()))
+
+
+def robust_scale(
+    ds, *, value_col: str = "m1", out_col: str = "robust_m1", num_buckets: int = 32
+):
+    """Distributed per-group robust scaling over the engine's single
+    conv exchange (see `robust_scale_kernel`)."""
+    import functools
+
+    return map_conv_buckets(
+        ds,
+        functools.partial(robust_scale_kernel, value_col=value_col, out_col=out_col),
+        num_buckets=num_buckets,
+    )

@@ -565,3 +565,35 @@ def test_rank_and_rollmax_kernels_match_pandas(ray_session):
         m1.astype(float).groupby(ref["conv_id"]).rolling(5).max().reset_index(drop=True)
     )
     np.testing.assert_allclose(out["roll5_max_m1"], exp_max)
+
+
+def test_robust_scale_matches_pandas(ray_session):
+    from ptrail_ray.stages.stats import robust_scale
+
+    rng = np.random.default_rng(13)
+    conv = np.repeat([f"conv-{i}" for i in range(10)], 17)
+    df = pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": np.tile(np.arange(17), 10),
+            "role": "user",
+            "text": None,
+            "tool": None,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(170), "s"),
+            "m1": rng.integers(0, 50, 170).astype(np.int64),
+        }
+    )
+    df.loc[df["conv_id"] == "conv-4", "m1"] = 9  # constant → IQR 0 → NaN
+    out = (
+        robust_scale(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    g = ref.groupby("conv_id")["m1"]
+    med = g.transform("median")
+    iqr = g.transform(lambda x: x.quantile(0.75) - x.quantile(0.25))
+    exp = (ref["m1"] - med) / iqr.where(iqr > 0)
+    np.testing.assert_allclose(out["robust_m1"], exp, atol=1e-12)
+    assert out.loc[out["conv_id"] == "conv-4", "robust_m1"].isna().all()
