@@ -78,6 +78,15 @@ BENCH_QUERIES = [
     "q_ngram_jaccard",
     "q_containment",
     "q_segment_dedup",
+    "q_bm25",
+    "q_inverted_index",
+    "q_embed_covariance",
+    "q_pca_power",
+    "q_group_zscore",
+    "q_robust_scale",
+    "q_group_rank",
+    "q_roll_max",
+    "q_left_join_customer_orders",
 ]
 
 
