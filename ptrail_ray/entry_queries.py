@@ -2763,6 +2763,58 @@ FROM tok GROUP BY doc_id, w
 QUERIES["q_inverted_index"] = q_inverted_index
 
 
+def q_weighted_sample(sf_dir):
+    """Weighted Bernoulli sample (functions/sample.weighted_sample_by_hash):
+    acceptance probability = min(1, 200/(n_chars+1)) — the
+    length-downweighting mix balancer; md5-keyed, reproducible across
+    runs/layouts/engines."""
+    import numpy as np
+
+    from ptrail_ray.functions.sample import weighted_sample_by_hash
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.minimum(1.0, 200.0 / (nc + 1.0))
+        return t.append_column("w", pa.array(w, pa.float64()))
+
+    ds = ds.map_batches(add_w, batch_format="pyarrow", batch_size=None)
+    out = weighted_sample_by_hash(ds, id_col="doc_id", weight_col="w")
+    return finalize(out.select_columns(["doc_id"]))
+
+
+ORACLE_SQL["q_weighted_sample"] = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        / 1152921504606846976.0
+      < least(1.0, 200.0 / (CAST(n_chars AS DOUBLE) + 1.0))
+"""
+QUERIES["q_weighted_sample"] = q_weighted_sample
+
+
+def q_zip_index(sf_dir):
+    """Deterministic global training order (functions/sample.zip_with_index):
+    0-based row_number under the md5-shuffled total order — range-bucket
+    counts + exclusive prefix sum + one exchange, no global sort."""
+    from ptrail_ray.functions.sample import zip_with_index
+
+    out = zip_with_index(
+        _docs(sf_dir).select_columns(["doc_id"]), id_col="doc_id", num_buckets=64
+    )
+    return out.select_columns(["doc_id", "pos"])
+
+
+ORACLE_SQL["q_zip_index"] = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT,
+                  CAST(doc_id AS VARCHAR)) - 1 AS pos
+FROM documents
+"""
+QUERIES["q_zip_index"] = q_zip_index
+
+
 BM25_TERMS = ("join", "window", "dup", "spark")  # mixed common/rare frequencies
 
 

@@ -97,3 +97,86 @@ def stratified_sample_by_hash(
         take_quota,
         num_buckets=num_buckets,
     )
+
+
+def weighted_sample_by_hash(ds, *, id_col: str, weight_col: str):
+    """Weighted Bernoulli sample: keep a row iff
+    ``hash(id)/2⁶⁰ < weight`` (weight pre-clamped by the caller to
+    [0, 1]). The per-row acceptance probability IS the weight — the
+    mix-balancing primitive (downweight over-long docs, upweight rare
+    sources) with `sample_by_hash`'s reproducibility: same id + same
+    weight ⇒ same verdict on any engine, any layout, any retry.
+    Stateless, no shuffle. SQL replica: CAST(h AS DOUBLE) /
+    1152921504606846976.0 < weight (identical float compare)."""
+
+    def mask(t: pa.Table) -> pa.Table:
+        h = _hash_col(t, id_col).astype(np.float64) / float(_SCALE)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.filter(pa.array(h < w))
+
+    return ds.map_batches(mask, batch_format="pyarrow", batch_size=None)
+
+
+def zip_with_index(ds, *, id_col: str, num_buckets: int = 64, out_col: str = "pos"):
+    """Deterministic global training order: assign every row its
+    row_number (0-based) under the md5-shuffled total order
+    ``(hash(id), id)`` — the distributed zipWithIndex primitive a
+    training exporter needs (reproducible epoch order without a
+    driver-side sort).
+
+    Two narrow passes + ONE exchange, all bounded:
+    1. per-batch partials count rows per RANGE bucket
+       (``bucket = h >> (60 − log₂ B)`` — top hash bits, so buckets
+       tile the hash order); driver merges B counts into an exclusive
+       prefix sum (B ≪ data, e.g. 2¹⁰ rows).
+    2. one bucket-keyed exchange; within each bucket a vectorized sort
+       by (h, id) + ``offset[bucket] + arange`` yields the global
+       position. No global sort, no driver materialization.
+    """
+    if num_buckets & (num_buckets - 1):
+        raise ValueError(f"num_buckets must be a power of two, got {num_buckets}")
+    shift = np.uint64(60 - int(np.log2(num_buckets)))
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = _hash_col(t, id_col)
+        t = t.append_column("_h", pa.array(h.astype(np.int64), pa.int64()))
+        return t.append_column(
+            "_zbucket", pa.array((h >> shift).astype(np.int32), pa.int32())
+        )
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow", batch_size=None)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = t["_zbucket"].to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(num_buckets, dtype=np.int64), pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    counts = (
+        hashed.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("b")["c"]
+        .sum()
+        .reindex(range(num_buckets), fill_value=0)
+        .to_numpy()
+    )
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+
+    def number_bucket(t: pa.Table) -> pa.Table:
+        b = int(t["_zbucket"][0].as_py())
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        ids = t[id_col]
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        order = np.lexsort((np.asarray(ids.to_pylist(), dtype=object), h))
+        pos = np.empty(len(h), np.int64)
+        pos[order] = offsets[b] + np.arange(len(h), dtype=np.int64)
+        return t.drop_columns(["_h", "_zbucket"]).append_column(
+            out_col, pa.array(pos, pa.int64())
+        )
+
+    return hashed.groupby("_zbucket").map_groups(number_bucket, batch_format="pyarrow")

@@ -597,3 +597,32 @@ def test_robust_scale_matches_pandas(ray_session):
     exp = (ref["m1"] - med) / iqr.where(iqr > 0)
     np.testing.assert_allclose(out["robust_m1"], exp, atol=1e-12)
     assert out.loc[out["conv_id"] == "conv-4", "robust_m1"].isna().all()
+
+
+def test_zip_with_index_total_order(ray_session):
+    from ptrail_ray.functions.dedup import _md5_u60
+    from ptrail_ray.functions.sample import zip_with_index
+
+    ids = [f"id-{i}" for i in range(311)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}), override_num_blocks=7)
+    out = zip_with_index(ds, id_col="doc_id", num_buckets=16).to_pandas()
+    assert sorted(out["pos"]) == list(range(len(ids)))
+    exp_order = sorted(ids, key=lambda s: (_md5_u60(s), s))
+    got_order = out.sort_values("pos")["doc_id"].tolist()
+    assert got_order == exp_order
+
+
+def test_weighted_sample_prob_is_weight(ray_session):
+    from ptrail_ray.functions.dedup import _md5_u60
+    from ptrail_ray.functions.sample import weighted_sample_by_hash
+
+    n = 2000
+    df = pd.DataFrame({"doc_id": [str(i) for i in range(n)]})
+    df["w"] = (df["doc_id"].astype(int) % 10) / 10.0
+    out = weighted_sample_by_hash(
+        rd.from_pandas(df), id_col="doc_id", weight_col="w"
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    for _, r in df.iterrows():
+        u = _md5_u60(r["doc_id"]) / float(1 << 60)
+        assert (r["doc_id"] in kept) == (u < r["w"])
