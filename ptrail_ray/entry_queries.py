@@ -2793,6 +2793,30 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOU
 QUERIES["q_weighted_sample"] = q_weighted_sample
 
 
+UNIFORM_K = 100
+
+
+def q_uniform_k(sf_dir):
+    """Exact-size uniform k-sample (functions/sample.uniform_k_sample):
+    the k smallest md5(id) hashes — deterministic reservoir-sampling
+    replacement, partial top-k per batch, bounded driver merge."""
+    from ptrail_ray.functions.sample import uniform_k_sample
+
+    out = uniform_k_sample(
+        _docs(sf_dir).select_columns(["doc_id"]), id_col="doc_id", k=UNIFORM_K
+    )
+    return pa.Table.from_pandas(out[["doc_id"]], preserve_index=False)
+
+
+ORACLE_SQL["q_uniform_k"] = f"""
+SELECT doc_id FROM documents
+ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT,
+         CAST(doc_id AS VARCHAR)
+LIMIT {UNIFORM_K}
+"""
+QUERIES["q_uniform_k"] = q_uniform_k
+
+
 def q_zip_index(sf_dir):
     """Deterministic global training order (functions/sample.zip_with_index):
     0-based row_number under the md5-shuffled total order — range-bucket

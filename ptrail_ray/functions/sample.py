@@ -180,3 +180,31 @@ def zip_with_index(ds, *, id_col: str, num_buckets: int = 64, out_col: str = "po
         )
 
     return hashed.groupby("_zbucket").map_groups(number_bucket, batch_format="pyarrow")
+
+
+def uniform_k_sample(ds, *, id_col: str, k: int):
+    """Exact-size uniform sample without replacement: the k rows with
+    the SMALLEST md5(id) hashes — the deterministic replacement for
+    reservoir sampling (same marginal distribution, but reproducible
+    across runs/layouts/engines and embarrassingly parallel).
+
+    Scale shape: per-batch partial top-k (k rows leave each task, never
+    the batch), bounded driver merge of ≤ k × #batches candidate rows —
+    the `functions/ann` partial-top-k pattern. One narrow pass, no
+    shuffle. Ties (60-bit md5 collisions) break by id string, so the
+    SQL replica ``ORDER BY hash, id LIMIT k`` agrees exactly."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash_col(t, id_col).astype(np.int64)  # < 2^60, int64-safe
+        t = t.append_column("_h", pa.array(h, pa.int64()))
+        if t.num_rows <= k:
+            return t
+        keep = np.argpartition(h, k)[:k]
+        return t.take(keep)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    ids = cand[id_col].astype(str)
+    cand = cand.loc[np.lexsort((ids.to_numpy(dtype=object), cand["_h"].to_numpy()))]
+    return cand.head(k).drop(columns=["_h"]).reset_index(drop=True)

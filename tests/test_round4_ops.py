@@ -626,3 +626,14 @@ def test_weighted_sample_prob_is_weight(ray_session):
     for _, r in df.iterrows():
         u = _md5_u60(r["doc_id"]) / float(1 << 60)
         assert (r["doc_id"] in kept) == (u < r["w"])
+
+
+def test_uniform_k_sample_exact(ray_session):
+    from ptrail_ray.functions.dedup import _md5_u60
+    from ptrail_ray.functions.sample import uniform_k_sample
+
+    ids = [f"d{i}" for i in range(500)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}), override_num_blocks=9)
+    out = uniform_k_sample(ds, id_col="doc_id", k=25)
+    exp = sorted(ids, key=lambda s: (_md5_u60(s), s))[:25]
+    assert out["doc_id"].tolist() == exp
