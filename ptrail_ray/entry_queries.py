@@ -2890,6 +2890,59 @@ QUERIES["q_bm25"] = q_bm25
 DECONTAM_N = 2  # bigrams: the 31-term synthetic vocab makes 5-grams vanishingly rare
 
 
+def q_bloom_decontam(sf_dir):
+    """Bloom-filter decontamination (functions/decontam.bloom_overlap_flags):
+    same bench/corpus split as q_decontam, but benchmark state is a
+    constant 128 KB bitset (the memory-bounded 100 TB path) instead of
+    the materialized gram set.
+
+    SELF-CHECKING (no SQL oracle — Bloom false positives depend on the
+    SipHash gram hashes, which SQL can't replay): trigrams + a
+    deliberately small 2¹⁴-bit filter so the false-positive path is
+    GENUINELY exercised (exact contamination ≈35%, Bloom adds a few
+    percent FPs at sf0.01); asserts in-query that the Bloom flags are
+    a SUPERSET of the exact operator's flags (zero false negatives —
+    the property decontamination must never lose) and that the
+    false-positive doc rate stays under 15% absolute (per-gram FP =
+    (set_bits/m)²); a violation raises, so a green rows-only driver
+    row certifies the contract."""
+    import functools as _ft
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.decontam import bloom_overlap_flags, ngram_overlap_flags
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def mod_split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 97 == 0) if keep_bench else (ids % 97 != 0)
+        return t.filter(pa.array(mask))
+
+    bench = docs.map_batches(
+        _ft.partial(mod_split, keep_bench=True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        _ft.partial(mod_split, keep_bench=False), batch_format="pyarrow"
+    )
+    bloom = bloom_overlap_flags(corpus, bench, n=3, m_bits=1 << 14).to_pandas()
+    exact = ngram_overlap_flags(corpus, bench, n=3).to_pandas()
+    m = bloom.merge(exact, on="doc_id", validate="one_to_one")
+    fn = m["contaminated"] & ~m["maybe_contaminated"]
+    assert not fn.any(), f"Bloom false negatives: {int(fn.sum())}"
+    fp_rate = float((m["maybe_contaminated"] & ~m["contaminated"]).mean())
+    assert fp_rate < 0.15, f"Bloom FP doc rate {fp_rate:.4f} >= 15%"
+    return pa.Table.from_pandas(
+        bloom[["doc_id", "n_maybe", "maybe_contaminated"]], preserve_index=False
+    )
+
+
+QUERIES["q_bloom_decontam"] = q_bloom_decontam
+
+
 def q_decontam(sf_dir):
     """Benchmark decontamination (functions/decontam.py): docs with
     doc_id % 97 == 0 act as the held-out benchmark; every other doc is

@@ -171,3 +171,104 @@ def ngram_overlap_flags(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# --- Bloom-filter decontamination (the memory-bounded scale path) ----------
+
+
+def _bloom_positions(g1: np.ndarray, g2: np.ndarray, m_bits: int):
+    """k=2 bit positions per gram from the two independent 64-bit gram
+    hashes (classic two-hash Bloom construction)."""
+    return (g1 % np.uint64(m_bits)), (g2 % np.uint64(m_bits))
+
+
+def _bloom_partial(t: pa.Table, *, text_col: str, n: int, m_bits: int) -> pa.Table:
+    """Per-batch Bloom bitset partial: one fixed-size uint64 word array
+    regardless of batch size (m_bits/8 bytes, e.g. 128 KB at 2²⁰) —
+    OR-mergeable, so build order / batch split never matters."""
+    words = np.zeros(m_bits // 64, np.uint64)
+    g1, g2, _ = _gram_hashes(t[text_col], n)
+    if len(g1):
+        for pos in _bloom_positions(g1, g2, m_bits):
+            np.bitwise_or.at(
+                words, (pos // np.uint64(64)).astype(np.int64),
+                np.uint64(1) << (pos % np.uint64(64)),
+            )
+    return pa.table(
+        {
+            "w": pa.array(np.arange(len(words), dtype=np.int64), pa.int64()),
+            "bits": pa.array(words.view(np.int64), pa.int64()),
+        }
+    )
+
+
+def bloom_bench_bits(
+    ds, *, n: int = 5, text_col: str = "text", m_bits: int = 1 << 20,
+    batch_size: int = TEXT_BATCH,
+) -> np.ndarray:
+    """Bloom bitset of the benchmark n-gram set: per-batch bitset
+    partials OR-merged on the driver. Unlike `bench_ngrams` this NEVER
+    materializes the gram set — state is a constant m_bits/8 bytes no
+    matter how large the benchmark grows (the 100 TB-side escape hatch
+    when the exact broadcast set would blow `max_bench_grams`)."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    parts = ds.map_batches(
+        functools.partial(_bloom_partial, text_col=text_col, n=n, m_bits=m_bits),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).to_pandas()
+    acc = np.zeros(m_bits // 64, np.uint64)
+    np.bitwise_or.at(
+        acc,
+        parts["w"].to_numpy(np.int64),
+        parts["bits"].to_numpy(np.int64).view(np.uint64),
+    )
+    return acc
+
+
+def bloom_overlap_flags(
+    corpus_ds,
+    bench_ds,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    batch_size: int = TEXT_BATCH,
+):
+    """Bloom-filter decontamination: per-corpus-doc
+    (id, n_maybe, maybe_contaminated) where a gram "maybe" overlaps the
+    benchmark iff BOTH its Bloom bits are set.
+
+    Contract vs the exact `ngram_overlap_flags`: NO false negatives
+    (every exactly-contaminated doc is flagged — the property
+    decontamination must never lose), false-positive grams at rate
+    ≈ (set_bits/m_bits)² (one-sided, so over-excision only). The
+    bitset ships once via ``ray.put``; the corpus side is a stateless
+    shuffle-free map_batches, same shape as the exact path."""
+    bits_ref = ray.put(bloom_bench_bits(
+        bench_ds, n=n, text_col=text_col, m_bits=m_bits, batch_size=batch_size,
+    ))
+
+    def flag(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref) if isinstance(bits_ref, ray.ObjectRef) else bits_ref
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g1, g2, doc_of = _gram_hashes(t[text_col], n)
+        n_maybe = np.zeros(len(ids), np.int64)
+        if len(g1):
+            p1, p2 = _bloom_positions(g1, g2, np.uint64(m_bits))
+            def test(pos):
+                return (bits[(pos // np.uint64(64)).astype(np.int64)]
+                        >> (pos % np.uint64(64))) & np.uint64(1) > 0
+            hit = test(p1) & test(p2)
+            n_maybe = np.bincount(doc_of[hit], minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_maybe": pa.array(n_maybe, pa.int64()),
+                "maybe_contaminated": pa.array(n_maybe > 0, pa.bool_()),
+            }
+        )
+
+    return corpus_ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)

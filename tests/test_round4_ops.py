@@ -637,3 +637,30 @@ def test_uniform_k_sample_exact(ray_session):
     out = uniform_k_sample(ds, id_col="doc_id", k=25)
     exp = sorted(ids, key=lambda s: (_md5_u60(s), s))[:25]
     assert out["doc_id"].tolist() == exp
+
+
+def test_bloom_decontam_superset_and_merge_invariance(ray_session):
+    from ptrail_ray.functions.decontam import (
+        bloom_bench_bits,
+        bloom_overlap_flags,
+        ngram_overlap_flags,
+    )
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120), "text": texts})
+    bench = rd.from_pandas(df[df["doc_id"] % 7 == 0])
+    corpus_df = df[df["doc_id"] % 7 != 0]
+    corpus = rd.from_pandas(corpus_df)
+    bloom = bloom_overlap_flags(corpus, bench, n=3, m_bits=1 << 12).to_pandas()
+    exact = ngram_overlap_flags(corpus, bench, n=3).to_pandas()
+    m = bloom.merge(exact, on="doc_id", validate="one_to_one")
+    assert not (m["contaminated"] & ~m["maybe_contaminated"]).any()
+    # bitset is split-invariant: 1 block vs 8 blocks give identical bits
+    b1 = bloom_bench_bits(rd.from_pandas(df[df["doc_id"] % 7 == 0]), n=3, m_bits=1 << 12)
+    b8 = bloom_bench_bits(
+        rd.from_pandas(df[df["doc_id"] % 7 == 0], override_num_blocks=8),
+        n=3, m_bits=1 << 12,
+    )
+    assert (b1 == b8).all()
