@@ -379,6 +379,21 @@ def q_dedup_exact_docs(sf_dir):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_dedup_normalized(sf_dir):
+    """Normalized-exact dedup (functions/textstats.normalize_text_table
+    → functions/dedup.exact_dedup): lowercase + fold every
+    non-alphanumeric run to one space BEFORE content hashing, so
+    casing/punctuation/whitespace variants of the same document
+    collapse — the standard fuzzy-exact rung between byte-exact dedup
+    and MinHash. Same one-exchange keep-min shape as q_dedup_exact_docs."""
+    from ptrail_ray.functions.dedup import exact_dedup
+    from ptrail_ray.functions.textstats import add_normalize_text
+
+    ds = add_normalize_text(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = exact_dedup(ds, text_col="text_norm")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
 def q_word_jaccard_adjacent(sf_dir):
     """Exact word-set Jaccard between doc i and doc i+1 (validates the
     set-similarity kernel). Pair co-location via ONE hash-bucketed
@@ -933,6 +948,7 @@ SELECT * FROM orig UNION ALL SELECT * FROM synth
 
 ORACLE_SQL["q_minhash_pairs"] = _minhash_oracle_sql()
 ORACLE_SQL["q_simhash_pairs"] = _simhash_oracle_sql()
+
 ORACLE_SQL["q_gapfill_cubic"] = _cubic_oracle_sql()
 
 
@@ -1103,6 +1119,23 @@ QUERIES.update(
         "q_embed_near_dup": q_embed_near_dup,
     }
 )
+
+
+QUERIES["q_dedup_normalized"] = q_dedup_normalized
+ORACLE_SQL["q_dedup_normalized"] = r"""
+WITH nrm AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g') AS tn
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         md5(coalesce(list_aggregate(regexp_extract_all(tn, '\S+'),
+                                     'string_agg', ' '), '')) AS fingerprint
+  FROM nrm
+)
+SELECT min(doc_id) AS doc_id, fingerprint FROM f GROUP BY fingerprint
+"""
 
 
 def q_kinematics_salted(sf_dir):

@@ -493,3 +493,29 @@ def postings(ds, *, text_col: str = "text", batch_size: int | None = 1 << 18):
         )
 
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+
+
+def normalize_text_table(
+    t: pa.Table, *, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """Canonical text normalization for fuzzy-exact dedup: lowercase,
+    every non-alphanumeric run → one space (folds punctuation AND
+    whitespace variants). One Arrow RE2 kernel chain, no Python rows;
+    the DuckDB replica is ``regexp_replace(lower(text), '[^a-z0-9]+',
+    ' ', 'g')`` (both RE2 — the q_scrub_pii parity precedent)."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(t[text_col], "").cast(pa.large_string())),
+        r"[^a-z0-9]+",
+        " ",
+    )
+    return t.append_column(out_col, norm)
+
+
+def add_normalize_text(ds, *, text_col: str = "text", out_col: str = "text_norm"):
+    import functools
+
+    return ds.map_batches(
+        functools.partial(normalize_text_table, text_col=text_col, out_col=out_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
