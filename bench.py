@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "q_group_rank",
     "q_roll_max",
     "q_left_join_customer_orders",
+    "q_weighted_sample",
+    "q_uniform_k",
+    "q_zip_index",
+    "q_bloom_decontam",
+    "q_dedup_normalized",
 ]
 
 
