@@ -2735,6 +2735,82 @@ FROM base b JOIN g USING (conv_id)
 QUERIES["q_group_zscore"] = q_group_zscore
 
 
+def q_nearest_poi(sf_dir):
+    """nearest_poi analog (stages/project.nearest_point): per turn the
+    nearest POI and L2 distance in measure space. POIs = each user's
+    LATEST signup event (poi_id=user_id, px=value, py=length(props)) —
+    a deterministic offline gazetteer standing in for the reference's
+    osmnx fetch (contextual_features.py:304-379; no network here).
+    POI side broadcast once (loud max_pois guard); per-batch vectorized
+    distance blocks, min-id tie-break replayed by the SQL row_number."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.project import nearest_point
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+    def signup_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["event_type"], "signup"))
+
+    side = ev.map_batches(signup_only, batch_format="pyarrow").to_pandas()
+    # latest signup per user (QUALIFY row_number ORDER BY ts DESC,
+    # event_id DESC = 1) — small by nature, loudly guarded in the stage
+    side = side.sort_values(
+        ["user_id", "ts", "event_id"], ascending=[True, False, False], kind="stable"
+    ).drop_duplicates("user_id", keep="first")
+    pid = side["user_id"].to_numpy(np.int64)
+    px = side["value"].to_numpy(np.float64)
+    py = side["props"].fillna("").str.len().to_numpy(np.float64)
+
+    ds = derive_from_events(sf_dir).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=65536
+    )
+    out = nearest_point(ds, pid, px, py, cols=("m1", "m2"))
+    return finalize(
+        out.select_columns(["conv_id", "turn_idx", "nearest_poi", "poi_dist"]),
+        round_columns=["poi_dist"],
+    )
+
+
+ORACLE_SQL["q_nearest_poi"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+base AS (
+  SELECT conv_id, turn_idx,
+         CAST(length(coalesce(text, '')) AS DOUBLE) AS x,
+         CAST(octet_length(encode(coalesce(text, ''))) AS DOUBLE) AS y
+  FROM transcripts
+),
+poi AS (
+  SELECT user_id AS poi_id, value AS px,
+         CAST(length(coalesce(props, '')) AS DOUBLE) AS py
+  FROM events WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+d AS (
+  SELECT b.conv_id, b.turn_idx, p.poi_id,
+         (b.x - p.px) * (b.x - p.px) + (b.y - p.py) * (b.y - p.py) AS d2,
+         row_number() OVER (
+           PARTITION BY b.conv_id, b.turn_idx
+           ORDER BY (b.x - p.px) * (b.x - p.px) + (b.y - p.py) * (b.y - p.py),
+                    p.poi_id) AS rn
+  FROM base b CROSS JOIN poi p
+)
+SELECT conv_id, turn_idx, poi_id AS nearest_poi,
+       round(sqrt(d2), 6) + 0.0 AS poi_dist
+FROM d WHERE rn = 1
+"""
+QUERIES["q_nearest_poi"] = q_nearest_poi
+
+
 def q_robust_scale(sf_dir):
     """Per-conversation robust scaling of m1 (stages/stats.robust_scale):
     (x − median)/IQR with DuckDB quantile_cont interpolation semantics,

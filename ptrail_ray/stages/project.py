@@ -219,3 +219,60 @@ def semi_join_keys(ds, keys, *, col: str = CONV_ID, anti: bool = False):
         return batch.filter(m)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def nearest_point(
+    ds,
+    poi_ids: "np.ndarray",
+    px: "np.ndarray",
+    py: "np.ndarray",
+    *,
+    cols: tuple[str, str] = ("m1", "m2"),
+    row_chunk: int = 8192,
+    max_pois: int = 1 << 20,
+):
+    """``nearest_poi`` analog (ptrail/features/contextual_features.py:
+    304-379 — there an osmnx network fetch + nearest OSM node; here the
+    same contract against an OFFLINE broadcast POI table, the form a
+    no-network engine can honor): per row, the id of and distance to
+    the nearest point in (poi_id, px, py), L2 over the (m1, m2) measure
+    plane, ties to the smallest poi_id.
+
+    Scale shape: the POI side is SMALL by nature (a lookup gazetteer);
+    it ships once in the task closure with a LOUD ``max_pois`` guard —
+    a larger side belongs in the as-of/hash-join paths instead. Per
+    batch: one (rows × pois) squared-distance block per row_chunk
+    (bounded scratch), ``np.argmin`` row-wise — argmin takes the FIRST
+    minimum and the side is pre-sorted by poi_id, which IS the min-id
+    tie-break the SQL replica uses (row_number ORDER BY d2, poi_id).
+    """
+    if len(poi_ids) > max_pois:
+        raise ValueError(
+            f"nearest_point: side has {len(poi_ids)} points > max_pois="
+            f"{max_pois}; broadcast sides must stay small — use a join"
+        )
+    order = np.argsort(np.asarray(poi_ids, np.int64), kind="stable")
+    pid = np.asarray(poi_ids, np.int64)[order]
+    pxs = np.asarray(px, np.float64)[order]
+    pys = np.asarray(py, np.float64)[order]
+    ca, cb = cols
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch[ca].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[cb].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(x)
+        best = np.empty(n, np.int64)
+        dist = np.empty(n, np.float64)
+        for lo in range(0, n, row_chunk):
+            hi = min(lo + row_chunk, n)
+            dx = x[lo:hi, None] - pxs[None, :]
+            dy = y[lo:hi, None] - pys[None, :]
+            d2 = dx * dx + dy * dy
+            idx = np.argmin(d2, axis=1)
+            best[lo:hi] = pid[idx]
+            dist[lo:hi] = np.sqrt(d2[np.arange(hi - lo), idx])
+        return batch.append_column(
+            "nearest_poi", pa.array(best, pa.int64())
+        ).append_column("poi_dist", pa.array(dist, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)

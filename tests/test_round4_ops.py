@@ -664,3 +664,29 @@ def test_bloom_decontam_superset_and_merge_invariance(ray_session):
         n=3, m_bits=1 << 12,
     )
     assert (b1 == b8).all()
+
+
+def test_nearest_point_matches_bruteforce(ray_session):
+    from ptrail_ray.stages.project import nearest_point
+
+    rng = np.random.default_rng(17)
+    n, m = 300, 12
+    df = pd.DataFrame(
+        {
+            "m1": rng.integers(0, 100, n).astype(np.int64),
+            "m2": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    pid = np.array([5, 3, 9, 1, 7, 11, 2, 8, 4, 6, 10, 0], np.int64)
+    px = rng.uniform(0, 100, m)
+    py = rng.uniform(0, 100, m)
+    out = nearest_point(rd.from_pandas(df), pid, px, py).to_pandas()
+    order = np.argsort(pid, kind="stable")
+    pids, pxs, pys = pid[order], px[order], py[order]
+    for i in range(n):
+        d2 = (df["m1"][i] - pxs) ** 2 + (df["m2"][i] - pys) ** 2
+        j = int(np.argmin(d2))  # first min = smallest poi_id
+        assert out["nearest_poi"][i] == pids[j]
+        assert abs(out["poi_dist"][i] - np.sqrt(d2[j])) < 1e-12
+    assert (nearest_point(rd.from_pandas(df), pid, px, py, row_chunk=7)
+            .to_pandas()["nearest_poi"] == out["nearest_poi"]).all()
