@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_zip_index",
     "q_bloom_decontam",
     "q_dedup_normalized",
+    "q_nearest_poi",
 ]
 
 
