@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_bloom_decontam",
     "q_dedup_normalized",
     "q_nearest_poi",
+    "q_media_video_frames",
 ]
 
 

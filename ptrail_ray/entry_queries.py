@@ -1374,21 +1374,33 @@ QUERIES["q_top_terms"] = q_top_terms
 # files) and written at module import so the files exist regardless of
 # whether the driver runs the Ray side or the SQL side first.
 MEDIA_N = 512
+MEDIA_V_N = 128  # videos carry 3-8 frames each; 128 payloads ≈ 700 frames
 MEDIA_GT_WAV = "/tmp/ptrail_media_gt_wav_v1_512.parquet"
 MEDIA_GT_PPM = "/tmp/ptrail_media_gt_ppm_v1_512.parquet"
+MEDIA_GT_PPMV = "/tmp/ptrail_media_gt_ppmv_v1_128.parquet"
 
 
 def _ensure_media_gt():
+    import functools
     import os
 
     import pyarrow.parquet as pq
 
-    from ptrail_ray.functions.multimodal import ppm_ground_truth, wav_ground_truth
+    from ptrail_ray.functions.multimodal import (
+        ppm_ground_truth,
+        ppmv_ground_truth,
+        wav_ground_truth,
+    )
 
-    for path, build in ((MEDIA_GT_WAV, wav_ground_truth), (MEDIA_GT_PPM, ppm_ground_truth)):
+    builders = (
+        (MEDIA_GT_WAV, functools.partial(wav_ground_truth, n=MEDIA_N)),
+        (MEDIA_GT_PPM, functools.partial(ppm_ground_truth, n=MEDIA_N)),
+        (MEDIA_GT_PPMV, functools.partial(ppmv_ground_truth, n=MEDIA_V_N)),
+    )
+    for path, build in builders:
         if not os.path.exists(path):
             tmp = f"{path}.{os.getpid()}.tmp"
-            pq.write_table(build(n=MEDIA_N), tmp)
+            pq.write_table(build(), tmp)
             os.replace(tmp, path)  # atomic vs concurrent writers
 
 
@@ -1462,6 +1474,42 @@ ORACLE_SQL["q_media_image_ppm"] = f"""
            round(mean_b, 6) + 0.0 AS mean_b
     FROM read_parquet('{MEDIA_GT_PPM}')"""
 QUERIES["q_media_image_ppm"] = q_media_image_ppm
+
+
+def q_media_video_frames(sf_dir):
+    """REAL video frame-sampling end-to-end: concatenated binary-PPM
+    frame streams (the container a codec-free sandbox can actually
+    parse) through the FrameSample actor pool — actual header walking
+    and pixel math per frame, every 2nd frame kept. Driver-checked
+    against the generator's persisted ground-truth parquet (frame
+    indices, dimensions, mean intensity bit-identical by construction)."""
+    import ray.data as rd
+
+    from ptrail_ray.functions.multimodal import frame_sample_features, synth_ppmv_media
+
+    media = rd.from_arrow(synth_ppmv_media(n=MEDIA_V_N))
+    out = (
+        frame_sample_features(media, stride=2)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    assert (out["frame_idx"] % 2 == 0).all()
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "frame_idx": out["frame_idx"].astype("int64"),
+            "height": out["height"].astype("int64"),
+            "width": out["width"].astype("int64"),
+            "mean_px": _duckdb_round(out["mean_px"].to_numpy(dtype=np.float64)) + 0.0,
+        }
+    ).reset_index(drop=True)
+
+
+ORACLE_SQL["q_media_video_frames"] = f"""
+    SELECT media_id, frame_idx, height, width,
+           round(mean_px, 6) + 0.0 AS mean_px
+    FROM read_parquet('{MEDIA_GT_PPMV}')"""
+QUERIES["q_media_video_frames"] = q_media_video_frames
 
 
 def q_ingest_csv(sf_dir):

@@ -352,3 +352,144 @@ def decode_features(
         batch_size=batch_size,
         concurrency=concurrency or pool_size(),
     )
+
+
+# --- video: concatenated-PPM frame streams ---------------------------------
+#
+# Real video containers need ffmpeg (absent here — the PIL/ffmpeg gates
+# below stay loud). Concatenated binary-PPM frames ARE parseable with
+# the native P6 parser, so the frame-sampling operator — the part a
+# training pipeline owns (stride selection, per-frame features, output
+# layout) — is REAL end-to-end: actual header walking, actual pixel
+# math, not a stub.
+
+
+def parse_ppm_stream(buf: bytes) -> list[np.ndarray]:
+    """Concatenated binary-PPM (P6) frames → list of (h, w, 3) uint8
+    arrays. Each frame is self-describing; the walk is header parse →
+    fixed-size payload skip."""
+    frames = []
+    off = 0
+    n = len(buf)
+    while off < n:
+        if buf[off : off + 2] != b"P6":
+            raise ValueError(f"frame boundary corrupt at byte {off}")
+        tokens: list[bytes] = []
+        i = off + 2
+        while len(tokens) < 3:
+            while i < n and buf[i : i + 1].isspace():
+                i += 1
+            if buf[i : i + 1] == b"#":
+                while i < n and buf[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n and not buf[j : j + 1].isspace():
+                j += 1
+            tokens.append(buf[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h = int(tokens[0]), int(tokens[1])
+        if int(tokens[2]) > 255:
+            raise ValueError("16-bit PPM not supported")
+        end = i + w * h * 3
+        frames.append(np.frombuffer(buf[i:end], np.uint8).reshape(h, w, 3))
+        off = end
+    return frames
+
+
+def _build_ppmv(n: int, seed: int, stride: int) -> tuple[pa.Table, pa.Table]:
+    """One pass building BOTH the PPM-video table and the expected
+    frame-sample features (every ``stride``-th frame; mean intensity =
+    the exact uint8→float64 reduction the decode path runs)."""
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(3, 9, size=n)
+    payloads = []
+    gt_mid, gt_fi, gt_h, gt_w, gt_mean = [], [], [], [], []
+    for i in range(n):
+        w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+        chunks = []
+        for f in range(int(counts[i])):
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            chunks.append(f"P6\n{w} {h}\n255\n".encode() + pix.tobytes())
+            if f % stride == 0:
+                gt_mid.append(i)
+                gt_fi.append(f)
+                gt_h.append(h)
+                gt_w.append(w)
+                gt_mean.append(float(pix.reshape(-1).astype(np.float64).mean()))
+        payloads.append(b"".join(chunks))
+    media = pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "true_frames": pa.array(counts.astype(np.int32), pa.int32()),
+        }
+    )
+    gt = pa.table(
+        {
+            "media_id": pa.array(np.asarray(gt_mid, np.int64), pa.int64()),
+            "frame_idx": pa.array(np.asarray(gt_fi, np.int64), pa.int64()),
+            "height": pa.array(np.asarray(gt_h, np.int64), pa.int64()),
+            "width": pa.array(np.asarray(gt_w, np.int64), pa.int64()),
+            "mean_px": pa.array(np.asarray(gt_mean, np.float64), pa.float64()),
+        }
+    )
+    return media, gt
+
+
+def synth_ppmv_media(n: int = 128, seed: int = 31, stride: int = 2) -> pa.Table:
+    return _build_ppmv(n, seed, stride)[0]
+
+
+def ppmv_ground_truth(n: int = 128, seed: int = 31, stride: int = 2) -> pa.Table:
+    return _build_ppmv(n, seed, stride)[1]
+
+
+class FrameSample:
+    """Actor-pool stage: parse a concatenated-PPM video payload and
+    emit every ``stride``-th frame's features (frame_idx, height,
+    width, mean intensity) — the frame-sampling shape (decode once per
+    item inside an actor, expanding output rows) a real video pipeline
+    uses; only the container parser would change under ffmpeg."""
+
+    def __init__(self, stride: int = 2):
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mids, fis, hs, ws, means = [], [], [], [], []
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        payloads = t["payload"].to_pylist()
+        for mid, buf in zip(ids, payloads):
+            for f, frame in enumerate(parse_ppm_stream(buf)):
+                if f % self.stride:
+                    continue
+                mids.append(int(mid))
+                fis.append(f)
+                hs.append(frame.shape[0])
+                ws.append(frame.shape[1])
+                means.append(float(frame.reshape(-1).astype(np.float64).mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(np.asarray(mids, np.int64), pa.int64()),
+                "frame_idx": pa.array(np.asarray(fis, np.int64), pa.int64()),
+                "height": pa.array(np.asarray(hs, np.int64), pa.int64()),
+                "width": pa.array(np.asarray(ws, np.int64), pa.int64()),
+                "mean_px": pa.array(np.asarray(means, np.float64), pa.float64()),
+            }
+        )
+
+
+def frame_sample_features(ds, *, stride: int = 2, concurrency: int = 4, batch_size: int = 32):
+    """Distributed frame sampling: small batches (video payloads are
+    the large-binary case — batch × concurrency must fit the heap),
+    actor pool so any per-codec init happens once per actor."""
+    return ds.map_batches(
+        FrameSample(stride),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -690,3 +690,30 @@ def test_nearest_point_matches_bruteforce(ray_session):
         assert abs(out["poi_dist"][i] - np.sqrt(d2[j])) < 1e-12
     assert (nearest_point(rd.from_pandas(df), pid, px, py, row_chunk=7)
             .to_pandas()["nearest_poi"] == out["nearest_poi"]).all()
+
+
+def test_ppm_stream_parse_and_frame_sample(ray_session):
+    from ptrail_ray.functions.multimodal import (
+        FrameSample,
+        parse_ppm_stream,
+        synth_ppmv_media,
+        ppmv_ground_truth,
+    )
+    import pyarrow as pa
+
+    media = synth_ppmv_media(n=12, seed=3)
+    # parse round-trip: frame count matches the generator's
+    for i in range(12):
+        frames = parse_ppm_stream(media["payload"][i].as_py())
+        assert len(frames) == media["true_frames"][i].as_py()
+        assert all(f.ndim == 3 and f.shape[2] == 3 for f in frames)
+    out = FrameSample(stride=2)(media).to_pandas()
+    gt = ppmv_ground_truth(n=12, seed=3).to_pandas()
+    m = out.merge(gt, on=["media_id", "frame_idx"], suffixes=("", "_gt"))
+    assert len(m) == len(gt) == len(out)
+    assert (m["mean_px"] == m["mean_px_gt"]).all()  # bit-identical reduction
+    # corrupt boundary raises loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_ppm_stream(b"JUNK" + media["payload"][0].as_py())
