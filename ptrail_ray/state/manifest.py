@@ -90,18 +90,28 @@ def load_metrics(out_dir: str) -> list[dict]:
 
 
 def write_bucket(
-    table: pa.Table, bucket: int, out_dir: str, *, lineage: str = ""
+    table: pa.Table, bucket: int, out_dir: str, *, lineage: str = "",
+    data_format: str = "parquet",
 ) -> None:
     """Atomically write one bucket + its manifest (data first, manifest
-    last; both renamed into place)."""
+    last; both renamed into place). ``data_format``: "parquet"
+    (analytics) or "jsonl" (the training-export interchange format —
+    one JSON object per row, ISO timestamps, NaN→null)."""
+    if data_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown data_format {data_format!r}")
     t0 = time.perf_counter()
     bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
     os.makedirs(bdir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
 
-    data_tmp = os.path.join(bdir, "part.parquet.tmp")
-    data_final = os.path.join(bdir, "part.parquet")
-    pq.write_table(table, data_tmp)
+    data_tmp = os.path.join(bdir, f"part.{data_format}.tmp")
+    data_final = os.path.join(bdir, f"part.{data_format}")
+    if data_format == "parquet":
+        pq.write_table(table, data_tmp)
+    else:
+        table.to_pandas().to_json(
+            data_tmp, orient="records", lines=True, date_format="iso"
+        )
     os.replace(data_tmp, data_final)
 
     manifest = {
@@ -131,6 +141,7 @@ def write_resumable(
     lineage: str = "",
     resume: bool = True,
     hot_convs: "list[str] | None" = None,
+    data_format: str = "parquet",
 ):
     """Run ``kernel_fn`` on conv-contiguous buckets and write each result
     bucket atomically with a manifest. Returns the per-bucket metrics.
@@ -171,7 +182,7 @@ def write_resumable(
         bucket = int(table[BUCKET_COL][0].as_py())
         table = table.drop_columns([BUCKET_COL])
         result = kernel_fn(sort_bucket(table))
-        write_bucket(result, bucket, out_dir, lineage=lineage)
+        write_bucket(result, bucket, out_dir, lineage=lineage, data_format=data_format)
         return pa.table(
             {"bucket": pa.array([bucket], pa.int32()), "rows": pa.array([result.num_rows], pa.int64())}
         )

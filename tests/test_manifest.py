@@ -69,3 +69,40 @@ def test_manifest_metrics(tmp_path, synth_ds):
         assert m["rows"] > 0
         assert m["lineage"] == "synth@seed11"
         assert "wall_s" in m and "kernel_version" in m and m["n_convs"] > 0
+
+
+def test_write_resumable_jsonl(ray_session, tmp_path):
+    import json as _json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ptrail_ray.state.manifest import completed_buckets, write_resumable
+
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i % 5}" for i in range(40)],
+            "turn_idx": list(range(40)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "text": [f"t{i}" for i in range(40)],
+        }
+    )
+    out = str(tmp_path / "jsonl_out")
+    write_resumable(
+        rd.from_pandas(df), out, lambda t: t, num_buckets=4, data_format="jsonl"
+    )
+    assert completed_buckets(out) == {0, 1, 2, 3} - {
+        b for b in range(4) if not (tmp_path / "jsonl_out" / f"bucket={b:05d}").exists()
+    }
+    rows = []
+    for b in sorted(completed_buckets(out)):
+        p = tmp_path / "jsonl_out" / f"bucket={b:05d}" / "part.jsonl"
+        with open(p) as fh:
+            rows += [_json.loads(line) for line in fh]
+    assert len(rows) == 40
+    assert {r["conv_id"] for r in rows} == {f"conv-{i}" for i in range(5)}
+    # resume: a second run writes nothing new (all buckets complete)
+    summary = write_resumable(
+        rd.from_pandas(df), out, lambda t: t, num_buckets=4, data_format="jsonl"
+    )
+    assert summary.empty or summary["rows"].sum() == 0
