@@ -111,3 +111,48 @@ def test_hash_join_matches_pandas(lkeys, rkeys):
         return
     got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)[["k", "lv", "rv"]]
     pd.testing.assert_frame_equal(got, exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(transcript_frames())
+def test_rank_and_rollmax_match_pandas_properties(pdf):
+    table = sort_bucket(pa.Table.from_pandas(pdf, preserve_index=False))
+    got = compute_features(table, ["m1", "rank_m1", "roll5_max_m1"]).to_pandas()
+    ref = got[["conv_id"]].copy()
+    ref["m1"] = got["m1"]
+    exp_rank = ref.groupby("conv_id")["m1"].rank(method="min")
+    assert (got["rank_m1"].to_numpy() == exp_rank.to_numpy()).all()
+    exp_max = (
+        ref.groupby("conv_id")["m1"]
+        .rolling(5)
+        .max()
+        .reset_index(level=0, drop=True)
+        .to_numpy(dtype=float)
+    )
+    a = got["roll5_max_m1"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(a), np.isnan(exp_max))
+    assert np.allclose(a, exp_max, equal_nan=True)
+
+
+@settings(max_examples=25, deadline=None)
+@given(transcript_frames())
+def test_group_normalizers_match_pandas_properties(pdf):
+    from ptrail_ray.stages.stats import group_zscore_kernel, robust_scale_kernel
+
+    table = sort_bucket(pa.Table.from_pandas(pdf, preserve_index=False))
+    table = compute_features(table, ["m1"])
+    z = group_zscore_kernel(table, value_col="m1", out_col="z").to_pandas()
+    r = robust_scale_kernel(table, value_col="m1", out_col="rs").to_pandas()
+    g = z.groupby("conv_id")["m1"]
+    std = g.transform(lambda x: x.std(ddof=0))
+    exp_z = ((z["m1"] - g.transform("mean")) / std.where(std > 0)).to_numpy(dtype=float)
+    a = z["z"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(a), np.isnan(exp_z))
+    assert np.allclose(a, exp_z, equal_nan=True, atol=1e-9)
+    gg = r.groupby("conv_id")["m1"]
+    med = gg.transform("median")
+    iqr = gg.transform(lambda x: x.quantile(0.75) - x.quantile(0.25))
+    exp_r = ((r["m1"] - med) / iqr.where(iqr > 0)).to_numpy(dtype=float)
+    b = r["rs"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(b), np.isnan(exp_r))
+    assert np.allclose(b, exp_r, equal_nan=True, atol=1e-9)
