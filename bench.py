@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_dedup_normalized",
     "q_nearest_poi",
     "q_media_video_frames",
+    "q_kll_quantiles",
 ]
 
 

@@ -2783,6 +2783,68 @@ FROM base b JOIN g USING (conv_id)
 QUERIES["q_group_zscore"] = q_group_zscore
 
 
+KLL_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_kll_quantiles(sf_dir):
+    """One-pass KLL/MRL quantile sketch over m1
+    (functions/sketch.kll_quantiles): bounded per-batch partials,
+    level-wise merge — the streaming profile tool beside the exact
+    two-pass quantile path.
+
+    SELF-CHECKING (no SQL oracle — the summary depends on compaction
+    coins SQL can't replay): for each estimated quantile the exact
+    strict/inclusive ranks are computed with one narrow count pass and
+    the valid-quantile interval test
+    ``rank(v < est) − ε ≤ q ≤ rank(v ≤ est) + ε`` (ε = 0.02) is
+    asserted — correct on continuous AND discrete distributions (a
+    repeated value can legitimately span many quantiles); a violation
+    raises, so a green rows-only driver row certifies the accuracy
+    contract. Runs over the continuous ``events.value`` column."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ptrail_ray.functions.sketch import kll_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    est = kll_quantiles(ds, "value", list(KLL_QS), k=256)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        lt = np.array([(v < est[q]).sum() for q in KLL_QS], np.int64)
+        le = np.array([(v <= est[q]).sum() for q in KLL_QS], np.int64)
+        return pa.table(
+            {
+                "q": pa.array(np.asarray(KLL_QS, np.float64), pa.float64()),
+                "n_lt": pa.array(lt, pa.int64()),
+                "n_le": pa.array(le, pa.int64()),
+                "n": pa.array(np.full(len(KLL_QS), len(v), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(rank_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("q", as_index=False)
+        .sum()
+    )
+    agg["rank_lo"] = agg["n_lt"] / agg["n"]
+    agg["rank_hi"] = agg["n_le"] / agg["n"]
+    agg["estimate"] = [est[q] for q in agg["q"]]
+    ok = (agg["rank_lo"] - 0.02 <= agg["q"]) & (agg["q"] <= agg["rank_hi"] + 0.02)
+    assert ok.all(), f"KLL estimate outside valid-quantile band: {agg.to_dict('records')}"
+    out = agg[["q", "estimate", "rank_lo", "rank_hi"]].copy()
+    for c in ("rank_lo", "rank_hi"):
+        out[c] = _duckdb_round(out[c].to_numpy(np.float64)) + 0.0
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES["q_kll_quantiles"] = q_kll_quantiles
+
+
 def q_nearest_poi(sf_dir):
     """nearest_poi analog (stages/project.nearest_point): per turn the
     nearest POI and L2 distance in measure space. POIs = each user's

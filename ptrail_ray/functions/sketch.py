@@ -185,3 +185,122 @@ def cms_estimate(sketch: np.ndarray, terms, *, lg_w: int) -> np.ndarray:
     cells = _cms_cells(_term_hashes(terms), d=d, lg_w=lg_w)
     ests = np.stack([sketch[i, cells[i]] for i in range(d)])
     return ests.min(axis=0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# KLL/MRL-style quantile sketch (mergeable, bounded memory)
+# ---------------------------------------------------------------------------
+#
+# The third sketch the family needs (HLL = distinct, CMS = frequency,
+# this = quantiles): ε-approximate quantiles from a FIXED-size summary.
+# Structure: levels of capacity ``k``; level i items carry weight 2^i.
+# A full level is sorted and every other item promoted (compaction),
+# the classic Manku–Rajagopalan–Lindsay / KLL shape. The compaction
+# offset is a deterministic coin derived from (level, generation) via
+# the stable SipHash, so a given insertion order reproduces exactly;
+# the engine's exact-quantile path (stages/quantiles.py) remains the
+# bit-exact tool — this sketch is the ONE-PASS BOUNDED-MEMORY option
+# for 100 TB profiling, self-checked against true ranks rather than
+# hash-gated.
+
+
+class KLLSketch:
+    """Mergeable quantile sketch: ≤ k items per level, ~k·log₂(n/k)
+    floats total. ``merge`` is level-wise concat + compaction, so
+    per-batch partials combine associatively (the combiner pattern)."""
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError(f"k must be >= 8, got {k}")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._gen = 0
+
+    def _coin(self, level: int) -> int:
+        self._gen += 1
+        h = pd.util.hash_array(np.array([f"kll:{level}:{self._gen}"], dtype=object))
+        return int(h[0] & np.uint64(1))
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                v = np.sort(self.levels[i], kind="stable")
+                off = self._coin(i)
+                promoted = v[off::2]
+                self.levels[i] = np.empty(0, np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def update_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        # feed in k-sized gulps so level 0 never balloons past 2k
+        for lo in range(0, len(v), self.k):
+            self.levels[0] = np.concatenate([self.levels[0], v[lo : lo + self.k]])
+            self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for i, lv in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compress()
+        return self
+
+    def to_table(self) -> pa.Table:
+        lvls = np.concatenate(
+            [np.full(len(v), i, np.int64) for i, v in enumerate(self.levels)]
+        ) if any(len(v) for v in self.levels) else np.empty(0, np.int64)
+        vals = np.concatenate(self.levels) if any(len(v) for v in self.levels) else np.empty(0, np.float64)
+        return pa.table(
+            {"level": pa.array(lvls, pa.int64()), "value": pa.array(vals, pa.float64())}
+        )
+
+    @classmethod
+    def from_table(cls, t: pa.Table, k: int = 256) -> "KLLSketch":
+        s = cls(k)
+        if t.num_rows:
+            lv = t["level"].to_numpy(zero_copy_only=False)
+            va = t["value"].to_numpy(zero_copy_only=False)
+            for i in range(int(lv.max()) + 1):
+                while i >= len(s.levels):
+                    s.levels.append(np.empty(0, np.float64))
+                s.levels[i] = va[lv == i].astype(np.float64)
+        return s
+
+    def quantile(self, q: float) -> float:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(v), 1 << i, np.float64) for i, v in enumerate(self.levels)]
+        )
+        if len(vals) == 0:
+            return float("nan")
+        order = np.argsort(vals, kind="stable")
+        vs, ws = vals[order], wts[order]
+        cum = np.cumsum(ws)
+        target = q * cum[-1]
+        return float(vs[np.searchsorted(cum, target, side="left").clip(max=len(vs) - 1)])
+
+
+def kll_quantiles(
+    ds, col: str, quantiles: list[float], *, k: int = 256, batch_size: int = 1 << 18
+) -> dict[float, float]:
+    """One-pass distributed quantile estimates: per-batch KLL partials
+    (≤ k·log₂(batch/k) rows each — bounded regardless of batch size),
+    level-wise driver merge, estimates from the merged summary. The
+    streaming profile tool for data too big for the exact two-pass
+    path; accuracy self-checked in `entry_queries.q_kll_quantiles`."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KLLSketch(k)
+        s.update_many(t[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return s.to_table()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    acc = KLLSketch(k)
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        acc.merge(KLLSketch.from_table(t, k))
+    return {q: acc.quantile(q) for q in quantiles}

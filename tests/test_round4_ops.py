@@ -717,3 +717,32 @@ def test_ppm_stream_parse_and_frame_sample(ray_session):
 
     with pytest.raises(ValueError):
         parse_ppm_stream(b"JUNK" + media["payload"][0].as_py())
+
+
+def test_kll_sketch_accuracy_and_merge(ray_session):
+    from ptrail_ray.functions.sketch import KLLSketch, kll_quantiles
+
+    rng = np.random.default_rng(27)
+    x = rng.exponential(scale=10.0, size=100_000)
+    s = KLLSketch(256)
+    s.update_many(x)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = s.quantile(q)
+        lo, hi = (x < est).mean(), (x <= est).mean()
+        assert lo - 0.02 <= q <= hi + 0.02, (q, est, lo, hi)
+    # merge of split halves stays within the band too
+    a, b = KLLSketch(256), KLLSketch(256)
+    a.update_many(x[: 50_000])
+    b.update_many(x[50_000:])
+    m = a.merge(b)
+    for q in (0.25, 0.5, 0.9):
+        est = m.quantile(q)
+        lo, hi = (x < est).mean(), (x <= est).mean()
+        assert lo - 0.02 <= q <= hi + 0.02
+    # summary stays bounded: ~k * log2(n/k)
+    assert sum(len(v) for v in m.levels) < 256 * 14
+    # distributed path round-trips through Arrow partials
+    ds = rd.from_pandas(pd.DataFrame({"value": x}), override_num_blocks=8)
+    est = kll_quantiles(ds, "value", [0.5], k=256)[0.5]
+    lo, hi = (x < est).mean(), (x <= est).mean()
+    assert lo - 0.02 <= 0.5 <= hi + 0.02
