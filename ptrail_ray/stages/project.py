@@ -230,6 +230,7 @@ def nearest_point(
     cols: tuple[str, str] = ("m1", "m2"),
     row_chunk: int = 8192,
     max_pois: int = 1 << 20,
+    batch_size: int | None = None,
 ):
     """``nearest_poi`` analog (ptrail/features/contextual_features.py:
     304-379 — there an osmnx network fetch + nearest OSM node; here the
@@ -260,19 +261,30 @@ def nearest_point(
     def fn(batch: pa.Table) -> pa.Table:
         x = batch[ca].to_numpy(zero_copy_only=False).astype(np.float64)
         y = batch[cb].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = len(x)
-        best = np.empty(n, np.int64)
-        dist = np.empty(n, np.float64)
-        for lo in range(0, n, row_chunk):
-            hi = min(lo + row_chunk, n)
-            dx = x[lo:hi, None] - pxs[None, :]
-            dy = y[lo:hi, None] - pys[None, :]
+        # solve per UNIQUE (x, y) point: feature planes are often heavily
+        # discretized (here m1/m2 are small-int text lengths), so the
+        # (points × pois) block shrinks by orders of magnitude; for
+        # continuous data u == n and this is a no-op wrapper.
+        key = x + 1j * y
+        uniq, inv = np.unique(key, return_inverse=True)
+        ux, uy = uniq.real, uniq.imag
+        u = len(uniq)
+        ubest = np.empty(u, np.int64)
+        udist = np.empty(u, np.float64)
+        for lo in range(0, u, row_chunk):
+            hi = min(lo + row_chunk, u)
+            dx = ux[lo:hi, None] - pxs[None, :]
+            dy = uy[lo:hi, None] - pys[None, :]
             d2 = dx * dx + dy * dy
             idx = np.argmin(d2, axis=1)
-            best[lo:hi] = pid[idx]
-            dist[lo:hi] = np.sqrt(d2[np.arange(hi - lo), idx])
+            ubest[lo:hi] = pid[idx]
+            udist[lo:hi] = np.sqrt(d2[np.arange(hi - lo), idx])
         return batch.append_column(
-            "nearest_poi", pa.array(best, pa.int64())
-        ).append_column("poi_dist", pa.array(dist, pa.float64()))
+            "nearest_poi", pa.array(ubest[inv], pa.int64())
+        ).append_column("poi_dist", pa.array(udist[inv], pa.float64()))
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    # batch_size=None: the input is typically the bucket exchange's
+    # output (many small blocks) — coalescing across blocks funnels
+    # everything into ONE bundling task (the CLAUDE.md stall; measured
+    # 17 s -> sub-second on 100k rows x 1.5k POIs at sf0.1)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
