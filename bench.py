@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_nearest_poi",
     "q_media_video_frames",
     "q_kll_quantiles",
+    "q_incremental_dedup",
 ]
 
 

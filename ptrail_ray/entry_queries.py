@@ -1122,6 +1122,47 @@ QUERIES.update(
 
 
 QUERIES["q_dedup_normalized"] = q_dedup_normalized
+
+
+def q_incremental_dedup(sf_dir):
+    """Snapshot/delta dedup (functions/dedup.incremental_dedup): docs
+    with doc_id % 3 == 0 act as the already-ingested PRIOR corpus; the
+    rest are the NEW shard. Keep new docs whose content matches neither
+    any prior doc nor an earlier (min-id) new doc — one narrow
+    fingerprint exchange, text never shuffles."""
+    import functools as _ft
+
+    from ptrail_ray.functions.dedup import incremental_dedup
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def side(t: pa.Table, prior: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 3 == 0) if prior else (ids % 3 != 0)
+        return t.filter(pa.array(mask))
+
+    new_ds = docs.map_batches(_ft.partial(side, prior=False), batch_format="pyarrow")
+    prior_ds = docs.map_batches(_ft.partial(side, prior=True), batch_format="pyarrow")
+    return incremental_dedup(new_ds, prior_ds).select_columns(["fingerprint", "doc_id"])
+
+
+ORACLE_SQL["q_incremental_dedup"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(coalesce(list_aggregate(regexp_extract_all(coalesce(text, ''), '\S+'),
+                                     'string_agg', ' '), '')) AS fingerprint,
+         (doc_id % 3 = 0) AS is_prior
+  FROM documents
+),
+prior_fp AS (SELECT DISTINCT fingerprint FROM f WHERE is_prior),
+new_heads AS (
+  SELECT fingerprint, min(doc_id) AS doc_id
+  FROM f WHERE NOT is_prior GROUP BY fingerprint
+)
+SELECT n.fingerprint, n.doc_id
+FROM new_heads n ANTI JOIN prior_fp p USING (fingerprint)
+"""
+QUERIES["q_incremental_dedup"] = q_incremental_dedup
 ORACLE_SQL["q_dedup_normalized"] = r"""
 WITH nrm AS (
   SELECT doc_id,

@@ -2086,3 +2086,66 @@ def segment_dedup(
         partial_batch=None,
         group_format="pyarrow",
     )
+
+
+def incremental_dedup(
+    new_ds,
+    prior_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+):
+    """Snapshot/delta dedup — the incremental-ingestion shape: keep only
+    NEW documents whose content appears neither in the PRIOR corpus nor
+    earlier (min id) within the new shard itself. Unlike `exact_dedup`
+    the prior corpus always wins: a new doc dies on any prior content
+    match regardless of ids.
+
+    Scale shape: both sides reduce to narrow (fingerprint, id, side)
+    rows before the ONE hash exchange on the fingerprint (text never
+    shuffles); the per-bucket kernel is a vectorized sort + group-head
+    scan. The prior side ships only fingerprints — at 100 TB the prior
+    corpus's fingerprint table is the persisted artifact an ingestion
+    pipeline keeps between runs.
+    """
+    from ptrail_ray.functions.textstats import fingerprint_table
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def fp_side(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            f = fingerprint_table(t, text_col=text_col)
+            return pa.table(
+                {
+                    "fingerprint": f["fingerprint"],
+                    id_col: f[id_col].cast(pa.int64()),
+                    "_prior": pa.array(
+                        np.full(t.num_rows, flag, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    rows = new_ds.map_batches(
+        fp_side(0), batch_format="pyarrow", batch_size=None
+    ).union(
+        prior_ds.map_batches(fp_side(1), batch_format="pyarrow", batch_size=None)
+    )
+
+    def keep_new_heads(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fingerprint", sort=False)
+        has_prior = g["_prior"].transform("max")
+        first_new = df.sort_values(["fingerprint", id_col], kind="stable")
+        first_new = first_new[first_new["_prior"] == 0].drop_duplicates(
+            "fingerprint", keep="first"
+        )
+        keep = first_new[~first_new["fingerprint"].isin(
+            df.loc[has_prior == 1, "fingerprint"].unique()
+        )]
+        return keep[["fingerprint", id_col]]
+
+    return grouped_agg_by_bucket(
+        rows, "fingerprint", keep_new_heads, num_buckets=num_buckets,
+        partial_batch=None,
+    )

@@ -746,3 +746,27 @@ def test_kll_sketch_accuracy_and_merge(ray_session):
     est = kll_quantiles(ds, "value", [0.5], k=256)[0.5]
     lo, hi = (x < est).mean(), (x <= est).mean()
     assert lo - 0.02 <= 0.5 <= hi + 0.02
+
+
+def test_incremental_dedup_prior_wins(ray_session):
+    from ptrail_ray.functions.dedup import incremental_dedup
+
+    prior = pd.DataFrame({"doc_id": [100, 101], "text": ["alpha beta", "gamma"]})
+    new = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta",   # dies: content exists in prior (despite smaller id)
+                "delta",        # survives
+                "delta",        # dies: id 2 is the earlier new head
+                "gamma",        # dies: prior match
+                "epsilon",      # survives
+            ],
+        }
+    )
+    out = (
+        incremental_dedup(rd.from_pandas(new), rd.from_pandas(prior), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [2, 5]
