@@ -47,6 +47,10 @@ def main(argv=None):
     )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
+        "--data-format", choices=("parquet", "jsonl"), default="parquet",
+        help="bucket payload format: parquet (analytics) or jsonl (training export)",
+    )
+    ap.add_argument(
         "--validate",
         action="store_true",
         help="after the write, assert row conservation: manifest rows "
@@ -205,6 +209,7 @@ def main(argv=None):
             lineage=args.input,
             resume=resume,
             hot_convs=hot,
+            data_format=args.data_format,
         )
     metrics = load_metrics(args.output)
     wall = time.perf_counter() - t0
