@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_media_video_frames",
     "q_kll_quantiles",
     "q_incremental_dedup",
+    "q_bigram_lp",
 ]
 
 

@@ -3304,6 +3304,55 @@ FROM x GROUP BY doc_id
 QUERIES["q_unigram_lp"] = q_unigram_lp
 
 
+def q_bigram_lp(sf_dir):
+    """Laplace-smoothed bigram-LM quality score
+    (functions/lm.bigram_logprob): per-doc mean conditional
+    log-probability — one Markov order above q_unigram_lp; two bounded
+    exchanges + broadcast model, int64-quantized per-position
+    log-probs."""
+    from ptrail_ray.functions.lm import bigram_logprob
+
+    out = bigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return finalize(out, round_columns=["mean_logprob"])
+
+
+ORACLE_SQL["q_bigram_lp"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         unnest(range(len(toks))) AS pos
+  FROM d
+), bg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), cnt12 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+), hist AS (
+  SELECT w1, count(*) AS h FROM bg GROUP BY w1
+), vv AS (
+  SELECT count(DISTINCT term) AS V FROM tok
+), x AS (
+  SELECT bg.doc_id,
+         CAST(round(ln((CAST(coalesce(cnt12.c, 0) AS DOUBLE) + 1.0)
+                       / (CAST(hist.h AS DOUBLE) + vv.V))
+                    * 1000000000.0) AS BIGINT) AS q
+  FROM bg
+  LEFT JOIN cnt12 USING (w1, w2)
+  JOIN hist USING (w1)
+  CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round((sum(q) / 1000000000.0) / count(*), 6) + 0.0 AS mean_logprob
+FROM x GROUP BY doc_id
+"""
+QUERIES["q_bigram_lp"] = q_bigram_lp
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 

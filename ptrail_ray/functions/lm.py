@@ -142,3 +142,163 @@ def unigram_logprob(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# --- bigram LM (one Markov order up from the unigram model) -----------------
+
+
+def bigram_counts(
+    ds,
+    *,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    max_bigrams: int = 1 << 24,
+    batch_size: int = TEXT_BATCH,
+) -> pd.DataFrame:
+    """Global (w1, w2, n) bigram counts — per-batch int-coded partials
+    (pairs never cross a doc: adjacent flat tokens with equal row idx),
+    ONE composite-key exchange, loud ``max_bigrams`` guard."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        codes, vocab, idx = encoded_tokens(t[text_col])
+        if len(codes) < 2:
+            return empty
+        same = idx[:-1] == idx[1:]
+        if not same.any():
+            return empty
+        a, b = codes[:-1][same], codes[1:][same]
+        key = a * len(vocab) + b
+        uk, counts = np.unique(key, return_counts=True)
+        ia = pa.array(uk // len(vocab), pa.int64())
+        ib = pa.array(uk % len(vocab), pa.int64())
+        return pa.table(
+            {
+                "w1": vocab.take(ia).cast(pa.string()),
+                "w2": vocab.take(ib).cast(pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["w1", "w2"], as_index=False, sort=False)["n"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    bg = grouped_agg_by_bucket(
+        parts, ["w1", "w2"], combine, num_buckets=num_buckets
+    ).to_pandas()
+    if len(bg) > max_bigrams:
+        raise ValueError(
+            f"bigram vocabulary {len(bg)} exceeds max_bigrams={max_bigrams}; "
+            "raise the cap or pre-filter — lm does not silently truncate"
+        )
+    return bg
+
+
+def _bigram_score_batch(
+    t: pa.Table, *, model_ref, id_col: str, text_col: str
+) -> pa.Table:
+    terms, hist, pair_keys, pair_counts, V = (
+        ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "mean_logprob": pa.array([], pa.float64()),
+        }
+    )
+    codes, vocab, idx = encoded_tokens(t[text_col])
+    if len(codes) < 2:
+        return empty
+    ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # map batch-local codes to GLOBAL term ids (every corpus token is in
+    # the global vocab by construction)
+    local_terms = np.asarray(vocab.to_pylist(), dtype=object)
+    gid_of_local = np.searchsorted(terms, local_terms)
+    g = gid_of_local[codes]
+    same = idx[:-1] == idx[1:]
+    if not same.any():
+        return empty
+    a, b = g[:-1][same], g[1:][same]
+    row = idx[:-1][same]
+    key = a * np.int64(V) + b
+    pos = np.searchsorted(pair_keys, key).clip(max=max(len(pair_keys) - 1, 0))
+    c12 = np.where(
+        (len(pair_keys) > 0) & (pair_keys[pos] == key), pair_counts[pos], 0
+    ).astype(np.float64)
+    h = hist[a].astype(np.float64)
+    # DuckDB order: ln((c12 + 1.0) / (hist + V)), quantized to int64
+    q = _quant_int64(np.log((c12 + 1.0) / (h + float(V))))
+    n_rows = len(ids)
+    qs = np.zeros(n_rows, np.int64)
+    np.add.at(qs, row, q)
+    nb = np.bincount(row, minlength=n_rows).astype(np.int64)
+    keep = nb > 0
+    mean_lp = (qs[keep].astype(np.float64) / 1_000_000_000.0) / nb[keep].astype(
+        np.float64
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_bigrams": pa.array(nb[keep], pa.int64()),
+            "mean_logprob": pa.array(mean_lp, pa.float64()),
+        }
+    )
+
+
+def bigram_logprob(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    max_vocab: int = 1 << 22,
+    max_bigrams: int = 1 << 24,
+    batch_size: int = TEXT_BATCH,
+):
+    """Per-doc mean Laplace-smoothed bigram conditional log-probability:
+    mean over positions i≥1 of ln((c(w_{i−1}w_i) + 1) / (h(w_{i−1}) + V))
+    with h = bigram-history count (occurrences with a successor) and
+    V = distinct corpus terms — one Markov order above `unigram_logprob`
+    (the CCNet-perplexity analog this container can own without KenLM).
+
+    Two bounded passes + broadcast (same 100 TB shape as the unigram
+    model); per-position log-probs int64-quantized so per-doc sums are
+    order-independent and the DuckDB replica in
+    `entry_queries.q_bigram_lp` is exact. Docs with <2 tokens emit no
+    row (no bigram positions — SQL GROUP BY drops them identically).
+    """
+    vocab = term_counts(
+        ds, text_col=text_col, num_buckets=num_buckets,
+        max_vocab=max_vocab, batch_size=batch_size,
+    )
+    terms = np.sort(vocab["term"].to_numpy(dtype=object))
+    V = len(terms)
+    bg = bigram_counts(
+        ds, text_col=text_col, num_buckets=num_buckets,
+        max_bigrams=max_bigrams, batch_size=batch_size,
+    )
+    a = np.searchsorted(terms, bg["w1"].to_numpy(dtype=object))
+    b = np.searchsorted(terms, bg["w2"].to_numpy(dtype=object))
+    key = a * np.int64(V) + b
+    order = np.argsort(key, kind="stable")
+    pair_keys = key[order]
+    pair_counts = bg["n"].to_numpy(np.int64)[order]
+    hist = np.zeros(V, np.int64)
+    np.add.at(hist, a, bg["n"].to_numpy(np.int64))
+    model_ref = ray.put((terms, hist, pair_keys, pair_counts, V))
+    return ds.map_batches(
+        functools.partial(
+            _bigram_score_batch, model_ref=model_ref, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -770,3 +770,43 @@ def test_incremental_dedup_prior_wins(ray_session):
         .sort_values("doc_id")
     )
     assert out["doc_id"].tolist() == [2, 5]
+
+
+def test_bigram_logprob_matches_python(ray_session):
+    import math
+    from collections import Counter
+
+    from ptrail_ray.functions.lm import bigram_logprob
+
+    docs = {
+        0: "a b a b c",
+        1: "c c c",
+        2: "a",           # <2 tokens → no row
+        3: "",            # no tokens → no row
+        4: "b a b",
+    }
+    toks = {i: t.split() for i, t in docs.items()}
+    c12 = Counter()
+    hist = Counter()
+    vocab = set()
+    for ts in toks.values():
+        vocab.update(ts)
+        for x, y in zip(ts, ts[1:]):
+            c12[(x, y)] += 1
+            hist[x] += 1
+    V = len(vocab)
+
+    def score(ts):
+        lps = [
+            math.log((c12[(x, y)] + 1.0) / (hist[x] + float(V)))
+            for x, y in zip(ts, ts[1:])
+        ]
+        return (len(lps), sum(lps) / len(lps)) if lps else None
+
+    exp = {i: score(ts) for i, ts in toks.items() if score(ts)}
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+    out = bigram_logprob(ds).to_pandas().set_index("doc_id")
+    assert set(out.index) == set(exp)
+    for i, (nb, lp) in exp.items():
+        assert out.loc[i, "n_bigrams"] == nb
+        assert abs(out.loc[i, "mean_logprob"] - lp) < 1e-8
