@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_kll_quantiles",
     "q_incremental_dedup",
     "q_bigram_lp",
+    "q_tpch_q3",
 ]
 
 

@@ -2333,6 +2333,124 @@ ORACLE_SQL["q_left_join_customer_orders"] = """
 QUERIES["q_left_join_customer_orders"] = q_left_join_customer_orders
 
 
+TPCH_Q3_CUTOFF = "1998-01-01"
+TPCH_Q3_SEGMENT = "BUILDING"
+
+
+def q_tpch_q3(sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k): customer ⋈ orders ⋈
+    lineitem — TWO chained hash-join exchanges (stages/join.hash_join)
+    feeding a partial-aggregated revenue group-by and a bounded top-10
+    merge. Revenue summands quantized to int64 at 1e4 (prices/discounts
+    are 2-dp decimals → products are exact at 4 dp), so group sums are
+    order-independent and the final ordering ties break exactly like
+    the SQL replica."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+    from ptrail_ray.stages.join import hash_join
+
+    cutoff = np.datetime64(TPCH_Q3_CUTOFF, "us")
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], TPCH_Q3_SEGMENT))
+        .drop_columns(["c_mktsegment"])
+        .rename_columns(["custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(cutoff, pa.timestamp("us")))
+        ).rename_columns(["orderkey", "custkey", "orderdate"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j1 = hash_join(orders, cust, "custkey", num_buckets=16).map_batches(
+        lambda t: t.select(["orderkey", "orderdate"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us")))
+        )
+        .drop_columns(["l_shipdate"])
+        .rename_columns(["orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j2 = hash_join(line, j1, "orderkey", num_buckets=16)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # DuckDB order: round(p * (1.0 - d) * 10000.0) as BIGINT
+        q = _quant_int64(p * (1.0 - d), scale=10000.0)
+        df = pd.DataFrame(
+            {
+                "orderkey": t["orderkey"].to_numpy(zero_copy_only=False),
+                "orderdate": t["orderdate"].to_numpy(zero_copy_only=False),
+                "rev": q,
+            }
+        )
+        g = df.groupby(["orderkey", "orderdate"], as_index=False, sort=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j2.map_batches(rev_partial, batch_format="pyarrow", batch_size=None)
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["orderkey", "orderdate"], as_index=False, sort=False)["rev"].sum()
+        g = g.sort_values(
+            ["rev", "orderdate", "orderkey"], ascending=[False, True, True],
+            kind="stable",
+        )
+        return g.head(10)
+
+    tops = grouped_agg_by_bucket(
+        parts, "orderkey", bucket_top, num_buckets=16, partial_batch=None
+    ).to_pandas()
+    out = tops.sort_values(
+        ["rev", "orderdate", "orderkey"], ascending=[False, True, True], kind="stable"
+    ).head(10)
+    out["revenue"] = _duckdb_round(out["rev"].to_numpy(np.float64) / 10000.0) + 0.0
+    return pa.Table.from_pandas(
+        out[["orderkey", "orderdate", "revenue"]], preserve_index=False
+    )
+
+
+ORACLE_SQL["q_tpch_q3"] = f"""
+SELECT l.l_orderkey AS orderkey, o.o_orderdate AS orderdate,
+       round(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                      AS BIGINT)) / 10000.0, 6) + 0.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{TPCH_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{TPCH_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                  AS BIGINT)) DESC,
+         o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+QUERIES["q_tpch_q3"] = q_tpch_q3
+
+
 def q_doc_repetition(sf_dir):
     """Gopher-style repetition quality signals over documents
     (functions/textstats.py:repetition_batch) — distinct-token ratio +
