@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "q_incremental_dedup",
     "q_bigram_lp",
     "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q14",
 ]
 
 

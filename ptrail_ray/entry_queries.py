@@ -2451,6 +2451,205 @@ LIMIT 10
 QUERIES["q_tpch_q3"] = q_tpch_q3
 
 
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_FROM = "1996-01-01"
+TPCH_Q5_TO = "1997-01-01"
+
+
+def q_tpch_q5(sf_dir):
+    """TPC-H Q5 shape (local-supplier revenue by nation): the
+    region/nation/supplier dimensions are TINY so they take the
+    broadcast path — driver-built lookup arrays shipped in the task
+    closure, never shuffled (the correct plan at any scale for
+    gazetteer-sized sides); only orders⋈customer and lineitem⋈(that)
+    pay exchanges. Revenue summands int64-quantized at 1e4; per-nation
+    partials are 25 rows per batch, merged on the driver."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.join import hash_join
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    rkey = int(region.loc[region["r_name"] == TPCH_Q5_REGION, "r_regionkey"].iloc[0])
+    asia = nation[nation["n_regionkey"] == rkey]
+    asia_keys = set(int(k) for k in asia["n_nationkey"])
+    name_of = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+    supp_nat = np.full(int(supplier["s_suppkey"].max()) + 1, -1, np.int64)
+    supp_nat[supplier["s_suppkey"].to_numpy(np.int64)] = supplier[
+        "s_nationkey"
+    ].to_numpy(np.int64)
+
+    lo = np.datetime64(TPCH_Q5_FROM, "us")
+    hi = np.datetime64(TPCH_Q5_TO, "us")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["c_nationkey"], value_set=pa.array(sorted(asia_keys)))
+        ).rename_columns(["custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(t["o_orderdate"], pa.scalar(hi, pa.timestamp("us"))),
+            )
+        )
+        .drop_columns(["o_orderdate"])
+        .rename_columns(["orderkey", "custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j1 = hash_join(orders, cust, "custkey", num_buckets=16).map_batches(
+        lambda t: t.select(["orderkey", "c_nationkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j2 = hash_join(line, j1, "orderkey", num_buckets=16)
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = supp_nat[sk]
+        keep = sn == cn
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        q = _quant_int64(p * (1.0 - d), scale=10000.0)
+        nk = cn[keep]
+        sums = np.zeros(0, np.int64)
+        keys = np.unique(nk)
+        sums = np.array([q[nk == k].sum() for k in keys], np.int64)
+        return pa.table(
+            {
+                "nationkey": pa.array(keys, pa.int64()),
+                "rev": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = (
+        j2.map_batches(nat_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("nationkey", as_index=False)["rev"]
+        .sum()
+    )
+    parts["n_name"] = parts["nationkey"].map(name_of)
+    parts["revenue"] = _duckdb_round(parts["rev"].to_numpy(np.float64) / 10000.0) + 0.0
+    return pa.Table.from_pandas(parts[["n_name", "revenue"]], preserve_index=False)
+
+
+ORACLE_SQL["q_tpch_q5"] = f"""
+SELECT n.n_name,
+       round(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                      AS BIGINT)) / 10000.0, 6) + 0.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{TPCH_Q5_REGION}'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{TPCH_Q5_FROM}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_Q5_TO}'
+GROUP BY n.n_name
+"""
+QUERIES["q_tpch_q5"] = q_tpch_q5
+
+
+TPCH_Q14_FROM = "1996-06-01"
+TPCH_Q14_TO = "1996-07-01"
+
+
+def q_tpch_q14(sf_dir):
+    """TPC-H Q14 shape (promo revenue share): part is a small dimension
+    → broadcast p_type lookup array by partkey (no shuffle at all —
+    the whole query is ONE streaming pass over lineitem emitting two
+    int64 partial sums per batch). The 100%-scaled share divides two
+    exact-quantized sums, so the single float expression matches the
+    SQL replica bit-for-bit."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    is_promo = np.zeros(int(part["p_partkey"].max()) + 1, bool)
+    is_promo[part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)] = True
+
+    lo = np.datetime64(TPCH_Q14_FROM, "us")
+    hi = np.datetime64(TPCH_Q14_TO, "us")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        q = _quant_int64(p * (1.0 - d), scale=10000.0)
+        promo = is_promo[pk]
+        return pa.table(
+            {
+                "sp": pa.array([int(q[promo].sum())], pa.int64()),
+                "st": pa.array([int(q.sum())], pa.int64()),
+            }
+        )
+
+    agg = line.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18).to_pandas()
+    sp, st = int(agg["sp"].sum()), int(agg["st"].sum())
+    # DuckDB order: round(100.0 * (sp/10000.0) / (st/10000.0), 6)
+    share = _duckdb_round(
+        np.array([100.0 * (sp / 10000.0) / (st / 10000.0)])
+    ) + 0.0
+    return pa.table({"promo_pct": pa.array(share, pa.float64())})
+
+
+ORACLE_SQL["q_tpch_q14"] = f"""
+SELECT round(100.0
+             * (sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+                                         * 10000.0) AS BIGINT)
+                         ELSE 0 END) / 10000.0)
+             / (sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                         AS BIGINT)) / 10000.0), 6) + 0.0 AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{TPCH_Q14_FROM}'
+  AND l.l_shipdate < TIMESTAMP '{TPCH_Q14_TO}'
+"""
+QUERIES["q_tpch_q14"] = q_tpch_q14
+
+
 def q_doc_repetition(sf_dir):
     """Gopher-style repetition quality signals over documents
     (functions/textstats.py:repetition_batch) — distinct-token ratio +
