@@ -2650,6 +2650,196 @@ WHERE l.l_shipdate >= TIMESTAMP '{TPCH_Q14_FROM}'
 QUERIES["q_tpch_q14"] = q_tpch_q14
 
 
+TPCH_Q13_EXCL = "1-URGENT"
+
+
+def q_tpch_q13(sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customer↤orders with an ON-clause filter, count orders per
+    customer (zeros included), then a count-of-counts histogram.
+    Plan: per-batch partial counts by custkey (np.unique — bounded by
+    batch uniques) → ONE custkey-bucket exchange where each bucket
+    sums its partials AND folds them into (c_count, ncust) histogram
+    partials (bounded by the bucket's max order count, not its
+    cardinality) → tiny driver merge. The zero bin is total customers
+    minus customers seen — no customer-table shuffle at any scale
+    (reference analog: count_features per-id aggregation,
+    ptrail/features/kinematic_features.py:60-104)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    n_customers = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows  # c_custkey is the PK — row count == distinct count
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], TPCH_Q13_EXCL))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(partial_counts, batch_format="pyarrow", batch_size=1 << 20)
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("custkey", sort=False)["n"].sum()
+        hist = per.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": hist.index.to_numpy(np.int64),
+                "ncust": hist.to_numpy(np.int64),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        orders, "custkey", bucket_hist, num_buckets=16
+    ).to_pandas()
+    out = parts.groupby("c_count", as_index=False)["ncust"].sum()
+    zero = int(n_customers) - int(out["ncust"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "ncust": [zero]})],
+            ignore_index=True,
+        )
+    out = out.rename(columns={"ncust": "custdist"})
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tpch_q13"] = f"""
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '{TPCH_Q13_EXCL}'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count
+"""
+QUERIES["q_tpch_q13"] = q_tpch_q13
+
+
+TPCH_Q18_MINQTY = 280
+
+
+def q_tpch_q18(sf_dir):
+    """TPC-H Q18 shape (large-volume customers): HAVING filter on a
+    high-cardinality aggregate, then a semi-join of two big tables
+    against the tiny qualifying set. Plan: per-batch partial quantity
+    sums by orderkey → ONE orderkey-bucket exchange with the HAVING
+    applied per bucket (qualifiers are a tiny fraction by contract —
+    loud cap) → the qualifying orderkey set broadcasts as a
+    membership filter over orders, and the resulting custkeys as a
+    membership filter over customer: big tables stream, never
+    shuffle. Quantities are integer-valued by schema → int64-exact
+    sums."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        qi = q.astype(np.int64)
+        if not np.array_equal(qi, q):
+            raise ValueError("l_quantity is not integer-valued; int64 sum invalid")
+        keys, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, qi)
+        return pa.table(
+            {
+                "orderkey": pa.array(keys, pa.int64()),
+                "qty": pa.array(sums, pa.int64()),
+            }
+        )
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(qty_partial, batch_format="pyarrow", batch_size=1 << 20)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("orderkey", as_index=False, sort=False)["qty"].sum()
+        return per[per["qty"] > TPCH_Q18_MINQTY]
+
+    qual = grouped_agg_by_bucket(line, "orderkey", having, num_buckets=16).to_pandas()
+    if len(qual) > 200_000:
+        raise RuntimeError(
+            f"q_tpch_q18: {len(qual)} qualifying orders exceeds the broadcast "
+            f"cap — raise TPCH_Q18_MINQTY or switch the enrich side to a "
+            f"hash_join exchange"
+        )
+    qty_of = dict(zip(qual["orderkey"].astype(int), qual["qty"].astype(int)))
+    okeys = pa.array(sorted(qty_of), pa.int64())
+
+    orders = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=okeys)),
+            batch_format="pyarrow",
+            batch_size=1 << 20,
+        )
+        .to_pandas()
+    )
+    ckeys = pa.array(sorted(set(orders["o_custkey"].astype(int))), pa.int64())
+    names = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=ckeys)),
+            batch_format="pyarrow",
+            batch_size=1 << 20,
+        )
+        .to_pandas()
+    )
+    out = orders.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out["total_qty"] = out["o_orderkey"].map(qty_of).astype("int64")
+    out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out["o_totalprice"] = _duckdb_round(out["o_totalprice"].to_numpy(np.float64)) + 0.0
+    return pa.Table.from_pandas(
+        out[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+             "total_qty"]],
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_tpch_q18"] = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 6) + 0.0 AS o_totalprice,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > {TPCH_Q18_MINQTY})
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+QUERIES["q_tpch_q18"] = q_tpch_q18
+
+
 def q_doc_repetition(sf_dir):
     """Gopher-style repetition quality signals over documents
     (functions/textstats.py:repetition_batch) — distinct-token ratio +
