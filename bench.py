@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q14",
+    "q_tpch_q13",
+    "q_tpch_q18",
+    "q_mix_to_target",
 ]
 
 

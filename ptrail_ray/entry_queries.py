@@ -5176,6 +5176,44 @@ ORACLE_SQL["q_cms_counts"] = _cms_oracle_sql()
 QUERIES["q_cms_counts"] = q_cms_counts
 
 
+def q_mix_to_target(sf_dir):
+    """Mixture resampling to target source proportions (the
+    data-mixing step of a training pipeline, functions/sample.py:
+    group_weights → mix_rates → mix_to_target): target share of
+    source ``srcN`` ∝ N+1; per-source keep rates water-fill so kept
+    n_chars weight is exactly proportional in expectation with the
+    largest feasible total (c = min_g W_g/target_g). Pass 1 is a
+    catalog-bounded weight agg, pass 2 a stateless broadcast-rate
+    hash filter — no shuffle at any scale. The SQL replica computes
+    the identical float64 rate (same op order) and the identical
+    md5-hash Bernoulli compare."""
+    from ptrail_ray.functions.sample import group_weights, mix_rates, mix_to_target
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    weights = group_weights(ds, group_col="source", weight_col="n_chars")
+    targets = {g: float(int(g[3:]) + 1) for g in weights}  # 'srcN' → N+1
+    rates = mix_rates(weights, targets)
+    out = mix_to_target(ds, id_col="doc_id", group_col="source", rates=rates)
+    return out.select_columns(["doc_id", "source"])
+
+
+ORACLE_SQL["q_mix_to_target"] = """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS wg,
+         CAST(CAST(substr(source, 4) AS BIGINT) + 1 AS DOUBLE) AS tgt
+  FROM documents GROUP BY source
+),
+c AS (SELECT min(wg / tgt) AS c FROM w),
+r AS (SELECT source, least(1.0, (SELECT c FROM c) * tgt / wg) AS rate FROM w)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        / 1152921504606846976.0
+      < r.rate
+"""
+QUERIES["q_mix_to_target"] = q_mix_to_target
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -208,3 +208,81 @@ def uniform_k_sample(ds, *, id_col: str, k: int):
     ids = cand[id_col].astype(str)
     cand = cand.loc[np.lexsort((ids.to_numpy(dtype=object), cand["_h"].to_numpy()))]
     return cand.head(k).drop(columns=["_h"]).reset_index(drop=True)
+
+
+def group_weights(ds, *, group_col: str, weight_col: str, max_groups: int = 100_000):
+    """Total ``weight_col`` per ``group_col`` value as a driver-side
+    dict — the bounded small-side input to :func:`mix_rates`. Per-batch
+    partial sums (one row per batch-distinct group) stream back and
+    merge on the driver; the collect is bounded by the group catalog,
+    guarded by a LOUD ``max_groups`` (sources/domains are catalog-sized
+    by contract — if yours aren't, aggregate with
+    ``stages.bucket.grouped_agg_by_bucket`` instead)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=str)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table(
+            {
+                "group": pa.array(keys, pa.string()),
+                "w": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    import ray
+
+    out: dict = {}
+    for ref in parts:
+        t = ray.get(ref)
+        for k, v in zip(t["group"].to_pylist(), t["w"].to_pylist()):
+            out[k] = out.get(k, 0) + int(v)
+        if len(out) > max_groups:
+            raise RuntimeError(
+                f"group_weights: {len(out)} groups exceeds max_groups="
+                f"{max_groups} — the driver-side merge assumes a bounded "
+                f"group catalog"
+            )
+    return out
+
+
+def mix_rates(weights: dict, targets: dict) -> dict:
+    """Per-group keep rates that resample a corpus to target mixture
+    proportions (the data-mixing step of a training pipeline): kept
+    weight K_g = c·target_g with the largest feasible c
+    (c = min_g weight_g/target_g), so proportions are exact in
+    expectation, at least one group is kept whole, and no group needs
+    upsampling. Float64 op order matches the SQL replica
+    (``least(1.0, c * tgt / wg)``) bit-for-bit."""
+    missing = set(weights) - set(targets)
+    if missing:
+        raise ValueError(f"mix_rates: no target share for groups {sorted(missing)}")
+    gs = sorted(weights)
+    wg = np.array([float(weights[g]) for g in gs], np.float64)
+    tgt = np.array([float(targets[g]) for g in gs], np.float64)
+    if np.any(tgt <= 0):
+        raise ValueError("mix_rates: target shares must be > 0")
+    c = np.min(wg / tgt)
+    rate = np.minimum(1.0, c * tgt / wg)
+    return dict(zip(gs, rate.tolist()))
+
+
+def mix_to_target(ds, *, id_col: str, group_col: str, rates: dict):
+    """Deterministic mixture resampling: keep a row iff
+    ``md5hash(id)/2⁶⁰ < rates[group]`` — `weighted_sample_by_hash`
+    with the weight looked up from a broadcast per-group rate table
+    (catalog-sized, shipped in the task closure). Stateless, no
+    shuffle, reproducible across runs/layouts/engines; groups absent
+    from ``rates`` are dropped (rate 0)."""
+
+    def mask(t: pa.Table) -> pa.Table:
+        h = _hash_col(t, id_col).astype(np.float64) / float(_SCALE)
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=str)
+        keys, inv = np.unique(g, return_inverse=True)
+        kr = np.array([rates.get(k, 0.0) for k in keys], np.float64)
+        return t.filter(pa.array(h < kr[inv]))
+
+    return ds.map_batches(mask, batch_format="pyarrow", batch_size=None)

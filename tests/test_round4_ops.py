@@ -810,3 +810,55 @@ def test_bigram_logprob_matches_python(ray_session):
     for i, (nb, lp) in exp.items():
         assert out.loc[i, "n_bigrams"] == nb
         assert abs(out.loc[i, "mean_logprob"] - lp) < 1e-8
+
+
+def test_mix_to_target_rates_and_membership(ray_session):
+    from ptrail_ray.functions.dedup import _md5_u60
+    from ptrail_ray.functions.sample import group_weights, mix_rates, mix_to_target
+
+    n = 3000
+    df = pd.DataFrame({"doc_id": [str(i) for i in range(n)]})
+    df["source"] = "src" + (df["doc_id"].astype(int) % 4).astype(str)
+    df["n_chars"] = 100 + (df["doc_id"].astype(int) * 37) % 400
+    ds = rd.from_pandas(df, override_num_blocks=7)
+
+    weights = group_weights(ds, group_col="source", weight_col="n_chars")
+    assert weights == {
+        s: int(df.loc[df["source"] == s, "n_chars"].sum())
+        for s in df["source"].unique()
+    }
+
+    targets = {"src0": 1.0, "src1": 2.0, "src2": 3.0, "src3": 4.0}
+    rates = mix_rates(weights, targets)
+    # the binding group is kept whole; kept-weight ∝ target for all
+    c = min(weights[g] / targets[g] for g in targets)
+    for g in targets:
+        assert abs(rates[g] - min(1.0, c * targets[g] / weights[g])) == 0.0
+    assert max(rates.values()) == 1.0
+
+    out = mix_to_target(
+        ds, id_col="doc_id", group_col="source", rates=rates
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    for _, r in df.iterrows():
+        u = _md5_u60(r["doc_id"]) / float(1 << 60)
+        assert (r["doc_id"] in kept) == (u < rates[r["source"]])
+    # groups without a rate are dropped
+    none_kept = mix_to_target(
+        ds, id_col="doc_id", group_col="source", rates={"src0": rates["src0"]}
+    ).to_pandas()
+    assert set(none_kept["source"]) == {"src0"}
+
+
+def test_group_weights_cap_is_loud(ray_session):
+    import pytest
+    from ptrail_ray.functions.sample import group_weights
+
+    df = pd.DataFrame(
+        {"doc_id": [str(i) for i in range(50)], "w": 1}
+    )
+    df["g"] = df["doc_id"]
+    with pytest.raises(RuntimeError, match="max_groups"):
+        group_weights(
+            rd.from_pandas(df), group_col="g", weight_col="w", max_groups=10
+        )
