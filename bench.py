@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "q_tpch_q13",
     "q_tpch_q18",
     "q_mix_to_target",
+    "q_ann_filtered",
+    "q_knn_classify",
 ]
 
 

@@ -444,6 +444,88 @@ def q_ann_cosine(sf_dir):
     return out[["query_id", "vec_id", "sim", "rank"]]
 
 
+ANN_FILTER_LABELS = (2, 3)
+
+
+def q_ann_filtered(sf_dir):
+    """Metadata-filtered ANN (the RAG retrieval-with-filter shape):
+    exact cosine top-10 among ONLY the candidates whose label passes
+    the predicate. The filter is a narrow pushdown stage BEFORE any
+    similarity compute (at scale: candidates never enter the GEMM),
+    then the same bounded partial-top-k pool as q_ann_cosine."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.ann import _stack, brute_force_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = _stack(qdf["embedding"])
+    cand = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["label"], value_set=pa.array(ANN_FILTER_LABELS, pa.int32()))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = brute_force_topk(cand, queries, k=10)
+    out["sim"] = out["sim"].round(6) + 0.0
+    return out[["query_id", "vec_id", "sim", "rank"]]
+
+
+def q_knn_classify(sf_dir):
+    """k-NN majority-vote labeling (weak-supervision / pseudo-labeling
+    op): for each of the first 20 vectors, the exact cosine top-10
+    among the REST of the corpus votes with its label; prediction =
+    most votes, ties to the smallest label. Neighbor search is the
+    bounded partial-top-k pool; the label fetch is a membership filter
+    over the (tiny) neighbor id set — no join exchange at any scale."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.ann import _stack, brute_force_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = ds.filter(expr="vec_id < 20").to_pandas().sort_values("vec_id")
+    queries = _stack(qdf["embedding"])
+    cand = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 20)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    topk = brute_force_topk(cand, queries, k=10)
+    nbr_ids = pa.array(sorted(set(topk["vec_id"].astype(int))), pa.int64())
+    labels = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=nbr_ids)).select(
+                ["vec_id", "label"]
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    votes = (
+        topk.merge(labels, on="vec_id")
+        .groupby(["query_id", "label"], as_index=False)
+        .size()
+        .rename(columns={"size": "votes"})
+    )
+    votes = votes.sort_values(
+        ["query_id", "votes", "label"], ascending=[True, False, True]
+    )
+    out = votes.groupby("query_id", as_index=False).head(1)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64"), pa.int64()),
+            "pred_label": pa.array(out["label"].astype("int64"), pa.int64()),
+            "votes": pa.array(out["votes"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 def q_minhash_pairs(sf_dir):
     from ptrail_ray.functions.dedup import minhash_lsh_pairs
 
@@ -982,6 +1064,35 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_gapfill_cubic": q_gapfill_cubic,
 }
+
+QUERIES["q_ann_filtered"] = q_ann_filtered
+ORACLE_SQL["q_ann_filtered"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label IN {ANN_FILTER_LABELS}),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM r WHERE rank <= 10
+"""
+
+QUERIES["q_knn_classify"] = q_knn_classify
+ORACLE_SQL["q_knn_classify"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20),
+s AS (SELECT q.query_id, e.vec_id, e.label,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id >= 20),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM s),
+v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+      FROM r WHERE rank <= 10 GROUP BY query_id, label),
+w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      FROM v)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes FROM w WHERE rn = 1
+"""
 
 
 # ---------------------------------------------------------------------------
