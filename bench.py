@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q_mix_to_target",
     "q_ann_filtered",
     "q_knn_classify",
+    "q_rate_spikes",
 ]
 
 

@@ -5325,6 +5325,54 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT AS D
 QUERIES["q_mix_to_target"] = q_mix_to_target
 
 
+def q_rate_spikes(sf_dir):
+    """Event-rate spike detection over the events table
+    (stages/stats.py:rate_spikes): tumbling hourly counts per
+    event_type, z-scored against the type's own window history from
+    integer sums (z = (n·C−S)/√(Q·C−S²), arbitrary-precision ints →
+    one int→double + IEEE sqrt/divide — bit-identical to the HUGEINT
+    SQL replica at any scale). Partials are batch-bounded; the driver
+    merge is (group × window)-catalog-bounded with a loud cap."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.stats import rate_spikes
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    out = rate_spikes(ev, ts_col="ts", group_col="event_type")
+    out = out.rename(columns={"group": "event_type"})
+    out["z"] = _duckdb_round(out["z"].to_numpy(np.float64)) + 0.0
+    return finalize(pa.Table.from_pandas(out, preserve_index=False))
+
+
+ORACLE_SQL["q_rate_spikes"] = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS win,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type,
+             CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS S,
+             CAST(sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS HUGEINT) AS Q,
+             CAST(count(*) AS HUGEINT) AS C
+      FROM w GROUP BY 1)
+SELECT w.event_type, CAST(w.win AS BIGINT) AS win, w.n,
+       CASE WHEN Q*C - S*S > 0
+            THEN round(CAST(w.n*C - S AS DOUBLE)
+                       / sqrt(CAST(Q*C - S*S AS DOUBLE)), 6) + 0.0
+            ELSE NULL END AS z,
+       CASE WHEN Q*C - S*S > 0
+            THEN CAST(w.n*C - S AS DOUBLE)
+                 / sqrt(CAST(Q*C - S*S AS DOUBLE)) > 2.0
+            ELSE FALSE END AS is_spike
+FROM w JOIN s USING (event_type)
+"""
+QUERIES["q_rate_spikes"] = q_rate_spikes
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

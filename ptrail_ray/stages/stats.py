@@ -535,3 +535,78 @@ def robust_scale(
         functools.partial(robust_scale_kernel, value_col=value_col, out_col=out_col),
         num_buckets=num_buckets,
     )
+
+
+def rate_spikes(
+    ds,
+    *,
+    ts_col: str,
+    group_col: str,
+    window_us: int = 3_600_000_000,
+    z_threshold: float = 2.0,
+    max_cells: int = 1_000_000,
+):
+    """Event-rate spike detection: tumbling-window counts per group,
+    flagged where the count's z-score vs the group's own window
+    history exceeds ``z_threshold`` (the ops/monitoring shape of a
+    streaming pipeline, run batch).
+
+    Scale shape: per-batch partial counts over (group, window) —
+    bounded by the batch's distinct cells — then a driver merge that
+    is bounded by the (group × time-window) CATALOG, which grows with
+    span and group count, not data volume (LOUD ``max_cells`` guard).
+    The z-score is computed from integer sums in arbitrary-precision
+    Python ints (S=Σn, Q=Σn², C=#windows), so
+    z = (n·C − S) / sqrt(Q·C − S²) is one int→double conversion and
+    one IEEE sqrt/divide — bit-identical to the HUGEINT SQL replica,
+    overflow-free at any scale.
+
+    Returns a driver-side pandas DataFrame
+    (group, win, n, z, is_spike) — catalog-sized by construction.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        win = ts.astype(np.int64) // np.int64(window_us)
+        if len(win) and (win.min() < 0 or win.max() >= (1 << 40)):
+            raise ValueError(
+                f"rate_spikes: window index out of the packed-key domain "
+                f"[0, 2^40) — min={win.min()} max={win.max()}; pre-1970 or "
+                f"absurd-future timestamps need a different composite key"
+            )
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=str)
+        g_keys, g_inv = np.unique(g, return_inverse=True)
+        comp = (g_inv.astype(np.int64) << 40) | win
+        keys, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "group": pa.array(g_keys[keys >> 40], pa.string()),
+                "win": pa.array(keys & ((1 << 40) - 1), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    cells = parts.groupby(["group", "win"], as_index=False)["n"].sum()
+    if len(cells) > max_cells:
+        raise RuntimeError(
+            f"rate_spikes: {len(cells)} (group, window) cells exceeds "
+            f"max_cells={max_cells} — widen window_us or aggregate by bucket"
+        )
+    out_rows = []
+    for g, sub in cells.groupby("group", sort=False):
+        ns = [int(x) for x in sub["n"]]
+        C = len(ns)
+        S = sum(ns)
+        Q = sum(x * x for x in ns)
+        den2 = Q * C - S * S  # exact (Python int)
+        den = math.sqrt(float(den2)) if den2 > 0 else 0.0
+        for w, n in zip(sub["win"], ns):
+            if den > 0.0:
+                z = float(n * C - S) / den
+                out_rows.append((g, int(w), n, z, z > z_threshold))
+            else:
+                out_rows.append((g, int(w), n, np.nan, False))
+    return pd.DataFrame(out_rows, columns=["group", "win", "n", "z", "is_spike"])

@@ -862,3 +862,37 @@ def test_group_weights_cap_is_loud(ray_session):
         group_weights(
             rd.from_pandas(df), group_col="g", weight_col="w", max_groups=10
         )
+
+
+def test_rate_spikes_flags_planted_spike(ray_session):
+    from ptrail_ray.stages.stats import rate_spikes
+
+    # 10 quiet hourly windows of 5 events + one window of 50 for type A;
+    # type B is flat (zero variance → z NaN, never flagged)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for w in range(11):
+        n = 50 if w == 7 else 5
+        for i in range(n):
+            rows.append(("A", base + pd.Timedelta(hours=w, seconds=i)))
+    for w in range(4):
+        for i in range(3):
+            rows.append(("B", base + pd.Timedelta(hours=w, seconds=i)))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    out = rate_spikes(
+        rd.from_pandas(df, override_num_blocks=5),
+        ts_col="ts",
+        group_col="event_type",
+    )
+    a = out[out["group"] == "A"].set_index("win")
+    assert a["n"].sum() == 10 * 5 + 50
+    spikes = a[a["is_spike"]]
+    assert len(spikes) == 1 and int(spikes["n"].iloc[0]) == 50
+    # exact z for the spike: z = (n*C - S)/sqrt(Q*C - S^2)
+    C, S = 11, 10 * 5 + 50
+    Q = 10 * 25 + 2500
+    import math
+
+    assert spikes["z"].iloc[0] == (50 * C - S) / math.sqrt(Q * C - S * S)
+    b = out[out["group"] == "B"]
+    assert b["z"].isna().all() and (~b["is_spike"]).all()
