@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_ann_filtered",
     "q_knn_classify",
     "q_rate_spikes",
+    "q_cohort_retention",
 ]
 
 

@@ -5373,6 +5373,38 @@ FROM w JOIN s USING (event_type)
 QUERIES["q_rate_spikes"] = q_rate_spikes
 
 
+def q_cohort_retention(sf_dir):
+    """Weekly cohort retention matrix over events
+    (stages/stats.py:cohort_retention): users grouped by first-seen
+    week, counted once per (cohort, age) cell they were active in.
+    ONE user-keyed exchange; the driver merge is (weeks²)-bounded,
+    independent of user count."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.stats import cohort_retention
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = cohort_retention(ev, ts_col="ts", user_col="user_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_cohort_retention"] = """
+WITH uw AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+cw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+cell AS (SELECT DISTINCT u.user_id, c.cw, u.wk - c.cw AS age
+         FROM uw u JOIN cw c USING (user_id))
+SELECT CAST(cw AS BIGINT) AS cohort_period,
+       CAST(age AS BIGINT) AS age_periods,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM cell GROUP BY 1, 2
+"""
+QUERIES["q_cohort_retention"] = q_cohort_retention
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -610,3 +610,55 @@ def rate_spikes(
             else:
                 out_rows.append((g, int(w), n, np.nan, False))
     return pd.DataFrame(out_rows, columns=["group", "win", "n", "z", "is_spike"])
+
+
+def cohort_retention(
+    ds,
+    *,
+    ts_col: str,
+    user_col: str,
+    period_us: int = 604_800_000_000,
+    num_buckets: int = 64,
+):
+    """Cohort retention matrix: users grouped by first-seen period
+    (cohort), counted once per (cohort, age) cell they were active in
+    — the product-analytics shape of a training-telemetry pipeline.
+
+    ONE user-keyed exchange (`grouped_agg_by_bucket`): every user's
+    rows land in one bucket, where a vectorized kernel takes the
+    user's min period (cohort), dedups their (user, period) pairs,
+    and emits per-cell partial counts. The driver merge is bounded by
+    the (cohort × age) CATALOG — weeks², independent of user count or
+    data volume. Returns a Ray Dataset of
+    (cohort_period, age_periods, active_users)."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (
+            df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+            // np.int64(period_us)
+        )
+        sub = pd.DataFrame({"u": df[user_col].to_numpy(), "wk": wk})
+        cw = sub.groupby("u", sort=False)["wk"].transform("min")
+        sub["cohort"] = cw
+        sub["age"] = sub["wk"] - cw
+        cells = sub.drop_duplicates(["u", "wk"]).groupby(
+            ["cohort", "age"], as_index=False, sort=False
+        )["u"].size()
+        return pd.DataFrame(
+            {
+                "cohort_period": cells["cohort"].to_numpy(np.int64),
+                "age_periods": cells["age"].to_numpy(np.int64),
+                "active_users": cells["size"].to_numpy(np.int64),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        ds, user_col, per_bucket, num_buckets=num_buckets
+    ).to_pandas()
+    out = parts.groupby(["cohort_period", "age_periods"], as_index=False)[
+        "active_users"
+    ].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

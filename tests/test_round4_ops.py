@@ -896,3 +896,30 @@ def test_rate_spikes_flags_planted_spike(ray_session):
     assert spikes["z"].iloc[0] == (50 * C - S) / math.sqrt(Q * C - S * S)
     b = out[out["group"] == "B"]
     assert b["z"].isna().all() and (~b["is_spike"]).all()
+
+
+def test_cohort_retention_matrix(ray_session):
+    from ptrail_ray.stages.stats import cohort_retention
+
+    # cohort 0: users 1,2 (u1 active weeks 0,1,3; u2 week 0 only)
+    # cohort 2: user 3 (active weeks 2 and 4 → ages 0, 2)
+    wk = pd.Timedelta(weeks=1)
+    base = pd.Timestamp("2024-01-04")
+    rows = [
+        (1, base), (1, base + wk), (1, base + 3 * wk), (1, base + 3 * wk),
+        (2, base),
+        (3, base + 2 * wk), (3, base + 4 * wk),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = cohort_retention(
+        rd.from_pandas(df, override_num_blocks=3),
+        ts_col="ts",
+        user_col="user_id",
+        num_buckets=4,
+    )
+    w0 = int(pd.Timestamp("2024-01-04").value // 1000 // 604800000000)
+    got = {
+        (r.cohort_period - w0, r.age_periods): r.active_users
+        for r in out.itertuples()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (2, 0): 1, (2, 2): 1}
