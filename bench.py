@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q_knn_classify",
     "q_rate_spikes",
     "q_cohort_retention",
+    "q_pct_rank",
 ]
 
 

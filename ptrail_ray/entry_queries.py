@@ -5405,6 +5405,28 @@ FROM cell GROUP BY 1, 2
 QUERIES["q_cohort_retention"] = q_cohort_retention
 
 
+def q_pct_rank(sf_dir):
+    """Global percent-rank of document length
+    (stages/quantiles.py:global_percent_rank — distributed ECDF): two
+    narrow passes (domain-bounded histogram partials → broadcast
+    searchsorted map), zero row exchanges, no global sort. The
+    division is exact-int → float64, bit-identical to DuckDB's
+    percent_rank() window."""
+    from ptrail_ray.stages.quantiles import global_percent_rank
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    out = global_percent_rank(ds, value_col="n_chars")
+    return finalize(out, round_columns=["pct_rank"])
+
+
+ORACLE_SQL["q_pct_rank"] = """
+SELECT doc_id, n_chars,
+       round(percent_rank() OVER (ORDER BY n_chars), 6) + 0.0 AS pct_rank
+FROM documents
+"""
+QUERIES["q_pct_rank"] = q_pct_rank
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -180,3 +180,78 @@ def grouped_exact_quantiles(
         key_col=key_col,
         sort_keys=(key_col,),
     )
+
+
+def global_percent_rank(
+    ds,
+    *,
+    value_col: str,
+    out_col: str = "pct_rank",
+    max_distinct: int = 5_000_000,
+):
+    """Global percent-rank transform (distributed ECDF): each row gets
+    ``(#rows with strictly smaller value) / (N − 1)`` — SQL
+    ``percent_rank() OVER (ORDER BY value)`` — without any global
+    sort. The score-normalization step of a quality-filter pipeline.
+
+    Two narrow passes, zero exchanges of row data:
+      1. per-batch distinct-value count partials (np.unique) → driver
+         merge, bounded by the value DOMAIN (loud ``max_distinct``
+         guard — int-like feature domains, not row counts);
+      2. a stateless broadcast map: searchsorted into the cumulative
+         histogram. The division is one exact-int → float64 op,
+         bit-identical to the SQL window function.
+
+    ``value_col`` must be integer-typed (quantize floats upstream —
+    the same contract as the exact-quantile refine pass)."""
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        ftype = base.field(value_col).type
+        if not pa.types.is_integer(ftype):
+            raise TypeError(
+                f"global_percent_rank: {value_col} must be integer-typed, "
+                f"got {ftype} — quantize upstream"
+            )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):  # backstop for pandas blocks
+            raise TypeError(
+                f"global_percent_rank: {value_col} must be integer-typed, "
+                f"got {v.dtype} — quantize upstream"
+            )
+        keys, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "val": pa.array(keys.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("val", sort=True, as_index=False)["cnt"]
+        .sum()
+    )
+    if len(parts) > max_distinct:
+        raise RuntimeError(
+            f"global_percent_rank: {len(parts)} distinct values exceeds "
+            f"max_distinct={max_distinct} — the broadcast histogram assumes "
+            f"a bounded value domain"
+        )
+    vals = parts["val"].to_numpy(np.int64)
+    cnts = parts["cnt"].to_numpy(np.int64)
+    cum_less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    n = int(cnts.sum())
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def apply(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(vals, v)
+        pct = cum_less[idx].astype(np.float64) / denom
+        return t.append_column(out_col, pa.array(pct, pa.float64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

@@ -7,6 +7,7 @@ pairs from rank-capped all-pairs + hub star pairs within each anchor
 block, exact set Jaccard — compared pair-for-pair against the
 distributed operator."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -923,3 +924,28 @@ def test_cohort_retention_matrix(ray_session):
         for r in out.itertuples()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (2, 0): 1, (2, 2): 1}
+
+
+def test_global_percent_rank_matches_pandas(ray_session):
+    from ptrail_ray.stages.quantiles import global_percent_rank
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000), "v": rng.integers(0, 50, 1000)}
+    )
+    out = (
+        global_percent_rank(
+            rd.from_pandas(df, override_num_blocks=7), value_col="v"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    exp = df["v"].rank(method="min").sub(1).div(len(df) - 1).to_numpy()
+    assert np.array_equal(out["pct_rank"].to_numpy(), exp)
+
+    import pyarrow as pa
+
+    with pytest.raises(TypeError, match="integer-typed"):
+        global_percent_rank(
+            rd.from_arrow(pa.table({"v": [0.5, 1.5]})), value_col="v"
+        ).materialize()
