@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q_rate_spikes",
     "q_cohort_retention",
     "q_pct_rank",
+    "q_grouped_topk",
 ]
 
 

@@ -5427,6 +5427,40 @@ FROM documents
 QUERIES["q_pct_rank"] = q_pct_rank
 
 
+def q_grouped_topk(sf_dir):
+    """Top-3 docs per source by length
+    (stages/quantiles.py:grouped_topk) — SHUFFLE-FREE per-group
+    top-k: each batch emits ≤k candidates per batch-local group
+    (one lexsort, rank-within-run), the driver merge is
+    k×groups-bounded. Full rows never move."""
+    from ptrail_ray.stages.quantiles import grouped_topk
+
+    out = grouped_topk(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        group_col="source",
+        value_col="n_chars",
+        id_col="doc_id",
+        k=3,
+    )
+    for c in ("doc_id", "n_chars", "rank"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["source", "doc_id", "n_chars", "rank"]], preserve_index=False
+    )
+
+
+ORACLE_SQL["q_grouped_topk"] = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+  FROM documents)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rank
+FROM r WHERE rank <= 3
+"""
+QUERIES["q_grouped_topk"] = q_grouped_topk
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

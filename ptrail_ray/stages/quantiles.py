@@ -255,3 +255,53 @@ def global_percent_rank(
         return t.append_column(out_col, pa.array(pct, pa.float64()))
 
     return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_topk(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int,
+    max_groups: int = 100_000,
+):
+    """Top-k rows per group by value — SHUFFLE-FREE: each batch emits
+    at most k candidate rows per batch-local group (argpartition), and
+    the driver merge is bounded by k × groups × batches candidates,
+    final output k × groups (loud ``max_groups`` guard). The "best
+    exemplars per source/domain" selection of a curation pipeline —
+    at any scale the full rows never move, only candidates.
+
+    Ties break by ``id_col`` ascending (deterministic; matches
+    ``row_number() OVER (ORDER BY value DESC, id)``). Returns a
+    driver-side pandas DataFrame (group, id, value, rank)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([group_col, id_col, value_col])
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=str)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        # one lexsort: (group asc, value desc, id asc); rank-within-run
+        order = np.lexsort((i, -v, g))
+        gs = g[order]
+        starts = np.r_[0, np.flatnonzero(gs[1:] != gs[:-1]) + 1]
+        lengths = np.diff(np.r_[starts, len(gs)])
+        pos = np.arange(len(gs)) - np.repeat(starts, lengths)
+        return t.take(pa.array(order[pos < k])).select(
+            [group_col, id_col, value_col]
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if cand[group_col].nunique() > max_groups:
+        raise RuntimeError(
+            f"grouped_topk: more than max_groups={max_groups} groups — the "
+            f"driver merge assumes a bounded group catalog"
+        )
+    cand = cand.sort_values(
+        [group_col, value_col, id_col], ascending=[True, False, True], kind="stable"
+    )
+    out = cand.groupby(group_col, sort=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+    return out

@@ -949,3 +949,32 @@ def test_global_percent_rank_matches_pandas(ray_session):
         global_percent_rank(
             rd.from_arrow(pa.table({"v": [0.5, 1.5]})), value_col="v"
         ).materialize()
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from ptrail_ray.stages.quantiles import grouped_topk
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(800),
+            "g": rng.choice(list("abcd"), 800),
+            "v": rng.integers(0, 40, 800),  # heavy ties → exercises tie-break
+        }
+    )
+    out = grouped_topk(
+        rd.from_pandas(df, override_num_blocks=9),
+        group_col="g",
+        value_col="v",
+        id_col="id",
+        k=5,
+    )
+    exp = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(5)
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["g", "rank"]).reset_index(drop=True)
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5] * 4
