@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_cohort_retention",
     "q_pct_rank",
     "q_grouped_topk",
+    "q_max_streak",
 ]
 
 

@@ -5461,6 +5461,34 @@ FROM r WHERE rank <= 3
 QUERIES["q_grouped_topk"] = q_grouped_topk
 
 
+def q_max_streak(sf_dir):
+    """Longest consecutive-day activity streak per user over events
+    (stages/stats.py:max_streaks — the gaps-and-islands shape): ONE
+    user-keyed exchange, per-bucket lexsort + run-boundary scan, no
+    per-user Python."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.stats import max_streaks
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return max_streaks(ev, ts_col="ts", user_col="user_id")
+
+
+ORACLE_SQL["q_max_streak"] = """
+WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+r AS (SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+      FROM ud),
+s AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak FROM s GROUP BY 1
+"""
+QUERIES["q_max_streak"] = q_max_streak
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

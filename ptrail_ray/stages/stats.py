@@ -662,3 +662,57 @@ def cohort_retention(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def max_streaks(
+    ds,
+    *,
+    ts_col: str,
+    user_col: str,
+    period_us: int = 86_400_000_000,
+    num_buckets: int = 64,
+):
+    """Longest consecutive-period activity streak per user (the
+    gaps-and-islands shape): dedup (user, period), then the longest
+    run of consecutive periods. ONE user-keyed exchange; per bucket a
+    single lexsort + run-boundary scan handles every user at once —
+    no per-user Python. Returns a Ray Dataset
+    (user_id, max_streak)."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], t.schema.field(user_col).type),
+                    "max_streak": pa.array([], pa.int64()),
+                }
+            )
+        d = (
+            t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64) // np.int64(period_us)
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        us, dsrt = u[order], d[order]
+        # distinct (user, period) rows in sorted order
+        first = np.r_[True, (us[1:] != us[:-1]) | (dsrt[1:] != dsrt[:-1])]
+        us, dsrt = us[first], dsrt[first]
+        # island start = new user OR non-consecutive period
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        isl_start = new_user | np.r_[True, dsrt[1:] != dsrt[:-1] + 1]
+        isl_id = np.cumsum(isl_start) - 1
+        isl_len = np.bincount(isl_id)
+        # max island length per user: maximum.reduceat over the user's islands
+        isl_user_idx = np.flatnonzero(isl_start)  # first row of each island
+        user_starts_isl = np.flatnonzero(new_user[isl_user_idx])
+        mx = np.maximum.reduceat(isl_len, user_starts_isl)
+        return pa.table(
+            {
+                "user_id": pa.array(us[np.flatnonzero(new_user)]),
+                "max_streak": pa.array(mx.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_agg_by_bucket(
+        ds, user_col, per_bucket, num_buckets=num_buckets, group_format="pyarrow"
+    )

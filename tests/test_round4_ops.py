@@ -978,3 +978,31 @@ def test_grouped_topk_matches_pandas(ray_session):
     got = out.sort_values(["g", "rank"]).reset_index(drop=True)
     assert got["id"].tolist() == exp["id"].tolist()
     assert got["rank"].tolist() == [1, 2, 3, 4, 5] * 4
+
+
+def test_max_streaks_gaps_and_islands(ray_session):
+    from ptrail_ray.stages.stats import max_streaks
+
+    day = pd.Timedelta(days=1)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    # u1: days 0,1,2, 5,6 → max streak 3 (dup events same day collapse)
+    for d in (0, 0, 1, 2, 5, 6):
+        rows.append((1, base + d * day))
+    # u2: single day → 1;  u3: days 3,4,5,6 → 4
+    rows.append((2, base + 9 * day))
+    for d in (3, 4, 5, 6):
+        rows.append((3, base + d * day))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = (
+        max_streaks(
+            rd.from_pandas(df, override_num_blocks=4),
+            ts_col="ts",
+            user_col="user_id",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("user_id")["max_streak"]
+        .to_dict()
+    )
+    assert out == {1: 3, 2: 1, 3: 4}
