@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_pct_rank",
     "q_grouped_topk",
     "q_max_streak",
+    "q_chi2_lang_source",
 ]
 
 

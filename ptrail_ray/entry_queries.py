@@ -5489,6 +5489,49 @@ SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak FROM s GROUP BY 1
 QUERIES["q_max_streak"] = q_max_streak
 
 
+def q_chi2_lang_source(sf_dir):
+    """Chi-square independence test of lang × source
+    (functions/textstats.py:chi2_independence — the corpus-drift
+    check before mixing weights are trusted): catalog-bounded count
+    partials, exact-integer per-cell terms quantized at 1e9 and
+    summed as ints (order-independent, bit-identical to the HUGEINT
+    SQL replica)."""
+    from ptrail_ray.functions.textstats import chi2_independence
+
+    out = chi2_independence(
+        _docs(sf_dir).select_columns(["lang", "source"]),
+        col_a="lang",
+        col_b="source",
+    )
+    out["dof"] = out["dof"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_chi2_lang_source"] = """
+WITH ct AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(n) AS HUGEINT) AS rn FROM ct GROUP BY 1),
+cb AS (SELECT b, CAST(sum(n) AS HUGEINT) AS cn FROM ct GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS HUGEINT) AS t FROM ct),
+cell AS (SELECT ra.a, cb.b, ra.rn, cb.cn,
+                CAST(coalesce(ct.n, 0) AS HUGEINT) AS o,
+                (SELECT t FROM tt) AS t
+         FROM ra CROSS JOIN cb
+         LEFT JOIN ct ON ct.a = ra.a AND ct.b = cb.b),
+term AS (SELECT CAST(round(1000000000.0 *
+                 (CAST((o*t - rn*cn) * (o*t - rn*cn) AS DOUBLE)
+                  / CAST(rn*cn*t AS DOUBLE))) AS BIGINT) AS q
+         FROM cell)
+SELECT CAST(sum(q) AS DOUBLE) / 1000000000.0 AS chi2,
+       CAST((SELECT count(*) - 1 FROM ra)
+            * (SELECT count(*) - 1 FROM cb) AS BIGINT) AS dof,
+       CAST((SELECT t FROM tt) AS BIGINT) AS n
+FROM term
+"""
+QUERIES["q_chi2_lang_source"] = q_chi2_lang_source
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -519,3 +519,71 @@ def add_normalize_text(ds, *, text_col: str = "text", out_col: str = "text_norm"
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def chi2_independence(
+    ds,
+    *,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+    quant: float = 1e9,
+):
+    """Pearson chi-square test of independence between two categorical
+    columns (is the lang mix independent of source? — the corpus-drift
+    check of a data-mixing pipeline).
+
+    Scale shape: per-batch (a, b) count partials (bounded by batch
+    distinct cells), driver merge bounded by the |A|×|B| catalog (loud
+    cap). The statistic is computed cell-by-cell from EXACT integers —
+    term = (o·T − rᵢ·cⱼ)² / (rᵢ·cⱼ·T) with arbitrary-precision
+    numerators — then each term is quantized half-away-from-zero at
+    ``quant`` and summed as integers, so the total is
+    accumulation-order-independent and bit-identical to the HUGEINT
+    SQL replica. Returns (chi2, dof, n) as a one-row DataFrame."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col_a].to_numpy(zero_copy_only=False), dtype=str)
+        b = np.asarray(t[col_b].to_numpy(zero_copy_only=False), dtype=str)
+        ka, ia = np.unique(a, return_inverse=True)
+        kb, ib = np.unique(b, return_inverse=True)
+        comp = ia.astype(np.int64) * len(kb) + ib
+        keys, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(ka[keys // len(kb)], pa.string()),
+                "b": pa.array(kb[keys % len(kb)], pa.string()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)["n"]
+        .sum()
+    )
+    if len(parts) > max_cells:
+        raise RuntimeError(
+            f"chi2_independence: {len(parts)} cells exceeds max_cells="
+            f"{max_cells} — the driver merge assumes catalog-sized dimensions"
+        )
+    row = parts.groupby("a")["n"].sum().to_dict()
+    col = parts.groupby("b")["n"].sum().to_dict()
+    obs = {(r.a, r.b): int(r.n) for r in parts.itertuples()}
+    T = int(parts["n"].sum())
+    acc = 0
+    for ra, rn in row.items():
+        for cb, cn in col.items():
+            o = obs.get((ra, cb), 0)
+            num = (o * T - int(rn) * int(cn)) ** 2  # exact int
+            den = int(rn) * int(cn) * T  # exact int, > 0
+            z = quant * (float(num) / float(den))
+            # replicate DuckDB round() (std::round, half away from zero)
+            # for z >= 0 without the float(z + 0.5) midpoint hazard
+            f = int(np.floor(z))
+            acc += f + 1 if (z - f) >= 0.5 else f
+    chi2 = acc / quant
+    dof = (len(row) - 1) * (len(col) - 1)
+    return pd.DataFrame({"chi2": [chi2], "dof": [dof], "n": [T]})

@@ -1006,3 +1006,23 @@ def test_max_streaks_gaps_and_islands(ray_session):
         .to_dict()
     )
     assert out == {1: 3, 2: 1, 3: 4}
+
+
+def test_chi2_independence_matches_scipy_formula(ray_session):
+    from ptrail_ray.functions.textstats import chi2_independence
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 2000, p=[0.5, 0.3, 0.2]),
+            "b": rng.choice(["p", "q"], 2000, p=[0.7, 0.3]),
+        }
+    )
+    out = chi2_independence(
+        rd.from_pandas(df, override_num_blocks=6), col_a="a", col_b="b"
+    )
+    ct = pd.crosstab(df["a"], df["b"])
+    exp = np.outer(ct.sum(1), ct.sum(0)) / ct.to_numpy().sum()
+    ref = (((ct.to_numpy() - exp) ** 2) / exp).sum()
+    assert out["dof"].iloc[0] == 2 and out["n"].iloc[0] == 2000
+    assert abs(out["chi2"].iloc[0] - ref) < 1e-6
