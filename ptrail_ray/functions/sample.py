@@ -232,7 +232,9 @@ def group_weights(ds, *, group_col: str, weight_col: str, max_groups: int = 100_
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_arrow_refs()
     import ray
 
     out: dict = {}

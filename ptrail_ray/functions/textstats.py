@@ -559,7 +559,7 @@ def chi2_independence(
         )
 
     parts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
         .to_pandas()
         .groupby(["a", "b"], as_index=False)["n"]
         .sum()

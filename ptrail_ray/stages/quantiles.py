@@ -231,7 +231,7 @@ def global_percent_rank(
         )
 
     parts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
         .to_pandas()
         .groupby("val", sort=True, as_index=False)["cnt"]
         .sum()
@@ -293,7 +293,9 @@ def grouped_topk(
             [group_col, id_col, value_col]
         )
 
-    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    cand = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
     if cand[group_col].nunique() > max_groups:
         raise RuntimeError(
             f"grouped_topk: more than max_groups={max_groups} groups — the "

@@ -588,7 +588,9 @@ def rate_spikes(
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
     cells = parts.groupby(["group", "win"], as_index=False)["n"].sum()
     if len(cells) > max_cells:
         raise RuntimeError(
