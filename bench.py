@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "q_grouped_topk",
     "q_max_streak",
     "q_chi2_lang_source",
+    "q_weighted_median",
+    "q_tool_pairs",
 ]
 
 

@@ -5532,6 +5532,104 @@ FROM term
 QUERIES["q_chi2_lang_source"] = q_chi2_lang_source
 
 
+def q_weighted_median(sf_dir):
+    """Token-weighted median document length
+    (stages/quantiles.py:weighted_median): exact lower weighted
+    median via domain-bounded (value → weight-sum) partials and an
+    integer 2·cum ≥ tot compare — no sort, no float. Token model =
+    the shared \\S+ count (same as q_doc_tokens)."""
+    from ptrail_ray.stages.quantiles import weighted_median
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t["text"], ""), r"\S+"),
+            pa.int64(),
+        )
+        return pa.table({"n_chars": t["n_chars"], "w": w})
+
+    ds = _docs(sf_dir).map_batches(
+        add_w, batch_format="pyarrow", batch_size=65536
+    )
+    med, tot = weighted_median(ds, value_col="n_chars", weight_col="w")
+    return pa.table(
+        {
+            "wmedian": pa.array([med], pa.int64()),
+            "total_w": pa.array([tot], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_weighted_median"] = """
+WITH d AS (
+  SELECT n_chars AS v,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS w
+  FROM documents
+),
+g AS (SELECT v, CAST(sum(w) AS BIGINT) AS w FROM d GROUP BY v),
+c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum,
+             (SELECT CAST(sum(w) AS BIGINT) FROM g) AS tot
+      FROM g)
+SELECT CAST(min(v) AS BIGINT) AS wmedian,
+       CAST(min(tot) AS BIGINT) AS total_w
+FROM c WHERE 2 * cum >= tot
+"""
+QUERIES["q_weighted_median"] = q_weighted_median
+
+
+def q_tool_pairs(sf_dir):
+    """Tool co-occurrence counts (market-basket shape): for every
+    conversation, its DISTINCT tools form unordered pairs (a < b);
+    pairs are counted corpus-wide. ONE conv-keyed exchange; per
+    bucket a vectorized dedup + within-conv self-merge; the driver
+    merge is tools²-bounded (catalog², not data)."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tool_a": pa.array([], pa.string()),
+                "tool_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "conv": t[CONV_ID].to_pandas(),
+                "tool": pc.fill_null(t[TOOL], "").to_pandas(),
+            }
+        ).drop_duplicates()
+        pairs = df.merge(df, on="conv")
+        pairs = pairs[pairs["tool_x"] < pairs["tool_y"]]
+        if pairs.empty:
+            return empty
+        g = (
+            pairs.groupby(["tool_x", "tool_y"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"tool_x": "tool_a", "tool_y": "tool_b", "size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    out = parts.groupby(["tool_a", "tool_b"], as_index=False, sort=False)["n"].sum()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tool_pairs"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+dt AS (SELECT DISTINCT conv_id, coalesce(tool, '') AS tool FROM transcripts)
+SELECT a.tool AS tool_a, b.tool AS tool_b, CAST(count(*) AS BIGINT) AS n
+FROM dt a JOIN dt b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2
+"""
+QUERIES["q_tool_pairs"] = q_tool_pairs
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -307,3 +307,53 @@ def grouped_topk(
     out = cand.groupby(group_col, sort=False).head(k).reset_index(drop=True)
     out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
     return out
+
+
+def weighted_median(
+    ds,
+    *,
+    value_col: str,
+    weight_col: str,
+    max_distinct: int = 5_000_000,
+):
+    """Exact lower weighted median: the smallest value v with
+    cumulative weight(≤v) ≥ total/2 (integer compare ``2·cum ≥ tot``,
+    no float). Token-weighted corpus medians are the data-curation
+    use. Same scale shape as :func:`global_percent_rank`: per-batch
+    (value → weight-sum) partials, domain-bounded driver merge (loud
+    cap), no sort of row data. Returns ``(wmedian, total_w)`` as
+    Python ints."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"weighted_median: {value_col} must be integer-typed"
+            )
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(v, return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table(
+            {
+                "val": pa.array(keys.astype(np.int64), pa.int64()),
+                "w": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("val", sort=True, as_index=False)["w"]
+        .sum()
+    )
+    if len(parts) > max_distinct:
+        raise RuntimeError(
+            f"weighted_median: {len(parts)} distinct values exceeds "
+            f"max_distinct={max_distinct}"
+        )
+    w = parts["w"].to_numpy(np.int64)
+    tot = int(w.sum())
+    cum = np.cumsum(w)
+    idx = int(np.searchsorted(2 * cum, tot))  # first 2*cum >= tot
+    return int(parts["val"].iloc[idx]), tot

@@ -1026,3 +1026,17 @@ def test_chi2_independence_matches_scipy_formula(ray_session):
     ref = (((ct.to_numpy() - exp) ** 2) / exp).sum()
     assert out["dof"].iloc[0] == 2 and out["n"].iloc[0] == 2000
     assert abs(out["chi2"].iloc[0] - ref) < 1e-6
+
+
+def test_weighted_median_exact(ray_session):
+    from ptrail_ray.stages.quantiles import weighted_median
+
+    df = pd.DataFrame({"v": [10, 20, 30, 40], "w": [1, 1, 3, 1]})
+    # cum = 1,2,5,6 ; tot=6 ; first 2*cum>=6 → v=30
+    med, tot = weighted_median(
+        rd.from_pandas(df, override_num_blocks=3), value_col="v", weight_col="w"
+    )
+    assert (med, tot) == (30, 6)
+    # all weight on the first value
+    df2 = pd.DataFrame({"v": [5, 9], "w": [10, 1]})
+    assert weighted_median(rd.from_pandas(df2), value_col="v", weight_col="w") == (5, 11)
