@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "q_chi2_lang_source",
     "q_weighted_median",
     "q_tool_pairs",
+    "q_edit_near_dup",
+    "q_rollup_docs",
 ]
 
 

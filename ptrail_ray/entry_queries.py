@@ -5630,6 +5630,61 @@ GROUP BY 1, 2
 QUERIES["q_tool_pairs"] = q_tool_pairs
 
 
+def q_edit_near_dup(sf_dir):
+    """Character-level near-dup pairs: sorted-neighborhood blocking on a
+    16-char text prefix, exact banded Levenshtein (≤32) on each
+    adjacent candidate pair (functions/editdist.py — the fuzzy rung
+    between normalized-exact dedup and MinHash; reference's dedup is
+    row-exact only, preprocessing/filters.py:38-64). One hash exchange
+    on the blocking key; DP vectorized across the pair axis."""
+    from ptrail_ray.functions.editdist import edit_near_pairs
+
+    return edit_near_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        prefix_len=16,
+        max_dist=32,
+        cap=1024,
+        num_buckets=16,
+    )
+
+
+ORACLE_SQL["q_edit_near_dup"] = """
+WITH d AS (SELECT doc_id, text, substr(text, 1, 16) AS blk FROM documents),
+s AS (SELECT doc_id,
+             lag(doc_id) OVER w AS doc_a,
+             levenshtein(substr(lag(text) OVER w, 1, 1024),
+                         substr(text, 1, 1024)) AS dist
+      FROM d WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id))
+SELECT doc_a, doc_id AS doc_b, CAST(dist AS BIGINT) AS dist
+FROM s WHERE doc_a IS NOT NULL AND dist <= 32
+"""
+QUERIES["q_edit_near_dup"] = q_edit_near_dup
+
+
+def q_rollup_docs(sf_dir):
+    """GROUP BY ROLLUP(lang, source) corpus summary — every hierarchy
+    level plus the grand total in one narrow bounded-partial pass
+    (stages/stats.rollup_agg); rolled-up key columns are NULL exactly
+    as DuckDB emits them."""
+    from ptrail_ray.stages.stats import rollup_agg
+
+    return rollup_agg(
+        _docs(sf_dir).select_columns(["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        "n_chars",
+        count_name="n_docs",
+        sum_name="chars",
+    )
+
+
+ORACLE_SQL["q_rollup_docs"] = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+QUERIES["q_rollup_docs"] = q_rollup_docs
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -5647,6 +5702,7 @@ _PRIORITY = [
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
     "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
     "q_containment", "q_pii_hits", "q_cms_counts", "q_segment_dedup",
+    "q_edit_near_dup", "q_rollup_docs",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",

@@ -722,3 +722,79 @@ def max_streaks(
     return grouped_agg_by_bucket(
         ds, user_col, per_bucket, num_buckets=num_buckets, group_format="pyarrow"
     )
+
+
+def rollup_agg(
+    ds,
+    keys: "list[str]",
+    sum_col: str,
+    *,
+    count_name: str = "n_rows",
+    sum_name: str = "total",
+):
+    """SQL ``GROUP BY ROLLUP(keys...)`` — every prefix level of the key
+    hierarchy plus the grand total, rolled-up columns emitted as NULL
+    (DuckDB ROLLUP semantics; the multi-level OLAP summary the
+    reference's per-trajectory/whole-dataset stat split approximates,
+    ``statistics.py:65-202`` + ``kinematic_features.py:805-850``).
+
+    Scale shape: ONE narrow pass of bounded per-batch partials (pandas
+    groupby inside map_batches — partial size ≤ key-domain product,
+    not rows), then a driver merge over those bounded partials; the
+    coarser levels are derived from the finest level without touching
+    the data again. Nothing about it is row-cardinality-bound, so it
+    holds at 100 TB provided the key domain stays small (the same
+    loud assumption every bounded-partial stage in this engine makes).
+
+    Exact integer sums only (int64) — no float partial-order issues.
+    """
+    ks = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series([], dtype=object) for k in ks},
+                    count_name: pd.Series([], dtype="int64"),
+                    sum_name: pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(ks, as_index=False, sort=False, dropna=False).agg(
+            **{
+                count_name: (sum_col, "size"),
+                sum_name: (sum_col, "sum"),
+            }
+        )
+        g[count_name] = g[count_name].astype("int64")
+        g[sum_name] = g[sum_name].astype("int64")
+        return g
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=1 << 20
+    ).to_pandas()  # bounded by key-domain cardinality × partial count
+    fine = parts.groupby(ks, as_index=False, dropna=False)[
+        [count_name, sum_name]
+    ].sum()
+
+    frames = [fine]
+    for lvl in range(len(ks) - 1, -1, -1):
+        if lvl == 0:
+            g = pd.DataFrame(
+                {
+                    count_name: [fine[count_name].sum()],
+                    sum_name: [fine[sum_name].sum()],
+                }
+            )
+        else:
+            g = fine.groupby(ks[:lvl], as_index=False, dropna=False)[
+                [count_name, sum_name]
+            ].sum()
+        for rolled in ks[lvl:]:
+            g[rolled] = None
+        frames.append(g[ks + [count_name, sum_name]])
+    out = pd.concat(frames, ignore_index=True)
+    schema = pa.schema(
+        [(k, pa.string()) for k in ks]
+        + [(count_name, pa.int64()), (sum_name, pa.int64())]
+    )
+    return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
