@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_tool_pairs",
     "q_edit_near_dup",
     "q_rollup_docs",
+    "q_dup_ngrams",
 ]
 
 

@@ -5685,6 +5685,61 @@ FROM documents GROUP BY ROLLUP(lang, source)
 QUERIES["q_rollup_docs"] = q_rollup_docs
 
 
+SUBDUP_N = 8  # 54-token avg docs: 8-grams give a real ≥2-doc dup signal
+
+
+def q_dup_ngrams(sf_dir):
+    """Exact substring-duplication signal (Lee et al. 2022 ExactSubstr
+    over word n-grams, functions/substrdup.py): per-doc count/fraction
+    of 8-gram positions whose gram occurs in ≥2 distinct docs. The
+    dup-gram set is never materialized — rows of each gram meet in one
+    hash bucket where rows-per-gram IS the distinct-doc count."""
+    from ptrail_ray.functions.substrdup import dup_ngram_stats
+
+    return finalize(
+        dup_ngram_stats(
+            _docs(sf_dir).select_columns(["doc_id", "text"]), n=SUBDUP_N
+        ),
+        round_columns=["dup_frac"],
+    )
+
+
+ORACLE_SQL["q_dup_ngrams"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {SUBDUP_N} THEN 0
+              ELSE len(toks) - {SUBDUP_N - 1} END AS n_grams
+  FROM d
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < {SUBDUP_N} THEN []::VARCHAR[]
+                     ELSE list_transform(
+                            generate_series(1, len(toks) - {SUBDUP_N - 1}),
+                            i -> array_to_string(toks[i:i+{SUBDUP_N - 1}], ' '))
+                END) AS gram
+  FROM d
+), c AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), p AS (
+  SELECT g.doc_id, count(*) AS n_dup FROM g JOIN c USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN t.n_grams = 0 THEN NULL
+            ELSE round(coalesce(p.n_dup, 0) / CAST(t.n_grams AS DOUBLE), 6)
+       END AS dup_frac
+FROM t LEFT JOIN p USING (doc_id)
+"""
+QUERIES["q_dup_ngrams"] = q_dup_ngrams
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -5702,7 +5757,7 @@ _PRIORITY = [
     "q_filter_max_both", "q_media_audio_wav", "q_media_image_ppm",
     "q_minhash_pairs", "q_dedup_exact_docs", "q_ngram_jaccard",
     "q_containment", "q_pii_hits", "q_cms_counts", "q_segment_dedup",
-    "q_edit_near_dup", "q_rollup_docs",
+    "q_edit_near_dup", "q_rollup_docs", "q_dup_ngrams",
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",
