@@ -2444,6 +2444,71 @@ ORACLE_SQL["q_left_join_customer_orders"] = """
 QUERIES["q_left_join_customer_orders"] = q_left_join_customer_orders
 
 
+def q_full_join(sf_dir):
+    """FULL OUTER shuffle join (stages/join.hash_join how='full'):
+    customers with custkey % 3 != 0 ⟗ orders — the key-subset filter
+    makes BOTH unmatched sides real (order-less customers survive with
+    NULL order columns; orders of filtered-out customers survive with
+    NULL customer columns). Exactness under the bucket plan: a key's
+    rows from both sides co-locate, so each per-bucket outer merge
+    emits its unmatched rows exactly once.
+
+    Type stability mirrors q_left_join: every nullable column is cast
+    to float64/string on both sides so block schemas agree."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.join import hash_join
+
+    def cust_subset(t: pa.Table) -> pa.Table:
+        keep = t["c_custkey"].to_numpy() % 3 != 0
+        return t.rename_columns(["custkey", "c_name", "c_acctbal"]).filter(
+            pa.array(keep)
+        )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(cust_subset, batch_format="pyarrow", batch_size=None)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    out = hash_join(cust, orders, "custkey", how="full")
+
+    def stabilize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["custkey"].astype("int64"),
+                "c_name": df["c_name"].where(pd.notna(df["c_name"]), None),
+                "c_acctbal": df["c_acctbal"].astype("float64"),
+                "o_orderkey": df["o_orderkey"].astype("float64"),
+                "o_totalprice": df["o_totalprice"].astype("float64"),
+            }
+        )
+
+    return finalize(
+        out.map_batches(stabilize, batch_format="pandas", batch_size=None),
+        round_columns=["c_acctbal", "o_totalprice"],
+    )
+
+
+ORACLE_SQL["q_full_join"] = """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+           round(c.c_acctbal, 6) + 0.0 AS c_acctbal,
+           CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+           round(o.o_totalprice, 6) + 0.0 AS o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey % 3 != 0) c
+    FULL JOIN orders o ON o.o_custkey = c.c_custkey"""
+QUERIES["q_full_join"] = q_full_join
+
+
 TPCH_Q3_CUTOFF = "1998-01-01"
 TPCH_Q3_SEGMENT = "BUILDING"
 

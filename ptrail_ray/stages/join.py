@@ -61,8 +61,13 @@ def hash_join(
     num_buckets: int = 64,
     hot_keys=None,
 ):
-    """Shuffle join of two Datasets on ``on``. ``how``: 'inner' or
-    'left'. Returns key + all columns of both sides.
+    """Shuffle join of two Datasets on ``on``. ``how``: 'inner',
+    'left' or 'full'. Returns key + all columns of both sides.
+
+    ``how='full'`` is exact under the bucket plan with no extra pass:
+    a key's rows from BOTH sides land in the same bucket, so each
+    per-bucket outer merge sees the key's complete row set and emits
+    its unmatched-left and unmatched-right rows exactly once.
 
     ``hot_keys``: optional iterable of key values whose row volume
     would overwhelm a single shuffle bucket. Those keys take the
@@ -70,9 +75,13 @@ def hash_join(
     as in any skew-broadcast join) are collected once and shipped via
     ``ray.put``; the left side's hot rows merge against them in a
     narrow streaming stage. Output is identical to the pure-shuffle
-    plan; only the partitioning differs."""
-    if how not in ("inner", "left"):
+    plan; only the partitioning differs. Not offered for ``full``:
+    broadcasting the right side to every left task would emit an
+    unmatched-right row once PER TASK, not once."""
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported join type: {how!r}")
+    if how == "full" and hot_keys:
+        raise ValueError("hot_keys broadcast path is not valid for how='full'")
     def _arrow_schema(ds) -> pa.Schema:
         s = ds.schema()
         base = getattr(s, "base_schema", None)
@@ -167,7 +176,7 @@ def hash_join(
         side = t[SIDE_COL]
         l = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
         r = t.filter(pc.equal(side, 1)).select([on] + rcols).to_pandas()
-        return l.merge(r, on=on, how=how)
+        return l.merge(r, on=on, how="outer" if how == "full" else how)
 
     return grouped_agg_by_bucket(
         both, on, merge, num_buckets=num_buckets, group_format="pyarrow"
