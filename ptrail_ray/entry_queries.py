@@ -5470,6 +5470,36 @@ FROM cell GROUP BY 1, 2
 QUERIES["q_cohort_retention"] = q_cohort_retention
 
 
+def q_rolling_dau(sf_dir):
+    """Rolling 7-day distinct active users per calendar day over events
+    (stages/stats.py:rolling_active_users). Windowed COUNT(DISTINCT)
+    decomposed over USERS, not windows: distinct-(user, day) partials,
+    ONE user-keyed exchange, per-bucket expand-to-window-ends + dedup,
+    day-catalog-bounded driver merge. Counts are exact integers."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.stats import rolling_active_users
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = rolling_active_users(ev, ts_col="ts", user_col="user_id", window_days=7)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_rolling_dau"] = """
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(to_timestamp(d.day * 86400), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+QUERIES["q_rolling_dau"] = q_rolling_dau
+
+
 def q_pct_rank(sf_dir):
     """Global percent-rank of document length
     (stages/quantiles.py:global_percent_rank — distributed ECDF): two

@@ -798,3 +798,127 @@ def rollup_agg(
         + [(count_name, pa.int64()), (sum_name, pa.int64())]
     )
     return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+
+def rolling_active_users(
+    ds,
+    *,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 7,
+    num_buckets: int = 64,
+):
+    """Rolling W-day distinct active users per calendar day (the
+    DAU/WAU telemetry shape): for each day present in the data, the
+    count of distinct users active in [day−W+1, day].
+
+    Windowed COUNT(DISTINCT) does not decompose into per-window
+    partials, but it DOES decompose over users: a user contributes +1
+    to window-end d iff any of their active days lies in [d−W+1, d].
+    So: per-batch distinct-(user, day) partials (narrow ints — raw
+    events never shuffle), ONE user-keyed exchange, and per bucket a
+    vectorized kernel that dedups the user's days globally, expands
+    each day to its ≤W covering window-ends, dedups (user, window-end)
+    and emits per-window-end partial counts — bounded by
+    (#days + W) rows per bucket. Day-present markers ride along so the
+    driver (merge bounded by the day catalog) can drop window-ends
+    that fall on days with no activity, matching the SQL contract.
+
+    Packed-key domain: day must fit 20 bits (< year 4840) and user_id
+    43 bits — both guarded loudly. Returns a driver-side pandas
+    DataFrame (day:str 'YYYY-MM-DD', n_active:int64)."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    W = int(window_days)
+    DAY_US = np.int64(86_400_000_000)
+
+    def _pack_check(user: np.ndarray, day: np.ndarray) -> np.ndarray:
+        if len(day) and (day.min() < 0 or day.max() >= (1 << 20)):
+            raise ValueError(
+                f"rolling_active_users: epoch-day outside [0, 2^20) — "
+                f"min={day.min()} max={day.max()}"
+            )
+        if len(user) and (user.min() < 0 or user.max() >= (1 << 43)):
+            raise ValueError(
+                f"rolling_active_users: user_id outside [0, 2^43) — "
+                f"packed (user<<20|day) key would corrupt"
+            )
+        return (user << np.int64(20)) | day
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = ts.astype(np.int64) // DAY_US
+        user = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.unique(_pack_check(user, day))
+        return pa.table(
+            {
+                "user_id": pa.array(keys >> np.int64(20), pa.int64()),
+                "day": pa.array(keys & np.int64((1 << 20) - 1), pa.int64()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "wend": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "is_day_marker": pa.array([], pa.bool_()),
+                }
+            )
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        keys = np.unique(_pack_check(user, day))  # global (user, day) dedup
+        u = keys >> np.int64(20)
+        d = keys & np.int64((1 << 20) - 1)
+        days_present = np.unique(d)
+        # expand each active day to its W covering window-ends, then
+        # dedup (user, wend): a user with several active days inside
+        # one window still counts once
+        wend = (d[:, None] + np.arange(W, dtype=np.int64)[None, :]).ravel()
+        uu = np.repeat(u, W)
+        uw = np.unique((uu << np.int64(20)) | wend)
+        wends, cnt = np.unique(uw & np.int64((1 << 20) - 1), return_counts=True)
+        return pa.table(
+            {
+                "wend": pa.array(
+                    np.concatenate([wends, days_present]), pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [cnt.astype(np.int64), np.zeros(len(days_present), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "is_day_marker": pa.array(
+                    np.r_[
+                        np.zeros(len(wends), bool), np.ones(len(days_present), bool)
+                    ],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20),
+        "user_id",
+        per_bucket,
+        num_buckets=num_buckets,
+        partial_batch=None,  # input is already many small partial blocks
+        group_format="pyarrow",
+    ).to_pandas()
+    days = np.unique(parts.loc[parts["is_day_marker"], "wend"].to_numpy())
+    counts = (
+        parts.loc[~parts["is_day_marker"]]
+        .groupby("wend", as_index=False)["n"]
+        .sum()
+    )
+    out = counts[counts["wend"].isin(days)].sort_values("wend")
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(
+                out["wend"].to_numpy(np.int64) * 86400, unit="s"
+            ).strftime("%Y-%m-%d"),
+            "n_active": out["n"].to_numpy(np.int64),
+        }
+    )

@@ -63,3 +63,73 @@ def test_full_outer_join_rejects_hot_keys(ray_session):
             rd.from_pandas(df), rd.from_pandas(df.rename(columns={"v": "w"})),
             "k", how="full", hot_keys=[1],
         )
+
+
+def test_rolling_active_users_window_semantics(ray_session):
+    from ptrail_ray.stages.stats import rolling_active_users
+
+    day = 86_400_000_000  # us
+    rows = []
+    # user 1 active on days 0, 1, 2 (multiple events day 0)
+    for d in (0, 0, 1, 2):
+        rows.append((1, d * day + 5))
+    # user 2 active only day 0
+    rows.append((2, 3))
+    # user 3 active day 10 (gap: days 3-9 have no activity → no rows)
+    rows.append((3, 10 * day))
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+        }
+    )
+    out = rolling_active_users(
+        rd.from_pandas(df, override_num_blocks=3),
+        ts_col="ts",
+        user_col="user_id",
+        window_days=3,
+        num_buckets=4,
+    )
+    got = dict(zip(out["day"], out["n_active"]))
+    # day 0: users {1,2}; day 1: {1,2}; day 2: {1,2} (user2 day0 within
+    # 3-day window ending day2); day 10: {3}. Days 3-9 absent.
+    assert got == {
+        "1970-01-01": 2,
+        "1970-01-02": 2,
+        "1970-01-03": 2,
+        "1970-01-11": 1,
+    }
+
+
+def test_rolling_active_users_matches_bruteforce(ray_session):
+    from ptrail_ray.stages.stats import rolling_active_users
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 80, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 40 * 86_400_000_000, n), unit="us"
+            ),
+        }
+    )
+    W = 7
+    out = rolling_active_users(
+        rd.from_pandas(df, override_num_blocks=5),
+        ts_col="ts",
+        user_col="user_id",
+        window_days=W,
+        num_buckets=8,
+    )
+    du = df.assign(day=df["ts"].values.astype("datetime64[D]").astype(np.int64))
+    days = np.unique(du["day"])
+    exp = {
+        d: du.loc[(du["day"] >= d - W + 1) & (du["day"] <= d), "user_id"].nunique()
+        for d in days
+    }
+    got = {
+        int(np.datetime64(k).astype("datetime64[D]").astype(np.int64)): v
+        for k, v in zip(out["day"], out["n_active"])
+    }
+    assert got == exp
