@@ -1518,6 +1518,38 @@ ORACLE_SQL["q_top_terms"] = f"""
 QUERIES["q_top_terms"] = q_top_terms
 
 
+GROUPED_TOPK_TERMS = 10
+
+
+def q_grouped_top_terms(sf_dir):
+    """Per-language top-10 terms (grouped heavy hitters,
+    functions/textstats.grouped_top_terms): dictionary-encoded
+    (group, term) count partials, ONE composite-key exchange, per-bucket
+    per-group top-k, buckets × groups × k bounded driver re-rank."""
+    from ptrail_ray.functions.textstats import grouped_top_terms
+
+    out = grouped_top_terms(
+        _docs(sf_dir), group_col="lang", k=GROUPED_TOPK_TERMS
+    )
+    return pa.Table.from_pandas(
+        out.rename(columns={"group": "lang"}), preserve_index=False
+    )
+
+
+ORACLE_SQL["q_grouped_top_terms"] = f"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                      x -> x <> '')) AS w
+      FROM documents
+    ),
+    c AS (SELECT lang, w AS term, count(*) AS n FROM tok GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rnk
+          FROM c)
+    SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {GROUPED_TOPK_TERMS}"""
+QUERIES["q_grouped_top_terms"] = q_grouped_top_terms
+
+
 # Driver oracles for the media decode queries (VERDICT r03 item 2): the
 # generator persists its expected per-media features as parquet ground
 # truth; oracle_sql() reads them with DuckDB read_parquet, so the gate

@@ -587,3 +587,84 @@ def chi2_independence(
     chi2 = acc / quant
     dof = (len(row) - 1) * (len(col) - 1)
     return pd.DataFrame({"chi2": [chi2], "dof": [dof], "n": [T]})
+
+
+def grouped_top_terms(
+    ds,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+    num_buckets: int = 32,
+    batch_size: int | None = 1 << 18,
+):
+    """Top-k terms BY GROUP (per-language heavy hitters — the corpus
+    report a multilingual pipeline emits per lang gate).
+
+    Same exactness argument as ``top_terms``, one level down: a
+    (group, term) pair lives wholly in one bucket of the composite-key
+    exchange, so each bucket's per-group local top-k (n desc, term asc)
+    contains every row of the TRUE per-group top-k, and the driver
+    merge re-ranks a union bounded by num_buckets × groups × k rows.
+
+    Per-batch partial: tokens and groups are both dictionary-encoded,
+    counts computed per UNIQUE (group, term) pair via one bincount over
+    packed codes — no Python loop, nothing token-shaped leaves the task.
+    Returns a driver-side pandas DataFrame (group, term, n, rnk)."""
+    from ptrail_ray.functions.tokenize import encoded_tokens
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "group": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        codes, vocab, idx = encoded_tokens(t[text_col])
+        if len(codes) == 0:
+            return empty
+        genc = pc.dictionary_encode(
+            pc.fill_null(
+                t[group_col].combine_chunks()
+                if isinstance(t[group_col], pa.ChunkedArray)
+                else t[group_col],
+                "",
+            )
+        )
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        g_per_tok = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[idx]
+        V = len(vocab)
+        packed = g_per_tok * V + codes
+        keys, cnt = np.unique(packed, return_counts=True)
+        gd = np.asarray(genc.dictionary.to_pylist(), dtype=object)
+        vd = np.asarray(vocab.to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "group": pa.array(gd[keys // V], pa.string()),
+                "term": pa.array(vd[keys % V], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["group", "term"], as_index=False, sort=False)["n"].sum()
+        g = g.sort_values(["group", "n", "term"], ascending=[True, False, True])
+        return g.groupby("group", sort=False).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    tops = grouped_agg_by_bucket(
+        parts,
+        ["group", "term"],
+        combine_topk,
+        num_buckets=num_buckets,
+        partial_batch=None,  # input is already many small partial blocks
+    ).to_pandas()
+    out = tops.sort_values(["group", "n", "term"], ascending=[True, False, True])
+    out = out.groupby("group", sort=False).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("group", sort=False).cumcount() + 1
+    out["n"] = out["n"].astype("int64")
+    out["rnk"] = out["rnk"].astype("int64")
+    return out

@@ -133,3 +133,40 @@ def test_rolling_active_users_matches_bruteforce(ray_session):
         for k, v in zip(out["day"], out["n_active"])
     }
     assert got == exp
+
+
+def test_grouped_top_terms_matches_bruteforce(ray_session):
+    from ptrail_ray.functions.textstats import grouped_top_terms
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    langs = ["en", "fr", "de"]
+    docs = []
+    for i in range(400):
+        docs.append(
+            {
+                "lang": langs[int(rng.integers(0, 3))],
+                "text": " ".join(rng.choice(vocab, rng.integers(1, 25))),
+            }
+        )
+    df = pd.DataFrame(docs)
+    out = grouped_top_terms(
+        rd.from_pandas(df, override_num_blocks=4),
+        group_col="lang",
+        k=5,
+        num_buckets=8,
+        batch_size=None,
+    )
+    # brute force
+    rows = []
+    for lang, sub in df.groupby("lang"):
+        cnt = pd.Series(" ".join(sub["text"]).split()).value_counts()
+        c = cnt.reset_index()
+        c.columns = ["term", "n"]
+        c = c.sort_values(["n", "term"], ascending=[False, True]).head(5)
+        for r, (_, row) in enumerate(c.iterrows(), 1):
+            rows.append((lang, row["term"], int(row["n"]), r))
+    exp = pd.DataFrame(rows, columns=["group", "term", "n", "rnk"])
+    got = out.sort_values(["group", "rnk"]).reset_index(drop=True)
+    exp = exp.sort_values(["group", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
