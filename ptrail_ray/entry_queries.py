@@ -3460,6 +3460,49 @@ GROUP BY a.dim, b.dim
 QUERIES["q_embed_covariance"] = q_embed_covariance
 
 
+# deterministic linear-probe weights (w_j ∈ {-1.0 … 1.0} in 0.1 steps);
+# the SQL replica embeds the same literals, so both sides multiply the
+# identical float64 values
+LINEAR_W = [((j * 37 + 11) % 21 - 10) / 10.0 for j in range(64)]
+
+
+def q_linear_score(sf_dir):
+    """Broadcast linear-model (quality-probe) inference over embeddings
+    (functions/linalg.linear_score): one vectorized GEMV per batch, no
+    shuffle; per-term products int64-quantized so the score is exact
+    and order-independent — the model-gate shape of a filtering
+    pipeline."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.linalg import linear_score
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return linear_score(ds, LINEAR_W)
+
+
+_LINEAR_W_SQL = ", ".join(f"({j}, {w!r})" for j, w in enumerate(LINEAR_W))
+ORACLE_SQL["q_linear_score"] = f"""
+WITH w(dim, wv) AS (VALUES {_LINEAR_W_SQL}),
+x AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT x.vec_id,
+         CAST(sum(CAST(round(x.v * w.wv * 1000000000.0) AS BIGINT)) AS BIGINT) AS si
+  FROM x JOIN w USING (dim) GROUP BY x.vec_id
+)
+SELECT vec_id, CAST(si AS DOUBLE) / 1000000000.0 AS score, si > 0 AS label FROM s
+"""
+QUERIES["q_linear_score"] = q_linear_score
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d

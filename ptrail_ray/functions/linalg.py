@@ -196,3 +196,44 @@ def pca_project(ds, v: np.ndarray, *, vec_col: str = "embedding", id_col: str = 
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def linear_score(
+    ds,
+    weights,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+):
+    """Broadcast linear-model inference over an embedding column — the
+    quality-probe / classifier-gate shape (score = w·x, label = score
+    > 0). The model ships to each task once by closure capture (it is a
+    d-float vector; a real fastText/probe weight matrix would ride
+    ``ray.put`` exactly like ``assign_centroids``' centroids) and each
+    batch is ONE vectorized GEMV — no shuffle, no per-row Python.
+
+    Exactness for the hash gate: per-term products are int64-quantized
+    (`_quant_int64`, the DuckDB round-replica) and summed per row, so
+    the score is an exact integer ÷ 1e9 — accumulation-order-free and
+    bit-identical to the SQL replica. Returns a Dataset
+    (id, score:float64, label:bool)."""
+    w = np.asarray(weights, np.float64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t[vec_col])
+        n = m.shape[0]
+        if n and m.shape[1] != len(w):
+            raise ValueError(
+                f"linear_score: embedding dim {m.shape[1]} != weight dim {len(w)}"
+            )
+        si = _quant_int64(m * w[None, :]).sum(axis=1) if n else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "score": pa.array(si.astype(np.float64) / QUANT_SCALE, pa.float64()),
+                "label": pa.array(si > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

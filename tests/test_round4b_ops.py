@@ -170,3 +170,33 @@ def test_grouped_top_terms_matches_bruteforce(ray_session):
     got = out.sort_values(["group", "rnk"]).reset_index(drop=True)
     exp = exp.sort_values(["group", "rnk"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_linear_score_matches_numpy(ray_session):
+    from ptrail_ray.functions.linalg import linear_score
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    w = rng.normal(size=d).round(2)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+    out = (
+        linear_score(rd.from_pandas(df, override_num_blocks=3), w)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    raw = vecs.astype(np.float64) @ w
+    assert np.allclose(out["score"], raw, atol=d * 1e-9)
+    # label consistent with the quantized score (not the raw float)
+    assert (out["label"] == (out["score"] > 0)).all()
+
+
+def test_linear_score_dim_mismatch_is_loud(ray_session):
+    import pytest
+
+    from ptrail_ray.functions.linalg import linear_score
+
+    df = pd.DataFrame({"vec_id": [0], "embedding": [np.ones(8, np.float32)]})
+    with pytest.raises(Exception):
+        linear_score(rd.from_pandas(df), np.ones(4)).to_pandas()
