@@ -1274,6 +1274,53 @@ SELECT n.fingerprint, n.doc_id
 FROM new_heads n ANTI JOIN prior_fp p USING (fingerprint)
 """
 QUERIES["q_incremental_dedup"] = q_incremental_dedup
+
+
+def q_snapshot_diff(sf_dir):
+    """Snapshot change-data-capture (functions/dedup.snapshot_diff):
+    classify every doc_id as added/removed/changed/unchanged between a
+    deterministic 'old' snapshot (doc_id % 7 != 0; text perturbed where
+    doc_id % 5 == 0) and a 'new' one (doc_id % 11 != 0), both derived
+    from the same documents table on BOTH sides. Text reduces to md5
+    fingerprints in place; only (id, fp) rows cross the exchange."""
+    from ptrail_ray.functions.dedup import snapshot_diff
+
+    docs = _docs(sf_dir)
+
+    def make_old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        t = t.filter(pa.array(ids % 7 != 0))
+        ids = t["doc_id"].to_numpy()
+        txt = pc.fill_null(t["text"], "")
+        perturbed = pc.binary_join_element_wise(txt, pa.scalar(" v1"), "")
+        text = pc.if_else(pa.array(ids % 5 == 0), perturbed, txt)
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def make_new(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy() % 11 != 0
+        return t.select(["doc_id", "text"]).filter(pa.array(keep))
+
+    old = docs.map_batches(make_old, batch_format="pyarrow", batch_size=None)
+    new = docs.map_batches(make_new, batch_format="pyarrow", batch_size=None)
+    return snapshot_diff(old, new)
+
+
+ORACLE_SQL["q_snapshot_diff"] = """
+WITH old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' v1'
+                  ELSE coalesce(text, '') END) AS fp
+  FROM documents WHERE doc_id % 7 != 0
+),
+new AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents WHERE doc_id % 11 != 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp != n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+"""
+QUERIES["q_snapshot_diff"] = q_snapshot_diff
 ORACLE_SQL["q_dedup_normalized"] = r"""
 WITH nrm AS (
   SELECT doc_id,

@@ -2149,3 +2149,72 @@ def incremental_dedup(
         rows, "fingerprint", keep_new_heads, num_buckets=num_buckets,
         partial_batch=None,
     )
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Change-data-capture between two corpus snapshots: classify every
+    id as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    content hash — the incremental-ingest primitive (what changed since
+    the last crawl) next to ``incremental_dedup`` (which drops new dups).
+
+    Scale shape: each side reduces to narrow (id, md5-fp) partials in
+    place — TEXT NEVER SHUFFLES — then one id-keyed exchange co-locates
+    the ≤2 rows per id and a per-bucket vectorized outer merge
+    classifies. Ids are assumed unique within a snapshot (the corpus
+    contract; duplicate ids would need exact_dedup first).
+
+    Returns a Dataset (id, status:string)."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    import pyarrow.compute as pc
+
+    def fp_side(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            txt = pc.fill_null(t[text_col], "")
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            fp = pa.array(
+                [hashlib.md5(s.encode()).hexdigest() for s in txt.to_pylist()],
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "fp": fp,
+                    "side": pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = old_ds.map_batches(
+        fp_side(0), batch_format="pyarrow", batch_size=None
+    ).union(new_ds.map_batches(fp_side(1), batch_format="pyarrow", batch_size=None))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0][[id_col, "fp"]]
+        n = df[df["side"] == 1][[id_col, "fp"]]
+        m = o.merge(n, on=id_col, how="outer", suffixes=("_o", "_n"))
+        status = np.where(
+            m["fp_o"].isna(),
+            "added",
+            np.where(
+                m["fp_n"].isna(),
+                "removed",
+                np.where(m["fp_o"] != m["fp_n"], "changed", "unchanged"),
+            ),
+        )
+        return pd.DataFrame({id_col: m[id_col].to_numpy(), "status": status})
+
+    return grouped_agg_by_bucket(
+        both, id_col, classify, num_buckets=num_buckets, partial_batch=None
+    )

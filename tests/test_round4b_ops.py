@@ -200,3 +200,31 @@ def test_linear_score_dim_mismatch_is_loud(ray_session):
     df = pd.DataFrame({"vec_id": [0], "embedding": [np.ones(8, np.float32)]})
     with pytest.raises(Exception):
         linear_score(rd.from_pandas(df), np.ones(4)).to_pandas()
+
+
+def test_snapshot_diff_all_statuses(ray_session):
+    from ptrail_ray.functions.dedup import snapshot_diff
+
+    old = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]}
+    )
+    new = pd.DataFrame(
+        {"doc_id": [2, 3, 4, 5], "text": ["b", "CHANGED", "d", "e"]}
+    )
+    out = (
+        snapshot_diff(
+            rd.from_pandas(old, override_num_blocks=2),
+            rd.from_pandas(new, override_num_blocks=2),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["doc_id"], out["status"])) == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "unchanged",
+        5: "added",
+    }
