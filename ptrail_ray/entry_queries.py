@@ -1597,6 +1597,50 @@ ORACLE_SQL["q_grouped_top_terms"] = f"""
 QUERIES["q_grouped_top_terms"] = q_grouped_top_terms
 
 
+PMI_TOP_V = 40
+PMI_MIN_DF = 5
+
+
+def q_term_lift(sf_dir):
+    """Term-association lift (PMI ratio) over the top-40 terms by doc
+    frequency (functions/textstats.term_cooccurrence_lift): two bounded
+    passes — exact top-V via the heavy-hitter exchange, then V²-bounded
+    per-batch pair partials. lift = N·df(a,b)/(df(a)·df(b)) as ONE IEEE
+    division of exact ints, bit-identical to the SQL replica."""
+    from ptrail_ray.functions.textstats import term_cooccurrence_lift
+
+    out = term_cooccurrence_lift(
+        _docs(sf_dir), top_v=PMI_TOP_V, min_pair_df=PMI_MIN_DF
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_term_lift"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                          x -> x <> ''))) AS w
+  FROM documents
+),
+df AS (SELECT w, count(*) AS df FROM d GROUP BY w),
+topv AS (SELECT w, df FROM df ORDER BY df DESC, w ASC LIMIT {PMI_TOP_V}),
+dt AS (SELECT d.doc_id, d.w FROM d JOIN topv USING (w)),
+pairs AS (
+  SELECT a.w AS term_a, b.w AS term_b, count(*) AS n
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, CAST(p.n AS BIGINT) AS df_ab,
+       CAST((SELECT count(*) FROM documents) * p.n AS DOUBLE)
+         / CAST(ta.df * tb.df AS DOUBLE) AS lift
+FROM pairs p
+JOIN topv ta ON ta.w = p.term_a
+JOIN topv tb ON tb.w = p.term_b
+WHERE p.n >= {PMI_MIN_DF}
+"""
+QUERIES["q_term_lift"] = q_term_lift
+
+
 # Driver oracles for the media decode queries (VERDICT r03 item 2): the
 # generator persists its expected per-media features as parquet ground
 # truth; oracle_sql() reads them with DuckDB read_parquet, so the gate

@@ -668,3 +668,139 @@ def grouped_top_terms(
     out["n"] = out["n"].astype("int64")
     out["rnk"] = out["rnk"].astype("int64")
     return out
+
+
+def term_cooccurrence_lift(
+    ds,
+    *,
+    text_col: str = "text",
+    top_v: int = 40,
+    min_pair_df: int = 5,
+    num_buckets: int = 32,
+    batch_size: int | None = 1 << 18,
+):
+    """Term-association (PMI/lift) over the corpus's top-V terms by
+    document frequency: for every pair (a < b) of top-V terms,
+    ``lift = N·df(a,b) / (df(a)·df(b))`` — the collocation /
+    topic-drift signal a corpus report computes (PMI = ln lift; the
+    exact integer ratio ships instead of the log so both engines do ONE
+    IEEE division and the hash gate sees identical bits).
+
+    Two bounded passes, nothing wide: (1) per-batch per-doc-DISTINCT
+    term partials → the top_terms exchange → exact top-V by (df desc,
+    term asc); (2) top-V broadcast into a stateless per-batch kernel
+    that restricts each doc to its distinct top-V terms and emits
+    (a, b, n) pair partials — ≤ V(V−1)/2 rows per batch regardless of
+    batch size; the driver merge is V²-bounded. Pair df is exact
+    because a document lives wholly in one row/batch.
+
+    Returns a driver-side pandas DataFrame
+    (term_a, term_b, df_ab, lift)."""
+    from ptrail_ray.functions.tokenize import encoded_tokens
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    # ---- pass 1: exact document frequency → top-V -------------------
+    def df_partial(t: pa.Table) -> pa.Table:
+        codes, vocab, idx = encoded_tokens(t[text_col])
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        V = len(vocab)
+        dt = np.unique(idx * V + codes)  # distinct (doc, term) in batch
+        tcode, cnt = np.unique(dt % V, return_counts=True)
+        return pa.table(
+            {
+                "term": vocab.take(pa.array(tcode)).cast(pa.string()),
+                "df": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False, sort=False)["df"].sum()
+        return g.sort_values(["df", "term"], ascending=[False, True]).head(top_v)
+
+    n_docs = ds.count()
+    tops = grouped_agg_by_bucket(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=batch_size),
+        "term",
+        combine_top,
+        num_buckets=num_buckets,
+        partial_batch=None,
+    ).to_pandas()
+    tops = (
+        tops.groupby("term", as_index=False)["df"]
+        .sum()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(top_v)
+        .reset_index(drop=True)
+    )
+    terms = tops["term"].to_numpy(dtype=object)
+    dfs = tops["df"].to_numpy(np.int64)
+    tv_index = {t: i for i, t in enumerate(terms)}
+
+    # ---- pass 2: per-doc distinct top-V pairs (V²-bounded partials) --
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        codes, vocab, idx = encoded_tokens(t[text_col])
+        if len(codes) == 0:
+            return empty
+        V = len(vocab)
+        # map the batch's vocab codes to top-V ids (−1 = not a top term)
+        vmap = np.full(V, -1, np.int64)
+        for c, term in enumerate(vocab.to_pylist()):
+            vmap[c] = tv_index.get(term, -1)
+        tv = vmap[codes]
+        keep = tv >= 0
+        if not keep.any():
+            return empty
+        d, v = idx[keep], tv[keep]
+        dt = np.unique(d * np.int64(top_v) + v)  # distinct (doc, tv)
+        ddoc, dv = dt // top_v, dt % top_v
+        sub = pd.DataFrame({"doc": ddoc, "v": dv})
+        m = sub.merge(sub, on="doc")
+        m = m[m["v_x"] < m["v_y"]]
+        if m.empty:
+            return empty
+        g = m.groupby(["v_x", "v_y"], sort=False).size()
+        keys = np.asarray(list(g.index), np.int64)
+        return pa.table(
+            {
+                "a": pa.array(keys[:, 0], pa.int64()),
+                "b": pa.array(keys[:, 1], pa.int64()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["term_a", "term_b", "df_ab", "lift"])
+    cells = parts.groupby(["a", "b"], as_index=False)["n"].sum()
+    cells = cells[cells["n"] >= min_pair_df]
+    a = cells["a"].to_numpy(np.int64)
+    b = cells["b"].to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    lift = (n_docs * n).astype(np.float64) / (dfs[a] * dfs[b]).astype(np.float64)
+    out = pd.DataFrame(
+        {
+            "term_a": terms[a],
+            "term_b": terms[b],
+            "df_ab": n,
+            "lift": lift,
+        }
+    )
+    # canonical pair order = lexicographic by term STRING (SQL a.w < b.w),
+    # not by df rank — re-orient rows where the rank order disagrees
+    flip = out["term_a"] > out["term_b"]
+    out.loc[flip, ["term_a", "term_b"]] = out.loc[
+        flip, ["term_b", "term_a"]
+    ].to_numpy()
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)

@@ -228,3 +228,45 @@ def test_snapshot_diff_all_statuses(ray_session):
         4: "unchanged",
         5: "added",
     }
+
+
+def test_term_lift_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    from ptrail_ray.functions.textstats import term_cooccurrence_lift
+
+    rng = np.random.default_rng(21)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(1, 8), replace=True))
+        for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(200), "text": docs})
+    out = term_cooccurrence_lift(
+        rd.from_pandas(df, override_num_blocks=4),
+        top_v=8,
+        min_pair_df=2,
+        num_buckets=4,
+        batch_size=None,
+    )
+    # brute force
+    tok_sets = [set(d.split()) for d in docs]
+    dfc = pd.Series(
+        [w for s in tok_sets for w in s]
+    ).value_counts()
+    c = dfc.reset_index()
+    c.columns = ["w", "df"]
+    topv = c.sort_values(["df", "w"], ascending=[False, True]).head(8)
+    tv = dict(zip(topv["w"], topv["df"]))
+    exp = {}
+    for a, b in combinations(sorted(tv), 2):
+        n = sum(1 for s in tok_sets if a in s and b in s)
+        if n >= 2:
+            exp[(a, b)] = (n, 200 * n / (tv[a] * tv[b]))
+    got = {
+        (r.term_a, r.term_b): (r.df_ab, r.lift) for r in out.itertuples()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-12
