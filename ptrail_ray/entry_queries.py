@@ -5666,6 +5666,38 @@ GROUP BY d.day
 QUERIES["q_rolling_dau"] = q_rolling_dau
 
 
+def q_first_touch(sf_dir):
+    """First-touch attribution (stages/stats.first_touch): per (user,
+    event_type), the first event by (ts, event_id) with its value.
+    Argmin decomposes over batches, so partials shrink each batch to
+    its distinct (user, type) firsts before ONE user-keyed exchange."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.stats import first_touch
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
+    )
+    return finalize(first_touch(ev))
+
+
+ORACLE_SQL["q_first_touch"] = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+       value AS first_value
+FROM r WHERE rn = 1
+"""
+QUERIES["q_first_touch"] = q_first_touch
+
+
 def q_pct_rank(sf_dir):
     """Global percent-rank of document length
     (stages/quantiles.py:global_percent_rank — distributed ECDF): two

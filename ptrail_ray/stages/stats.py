@@ -922,3 +922,53 @@ def rolling_active_users(
             "n_active": out["n"].to_numpy(np.int64),
         }
     )
+
+
+def first_touch(
+    ds,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """First-touch attribution: for every (user, event_type), the
+    user's FIRST such event (min ts, ties by event id) with its value —
+    the marketing/telemetry attribution shape, and an argmin-per-group
+    that decomposes perfectly: argmin(batch argmins) = global argmin.
+
+    Per-batch partials shrink each batch to ≤ |users×types in batch|
+    rows BEFORE the exchange (raw events never shuffle), then one
+    user-keyed exchange re-runs the same vectorized sort+first kernel
+    per bucket. Returns a Dataset
+    (user_id, event_type, first_ts, first_event_id, first_value)."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    cols = [user_col, type_col, ts_col, id_col, value_col]
+
+    def firsts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            [user_col, type_col, ts_col, id_col], kind="stable"
+        ).drop_duplicates([user_col, type_col], keep="first")
+        return out[cols]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return firsts(df)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=1 << 20)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = firsts(df)
+        return out.rename(
+            columns={
+                ts_col: "first_ts",
+                id_col: "first_event_id",
+                value_col: "first_value",
+            }
+        )
+
+    return grouped_agg_by_bucket(
+        parts, user_col, per_bucket, num_buckets=num_buckets, partial_batch=None
+    )

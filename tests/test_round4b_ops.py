@@ -270,3 +270,41 @@ def test_term_lift_matches_bruteforce(ray_session):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert abs(got[k][1] - exp[k][1]) < 1e-12
+
+
+def test_first_touch_argmin_decomposition(ray_session):
+    from ptrail_ray.stages.stats import first_touch
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+            "event_id": np.arange(n),
+            "value": rng.normal(size=n),
+        }
+    )
+    # plant exact-ts ties to exercise the event_id tie-break
+    df.loc[5, ["user_id", "event_type", "ts"]] = df.loc[4, ["user_id", "event_type", "ts"]]
+    out = (
+        first_touch(rd.from_pandas(df, override_num_blocks=6), num_buckets=8)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        .drop_duplicates(["user_id", "event_type"])
+        .rename(
+            columns={
+                "ts": "first_ts",
+                "event_id": "first_event_id",
+                "value": "first_value",
+            }
+        )
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp[out.columns], check_dtype=False)
