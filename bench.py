@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "q_edit_near_dup",
     "q_rollup_docs",
     "q_dup_ngrams",
+    "q_full_join",
+    "q_rolling_dau",
+    "q_grouped_top_terms",
+    "q_linear_score",
+    "q_snapshot_diff",
+    "q_term_lift",
+    "q_first_touch",
 ]
 
 

@@ -6054,6 +6054,9 @@ _PRIORITY = [
     # judge-named round-3 additions (VERDICT item 6)
     "q_range_join", "q_join_orders_customer", "q_clean_corpus_full",
     "q_grouped_quantiles", "q_tfidf_topk",
+    # round-4 continuation ops (first driver rows)
+    "q_full_join", "q_rolling_dau", "q_grouped_top_terms",
+    "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",
