@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "q_term_lift",
     "q_first_touch",
+    "q_curriculum_mix",
 ]
 
 

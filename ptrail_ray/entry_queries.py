@@ -5698,6 +5698,46 @@ FROM r WHERE rn = 1
 QUERIES["q_first_touch"] = q_first_touch
 
 
+CURR_RATES = [1.0, 0.5, 0.25]  # keep-all shortest tier, thin the tail
+
+
+def q_curriculum_mix(sf_dir):
+    """Length-tiered curriculum mix (functions/sample.
+    curriculum_tier_mix): docs tiered by exact global n_chars terciles,
+    kept at per-tier md5 rates (1.0 / 0.5 / 0.25) — the
+    short-docs-first downsampling composition. Quantiles broadcast as
+    floats into one stateless filter; no shuffle."""
+    from ptrail_ray.functions.sample import curriculum_tier_mix
+
+    out = curriculum_tier_mix(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+        tier_rates=CURR_RATES,
+    )
+    return out
+
+
+ORACLE_SQL["q_curriculum_mix"] = f"""
+WITH th AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 1.0/3) AS t0,
+         quantile_cont(CAST(n_chars AS DOUBLE), 2.0/3) AS t1
+  FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars,
+         CAST(CASE WHEN n_chars > t1 THEN 2 WHEN n_chars > t0 THEN 1 ELSE 0 END AS BIGINT) AS tier
+  FROM documents, th
+)
+SELECT doc_id, n_chars, tier FROM t
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      < CASE tier WHEN 0 THEN CAST({CURR_RATES[0]} * {1 << 60} AS UBIGINT)
+                  WHEN 1 THEN CAST({CURR_RATES[1]} * {1 << 60} AS UBIGINT)
+                  ELSE CAST({CURR_RATES[2]} * {1 << 60} AS UBIGINT) END
+"""
+QUERIES["q_curriculum_mix"] = q_curriculum_mix
+
+
 def q_pct_rank(sf_dir):
     """Global percent-rank of document length
     (stages/quantiles.py:global_percent_rank — distributed ECDF): two
@@ -6057,6 +6097,7 @@ _PRIORITY = [
     # round-4 continuation ops (first driver rows)
     "q_full_join", "q_rolling_dau", "q_grouped_top_terms",
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
+    "q_curriculum_mix",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

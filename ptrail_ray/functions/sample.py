@@ -288,3 +288,45 @@ def mix_to_target(ds, *, id_col: str, group_col: str, rates: dict):
         return t.filter(pa.array(h < kr[inv]))
 
     return ds.map_batches(mask, batch_format="pyarrow", batch_size=None)
+
+
+def curriculum_tier_mix(
+    ds,
+    *,
+    value_col: str,
+    id_col: str,
+    tier_rates: "list[float]",
+    materialized=None,
+):
+    """Curriculum mixing: tier rows by EXACT global quantiles of
+    ``value_col`` (len(tier_rates) equal-probability tiers), then keep
+    each row with its tier's deterministic md5 rate — the
+    "short-docs-first / downsample-the-tail" composition a training mix
+    runs (quality- or length-tiered keep rates).
+
+    Composition of two existing primitives, nothing new moves: exact
+    distributed quantiles (two narrow passes) broadcast as plain floats
+    into ONE stateless filter stage (tier = #thresholds strictly below,
+    keep iff md5(id) < rate[tier]·2⁶⁰). No shuffle, no driver loop.
+
+    ``materialized``: pass a pre-materialized Dataset to avoid
+    re-reading the source for the quantile passes."""
+    from ptrail_ray.stages.quantiles import exact_quantiles
+
+    k = len(tier_rates)
+    if k < 2:
+        raise ValueError("need >= 2 tiers")
+    src = materialized if materialized is not None else ds
+    qs = [i / k for i in range(1, k)]
+    ths = np.asarray(exact_quantiles(src, value_col, qs), dtype=np.float64)
+    cuts = np.array([np.uint64(int(r * _SCALE)) for r in tier_rates], np.uint64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        tier = (v[:, None] > ths[None, :]).sum(axis=1).astype(np.int64)
+        keep = _hash_col(t, id_col) < cuts[tier]
+        return t.append_column("tier", pa.array(tier, pa.int64())).filter(
+            pa.array(keep)
+        )
+
+    return src.map_batches(fn, batch_format="pyarrow", batch_size=None)

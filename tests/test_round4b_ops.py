@@ -308,3 +308,34 @@ def test_first_touch_argmin_decomposition(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp[out.columns], check_dtype=False)
+
+
+def test_curriculum_tier_mix(ray_session):
+    from ptrail_ray.functions.dedup import _md5_u60
+    from ptrail_ray.functions.sample import curriculum_tier_mix
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({"doc_id": np.arange(n), "v": rng.normal(size=n)})
+    out = (
+        curriculum_tier_mix(
+            rd.from_pandas(df, override_num_blocks=4),
+            value_col="v",
+            id_col="doc_id",
+            tier_rates=[1.0, 0.5, 0.25],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force: pandas terciles + md5 thresholds
+    t0, t1 = df["v"].quantile([1 / 3, 2 / 3])
+    tier = np.where(df["v"] > t1, 2, np.where(df["v"] > t0, 1, 0))
+    h = np.array([_md5_u60(str(i)) for i in df["doc_id"]], np.uint64)
+    cuts = np.array([int(r * (1 << 60)) for r in [1.0, 0.5, 0.25]], np.uint64)
+    exp = df[h < cuts[tier]].assign(tier=tier[h < cuts[tier]])
+    assert len(out) == len(exp)
+    assert np.array_equal(out["doc_id"].to_numpy(), exp["doc_id"].to_numpy())
+    assert np.array_equal(out["tier"].to_numpy(), exp["tier"].to_numpy())
+    # tier 0 kept in full
+    assert (h[tier == 0] < cuts[0]).all()
