@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "q_term_lift",
     "q_first_touch",
     "q_curriculum_mix",
+    "q_global_mad",
+    "q_max_concurrency",
 ]
 
 

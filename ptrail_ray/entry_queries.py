@@ -5738,6 +5738,70 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
 QUERIES["q_curriculum_mix"] = q_curriculum_mix
 
 
+def q_global_mad(sf_dir):
+    """Global median + MAD of document length (stages/quantiles.
+    global_mad): two DEPENDENT exact-quantile passes — the robust
+    scaler a quality gate standardizes against."""
+    from ptrail_ray.stages.quantiles import global_mad
+
+    med, mad = global_mad(_docs(sf_dir).select_columns(["n_chars"]), "n_chars")
+    return finalize(
+        pa.table(
+            {"med": pa.array([med], pa.float64()), "mad": pa.array([mad], pa.float64())}
+        ),
+        round_columns=["med", "mad"],
+    )
+
+
+ORACLE_SQL["q_global_mad"] = """
+WITH m AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med FROM documents),
+d AS (SELECT abs(CAST(n_chars AS DOUBLE) - m.med) AS dev FROM documents, m)
+SELECT round((SELECT med FROM m), 6) + 0.0 AS med,
+       round(quantile_cont(dev, 0.5), 6) + 0.0 AS mad
+FROM d
+"""
+QUERIES["q_global_mad"] = q_global_mad
+
+
+CONC_DUR_S = 300
+
+
+def q_max_concurrency(sf_dir):
+    """Peak concurrent open intervals per user (stages/stats.
+    max_concurrency — sweep line over ±1 deltas, closers before openers
+    at equal time): each event opens a 300 s half-open window; the
+    answer is the per-user peak of the delta prefix sum. ONE narrow
+    user-keyed exchange."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.stats import max_concurrency
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return max_concurrency(ev, duration_us=CONC_DUR_S * 1_000_000)
+
+
+ORACLE_SQL["q_max_concurrency"] = f"""
+WITH pts AS (
+  SELECT user_id, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT user_id, ts + INTERVAL {CONC_DUR_S} SECOND AS t, -1 AS d FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS open
+  FROM pts
+)
+SELECT user_id, CAST(max(open) AS BIGINT) AS max_concurrent
+FROM s GROUP BY user_id
+"""
+QUERIES["q_max_concurrency"] = q_max_concurrency
+
+
 def q_pct_rank(sf_dir):
     """Global percent-rank of document length
     (stages/quantiles.py:global_percent_rank — distributed ECDF): two
@@ -6097,7 +6161,7 @@ _PRIORITY = [
     # round-4 continuation ops (first driver rows)
     "q_full_join", "q_rolling_dau", "q_grouped_top_terms",
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
-    "q_curriculum_mix",
+    "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -357,3 +357,21 @@ def weighted_median(
     cum = np.cumsum(w)
     idx = int(np.searchsorted(2 * cum, tot))  # first 2*cum >= tot
     return int(parts["val"].iloc[idx]), tot
+
+
+def global_mad(ds, col: str):
+    """Global robust scale: (median, MAD) of ``ds[col]`` — median
+    absolute deviation needs TWO dependent exact-quantile passes (the
+    second's input depends on the first's output), composed from
+    :func:`exact_quantiles` with the median broadcast as a plain float
+    into a narrow |x − med| projection. Four streaming passes total,
+    nothing wide. Returns (median, mad) floats."""
+    med = exact_quantiles(ds, col, [0.5])[0]
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"_dev": pa.array(np.abs(v - med), pa.float64())})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow", batch_size=None)
+    mad = exact_quantiles(devs, "_dev", [0.5])[0]
+    return med, mad

@@ -339,3 +339,68 @@ def test_curriculum_tier_mix(ray_session):
     assert np.array_equal(out["tier"].to_numpy(), exp["tier"].to_numpy())
     # tier 0 kept in full
     assert (h[tier == 0] < cuts[0]).all()
+
+
+def test_global_mad_matches_pandas(ray_session):
+    from ptrail_ray.stages.quantiles import global_mad
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(10, 3, 5000)
+    df = pd.DataFrame({"x": v})
+    med, mad = global_mad(rd.from_pandas(df, override_num_blocks=4), "x")
+    s = pd.Series(v)
+    assert abs(med - s.median()) < 1e-12
+    assert abs(mad - (s - s.median()).abs().median()) < 1e-12
+
+
+def test_max_concurrency_sweep(ray_session):
+    from ptrail_ray.stages.stats import max_concurrency
+
+    # user 1: events at 0, 10, 20 with duration 15 → overlaps: [0,15),
+    # [10,25), [20,35) → peak 2. user 2: one event → 1.
+    # user 3: two events at the SAME ts → 2; a third starting exactly
+    # when the first closes (t=15) → still 2 (half-open boundary).
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 3, 3, 3],
+            "ts": pd.to_datetime([0, 10, 20, 5, 0, 0, 15], unit="s"),
+        }
+    )
+    out = (
+        max_concurrency(
+            rd.from_pandas(df, override_num_blocks=3),
+            duration_us=15_000_000,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["user_id"], out["max_concurrent"])) == {1: 2, 2: 1, 3: 2}
+
+
+def test_max_concurrency_matches_bruteforce(ray_session):
+    from ptrail_ray.stages.stats import max_concurrency
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="us"),
+        }
+    )
+    dur = 50_000
+    out = max_concurrency(
+        rd.from_pandas(df, override_num_blocks=5),
+        duration_us=dur,
+        num_buckets=8,
+    ).to_pandas()
+    got = dict(zip(out["user_id"], out["max_concurrent"]))
+    ts_us = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+    for u in np.unique(df["user_id"]):
+        t = np.sort(ts_us[df["user_id"].to_numpy() == u])
+        # brute force: for each event count open intervals at its start
+        # (the sweep's maximum is attained at some opener)
+        opens = [((t <= x) & (x < t + dur)).sum() for x in t]
+        assert got[u] == max(opens), (u, got[u], max(opens))
