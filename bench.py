@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q_curriculum_mix",
     "q_global_mad",
     "q_max_concurrency",
+    "q_embed_outlier",
 ]
 
 

@@ -3594,6 +3594,61 @@ SELECT vec_id, CAST(si AS DOUBLE) / 1000000000.0 AS score, si > 0 AS label FROM 
 QUERIES["q_linear_score"] = q_linear_score
 
 
+def q_embed_outlier(sf_dir):
+    """Per-label embedding outlier score (functions/linalg.
+    label_centroid_dist): squared L2 distance of every vector to its
+    own label's mean embedding — intra-cluster outlier gate. Two narrow
+    passes (exact quantized (label, dim) sums → broadcast mean matrix →
+    exact quantized distance), no shuffle."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.linalg import label_centroid_dist
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    out = label_centroid_dist(ds)
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("label"),
+            "label",
+            t["label"].cast(pa.int64()),
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow", batch_size=None)
+
+
+ORACLE_SQL["q_embed_outlier"] = """
+WITH x AS (
+  SELECT vec_id, label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(v * 1000000000.0) AS BIGINT)) AS BIGINT) AS sv,
+         count(*) AS n
+  FROM x GROUP BY 1, 2
+),
+mu AS (SELECT label, dim, CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) AS m FROM s),
+d AS (
+  SELECT x.vec_id, x.label,
+         CAST(sum(CAST(round((x.v - mu.m) * (x.v - mu.m) * 1000000000.0) AS BIGINT)) AS BIGINT) AS di
+  FROM x JOIN mu ON mu.label = x.label AND mu.dim = x.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(di AS DOUBLE) / 1000000000.0 AS dist2
+FROM d
+"""
+QUERIES["q_embed_outlier"] = q_embed_outlier
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d
@@ -6162,6 +6217,7 @@ _PRIORITY = [
     "q_full_join", "q_rolling_dau", "q_grouped_top_terms",
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
+    "q_embed_outlier",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

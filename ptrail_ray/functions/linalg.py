@@ -237,3 +237,95 @@ def linear_score(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def label_centroid_dist(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+    max_labels: int = 10_000,
+):
+    """Per-group embedding outlier score: squared L2 distance of every
+    vector to its OWN group's mean embedding — the intra-cluster
+    outlier gate (drop samples far from their class centroid) a curated
+    training set runs after labeling.
+
+    Two narrow passes, no shuffle: (1) per-batch exact int64-quantized
+    (label, dim) sum partials — L×d-bounded rows per batch — merged on
+    the driver (loud ``max_labels`` guard); (2) the (L, d) mean matrix
+    broadcasts into a stateless stage computing per-row
+    ``Σ_j round((x_j − μ_j)² · 1e9)`` — an exact integer, so the
+    score is order-free and bit-identical to the SQL replica.
+
+    Returns a Dataset (id, label, dist2:float64)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t[vec_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sv": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        keys, inv = np.unique(lab, return_inverse=True)
+        L, d = len(keys), m.shape[1]
+        sums = np.zeros((L, d), np.int64)
+        np.add.at(sums, inv, _quant_int64(m))
+        counts = np.bincount(inv, minlength=L).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(keys, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), L), pa.int64()),
+                "sv": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False)[["sv", "n"]].sum()
+    labels = np.sort(agg["label"].unique())
+    if len(labels) > max_labels:
+        raise RuntimeError(
+            f"label_centroid_dist: {len(labels)} labels exceeds "
+            f"max_labels={max_labels} — use a bucketed exchange instead"
+        )
+    d = int(agg["dim"].max()) + 1
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    mu = np.zeros((len(labels), d), np.float64)
+    for row in agg.itertuples():
+        mu[lab_pos[int(row.label)], int(row.dim)] = float(row.sv) / (
+            float(row.n) * QUANT_SCALE
+        )
+
+    def dist(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t[vec_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    label_col: t[label_col],
+                    "dist2": pa.array([], pa.float64()),
+                }
+            )
+        pos = np.array([lab_pos[int(x)] for x in lab], np.int64)
+        diff = m - mu[pos]
+        di = _quant_int64(diff * diff).sum(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                label_col: t[label_col],
+                "dist2": pa.array(di.astype(np.float64) / QUANT_SCALE, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(dist, batch_format="pyarrow", batch_size=batch_size)

@@ -404,3 +404,27 @@ def test_max_concurrency_matches_bruteforce(ray_session):
         # (the sweep's maximum is attained at some opener)
         opens = [((t <= x) & (x < t + dur)).sum() for x in t]
         assert got[u] == max(opens), (u, got[u], max(opens))
+
+
+def test_label_centroid_dist_matches_numpy(ray_session):
+    from ptrail_ray.functions.linalg import label_centroid_dist
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(vecs), "label": lab}
+    )
+    out = (
+        label_centroid_dist(rd.from_pandas(df, override_num_blocks=4))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    m = vecs.astype(np.float64)
+    for l in range(4):
+        mu = m[lab == l].mean(axis=0)
+        exp = ((m[lab == l] - mu) ** 2).sum(axis=1)
+        got = out.loc[out["label"] == l, "dist2"].to_numpy()
+        assert np.allclose(got, exp, atol=d * 2e-9)
