@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q_global_mad",
     "q_max_concurrency",
     "q_embed_outlier",
+    "q_funnel_windowed",
 ]
 
 

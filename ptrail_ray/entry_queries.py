@@ -5291,6 +5291,117 @@ LEFT JOIN s3 USING (user_id)
 QUERIES["q_event_funnel"] = q_event_funnel
 
 
+FUNNEL_W_S = 86400  # conversion window per step (seconds)
+
+
+def q_funnel_windowed(sf_dir):
+    """Time-bounded funnel: like q_event_funnel but each later step
+    must land STRICTLY AFTER the previous step and WITHIN a 1-day
+    conversion window of it — the attribution-window variant every
+    product funnel actually uses. Same one-exchange masked
+    minimum.reduceat kernel with an upper gate (sentinel-clipped so
+    the +W add can't wrap int64). Step times are emitted as epoch-us
+    float64 (missing → NULL): this funnel genuinely strands users
+    mid-funnel, and nullable float is the engine's proven NULL channel
+    (a NULL timestamp column would be the registry's first)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    SENT = np.int64(np.iinfo(np.int64).max)
+    W = np.int64(FUNNEL_W_S) * 1_000_000
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "t_signup": pa.array([], pa.float64()),
+                    "t_click": pa.array([], pa.float64()),
+                    "t_purchase": pa.array([], pa.float64()),
+                    "stage": pa.array([], pa.int64()),
+                }
+            )
+        starts, lengths = conv_runs(t["user_id"])
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+
+        def step_min(step: str, after: np.ndarray, bounded: bool) -> np.ndarray:
+            gate = np.repeat(after, lengths)
+            ok = (et == step) & (ts_us > gate)
+            if bounded:
+                upper = np.where(gate > SENT - W, SENT, gate + W)
+                ok &= ts_us <= upper
+            return np.minimum.reduceat(np.where(ok, ts_us, SENT), starts)
+
+        t1 = step_min(FUNNEL_STEPS[0], np.full(len(starts), np.int64(-1)), False)
+        t2 = step_min(FUNNEL_STEPS[1], t1, True)
+        t3 = step_min(FUNNEL_STEPS[2], t2, True)
+        users = pc.take(
+            t["user_id"].combine_chunks()
+            if isinstance(t["user_id"], pa.ChunkedArray)
+            else t["user_id"],
+            pa.array(starts, pa.int64()),
+        )
+        stage = (t1 != SENT).astype(np.int64) + (t2 != SENT) + (t3 != SENT)
+        cols = {"user_id": users}
+        for nm, v in (("t_signup", t1), ("t_click", t2), ("t_purchase", t3)):
+            cols[nm] = pa.array(
+                v.astype(np.float64), pa.float64(), mask=(v == SENT)
+            )
+        cols["stage"] = pa.array(stage, pa.int64())
+        return pa.table(cols)
+
+    return finalize(
+        map_conv_buckets(
+            ev, kern, num_buckets=16, key_col="user_id", sort_keys=("user_id",)
+        )
+    )
+
+
+ORACLE_SQL["q_funnel_windowed"] = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t_signup
+        AND e.ts <= s1.t_signup + INTERVAL {FUNNEL_W_S} SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t_click
+        AND e.ts <= s2.t_click + INTERVAL {FUNNEL_W_S} SECOND
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(epoch_us(s1.t_signup) AS DOUBLE) AS t_signup,
+       CAST(epoch_us(s2.t_click) AS DOUBLE) AS t_click,
+       CAST(epoch_us(s3.t_purchase) AS DOUBLE) AS t_purchase,
+       CAST((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+            + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+FROM u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+QUERIES["q_funnel_windowed"] = q_funnel_windowed
+
+
 def q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard near-dup pairs with deterministic
     min-shingle anchor blocking (functions/dedup.py::ngram_jaccard_pairs)
@@ -6217,7 +6328,7 @@ _PRIORITY = [
     "q_full_join", "q_rolling_dau", "q_grouped_top_terms",
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
-    "q_embed_outlier",
+    "q_embed_outlier", "q_funnel_windowed",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -428,3 +428,46 @@ def test_label_centroid_dist_matches_numpy(ray_session):
         exp = ((m[lab == l] - mu) ** 2).sum(axis=1)
         got = out.loc[out["label"] == l, "dist2"].to_numpy()
         assert np.allclose(got, exp, atol=d * 2e-9)
+
+
+def test_funnel_windowed_boundaries(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    # exercised end-to-end via the oracle gate; here: the kernel's
+    # boundary semantics on a crafted corpus written to parquet
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    W = 86400 * 1_000_000
+    rows = [
+        # user 1: click exactly at signup+W (inclusive) → converts;
+        # purchase at click+W+1us (outside) → stage 2
+        (1, "signup", 0),
+        (1, "click", W),
+        (1, "purchase", 2 * W + 1),
+        # user 2: click before signup → never after → stage 1
+        (2, "click", 0),
+        (2, "signup", 10),
+        # user 3: full conversion inside windows
+        (3, "signup", 0),
+        (3, "click", 5),
+        (3, "purchase", 10),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = QUERIES["q_funnel_windowed"](d).to_pandas()
+    got = dict(zip(out["user_id"], out["stage"]))
+    assert got == {1: 2, 2: 1, 3: 3}
