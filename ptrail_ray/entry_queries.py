@@ -3649,6 +3649,66 @@ FROM d
 QUERIES["q_embed_outlier"] = q_embed_outlier
 
 
+APSS_THETA = 0.3
+
+
+def q_sparse_cosine(sf_dir):
+    """All-pairs similarity search over sparse TF·(N/df) word-bigram
+    vectors (functions/apss.sparse_cosine_pairs, the WWW'07
+    inverted-index cosine join): exact cosine ≥ θ pairs, candidate
+    volume bounded by the MOSS stop-term rule (df > max(50, N/10)
+    bigrams excluded from vectors and norms). Text never shuffles;
+    contributions are int64-quantized so pair sums are order-free."""
+    from ptrail_ray.functions.apss import sparse_cosine_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n = docs.count()
+    return sparse_cosine_pairs(
+        docs,
+        threshold=APSS_THETA,
+        max_df=max(50, n // 10),
+        ngram=2,
+        num_buckets=16,
+    )
+
+
+ORACLE_SQL["q_sparse_cosine"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS w
+  FROM tok, unnest(range(1, len(ts))) AS u(i)
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM bg GROUP BY 1, 2),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+wgt AS (
+  SELECT t.doc_id, t.w, CAST(t.tf * n.n AS DOUBLE) / CAST(d.df AS DOUBLE) AS wv
+  FROM tf t JOIN df d USING (w) CROSS JOIN n
+  WHERE d.df <= greatest(50, n.n // 10)
+),
+nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(round(wv * wv * 1000000000.0) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0) AS nr
+  FROM wgt GROUP BY doc_id
+),
+wn AS (SELECT w.doc_id, w.w, w.wv / m.nr AS x FROM wgt w JOIN nrm m USING (doc_id)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CAST(round(a.x * b.x * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+  FROM wn a JOIN wn b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(s AS DOUBLE) / 1000000000.0 AS cosine
+FROM p WHERE CAST(s AS DOUBLE) / 1000000000.0 >= {APSS_THETA}
+"""
+QUERIES["q_sparse_cosine"] = q_sparse_cosine
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d
@@ -6328,7 +6388,7 @@ _PRIORITY = [
     "q_full_join", "q_rolling_dau", "q_grouped_top_terms",
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
-    "q_embed_outlier", "q_funnel_windowed",
+    "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -471,3 +471,54 @@ def test_funnel_windowed_boundaries(ray_session):
         out = QUERIES["q_funnel_windowed"](d).to_pandas()
     got = dict(zip(out["user_id"], out["stage"]))
     assert got == {1: 2, 2: 1, 3: 3}
+
+
+def test_sparse_cosine_matches_bruteforce(ray_session):
+    from ptrail_ray.functions.apss import sparse_cosine_pairs
+
+    rng = np.random.default_rng(37)
+    vocab = [f"w{i}" for i in range(15)]
+    base = " ".join(rng.choice(vocab, 20))
+    docs = [base, base + " extra", " ".join(rng.choice(vocab, 20)),
+            " ".join(rng.choice(vocab, 20)), "single"]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = (
+        sparse_cosine_pairs(
+            rd.from_pandas(df, override_num_blocks=2),
+            threshold=0.2,
+            max_df=100,
+            ngram=2,
+            num_buckets=4,
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # brute force over bigram tf*(N/df) vectors
+    N = len(docs)
+    bags = []
+    for d in docs:
+        t = d.split()
+        bg = [f"{a} {b}" for a, b in zip(t, t[1:])]
+        bags.append(pd.Series(bg).value_counts().to_dict() if bg else {})
+    from collections import Counter
+
+    dfc = Counter(w for b in bags for w in b)
+    vecs = []
+    for b in bags:
+        v = {w: tf * N / dfc[w] for w, tf in b.items() if dfc[w] <= 100}
+        nr = np.sqrt(sum(x * x for x in v.values()))
+        vecs.append({w: x / nr for w, x in v.items()} if nr > 0 else {})
+    exp = {}
+    for i in range(N):
+        for j in range(i + 1, N):
+            c = sum(vecs[i][w] * vecs[j][w] for w in vecs[i] if w in vecs[j])
+            if c >= 0.2:
+                exp[(i, j)] = c
+    got = {(r.doc_a, r.doc_b): r.cosine for r in out.itertuples()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+    # the near-identical pair must be found with high cosine
+    assert (0, 1) in got and got[(0, 1)] > 0.8
