@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q_max_concurrency",
     "q_embed_outlier",
     "q_funnel_windowed",
+    "q_wow_growth",
 ]
 
 

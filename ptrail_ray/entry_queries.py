@@ -3709,6 +3709,71 @@ FROM p WHERE CAST(s AS DOUBLE) / 1000000000.0 >= {APSS_THETA}
 QUERIES["q_sparse_cosine"] = q_sparse_cosine
 
 
+def q_wow_growth(sf_dir):
+    """Week-over-week event-count growth per event type: tumbling
+    weekly counts (batch-bounded (type, week) partials — the
+    rate_spikes exchange shape) with the period-over-period ratio
+    computed on the catalog-sized driver merge. growth = n / lag(n)
+    as ONE exact-int division; first week per type is NULL."""
+    import os
+
+    import ray.data as rd
+
+    WEEK_US = np.int64(604_800_000_000)
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        wk = ts.astype(np.int64) // WEEK_US
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        gd = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        gi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = (gi << 40) | wk
+        keys, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(gd[keys >> 40], pa.string()),
+                "wk": pa.array(keys & ((1 << 40) - 1), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20).to_pandas()
+    cells = (
+        parts.groupby(["event_type", "wk"], as_index=False)["n"]
+        .sum()
+        .sort_values(["event_type", "wk"])
+    )
+    prev = cells.groupby("event_type", sort=False)["n"].shift(1)
+    growth = cells["n"].to_numpy(np.float64) / prev.to_numpy(dtype=np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": cells["event_type"].to_numpy(),
+            "wk": cells["wk"].to_numpy(np.int64),
+            "n": cells["n"].to_numpy(np.int64),
+            "growth": growth,
+        }
+    )
+    return finalize(pa.Table.from_pandas(out, preserve_index=False))
+
+
+ORACLE_SQL["q_wow_growth"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(wk AS BIGINT) AS wk, n,
+       CAST(n AS DOUBLE) / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS DOUBLE) AS growth
+FROM c
+"""
+QUERIES["q_wow_growth"] = q_wow_growth
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d
@@ -6389,6 +6454,7 @@ _PRIORITY = [
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
     "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
+    "q_wow_growth",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",
