@@ -3774,6 +3774,88 @@ FROM c
 QUERIES["q_wow_growth"] = q_wow_growth
 
 
+PR_ITERS = 3
+
+
+def q_pagerank(sf_dir):
+    """Distributed integer-exact PageRank (functions/graph.pagerank_int)
+    over the near-dup similarity graph (edges = q_sparse_cosine pairs,
+    both directions): centrality inside a near-dup neighborhood — the
+    canonical-pick signal richer than min-id. Per iteration ONE
+    rank-dependent hash join + one dst-keyed grouped int sum; ranks are
+    int64 micro-units under a pure floor-division contract, so 3
+    iterations are bit-identical to the chained-CTE SQL replica."""
+    from ptrail_ray.functions.apss import sparse_cosine_pairs
+    from ptrail_ray.functions.graph import pagerank_int
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n = docs.count()
+    pairs = sparse_cosine_pairs(
+        docs,
+        threshold=APSS_THETA,
+        max_df=max(50, n // 10),
+        ngram=2,
+        num_buckets=16,
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_ways, batch_format="pyarrow", batch_size=None)
+    nodes = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow", batch_size=None
+    )
+    return pagerank_int(edges, nodes, n_nodes=n, iters=PR_ITERS, num_buckets=16)
+
+
+def _pagerank_oracle() -> str:
+    apss = ORACLE_SQL["q_sparse_cosine"]
+    # reuse the APSS replica verbatim as the edge generator: strip its
+    # final SELECT, keep the WITH chain, add the graph + iteration CTEs
+    head, tail = apss.rsplit("SELECT doc_a, doc_b", 1)
+    theta_filter = tail.split("WHERE", 1)[1].strip()
+    n_sql = "(SELECT count(*) FROM documents)"
+    iters = "\n".join(
+        f""",
+r{k} AS (
+  SELECT n.node,
+         (1000000000000 * 15) // (100 * {n_sql})
+           + coalesce(CAST(sum(p.r * 85 // (100 * e.deg)) AS BIGINT), 0) AS r
+  FROM nodes n
+  LEFT JOIN edeg e ON e.dst = n.node
+  LEFT JOIN r{k - 1} p ON p.node = e.src
+  GROUP BY n.node
+)"""
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""{head.rstrip().rstrip(',')},
+pairs AS (
+  SELECT doc_a, doc_b FROM p WHERE {theta_filter}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT node, 1000000000000 // {n_sql} AS r FROM nodes){iters}
+SELECT node, r FROM r{PR_ITERS}
+"""
+
+
+ORACLE_SQL["q_pagerank"] = _pagerank_oracle()
+QUERIES["q_pagerank"] = q_pagerank
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d
@@ -6454,7 +6536,7 @@ _PRIORITY = [
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
     "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
-    "q_wow_growth",
+    "q_wow_growth", "q_pagerank",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

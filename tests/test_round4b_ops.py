@@ -522,3 +522,47 @@ def test_sparse_cosine_matches_bruteforce(ray_session):
         assert abs(got[k] - exp[k]) < 1e-6
     # the near-identical pair must be found with high cosine
     assert (0, 1) in got and got[(0, 1)] > 0.8
+
+
+def test_pagerank_int_matches_reference(ray_session):
+    from ptrail_ray.functions.graph import PR_SCALE, pagerank_int
+
+    # star graph: node 0 linked to 1..4; node 5 isolated
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = pd.DataFrame(
+        {
+            "src": [a for a, b in pairs] + [b for a, b in pairs],
+            "dst": [b for a, b in pairs] + [a for a, b in pairs],
+        }
+    )
+    nodes = pd.DataFrame({"node": range(6)})
+    N, ITERS = 6, 3
+    out = (
+        pagerank_int(
+            rd.from_pandas(edges, override_num_blocks=2),
+            rd.from_pandas(nodes, override_num_blocks=2),
+            n_nodes=N,
+            iters=ITERS,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # pure-python reference of the same integer contract
+    deg = {}
+    adj = {}
+    for _, e in edges.iterrows():
+        deg[e.src] = deg.get(e.src, 0) + 1
+        adj.setdefault(e.dst, []).append(e.src)
+    r = {v: PR_SCALE // N for v in range(N)}
+    base = (PR_SCALE * 15) // (100 * N)
+    for _ in range(ITERS):
+        r = {
+            v: base + sum(r[u] * 85 // (100 * deg[u]) for u in adj.get(v, []))
+            for v in range(N)
+        }
+    assert dict(zip(out["node"], out["r"])) == r
+    # hub outranks leaves; isolated node keeps the base only
+    got = dict(zip(out["node"], out["r"]))
+    assert got[0] > got[1] and got[5] == base
