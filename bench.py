@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "q_embed_outlier",
     "q_funnel_windowed",
     "q_wow_growth",
+    "q_twap",
+    "q_drift_welch",
 ]
 
 

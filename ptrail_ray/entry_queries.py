@@ -3856,6 +3856,190 @@ ORACLE_SQL["q_pagerank"] = _pagerank_oracle()
 QUERIES["q_pagerank"] = q_pagerank
 
 
+def q_twap(sf_dir):
+    """Time-weighted average of m1 per conversation (trapezoidal
+    integral / duration — the TWAP shape of telemetry averaging, where
+    a plain mean over-weights bursts). Runs inside the standard conv
+    bucket exchange; the trapezoid terms (m1ᵢ + m1ᵢ₊₁)·Δtᵢ_us are
+    EXACT int64 products of ints, so the integral is one exact sum and
+    the TWAP one IEEE division — bit-identical to the lead() oracle.
+    Single-turn (zero-duration) conversations → NULL."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=None
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "twap_m1": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        m1 = t["m1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        # adjacent-pair terms, masked at run boundaries
+        last_of_run = np.zeros(n, bool)
+        last_of_run[starts + lengths - 1] = True
+        term = np.where(
+            last_of_run[:-1],
+            np.int64(0),
+            (m1[:-1] + m1[1:]) * (ts_us[1:] - ts_us[:-1]),
+        )
+        cs = np.concatenate(([0], np.cumsum(term, dtype=np.int64)))
+        ends = starts + lengths - 1
+        integral = cs[ends] - cs[starts]  # Σ over the run's pairs
+        # duration = max(ts) − min(ts) per run (matches the SQL min/max;
+        # identical to end − start when ts is monotone in turn order)
+        dur = np.maximum.reduceat(ts_us, starts) - np.minimum.reduceat(ts_us, starts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twap = integral.astype(np.float64) / (2.0 * dur.astype(np.float64))
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts, pa.int64()),
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "twap_m1": pa.array(twap, pa.float64(), mask=(dur == 0)),
+            }
+        )
+
+    return finalize(
+        map_conv_buckets(ds, kern, num_buckets=16), round_columns=["twap_m1"]
+    )
+
+
+ORACLE_SQL["q_twap"] = f"""
+WITH transcripts AS ({{TRANSCRIPTS}}),
+m AS (
+  SELECT conv_id, turn_idx, ts, CAST(length(coalesce(text, '')) AS BIGINT) AS m1
+  FROM transcripts
+),
+p AS (
+  SELECT conv_id, m1, ts,
+         lead(m1) OVER ({{W2}}) AS m1n,
+         lead(ts) OVER ({{W2}}) AS tsn
+  FROM m
+),
+agg AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN tsn IS NULL THEN 0
+                  ELSE (m1 + m1n) * date_diff('microsecond', ts, tsn) END) AS BIGINT) AS integral,
+         date_diff('microsecond', min(ts), max(ts)) AS dur
+  FROM p GROUP BY conv_id
+)
+SELECT conv_id,
+       CASE WHEN dur = 0 THEN NULL
+            ELSE round(CAST(integral AS DOUBLE) / (2.0 * CAST(dur AS DOUBLE)), 6) + 0.0
+       END AS twap_m1
+FROM agg
+"""
+ORACLE_SQL["q_twap"] = ORACLE_SQL["q_twap"].replace(
+    "{TRANSCRIPTS}", TRANSCRIPTS_SQL
+).replace("{W2}", "PARTITION BY conv_id ORDER BY turn_idx, ts")
+QUERIES["q_twap"] = q_twap
+
+
+def q_drift_welch(sf_dir):
+    """Per-source distribution-drift check: Welch's t statistic for
+    doc length between two deterministic cohorts (doc_id parity — the
+    A/B or before/after split a corpus-drift monitor runs). Per-batch
+    exact int64 (source, half) moment partials (n, Σv, Σv²) — catalog ×
+    2 rows — then driver-side float math in the EXACT expression order
+    the SQL replica uses (every step one IEEE op on identical
+    operands)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False).astype(object)
+        half = (t["doc_id"].to_numpy() % 2).astype(np.int64)
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(
+            np.char.add(src.astype(str), np.char.mod("|%d", half)),
+            return_inverse=True,
+        )
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s = np.zeros(len(keys), np.int64)
+        q = np.zeros(len(keys), np.int64)
+        np.add.at(s, inv, v)
+        np.add.at(q, inv, v * v)
+        src_k = np.array([k.rsplit("|", 1)[0] for k in keys], object)
+        half_k = np.array([int(k.rsplit("|", 1)[1]) for k in keys], np.int64)
+        return pa.table(
+            {
+                "source": pa.array(src_k, pa.string()),
+                "half": pa.array(half_k, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "q": pa.array(q, pa.int64()),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+    )
+    g = parts.groupby(["source", "half"], as_index=False)[["n", "s", "q"]].sum()
+    rows = []
+    for source, sub in g.groupby("source", sort=False):
+        a = sub[sub["half"] == 0]
+        b = sub[sub["half"] == 1]
+        if len(a) != 1 or len(b) != 1:
+            continue
+        na, sa, qa = (int(a["n"].iloc[0]), int(a["s"].iloc[0]), int(a["q"].iloc[0]))
+        nb, sb, qb = (int(b["n"].iloc[0]), int(b["s"].iloc[0]), int(b["q"].iloc[0]))
+        if na < 2 or nb < 2:  # variance undefined (matches the SQL guard)
+            continue
+        ma = np.float64(sa) / na
+        mb = np.float64(sb) / nb
+        va = (np.float64(qa) - (np.float64(sa) * np.float64(sa)) / na) / (na - 1)
+        vb = (np.float64(qb) - (np.float64(sb) * np.float64(sb)) / nb) / (nb - 1)
+        t_w = (ma - mb) / np.sqrt(va / na + vb / nb)
+        rows.append((source, float(ma - mb), float(t_w)))
+    out = pd.DataFrame(rows, columns=["source", "mean_diff", "t_welch"])
+    return finalize(
+        pa.Table.from_pandas(out, preserve_index=False),
+        round_columns=["mean_diff", "t_welch"],
+    )
+
+
+ORACLE_SQL["q_drift_welch"] = """
+WITH h AS (
+  SELECT source, doc_id % 2 AS half, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+s AS (
+  SELECT source, half, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+  FROM h GROUP BY 1, 2
+),
+w AS (
+  SELECT a.source,
+         CAST(a.s AS DOUBLE) / a.n AS ma, CAST(b.s AS DOUBLE) / b.n AS mb,
+         (CAST(a.q AS DOUBLE) - (CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)) / a.n) / (a.n - 1) AS va,
+         (CAST(b.q AS DOUBLE) - (CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)) / b.n) / (b.n - 1) AS vb,
+         a.n AS na, b.n AS nb
+  FROM s a JOIN s b USING (source)
+  WHERE a.half = 0 AND b.half = 1 AND a.n > 1 AND b.n > 1
+)
+SELECT source, round(ma - mb, 6) + 0.0 AS mean_diff,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) + 0.0 AS t_welch
+FROM w
+"""
+QUERIES["q_drift_welch"] = q_drift_welch
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d
@@ -6536,7 +6720,7 @@ _PRIORITY = [
     "q_linear_score", "q_snapshot_diff", "q_term_lift", "q_first_touch",
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
     "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
-    "q_wow_growth", "q_pagerank",
+    "q_wow_growth", "q_pagerank", "q_twap", "q_drift_welch",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",
