@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q_wow_growth",
     "q_twap",
     "q_drift_welch",
+    "q_session_gini",
 ]
 
 

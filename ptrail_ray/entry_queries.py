@@ -4040,6 +4040,117 @@ FROM w
 QUERIES["q_drift_welch"] = q_drift_welch
 
 
+SESS_GAP_S = 1800
+
+
+def q_session_gini(sf_dir):
+    """Event-stream sessionization (30-min gap per user — the
+    gaps-and-islands shape on RAW events, not transcripts) + a
+    per-session event-type concentration score: Gini impurity
+    1 − Σ(nᵢ/n)², all exact-int ratios (no logs — entropy's ln is not
+    bit-portable across engines; Gini carries the same signal). ONE
+    user-keyed exchange; per bucket a single lexsort builds session ids
+    and packed (session, type) counts — no per-user or per-session
+    Python."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    GAP_US = np.int64(SESS_GAP_S) * 1_000_000
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "gini": pa.array([], pa.float64()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        ty = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, tss, tys = u[order], ts[order], ty[order]
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        new_sess = new_user | np.r_[False, (tss[1:] - tss[:-1]) > GAP_US]
+        # session_id = 0-based index within the user (SQL: windowed sum
+        # of the gap flag), global session key = running count
+        gsid = np.cumsum(new_sess) - 1
+        sid_in_user = gsid - np.repeat(gsid[np.flatnonzero(new_user)],
+                                       np.diff(np.r_[np.flatnonzero(new_user), len(us)]))
+        # counts per (global session, type): one packed unique
+        T = int(tys.max()) + 1 if len(tys) else 1
+        keys, cnt = np.unique(gsid * T + tys, return_counts=True)
+        sess_of_key = keys // T
+        n_sess = int(gsid[-1]) + 1
+        n_events = np.bincount(gsid, minlength=n_sess).astype(np.int64)
+        s2 = np.zeros(n_sess, np.int64)
+        np.add.at(s2, sess_of_key, (cnt * cnt).astype(np.int64))
+        gini = 1.0 - s2.astype(np.float64) / (
+            n_events.astype(np.float64) * n_events.astype(np.float64)
+        )
+        first = np.flatnonzero(new_sess)
+        return pa.table(
+            {
+                "user_id": pa.array(us[first], pa.int64()),
+                "session_id": pa.array(sid_in_user[first], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "gini": pa.array(gini, pa.float64()),
+            }
+        )
+
+    out = grouped_agg_by_bucket(
+        ev, "user_id", per_bucket, num_buckets=64, group_format="pyarrow"
+    )
+    return finalize(out, round_columns=["gini"])
+
+
+ORACLE_SQL["q_session_gini"] = f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > {SESS_GAP_S * 1_000_000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+),
+c AS (
+  SELECT user_id, session_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM c GROUP BY 1, 2
+)
+SELECT user_id, session_id, n_events,
+       round(1.0 - CAST(s2 AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)), 6) + 0.0 AS gini
+FROM g
+"""
+QUERIES["q_session_gini"] = q_session_gini
+
+
 def q_pca_power(sf_dir):
     """Top-principal-component projection (functions/linalg): exact
     distributed covariance → driver-side power iteration on the d×d
@@ -6721,6 +6832,7 @@ _PRIORITY = [
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
     "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
     "q_wow_growth", "q_pagerank", "q_twap", "q_drift_welch",
+    "q_session_gini",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -566,3 +566,46 @@ def test_pagerank_int_matches_reference(ray_session):
     # hub outranks leaves; isolated node keeps the base only
     got = dict(zip(out["node"], out["r"]))
     assert got[0] > got[1] and got[5] == base
+
+
+def test_session_gini_kernel(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # user 1: events at 0s, 10s (same session), then 40min later (new
+    # session). Types: a, a | b → gini session0 = 1 - (2/2)^2 = 0,
+    # session1 single event gini 0. user 2: a, b in one session →
+    # gini = 1 - (1/4 + 1/4) = 0.5
+    rows = [
+        (1, "a", 0),
+        (1, "a", 10_000_000),
+        (1, "b", 2_410_000_000),
+        (2, "a", 0),
+        (2, "b", 1_000_000),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = QUERIES["q_session_gini"](d).to_pandas()
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.gini) for r in out.itertuples()
+    }
+    assert got == {
+        (1, 0): (2, 0.0),
+        (1, 1): (1, 0.0),
+        (2, 0): (2, 0.5),
+    }
