@@ -833,10 +833,12 @@ def rolling_active_users(
     DAY_US = np.int64(86_400_000_000)
 
     def _pack_check(user: np.ndarray, day: np.ndarray) -> np.ndarray:
-        if len(day) and (day.min() < 0 or day.max() >= (1 << 20)):
+        # headroom includes +W: the expanded window-ends day..day+W−1
+        # must also fit the 20-bit field or they'd bleed into user bits
+        if len(day) and (day.min() < 0 or day.max() + W >= (1 << 20)):
             raise ValueError(
-                f"rolling_active_users: epoch-day outside [0, 2^20) — "
-                f"min={day.min()} max={day.max()}"
+                f"rolling_active_users: epoch-day (+window {W}) outside "
+                f"[0, 2^20) — min={day.min()} max={day.max()}"
             )
         if len(user) and (user.min() < 0 or user.max() >= (1 << 43)):
             raise ValueError(
