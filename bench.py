@@ -11,6 +11,11 @@ query registry run at $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 RAY_GRAFT_CPUS=8 and =32 on the same input (page cache warmed) and print
 throughputs + scaling efficiency (the sandbox stand-in for the
 north_rule's N vs 4N-node cluster criterion).
+
+``BENCH_PREPART=1``: use the shuffle-free storage-partitioned flagship
+(`flagship_prepartitioned` — the bench corpus's files hold complete
+conversations, the same layout tools/job.py's sink writes). Composes
+with ``--scaling``; measured 0.908 efficiency 4→16 CPUs (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -170,7 +175,7 @@ def run_headline() -> dict:
     # ~5% off the 16-CPU flagship wall, neutral at 4 CPUs (r04 sweep)
     ctx.use_push_based_shuffle = True
 
-    from ptrail_ray.pipelines.flagship import flagship
+    from ptrail_ray.pipelines.flagship import flagship, flagship_prepartitioned
     from ptrail_ray.sources.transcripts import read_transcripts, side_scd_from_events
 
     path = ensure_bench_corpus()
@@ -200,20 +205,32 @@ def run_headline() -> dict:
     num_buckets = max(128, NUM_CPUS * 4)
     asof_conc = max(2, NUM_CPUS // 2)
 
+    # BENCH_PREPART=1: the shuffle-free variant over the file-partitioned
+    # corpus (each bench file holds complete conversations) — measures
+    # the pipeline with the storage-level partitioning contract in force
+    # and therefore WITHOUT the sort barrier's fixed span. Opt-in;
+    # plain `bench.py` keeps the general exchange path as the headline.
+    prepart = bool(os.environ.get("BENCH_PREPART"))
+
+    def build():
+        if prepart:
+            return flagship_prepartitioned(path, side, asof_concurrency=asof_conc)
+        return flagship(
+            read_transcripts(path, override_num_blocks=read_blocks),
+            side,
+            num_buckets=num_buckets,
+            gap_seconds=120.0,
+            asof_concurrency=asof_conc,
+            hot_threshold=None,
+        )
+
     # The pilot is one UNTIMED full-corpus run with the same parameters
     # as the timed runs: besides worker imports and executor estimates,
     # the first big pipeline in a session also pays first-touch plasma
     # page allocation for the object store's high-water footprint
     # (measured: 167 s first run vs 23 s steady-state at 58M turns) —
     # a one-off session cost on this VM, not per-pipeline compute.
-    flagship(
-        read_transcripts(path, override_num_blocks=read_blocks),
-        side,
-        num_buckets=num_buckets,
-        gap_seconds=120.0,
-        asof_concurrency=asof_conc,
-        hot_threshold=None,
-    ).count()
+    build().count()
 
     # median of N timed runs (single-node Ray Data wall time is noisy —
     # ±25-40% run-to-run on an otherwise idle box; the median is the
@@ -222,18 +239,11 @@ def run_headline() -> dict:
     walls = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        out = flagship(
-            read_transcripts(path, override_num_blocks=read_blocks),
-            side,
-            num_buckets=num_buckets,
-            gap_seconds=120.0,
-            asof_concurrency=asof_conc,
-            # hot_threshold=None: the bench corpus is skew-bounded (max
-            # conversation 20k turns << bucket size); the salted path and
-            # its detection pre-pass cost are measured separately — see
-            # BASELINE.md "skew handling"
-            hot_threshold=None,
-        )
+        # hot_threshold=None in build(): the bench corpus is skew-bounded
+        # (max conversation 20k turns << bucket size); the salted path and
+        # its detection pre-pass cost are measured separately — see
+        # BASELINE.md "skew handling"
+        out = build()
         rows = out.count()  # consume via aggregate — no driver materialization
         walls.append(time.perf_counter() - t0)
         assert rows >= n_turns

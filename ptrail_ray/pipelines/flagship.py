@@ -88,3 +88,61 @@ def flagship(
     if side is not None:
         out = asof_join(out, side, concurrency=asof_concurrency)
     return out
+
+
+def flagship_prepartitioned(
+    path: str,
+    side: "pa.Table | None" = None,
+    *,
+    gap_seconds: float = 120.0,
+    features: list[str] | None = None,
+    asof_concurrency: "int | tuple" = 8,
+):
+    """Shuffle-free flagship over a conversation-PARTITIONED Parquet
+    layout: each file holds only complete conversations (disjoint
+    conv-id sets per file — the layout the engine's own resumable sink
+    writes, and the bucketed-table contract warehouses use to elide
+    exchanges). When the partitioning already lives in the STORAGE,
+    re-deriving it is pure waste: one task per file does
+    read → stable (conv, turn, ts) sort → project → fused kernels, and
+    the conv-bucket exchange — the pipeline's single all-to-all and the
+    dominant fixed span of the scaling curve — vanishes. Output is
+    value-identical to :func:`flagship` (tests/test_round4b_ops.py).
+
+    The caller owns the layout contract; a file that splits a
+    conversation across files would silently produce per-file windows
+    (exactly the bucketed-table rule every engine has). The as-of
+    backfill is unchanged — the broadcast actor pool never needed the
+    exchange."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.schema import TRANSCRIPT_COLUMNS
+    from ptrail_ray.stages.bucket import sort_bucket
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+
+    def kern(table: pa.Table) -> pa.Table:
+        table = project_measures(sort_bucket(table))
+        table = compute_features(
+            table, features or ALL_FEATURES, gap_seconds=gap_seconds
+        )
+        return add_temporal_columns(table)
+
+    def process_file(batch) -> pa.Table:
+        out = []
+        for f in batch["item"]:
+            out.append(kern(pq.read_table(f, columns=TRANSCRIPT_COLUMNS)))
+        return pa.concat_tables(out)
+
+    out = rd.from_items(files).map_batches(
+        process_file, batch_size=1, num_cpus=1
+    )
+    if side is not None:
+        out = asof_join(out, side, concurrency=asof_concurrency)
+    return out

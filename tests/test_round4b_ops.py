@@ -609,3 +609,35 @@ def test_session_gini_kernel(ray_session):
         (1, 1): (1, 0.0),
         (2, 0): (2, 0.5),
     }
+
+
+def test_flagship_prepartitioned_value_identical(ray_session):
+    import os
+    import tempfile
+
+    from ptrail_ray.pipelines.flagship import flagship, flagship_prepartitioned
+    from ptrail_ray.sources.transcripts import (
+        read_transcripts,
+        side_scd_from_events,
+        write_synth,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        write_synth(d, n_convs=60, mean_turns=12, seed=5, n_files=4, n_hot=1,
+                    hot_turns=300)
+        side = side_scd_from_events("/root/testdata/sf0.001")
+        a = (
+            flagship(read_transcripts(d), side, num_buckets=8,
+                     asof_concurrency=2)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "ts"])
+            .reset_index(drop=True)
+        )
+        b = (
+            flagship_prepartitioned(d, side, asof_concurrency=2)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "ts"])
+            .reset_index(drop=True)
+        )
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
