@@ -38,7 +38,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "640000"))
 BENCH_MEAN_TURNS = int(os.environ.get("BENCH_MEAN_TURNS", "45"))
 BENCH_SEED = 42
-BENCH_DIR = f"/tmp/ptrail_ray_bench/convs{BENCH_CONVS}_mt{BENCH_MEAN_TURNS}_s{BENCH_SEED}"
+# file count = the storage partition granularity. The default 32 keeps
+# the historical corpus byte-identical; the prepartitioned path needs
+# ≥4 partitions per CPU slot (the engine's own read-block rule) — pass
+# BENCH_FILES=128 for 32-CPU prepart measurements (different per-file
+# seeds → statistically identical but not row-identical corpus; the
+# two levels of one --scaling run always share one corpus).
+BENCH_FILES = int(os.environ.get("BENCH_FILES", "32"))
+_files_tag = "" if BENCH_FILES == 32 else f"_f{BENCH_FILES}"
+BENCH_DIR = f"/tmp/ptrail_ray_bench/convs{BENCH_CONVS}_mt{BENCH_MEAN_TURNS}_s{BENCH_SEED}{_files_tag}"
 
 # queries that are cheap enough to time at sf0.1 every round
 BENCH_QUERIES = [
@@ -150,7 +158,7 @@ def ensure_bench_corpus() -> str:
             n_convs=BENCH_CONVS,
             mean_turns=BENCH_MEAN_TURNS,
             seed=BENCH_SEED,
-            n_files=32,
+            n_files=BENCH_FILES,
             n_hot=8,
             hot_turns=20000,
         )

@@ -1,0 +1,228 @@
+"""All-pairs similarity search (APSS) over sparse TF-weighted vectors.
+
+The inverted-index cosine join (Bayardo et al., WWW'07 "Scaling Up
+All Pairs Similarity Search" — public): every document pair sharing a
+non-stop term gets its EXACT cosine over ratio-idf TF vectors, pairs
+below the threshold dropped. The sparse complement of
+`functions/ann.cosine_pairs` (dense embeddings): here similarity comes
+from the TEXT itself, the candidate structure is the inverted index,
+and the candidate volume is bounded by the MOSS-style stop-term rule
+(terms with document frequency > max_df are excluded from vectors and
+norms — the same contract as `dedup.containment_pairs`, replayed
+exactly by the SQL oracle). ``ngram=2`` (word bigrams) is the default
+term space: the synthetic corpus's ~31-word unigram vocabulary puts
+every unigram's df at ~0.8·N (all stop or all kept — the containment
+k=3 degenerate regime); bigrams restore Zipf-ish discrimination.
+
+Scale shape — text never shuffles, three narrow exchanges:
+1. df pass: per-batch distinct-(doc, term) partials → one term
+   exchange → Heaps-bounded driver vocab with a LOUD ``max_vocab``
+   guard; the kept (term → df) map broadcasts once via ``ray.put``.
+2. Per-batch weight pass (stateless): a doc lives whole in its row, so
+   tf, the filtered weight w = tf·N/df, the exact-int norm
+   ``Σ round(w²·1e9)``, and the unit weights x = w/‖w‖ are all final
+   inside the batch. Only (term, doc, x) postings leave.
+3. Pair exchange on term: per bucket a vectorized self-merge per term
+   emits int64-quantized contribution partials round(x_a·x_b·1e9),
+   pre-aggregated by pair before anything moves — volume
+   Σ_t C(df_t, 2), df ≤ max_df by the stop rule.
+4. Pair-keyed exchange sums the exact ints; cosine = Σ/1e9, one float
+   division — bit-identical to the SQL replica, order-free under any
+   batch split.
+
+Exactness: N·tf is exact int; /df is ONE IEEE division; x products are
+rounded to 1e-9 before summation on both engines. sqrt is IEEE
+correctly-rounded, so norms agree bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ptrail_ray.functions.cluster import QUANT_SCALE, _quant_int64
+
+_EMPTY_POSTS = {
+    "term": pa.array([], pa.string()),
+    "doc": pa.array([], pa.int64()),
+    "x": pa.array([], pa.float64()),
+}
+
+
+def _term_codes(col, ngram: int):
+    """(codes, vocab, row idx) for the chosen term space: unigrams via
+    the shared tokenizer, word bigrams via one shifted Arrow join +
+    dictionary encode — C-speed, no Python per token."""
+    from ptrail_ray.functions.tokenize import arrow_tokens, encoded_tokens
+
+    if ngram == 1:
+        return encoded_tokens(col)
+    if ngram != 2:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    flat, idx = arrow_tokens(col)
+    n = len(flat)
+    if n < 2:
+        return np.zeros(0, np.int64), pa.array([], pa.string()), np.zeros(0, np.int64)
+    same = idx[1:] == idx[:-1]
+    bg = pc.binary_join_element_wise(
+        flat.slice(0, n - 1).cast(pa.string()), flat.slice(1).cast(pa.string()), " "
+    )
+    bg = bg.filter(pa.array(same))
+    de = pc.dictionary_encode(bg)
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    return (
+        de.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        de.dictionary,
+        idx[:-1][same],
+    )
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def sparse_cosine_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    ngram: int = 2,
+    num_buckets: int = 32,
+    max_vocab: int = 1 << 22,
+    batch_size: int | None = 1 << 18,
+):
+    """Exact cosine ≥ ``threshold`` pairs over stop-filtered TF·(N/df)
+    n-gram vectors. Returns a Dataset (doc_a, doc_b, cosine) with
+    doc_a < doc_b."""
+    import ray
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    n_docs = ds.count()
+
+    # ---- pass 1: document frequency over the term space -------------
+    def df_partial(t: pa.Table) -> pa.Table:
+        codes, vocab, idx = _term_codes(t[text_col], ngram)
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        V = len(vocab)
+        dt = np.unique(idx * V + codes)
+        tcode, cnt = np.unique(dt % V, return_counts=True)
+        return pa.table(
+            {
+                "term": vocab.take(pa.array(tcode)).cast(pa.string()),
+                "df": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def df_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False, sort=False)["df"].sum()
+
+    vocab_df = grouped_agg_by_bucket(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=batch_size),
+        "term",
+        df_combine,
+        num_buckets=num_buckets,
+        partial_batch=None,
+    ).to_pandas()
+    if len(vocab_df) > max_vocab:
+        raise ValueError(
+            f"sparse_cosine_pairs: vocabulary {len(vocab_df)} exceeds "
+            f"max_vocab={max_vocab} — loud failure, never truncation"
+        )
+    keep = vocab_df[vocab_df["df"] <= max_df]
+    df_ref = ray.put(dict(zip(keep["term"], keep["df"].astype(np.int64))))
+
+    # ---- pass 2: per-batch unit weights (doc-local, stateless) ------
+    def weights(t: pa.Table) -> pa.Table:
+        codes, vocab, idx = _term_codes(t[text_col], ngram)
+        if len(codes) == 0:
+            return pa.table(_EMPTY_POSTS)
+        df_map = ray.get(df_ref)
+        V = len(vocab)
+        vdf = np.array(
+            [df_map.get(w, 0) for w in vocab.to_pylist()], np.int64
+        )  # 0 = stop/absent
+        doc = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = idx.astype(np.int64) * V + codes
+        uk, tf = np.unique(key, return_counts=True)
+        row, code = uk // V, uk % V
+        ok = vdf[code] > 0
+        row, code, tf = row[ok], code[ok], tf[ok].astype(np.int64)
+        if len(row) == 0:
+            return pa.table(_EMPTY_POSTS)
+        w = (tf * np.int64(n_docs)).astype(np.float64) / vdf[code].astype(np.float64)
+        norm2 = np.zeros(t.num_rows, np.int64)
+        np.add.at(norm2, row, _quant_int64(w * w))
+        nr = np.sqrt(norm2.astype(np.float64) / QUANT_SCALE)
+        x = w / nr[row]
+        return pa.table(
+            {
+                "term": vocab.take(pa.array(code)).cast(pa.string()),
+                "doc": pa.array(doc[row], pa.int64()),
+                "x": pa.array(x, pa.float64()),
+            }
+        )
+
+    posts = ds.map_batches(weights, batch_format="pyarrow", batch_size=batch_size)
+
+    # ---- pass 3: per-term pair contributions, pre-aggregated --------
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_pairs()
+        m = df.merge(df, on="term")
+        m = m[m["doc_x"] < m["doc_y"]]
+        if m.empty:
+            return _empty_pairs()
+        contrib = _quant_int64(m["x_x"].to_numpy() * m["x_y"].to_numpy())
+        return (
+            pd.DataFrame(
+                {
+                    "doc_a": m["doc_x"].to_numpy(),
+                    "doc_b": m["doc_y"].to_numpy(),
+                    "s": contrib,
+                }
+            )
+            .groupby(["doc_a", "doc_b"], as_index=False, sort=False)["s"]
+            .sum()
+        )
+
+    parts = grouped_agg_by_bucket(
+        posts, "term", pair_partials, num_buckets=num_buckets, partial_batch=None
+    )
+
+    thr = float(threshold)
+
+    # ---- pass 4: exact pair sums → cosine, threshold ----------------
+    def finalize_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)["s"].sum()
+        cos = g["s"].to_numpy(np.int64).astype(np.float64) / QUANT_SCALE
+        out = pd.DataFrame(
+            {
+                "doc_a": g["doc_a"].to_numpy(np.int64),
+                "doc_b": g["doc_b"].to_numpy(np.int64),
+                "cosine": cos,
+            }
+        )
+        return out[out["cosine"] >= thr]
+
+    return grouped_agg_by_bucket(
+        parts,
+        ["doc_a", "doc_b"],
+        finalize_pairs,
+        num_buckets=num_buckets,
+        partial_batch=None,
+    )
