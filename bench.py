@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q_target_encode_loo",
     "q_response_latency",
     "q_burstiness",
+    "q_rrf_fusion",
+    "q_kappa",
 ]
 
 

@@ -7064,6 +7064,198 @@ def q_target_encode_loo(sf_dir):
     return finalize(out, round_columns=["te_loo"])
 
 
+RRF_K = 60
+RRF_TOPN = 100
+
+
+def q_rrf_fusion(sf_dir):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09 — public) of
+    two top-N rankings: BM25 relevance (the quantized-exact ranker
+    behind q_bm25) and a length/quality prior (n_chars). Each ranker's
+    top-N comes from per-batch candidate pruning + a bounded driver
+    merge (the q_ann_cosine partial-top-k shape — no global sort); the
+    fused score is Σ floor(10⁹/(60+rank)) over the lists a doc appears
+    in, an EXACT integer on both engines (floor of a small-int ratio
+    can't straddle an IEEE boundary: |p/q − m| ≥ 1/q ≫ ulp). Ties in
+    bm25 break by doc_id; the bm25 float orders identically to its
+    underlying int64 quantized sum, so ranks are engine-independent."""
+    from ptrail_ray.functions.retrieval import bm25_scores
+
+    def topn(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        return df.sort_values(
+            [col, "doc_id"], ascending=[False, True], kind="stable"
+        ).head(RRF_TOPN)
+
+    bm = bm25_scores(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), list(BM25_TERMS)
+    )
+    bm_parts = bm.map_batches(
+        lambda t: pa.Table.from_pandas(
+            topn(t.to_pandas(), "bm25"), preserve_index=False
+        ),
+        batch_format="pyarrow",
+        batch_size=1 << 20,
+    ).to_pandas()
+    rank_a = topn(bm_parts, "bm25").reset_index(drop=True)
+    ln_parts = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "n_chars"])
+        .map_batches(
+            lambda t: pa.Table.from_pandas(
+                topn(t.to_pandas(), "n_chars"), preserve_index=False
+            ),
+            batch_format="pyarrow",
+            batch_size=1 << 20,
+        )
+        .to_pandas()
+    )
+    rank_b = topn(ln_parts, "n_chars").reset_index(drop=True)
+    score: dict[int, int] = {}
+    for ranked in (rank_a, rank_b):
+        for pos, did in enumerate(ranked["doc_id"].astype(int), start=1):
+            score[did] = score.get(did, 0) + 10**9 // (RRF_K + pos)
+    out = pd.DataFrame(
+        sorted(score.items()), columns=["doc_id", "rrf_micro"]
+    ).astype({"doc_id": "int64", "rrf_micro": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_rrf_fusion"] = (
+    r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl FROM d),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM d),
+tf AS (
+  SELECT doc_id, w, any_value(dl) AS dl, count(*) AS tf
+  FROM tok WHERE w IN ('join', 'window', 'dup', 'spark')
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * ((tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                + (0.75 * tf.dl)
+                                  / (CAST(stats.sumdl AS DOUBLE) / stats.n_docs))))
+           * 1000000000.0) AS BIGINT) AS c
+  FROM tf JOIN df USING (w) CROSS JOIN stats
+),
+bm AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm QUALIFY r <= {TOPN}
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= {TOPN}
+)
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       CAST(coalesce(CAST(floor(1000000000.0 / ({K} + ra.r)) AS BIGINT), 0)
+            + coalesce(CAST(floor(1000000000.0 / ({K} + rb.r)) AS BIGINT), 0)
+            AS BIGINT) AS rrf_micro
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+""".replace("{TOPN}", str(RRF_TOPN)).replace("{K}", str(RRF_K))
+)
+QUERIES["q_rrf_fusion"] = q_rrf_fusion
+
+
+def q_kappa(sf_dir):
+    """Cohen's kappa between the catalog `lang` label and the engine's
+    stopword-profile language-ID prediction — chance-corrected
+    agreement, THE eval metric for a classifier gate (here: should the
+    lang filter be trusted). Reuses the bounded confusion partials of
+    q_lang_confusion; kappa's numerator N·agree − Σ_k row_k·col_k and
+    denominator N² − Σ_k row_k·col_k are exact integers (HUGEINT on the
+    SQL side), then ONE IEEE division. Degenerate margins (pe = 1) →
+    NULL."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import add_lang_id
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pred = add_lang_id(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "lang_pred": t["lang_pred"].to_pandas()}
+        )
+        g = df.groupby(["lang", "lang_pred"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pred.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    c = parts.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+    N = int(c["n"].sum())
+    agree = int(c.loc[c["lang"] == c["lang_pred"], "n"].sum())
+    row = c.groupby("lang")["n"].sum()
+    col = c.groupby("lang_pred")["n"].sum()
+    cross = sum(int(row[k]) * int(col[k]) for k in row.index if k in col.index)
+    den = N * N - cross
+    kappa = None if den == 0 else float(N * agree - cross) / float(den)
+    out = pa.table(
+        {
+            "n_docs": pa.array([N], pa.int64()),
+            "agree": pa.array([agree], pa.int64()),
+            "kappa": pa.array([kappa], pa.float64()),
+        }
+    )
+    return finalize(out, round_columns=["kappa"])
+
+
+ORACLE_SQL["q_kappa"] = f"""
+WITH d AS (
+  SELECT lang, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0 AND
+              CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)/len(toks) > 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM d
+),
+c AS (SELECT lang, lang_pred, CAST(count(*) AS HUGEINT) AS n FROM p GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+         CAST(coalesce(sum(CASE WHEN lang = lang_pred THEN n END), 0) AS HUGEINT) AS agree
+  FROM c
+),
+r AS (SELECT lang AS lab, CAST(sum(n) AS HUGEINT) AS rn_ FROM c GROUP BY 1),
+cl AS (SELECT lang_pred AS lab, CAST(sum(n) AS HUGEINT) AS cn_ FROM c GROUP BY 1),
+x AS (SELECT CAST(coalesce(sum(r.rn_ * cl.cn_), 0) AS HUGEINT) AS cross_
+      FROM r JOIN cl USING (lab))
+SELECT CAST(nn AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS agree,
+       CASE WHEN nn * nn - cross_ = 0 THEN NULL
+            ELSE round(CAST(nn * agree - cross_ AS DOUBLE)
+                       / CAST(nn * nn - cross_ AS DOUBLE), 6) + 0.0
+       END AS kappa
+FROM tot CROSS JOIN x
+"""
+QUERIES["q_kappa"] = q_kappa
+
+
 def q_response_latency(sf_dir):
     """Assistant response latency per conversation: over every adjacent
     user→assistant turn pair (in the stable (turn_idx, ts) order), the
@@ -7280,7 +7472,7 @@ _PRIORITY = [
     "q_embed_outlier", "q_funnel_windowed", "q_sparse_cosine",
     "q_wow_growth", "q_pagerank", "q_twap", "q_drift_welch",
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
-    "q_response_latency", "q_burstiness",
+    "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -147,3 +147,61 @@ def test_burstiness_matches_definition(ray_session):
         # population variance / mean^2 (the n_d-scaled exact form)
         cv2 = d.var() / (mu * mu)
         assert abs(got - cv2) < 1e-6, conv
+
+
+def test_rrf_fusion_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, RRF_K
+
+    # bm25 ranking: docs containing the query terms, by score; quality
+    # ranking: by n_chars desc. Both lists tiny and disjointly known.
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["join join window", "join", "nothing relevant here"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([5, 50, 500], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = (
+            QUERIES["q_rrf_fusion"](d).to_pandas().set_index("doc_id")["rrf_micro"]
+        )
+    r = lambda pos: 10**9 // (RRF_K + pos)
+    # bm25: doc1 (2x join + window) > doc2 (join); doc3 scores nothing.
+    # n_chars: doc3 > doc2 > doc1.
+    assert out[1] == r(1) + r(3)
+    assert out[2] == r(2) + r(2)
+    assert out[3] == r(1)
+
+
+def test_kappa_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    # stopword ratio > 0.05 → pred 'en', else 'unk'
+    en_text = "the of and in to"
+    unk_text = "zzz qqq www yyy xxx"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                [en_text, en_text, unk_text, en_text, unk_text, unk_text],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "en", "unk", "unk", "unk"], pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([10] * 6, pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_kappa"](d).to_pandas()
+    # confusion: en→en 2, en→unk 1, unk→en 1, unk→unk 2 → agree 4 of 6
+    # rows en=3, unk=3; cols en=3, unk=3; cross = 9+9=18
+    # kappa = (6*4 − 18)/(36 − 18) = 6/18 = 1/3
+    assert out.loc[0, "n_docs"] == 6 and out.loc[0, "agree"] == 4
+    assert abs(out.loc[0, "kappa"] - 1 / 3) < 1e-6
