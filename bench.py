@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "q_burstiness",
     "q_rrf_fusion",
     "q_kappa",
+    "q_render_sft",
+    "q_loss_mask",
 ]
 
 

@@ -7064,6 +7064,140 @@ def q_target_encode_loo(sf_dir):
     return finalize(out, round_columns=["te_loo"])
 
 
+def q_render_sft(sf_dir):
+    """SFT chat-template rendering: each conversation serialized to ONE
+    training sample `role: text` per line in the stable (turn_idx, ts)
+    order — the serialization step every SFT/RLHF data pipeline runs
+    after filtering (the counterpart of functions/chunk + pack, which
+    consume its output). Pieces are built vectorized with ONE Arrow
+    kernel (binary_join_element_wise); only the per-CONV newline join is
+    a Python-level reduce (inherent to emitting one string per group).
+    Byte-identical to the ordered string_agg oracle."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "sft_text": pa.array([], pa.string()),
+                    "sft_chars": pa.array([], pa.int64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        text = pc.fill_null(t["text"], "")
+        pieces = pc.binary_join_element_wise(t["role"], text, ": ")
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        ser = pd.Series(pieces.to_pandas().to_numpy(object))
+        rendered = ser.groupby(run_id, sort=True).agg("\n".join)
+        sft = pa.array(rendered.to_numpy(object), pa.string())
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts, pa.int64()),
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "sft_text": sft,
+                "sft_chars": pc.cast(pc.utf8_length(sft), pa.int64()),
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_render_sft"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id,
+       string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                  ORDER BY turn_idx, ts) AS sft_text,
+       CAST(length(string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                  ORDER BY turn_idx, ts)) AS BIGINT) AS sft_chars
+FROM transcripts GROUP BY conv_id
+"""
+QUERIES["q_render_sft"] = q_render_sft
+
+
+def q_loss_mask(sf_dir):
+    """Loss-mask spans for the q_render_sft serialization: for every
+    ASSISTANT turn, the exact [start, end) character offsets of its
+    text inside the conversation's rendered string — what a trainer
+    needs to mask the loss to assistant tokens only. Pure exclusive
+    prefix sums of piece lengths (+1 per newline separator) in the
+    stable order: all int64, no floats anywhere, hash-exact vs the
+    windowed-sum oracle."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_end": pa.array([], pa.int64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        role_len = (
+            pc.cast(pc.utf8_length(t["role"]), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        text_len = (
+            pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        plen = role_len + 2 + text_len
+        # exclusive prefix sum of (piece + newline), reset per run
+        cs = np.concatenate(([0], np.cumsum(plen + 1, dtype=np.int64)))
+        piece_start = cs[:-1] - np.repeat(cs[starts], lengths)
+        span_start = piece_start + role_len + 2
+        span_end = piece_start + plen
+        is_asst = pc.equal(t["role"], "assistant")
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "span_start": pa.array(span_start, pa.int64()),
+                "span_end": pa.array(span_end, pa.int64()),
+            }
+        )
+        return out.filter(is_asst)
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_loss_mask"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, ts, role,
+         CAST(length(role) AS BIGINT) AS rl,
+         CAST(length(role) + 2 + length(coalesce(text, '')) AS BIGINT) AS plen
+  FROM transcripts
+),
+c AS (
+  SELECT conv_id, turn_idx, ts, role, rl, plen,
+         CAST(coalesce(sum(plen + 1) OVER (
+           {W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS piece_start
+  FROM m
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       piece_start + rl + 2 AS span_start,
+       piece_start + plen AS span_end
+FROM c WHERE role = 'assistant'
+"""
+QUERIES["q_loss_mask"] = q_loss_mask
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -7473,6 +7607,7 @@ _PRIORITY = [
     "q_wow_growth", "q_pagerank", "q_twap", "q_drift_welch",
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
+    "q_render_sft", "q_loss_mask",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -205,3 +205,31 @@ def test_kappa_hand_values(ray_session):
     # kappa = (6*4 − 18)/(36 − 18) = 6/18 = 1/3
     assert out.loc[0, "n_docs"] == 6 and out.loc[0, "agree"] == 4
     assert abs(out.loc[0, "kappa"] - 1 / 3) < 1e-6
+
+
+def test_render_sft_and_loss_mask_consistent(ray_session):
+    """The loss-mask spans must slice exactly the assistant text out of
+    the rendered string — the property a trainer depends on."""
+    from ptrail_ray.entry_queries import QUERIES
+
+    rendered = QUERIES["q_render_sft"](SF).to_pandas().set_index("conv_id")
+    spans = QUERIES["q_loss_mask"](SF).to_pandas()
+    ref = _transcripts_pdf()
+    asst = ref[ref["role"] == "assistant"]
+    assert len(spans) == len(asst)
+    by_turn = {
+        (r.conv_id, r.turn_idx): (r.span_start, r.span_end)
+        for r in spans.itertuples()
+    }
+    for r in asst.itertuples():
+        s, e = by_turn[(r.conv_id, int(r.turn_idx))]
+        text = rendered.loc[r.conv_id, "sft_text"]
+        assert text[s:e] == (r.text or ""), (r.conv_id, r.turn_idx)
+    # rendered text matches a direct per-conv join
+    for conv, g in ref.groupby("conv_id", sort=False):
+        exp = "\n".join(
+            f"{role}: {t if t is not None else ''}"
+            for role, t in zip(g["role"], g["text"])
+        )
+        assert rendered.loc[conv, "sft_text"] == exp
+        assert rendered.loc[conv, "sft_chars"] == len(exp)
