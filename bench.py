@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "q_kappa",
     "q_render_sft",
     "q_loss_mask",
+    "q_conv_dedup",
+    "q_asof_staleness",
 ]
 
 

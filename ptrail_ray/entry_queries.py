@@ -7064,15 +7064,9 @@ def q_target_encode_loo(sf_dir):
     return finalize(out, round_columns=["te_loo"])
 
 
-def q_render_sft(sf_dir):
-    """SFT chat-template rendering: each conversation serialized to ONE
-    training sample `role: text` per line in the stable (turn_idx, ts)
-    order — the serialization step every SFT/RLHF data pipeline runs
-    after filtering (the counterpart of functions/chunk + pack, which
-    consume its output). Pieces are built vectorized with ONE Arrow
-    kernel (binary_join_element_wise); only the per-CONV newline join is
-    a Python-level reduce (inherent to emitting one string per group).
-    Byte-identical to the ordered string_agg oracle."""
+def _render_sft_ds(sf_dir):
+    """Shared renderer for q_render_sft / q_conv_dedup: one sample per
+    conversation, `role: text` per line in the stable order."""
     from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
 
     ds = derive_from_events(sf_dir, num_buckets=16)
@@ -7108,6 +7102,18 @@ def q_render_sft(sf_dir):
         )
 
     return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+def q_render_sft(sf_dir):
+    """SFT chat-template rendering: each conversation serialized to ONE
+    training sample `role: text` per line in the stable (turn_idx, ts)
+    order — the serialization step every SFT/RLHF data pipeline runs
+    after filtering (the counterpart of functions/chunk + pack, which
+    consume its output). Pieces are built vectorized with ONE Arrow
+    kernel (binary_join_element_wise); only the per-CONV newline join is
+    a Python-level reduce (inherent to emitting one string per group).
+    Byte-identical to the ordered string_agg oracle."""
+    return _render_sft_ds(sf_dir)
 
 
 ORACLE_SQL["q_render_sft"] = f"""
@@ -7196,6 +7202,121 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM c WHERE role = 'assistant'
 """
 QUERIES["q_loss_mask"] = q_loss_mask
+
+
+def q_conv_dedup(sf_dir):
+    """Conversation-level exact dedup: conversations whose ENTIRE
+    rendered SFT sample is content-identical collapse to the
+    lexicographically smallest conv_id — the whole-dialogue rung above
+    per-turn remove_duplicates (reference: filters.remove_duplicates,
+    ptrail/preprocessing/filters.py drop_duplicates semantics, lifted
+    to the dialogue granularity an LLM corpus needs). Pure composition:
+    the q_render_sft renderer feeds functions/dedup.exact_dedup's
+    one-exchange keep-min (md5 content fingerprint, oracle-replayed)."""
+    from ptrail_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(_render_sft_ds(sf_dir), text_col="sft_text", id_col="conv_id")
+    return out.select_columns(["conv_id", "fingerprint"])
+
+
+ORACLE_SQL["q_conv_dedup"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+r AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                    ORDER BY turn_idx, ts) AS sft
+  FROM transcripts GROUP BY conv_id
+),
+f AS (
+  SELECT conv_id,
+         md5(coalesce(list_aggregate(regexp_extract_all(coalesce(sft, ''), '\\S+'),
+                                     'string_agg', ' '), '')) AS fingerprint
+  FROM r
+)
+SELECT min(conv_id) AS conv_id, fingerprint FROM f GROUP BY fingerprint
+"""
+QUERIES["q_conv_dedup"] = q_conv_dedup
+
+
+ASOF_BANDS_US = (3_600_000_000, 86_400_000_000, 604_800_000_000)  # 1h, 1d, 7d
+
+
+def q_asof_staleness(sf_dir):
+    """Backfill staleness audit for the as-of join: how old is the
+    side-table version each turn actually reads (ts − effective_ts),
+    banded [0,1h) / [1h,1d) / [1d,7d) / ≥7d / never-matched — the
+    data-quality report a point-in-time feature store runs to catch
+    silently stale attributes. The side table rides the SAME broadcast
+    AsofJoiner with effective_ts duplicated as a payload column; band
+    thresholds are exact int64 µs comparisons, counts are bounded
+    (5-row) partials."""
+    from ptrail_ray.stages.asof import asof_join
+
+    ds = derive_from_events(sf_dir)
+    side = side_scd_from_events(sf_dir)
+    if isinstance(side, pa.Table):
+        side = side.append_column("matched_ts", side["effective_ts"])
+    else:
+        side = side.assign(matched_ts=side["effective_ts"])
+
+    joined = asof_join(ds, side, concurrency=2)
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        mt = t["matched_ts"]
+        if pa.types.is_timestamp(mt.type) and mt.type.unit != "us":
+            mt = pc.cast(mt, pa.timestamp("us"))
+        mt = mt.combine_chunks() if isinstance(mt, pa.ChunkedArray) else mt
+        matched = pc.is_valid(mt).to_numpy(zero_copy_only=False)
+        age = ts_us - mt.to_numpy(zero_copy_only=False).view("int64")
+        h, d, w = ASOF_BANDS_US
+        band = np.where(
+            ~matched,
+            "never",
+            np.where(
+                age < h, "lt_1h", np.where(age < d, "lt_1d",
+                                           np.where(age < w, "lt_7d", "ge_7d"))
+            ),
+        )
+        labs, counts = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(labs.astype(object), pa.string()),
+                "n_turns": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(
+        band_partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    out = parts.groupby("band", as_index=False)["n_turns"].sum()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_asof_staleness"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+side AS ({SIDE_SCD_SQL}),
+j AS (
+  SELECT t.ts, s.effective_ts
+  FROM transcripts t
+  ASOF LEFT JOIN side s ON t.conv_id = s.key AND t.ts >= s.effective_ts
+),
+b AS (
+  SELECT CASE
+           WHEN effective_ts IS NULL THEN 'never'
+           WHEN date_diff('microsecond', effective_ts, ts) < {ASOF_BANDS_US[0]} THEN 'lt_1h'
+           WHEN date_diff('microsecond', effective_ts, ts) < {ASOF_BANDS_US[1]} THEN 'lt_1d'
+           WHEN date_diff('microsecond', effective_ts, ts) < {ASOF_BANDS_US[2]} THEN 'lt_7d'
+           ELSE 'ge_7d'
+         END AS band
+  FROM j
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_turns FROM b GROUP BY band
+"""
+QUERIES["q_asof_staleness"] = q_asof_staleness
 
 
 RRF_K = 60
@@ -7607,7 +7728,7 @@ _PRIORITY = [
     "q_wow_growth", "q_pagerank", "q_twap", "q_drift_welch",
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
-    "q_render_sft", "q_loss_mask",
+    "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -233,3 +233,42 @@ def test_render_sft_and_loss_mask_consistent(ray_session):
         )
         assert rendered.loc[conv, "sft_text"] == exp
         assert rendered.loc[conv, "sft_chars"] == len(exp)
+
+
+def test_conv_dedup_collapses_identical_rendering(ray_session):
+    """Two users with byte-identical event streams render identically
+    and must collapse to the lexicographically smaller conv_id."""
+    from ptrail_ray.entry_queries import QUERIES
+
+    rows = [(1, "chat", 0), (1, "chat", 10_000_000), (2, "chat", 0),
+            (2, "chat", 10_000_000), (3, "chat", 5_000_000)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["x"] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = QUERIES["q_conv_dedup"](d).to_pandas()
+        rendered = QUERIES["q_render_sft"](d).to_pandas()
+    ident = rendered.set_index("conv_id")["sft_text"]
+    # if conv-1 and conv-2 rendered identically, only conv-1 survives
+    if ident["conv-1"] == ident["conv-2"]:
+        assert set(out["conv_id"]) == {"conv-1", "conv-3"}
+    else:
+        assert len(out) == 3
+
+
+def test_asof_staleness_bands_sum_to_turn_count(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    out = QUERIES["q_asof_staleness"](SF).to_pandas()
+    n_turns = derive_from_events(SF).count()
+    assert int(out["n_turns"].sum()) == n_turns
+    assert set(out["band"]) <= {"never", "lt_1h", "lt_1d", "lt_7d", "ge_7d"}
