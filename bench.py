@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "q_loss_mask",
     "q_conv_dedup",
     "q_asof_staleness",
+    "q_pref_pairs",
+    "q_speaker_balance",
 ]
 
 

@@ -7319,6 +7319,177 @@ SELECT band, CAST(count(*) AS BIGINT) AS n_turns FROM b GROUP BY band
 QUERIES["q_asof_staleness"] = q_asof_staleness
 
 
+def q_pref_pairs(sf_dir):
+    """DPO/RLHF preference-pair mining: per (lang, source) cell, pair
+    the highest-scoring document (chosen) with the lowest (rejected) —
+    the pair-construction step preference-tuning corpora run after
+    quality scoring (score here: n_chars as the SQL-replayable stand-in
+    for the quality model; ordering ties break by doc_id asc on both
+    ends). Per-batch argmax/argmin partials are associative and
+    order-free, so the merge is a catalog-sized driver reduce — the
+    documents table never shuffles. Cells whose best and worst scores
+    tie are dropped (no learnable margin)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "chosen_id": pa.array([], pa.int64()),
+                    "chosen_chars": pa.array([], pa.int64()),
+                    "rejected_id": pa.array([], pa.int64()),
+                    "rejected_chars": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas(),
+                "source": t["source"].to_pandas(),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        best = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                           kind="stable")
+            .groupby(["lang", "source"], as_index=False, sort=False)
+            .first()
+            .rename(columns={"doc_id": "chosen_id", "n_chars": "chosen_chars"})
+        )
+        worst = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[True, True],
+                           kind="stable")
+            .groupby(["lang", "source"], as_index=False, sort=False)
+            .first()
+            .rename(columns={"doc_id": "rejected_id", "n_chars": "rejected_chars"})
+        )
+        m = best.merge(worst, on=["lang", "source"], validate="one_to_one")
+        for c in ("chosen_id", "chosen_chars", "rejected_id", "rejected_chars"):
+            m[c] = m[c].astype("int64")
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    parts = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+    )
+    # associative re-reduce of the partials with the same orderings
+    best = (
+        parts.sort_values(["chosen_chars", "chosen_id"], ascending=[False, True],
+                          kind="stable")
+        .groupby(["lang", "source"], as_index=False, sort=False)
+        .first()[["lang", "source", "chosen_id", "chosen_chars"]]
+    )
+    worst = (
+        parts.sort_values(["rejected_chars", "rejected_id"],
+                          ascending=[True, True], kind="stable")
+        .groupby(["lang", "source"], as_index=False, sort=False)
+        .first()[["lang", "source", "rejected_id", "rejected_chars"]]
+    )
+    m = best.merge(worst, on=["lang", "source"], validate="one_to_one")
+    m = m[m["chosen_chars"] > m["rejected_chars"]].reset_index(drop=True)
+    m["margin"] = (m["chosen_chars"] - m["rejected_chars"]).astype("int64")
+    return pa.Table.from_pandas(
+        m[["lang", "source", "chosen_id", "rejected_id", "margin"]],
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_pref_pairs"] = """
+WITH r AS (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars ASC, doc_id) AS rw
+  FROM documents
+),
+b AS (SELECT lang, source, doc_id AS chosen_id, n_chars AS cc FROM r WHERE rb = 1),
+w AS (SELECT lang, source, doc_id AS rejected_id, n_chars AS rc FROM r WHERE rw = 1)
+SELECT lang, source, CAST(chosen_id AS BIGINT) AS chosen_id,
+       CAST(rejected_id AS BIGINT) AS rejected_id,
+       CAST(cc - rc AS BIGINT) AS margin
+FROM b JOIN w USING (lang, source)
+WHERE cc > rc
+"""
+QUERIES["q_pref_pairs"] = q_pref_pairs
+
+
+def q_speaker_balance(sf_dir):
+    """Speaker balance per conversation: assistant vs user character
+    share (assistant_chars / (assistant_chars + user_chars)) — the
+    dialogue-shape feature SFT curation filters on (degenerate
+    monologues at either extreme). Masked reduceat sums inside the conv
+    exchange, exact ints, ONE IEEE division; conversations with no
+    user/assistant characters at all → NULL share."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16).map_batches(
+        lambda t: project_measures(t), batch_format="pyarrow", batch_size=None
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "assistant_chars": pa.array([], pa.int64()),
+                    "user_chars": pa.array([], pa.int64()),
+                    "assistant_share": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        m1 = t["m1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t["role"].to_numpy(zero_copy_only=False).astype(object)
+        a = np.add.reduceat(np.where(role == "assistant", m1, 0), starts)
+        u = np.add.reduceat(np.where(role == "user", m1, 0), starts)
+        tot = a + u
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = a.astype(np.float64) / tot.astype(np.float64)
+        conv = pc.take(
+            t["conv_id"].combine_chunks()
+            if isinstance(t["conv_id"], pa.ChunkedArray)
+            else t["conv_id"],
+            pa.array(starts, pa.int64()),
+        )
+        return pa.table(
+            {
+                "conv_id": conv,
+                "assistant_chars": pa.array(a, pa.int64()),
+                "user_chars": pa.array(u, pa.int64()),
+                "assistant_share": pa.array(share, pa.float64(), mask=(tot == 0)),
+            }
+        )
+
+    return finalize(
+        map_conv_buckets(ds, kern, num_buckets=16),
+        round_columns=["assistant_share"],
+    )
+
+
+ORACLE_SQL["q_speaker_balance"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+a AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'assistant'
+                  THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT) AS assistant_chars,
+         CAST(sum(CASE WHEN role = 'user'
+                  THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT) AS user_chars
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id, assistant_chars, user_chars,
+       CASE WHEN assistant_chars + user_chars = 0 THEN NULL
+            ELSE round(CAST(assistant_chars AS DOUBLE)
+                       / CAST(assistant_chars + user_chars AS DOUBLE), 6) + 0.0
+       END AS assistant_share
+FROM a
+"""
+QUERIES["q_speaker_balance"] = q_speaker_balance
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -7729,6 +7900,7 @@ _PRIORITY = [
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
+    "q_pref_pairs", "q_speaker_balance",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -272,3 +272,43 @@ def test_asof_staleness_bands_sum_to_turn_count(ray_session):
     n_turns = derive_from_events(SF).count()
     assert int(out["n_turns"].sum()) == n_turns
     assert set(out["band"]) <= {"never", "lt_1h", "lt_1d", "lt_7d", "ge_7d"}
+
+
+def test_pref_pairs_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["x"] * 5, pa.string()),
+            "lang": pa.array(["en", "en", "en", "fr", "fr"], pa.string()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            # en: 30 > 10 → pair (3 chosen, 1 rejected); fr: tie → dropped
+            "n_chars": pa.array([10, 20, 30, 7, 7], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_pref_pairs"](d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["lang"], r["chosen_id"], r["rejected_id"], r["margin"]) == (
+        "en", 3, 1, 20,
+    )
+
+
+def test_speaker_balance_matches_pandas(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_speaker_balance"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        a = int(g.loc[g["role"] == "assistant", "m1"].sum())
+        u = int(g.loc[g["role"] == "user", "m1"].sum())
+        row = out.loc[conv]
+        assert row["assistant_chars"] == a and row["user_chars"] == u
+        if a + u == 0:
+            assert np.isnan(row["assistant_share"])
+        else:
+            assert abs(row["assistant_share"] - a / (a + u)) < 1e-6
