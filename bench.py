@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_asof_staleness",
     "q_pref_pairs",
     "q_speaker_balance",
+    "q_ttr",
 ]
 
 

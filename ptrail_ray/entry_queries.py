@@ -7490,6 +7490,68 @@ FROM a
 QUERIES["q_speaker_balance"] = q_speaker_balance
 
 
+def q_ttr(sf_dir):
+    """Type-token ratio (lexical richness) per document — the
+    vocabulary-diversity quality feature (low TTR = templated/spam,
+    degenerate repetition; the per-doc sibling of the Gopher repetition
+    scores in q_doc_repetition). One stateless pass: the shared
+    dictionary-encoded tokenizer gives int codes, distinct-per-doc is a
+    np.unique over (doc, code) pairs — per UNIQUE pair, never per
+    token. Exact ints, ONE IEEE division; empty docs → NULL."""
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    def stat(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "ttr": pa.array([], pa.float64()),
+                }
+            )
+        codes, _vocab, idx = encoded_tokens(t["text"])
+        n_tok = np.bincount(idx, minlength=n).astype(np.int64)
+        if len(codes):
+            pair = np.unique(np.stack([idx, codes], axis=1), axis=0)
+            n_typ = np.bincount(pair[:, 0], minlength=n).astype(np.int64)
+        else:
+            n_typ = np.zeros(n, np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ttr = n_typ.astype(np.float64) / n_tok.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_typ, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64(), mask=(n_tok == 0)),
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(stat, batch_format="pyarrow", batch_size=1 << 20)
+    )
+    return finalize(out, round_columns=["ttr"])
+
+
+ORACLE_SQL["q_ttr"] = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CASE WHEN len(toks) = 0 THEN NULL
+            ELSE round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) + 0.0
+       END AS ttr
+FROM d
+"""
+QUERIES["q_ttr"] = q_ttr
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -7900,7 +7962,7 @@ _PRIORITY = [
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
-    "q_pref_pairs", "q_speaker_balance",
+    "q_pref_pairs", "q_speaker_balance", "q_ttr",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

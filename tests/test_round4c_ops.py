@@ -312,3 +312,24 @@ def test_speaker_balance_matches_pandas(ray_session):
             assert np.isnan(row["assistant_share"])
         else:
             assert abs(row["assistant_share"] - a / (a + u)) < 1e-6
+
+
+def test_ttr_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b a", "x y z", ""], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([9, 5, 0], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_ttr"](d).to_pandas().set_index("doc_id")
+    assert (out.loc[1, "n_tokens"], out.loc[1, "n_types"]) == (5, 2)
+    assert abs(out.loc[1, "ttr"] - 0.4) < 1e-9
+    assert abs(out.loc[2, "ttr"] - 1.0) < 1e-9
+    assert out.loc[3, "n_tokens"] == 0 and np.isnan(out.loc[3, "ttr"])
