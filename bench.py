@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q_pref_pairs",
     "q_speaker_balance",
     "q_ttr",
+    "q_auc",
 ]
 
 

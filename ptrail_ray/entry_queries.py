@@ -7552,6 +7552,110 @@ FROM d
 QUERIES["q_ttr"] = q_ttr
 
 
+def q_auc(sf_dir):
+    """Exact ROC-AUC of a quality score (n_chars) against a binary
+    label (lang = 'en') — the Mann-Whitney U / rank-sum evaluation a
+    corpus pipeline runs before trusting any scalar quality gate. Ties
+    use midranks, kept integral by the ×2 trick:
+    2U = Σ_v n_pos(v)·(2·C_<(v) + n_tot(v) + 1), so
+    AUC = (2U − n₁(n₁+1)) / (2·n₁·n₀) is exact-int over exact-int →
+    ONE IEEE division. Distributed as domain-bounded (score → n, n_pos)
+    histogram partials (the q_percent_rank shape) with a LOUD distinct-
+    value guard; the combine is int128-safe Python-int math on the
+    driver. Degenerate single-class inputs → NULL."""
+    MAX_DISTINCT = 1 << 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                }
+            )
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.equal(t["lang"], "en")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uniq, inv = np.unique(v, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        npos = np.zeros(len(uniq), np.int64)
+        np.add.at(npos, inv, y)
+        return pa.table(
+            {
+                "v": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "np_": pa.array(npos, pa.int64()),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .select_columns(["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+    )
+    g = parts.groupby("v", as_index=False)[["n", "np_"]].sum().sort_values("v")
+    if len(g) > MAX_DISTINCT:
+        raise ValueError(
+            f"q_auc: {len(g)} distinct score values exceeds the "
+            f"{MAX_DISTINCT} histogram guard — bin the score first"
+        )
+    n = [int(x) for x in g["n"]]
+    npos = [int(x) for x in g["np_"]]
+    n1 = sum(npos)
+    n0 = sum(n) - n1
+    u2 = 0
+    c_less = 0
+    for ni, pi in zip(n, npos):
+        u2 += pi * (2 * c_less + ni + 1)
+        c_less += ni
+    auc = None if n1 * n0 == 0 else float(u2 - n1 * (n1 + 1)) / float(2 * n1 * n0)
+    out = pa.table(
+        {
+            "n_pos": pa.array([n1], pa.int64()),
+            "n_neg": pa.array([n0], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+    return finalize(out, round_columns=["auc"])
+
+
+ORACLE_SQL["q_auc"] = """
+WITH s AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT v, CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS np_
+  FROM s GROUP BY v
+),
+c AS (
+  SELECT v, n, np_,
+         CAST(coalesce(sum(n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cl
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(np_ * (2 * cl + n + 1)) AS HUGEINT) AS u2,
+         CAST(sum(np_) AS HUGEINT) AS n1,
+         CAST(sum(n - np_) AS HUGEINT) AS n0
+  FROM c
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       CASE WHEN n1 * n0 = 0 THEN NULL
+            ELSE round(CAST(u2 - n1 * (n1 + 1) AS DOUBLE)
+                       / CAST(2 * n1 * n0 AS DOUBLE), 6) + 0.0
+       END AS auc
+FROM t
+"""
+QUERIES["q_auc"] = q_auc
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -7962,7 +8066,7 @@ _PRIORITY = [
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
-    "q_pref_pairs", "q_speaker_balance", "q_ttr",
+    "q_pref_pairs", "q_speaker_balance", "q_ttr", "q_auc",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -333,3 +333,52 @@ def test_ttr_hand_values(ray_session):
     assert abs(out.loc[1, "ttr"] - 0.4) < 1e-9
     assert abs(out.loc[2, "ttr"] - 1.0) < 1e-9
     assert out.loc[3, "n_tokens"] == 0 and np.isnan(out.loc[3, "ttr"])
+
+
+def test_auc_matches_sklearn_style_reference(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    rng = np.random.default_rng(11)
+    n = 400
+    lang = np.where(rng.random(n) < 0.4, "en", "fr")
+    # scores correlated with the label, WITH heavy ties
+    score = rng.integers(0, 25, n) + np.where(lang == "en", 6, 0)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(lang.astype(object), pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array(score.astype(np.int64), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_auc"](d).to_pandas()
+    # reference: pairwise P(score_pos > score_neg) + 0.5 P(tie)
+    pos = score[lang == "en"].astype(np.float64)
+    neg = score[lang != "en"].astype(np.float64)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    ref = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert out.loc[0, "n_pos"] == len(pos) and out.loc[0, "n_neg"] == len(neg)
+    assert abs(out.loc[0, "auc"] - ref) < 1e-6
+    assert out.loc[0, "auc"] > 0.5  # the signal direction
+
+
+def test_auc_degenerate_single_class(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "n_chars": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_auc"](d).to_pandas()
+    assert np.isnan(out.loc[0, "auc"])
