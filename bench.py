@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q_speaker_balance",
     "q_ttr",
     "q_auc",
+    "q_tool_latency",
 ]
 
 

@@ -7848,16 +7848,15 @@ FROM tot CROSS JOIN x
 QUERIES["q_kappa"] = q_kappa
 
 
-def q_response_latency(sf_dir):
-    """Assistant response latency per conversation: over every adjacent
-    user→assistant turn pair (in the stable (turn_idx, ts) order), the
-    pair count and the EXACT median latency in microseconds — the
-    transcript-native cousin of PTRAIL's per-trajectory rate summaries
-    (kinematic_features.py stats family). Latencies are exact int64 ts
-    diffs; the median of ints < 2^52 is exact in IEEE (odd n: the
-    element; even n: (a+b)/2 with a+b exact), so it hash-matches
-    DuckDB's interpolating median() bit-for-bit. Conversations with no
-    such pair are excluded (the SQL GROUP BY after the pair filter)."""
+def _pair_latency_query(sf_dir, role_from: str, role_to: str):
+    """Shared kernel for adjacent role-pair latency (q_response_latency,
+    q_tool_latency): over every adjacent role_from→role_to turn pair in
+    the stable (turn_idx, ts) order, the pair count and the EXACT
+    median latency in microseconds. Latencies are exact int64 ts diffs;
+    the median of ints < 2^52 is exact in IEEE (odd n: the element;
+    even n: (a+b)/2 with a+b exact), so it hash-matches DuckDB's
+    interpolating median() bit-for-bit. Conversations with no such pair
+    are excluded (the SQL GROUP BY after the pair filter)."""
     from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
 
     ds = derive_from_events(sf_dir, num_buckets=16)
@@ -7881,8 +7880,8 @@ def q_response_latency(sf_dir):
         role = t["role"].to_numpy(zero_copy_only=False).astype(object)
         run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
         pair_ok = (
-            (role[:-1] == "user")
-            & (role[1:] == "assistant")
+            (role[:-1] == role_from)
+            & (role[1:] == role_to)
             & (run_id[:-1] == run_id[1:])
         )
         if not pair_ok.any():
@@ -7915,6 +7914,42 @@ def q_response_latency(sf_dir):
         map_conv_buckets(ds, kern, num_buckets=16),
         round_columns=["median_latency_us"],
     )
+
+
+def q_response_latency(sf_dir):
+    """Assistant response latency per conversation (user→assistant
+    adjacent pairs) — see _pair_latency_query; the transcript-native
+    cousin of PTRAIL's per-trajectory rate summaries
+    (kinematic_features.py stats family)."""
+    return _pair_latency_query(sf_dir, "user", "assistant")
+
+
+def q_tool_latency(sf_dir):
+    """Tool-dispatch latency per conversation (assistant→tool adjacent
+    pairs) — the agent-pipeline sibling of q_response_latency: how long
+    after the assistant turn the tool result lands. Same exact-median
+    kernel via _pair_latency_query."""
+    return _pair_latency_query(sf_dir, "assistant", "tool")
+
+
+_PAIR_LATENCY_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, role, ts,
+         lead(role) OVER ({W}) AS role_n,
+         date_diff('microsecond', ts, lead(ts) OVER ({W})) AS lat
+  FROM transcripts
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       round(median(lat), 6) + 0.0 AS median_latency_us
+FROM m
+WHERE role = '[FROM]' AND role_n = '[TO]'
+GROUP BY conv_id
+"""
+ORACLE_SQL["q_tool_latency"] = _PAIR_LATENCY_SQL.replace(
+    "[FROM]", "assistant"
+).replace("[TO]", "tool")
+QUERIES["q_tool_latency"] = q_tool_latency
 
 
 ORACLE_SQL["q_response_latency"] = f"""
@@ -8066,7 +8101,7 @@ _PRIORITY = [
     "q_session_gini", "q_conv_trend", "q_autocorr", "q_target_encode_loo",
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
-    "q_pref_pairs", "q_speaker_balance", "q_ttr", "q_auc",
+    "q_pref_pairs", "q_speaker_balance", "q_ttr", "q_auc", "q_tool_latency",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

@@ -382,3 +382,20 @@ def test_auc_degenerate_single_class(ray_session):
         pq.write_table(docs, os.path.join(d, "documents.parquet"))
         out = QUERIES["q_auc"](d).to_pandas()
     assert np.isnan(out.loc[0, "auc"])
+
+
+def test_tool_latency_matches_pandas(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_latency"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        role = g["role"].to_numpy(object)
+        ts = g["ts"].to_numpy("datetime64[us]").view("int64")
+        ok = (role[:-1] == "assistant") & (role[1:] == "tool")
+        if not ok.any():
+            assert conv not in out.index
+            continue
+        lat = (ts[1:] - ts[:-1])[ok]
+        assert out.loc[conv, "n_responses"] == len(lat)
+        assert abs(out.loc[conv, "median_latency_us"] - float(np.median(lat))) < 1e-6
