@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q_ttr",
     "q_auc",
     "q_tool_latency",
+    "q_gini_lengths",
 ]
 
 

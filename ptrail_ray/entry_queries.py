@@ -7656,6 +7656,95 @@ FROM t
 QUERIES["q_auc"] = q_auc
 
 
+def q_gini_lengths(sf_dir):
+    """Per-source Gini coefficient of document length — the corpus
+    length-concentration diagnostic (G→0: uniform lengths, G→1: a few
+    giants dominate the byte budget). Computed EXACTLY via the
+    pairwise-difference identity G = D / (n·Σx) with
+    D = Σ_{i<j} n_i n_j (v_j − v_i) accumulated over the sorted
+    distinct-value histogram's prefix sums — all integers (int128 via
+    object-int on the driver, HUGEINT in SQL), ONE IEEE division. Same
+    domain-bounded (source, value) histogram shape as q_auc; the
+    documents table never shuffles. Empty/zero-total sources → NULL."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["source", "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        _docs(sf_dir)
+        .select_columns(["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+    )
+    g = parts.groupby(["source", "v"], as_index=False)["n"].sum()
+    rows = []
+    for source, sub in g.sort_values("v").groupby("source", sort=True):
+        vs = [int(x) for x in sub["v"]]
+        ns = [int(x) for x in sub["n"]]
+        n_tot = sum(ns)
+        s_tot = sum(v * c for v, c in zip(vs, ns))
+        d = 0
+        c_less = 0
+        s_less = 0
+        for v, c in zip(vs, ns):
+            d += c * (v * c_less - s_less)
+            c_less += c
+            s_less += v * c
+        den = n_tot * s_tot
+        gini = None if den == 0 else float(d) / float(den)
+        rows.append((source, n_tot, gini))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "gini_len"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return finalize(
+        pa.Table.from_pandas(out, preserve_index=False), round_columns=["gini_len"]
+    )
+
+
+ORACLE_SQL["q_gini_lengths"] = """
+WITH h AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS HUGEINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+c AS (
+  SELECT source, v, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cl,
+         CAST(coalesce(sum(v * n) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS sl
+  FROM h
+),
+a AS (
+  SELECT source, CAST(sum(n) AS HUGEINT) AS n_tot,
+         CAST(sum(v * n) AS HUGEINT) AS s_tot,
+         CAST(sum(n * (v * cl - sl)) AS HUGEINT) AS d
+  FROM c GROUP BY source
+)
+SELECT source, CAST(n_tot AS BIGINT) AS n_docs,
+       CASE WHEN n_tot * s_tot = 0 THEN NULL
+            ELSE round(CAST(d AS DOUBLE) / CAST(n_tot * s_tot AS DOUBLE), 6) + 0.0
+       END AS gini_len
+FROM a
+"""
+QUERIES["q_gini_lengths"] = q_gini_lengths
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -8102,6 +8191,7 @@ _PRIORITY = [
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
     "q_pref_pairs", "q_speaker_balance", "q_ttr", "q_auc", "q_tool_latency",
+    "q_gini_lengths",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

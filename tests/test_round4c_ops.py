@@ -399,3 +399,27 @@ def test_tool_latency_matches_pandas(ray_session):
         lat = (ts[1:] - ts[:-1])[ok]
         assert out.loc[conv, "n_responses"] == len(lat)
         assert abs(out.loc[conv, "median_latency_us"] - float(np.median(lat))) < 1e-6
+
+
+def test_gini_lengths_matches_definition(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gini_lengths"](SF).to_pandas().set_index("source")
+    import pyarrow.parquet as _pq
+
+    docs = _pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["source", "n_chars"]
+    ).to_pandas()
+    for source, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.float64)
+        n = len(x)
+        mu = x.mean()
+        ref = 0.0 if mu == 0 else float(
+            np.abs(x[:, None] - x[None, :]).sum()
+        ) / (2 * n * n * mu)
+        got = out.loc[source, "gini_len"]
+        if mu == 0:
+            assert np.isnan(got)
+        else:
+            assert abs(got - ref) < 1e-6, source
+        assert out.loc[source, "n_docs"] == n
