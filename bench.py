@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q_auc",
     "q_tool_latency",
     "q_gini_lengths",
+    "q_prf1",
 ]
 
 

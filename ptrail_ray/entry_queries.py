@@ -7745,6 +7745,100 @@ FROM a
 QUERIES["q_gini_lengths"] = q_gini_lengths
 
 
+def q_prf1(sf_dir):
+    """Per-class precision / recall / F1 for the language-ID gate —
+    the class-level companions of q_kappa over the same bounded
+    confusion partials. Every metric is an exact integer ratio
+    (F1 = 2·tp / (2·tp + fp + fn) — ONE division, no intermediate
+    precision·recall float product), NULL where the denominator is
+    zero (class absent on one side). Classes are the UNION of actual
+    and predicted labels, so a prediction-only class still reports its
+    zero precision."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import add_lang_id
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pred = add_lang_id(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "lang_pred": t["lang_pred"].to_pandas()}
+        )
+        g = df.groupby(["lang", "lang_pred"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pred.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    c = parts.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+    classes = sorted(set(c["lang"]) | set(c["lang_pred"]))
+    rows = []
+    for k in classes:
+        tp = int(c.loc[(c["lang"] == k) & (c["lang_pred"] == k), "n"].sum())
+        fp = int(c.loc[(c["lang"] != k) & (c["lang_pred"] == k), "n"].sum())
+        fn = int(c.loc[(c["lang"] == k) & (c["lang_pred"] != k), "n"].sum())
+        prec = None if tp + fp == 0 else float(tp) / float(tp + fp)
+        rec = None if tp + fn == 0 else float(tp) / float(tp + fn)
+        f1 = None if 2 * tp + fp + fn == 0 else float(2 * tp) / float(2 * tp + fp + fn)
+        rows.append((k, tp, fp, fn, prec, rec, f1))
+    out = pd.DataFrame(
+        rows, columns=["class", "tp", "fp", "fn", "precision", "recall", "f1"]
+    )
+    for col in ("tp", "fp", "fn"):
+        out[col] = out[col].astype("int64")
+    return finalize(
+        pa.Table.from_pandas(out, preserve_index=False),
+        round_columns=["precision", "recall", "f1"],
+    )
+
+
+ORACLE_SQL["q_prf1"] = f"""
+WITH d AS (
+  SELECT lang, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0 AND
+              CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)/len(toks) > 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM d
+),
+k AS (SELECT lang AS class FROM p UNION SELECT lang_pred AS class FROM p),
+m AS (
+  SELECT k.class,
+         CAST(coalesce(sum(CASE WHEN p.lang = k.class AND p.lang_pred = k.class THEN 1 END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN p.lang <> k.class AND p.lang_pred = k.class THEN 1 END), 0) AS BIGINT) AS fp,
+         CAST(coalesce(sum(CASE WHEN p.lang = k.class AND p.lang_pred <> k.class THEN 1 END), 0) AS BIGINT) AS fn
+  FROM k CROSS JOIN p GROUP BY k.class
+)
+SELECT class, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) + 0.0 END AS precision,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) + 0.0 END AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0 END AS f1
+FROM m
+"""
+QUERIES["q_prf1"] = q_prf1
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -8191,7 +8285,7 @@ _PRIORITY = [
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
     "q_pref_pairs", "q_speaker_balance", "q_ttr", "q_auc", "q_tool_latency",
-    "q_gini_lengths",
+    "q_gini_lengths", "q_prf1",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

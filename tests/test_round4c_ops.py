@@ -423,3 +423,30 @@ def test_gini_lengths_matches_definition(ray_session):
         else:
             assert abs(got - ref) < 1e-6, source
         assert out.loc[source, "n_docs"] == n
+
+
+def test_prf1_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    en_text = "the of and in to"
+    unk_text = "zzz qqq www yyy xxx"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                [en_text, en_text, unk_text, en_text, unk_text, unk_text],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "en", "unk", "unk", "unk"], pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([10] * 6, pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_prf1"](d).to_pandas().set_index("class")
+    # en: tp=2 fp=1 fn=1 → p=2/3 r=2/3 f1=2/3; unk symmetric
+    for k in ("en", "unk"):
+        assert (out.loc[k, "tp"], out.loc[k, "fp"], out.loc[k, "fn"]) == (2, 1, 1)
+        for m in ("precision", "recall", "f1"):
+            assert abs(out.loc[k, m] - 2 / 3) < 1e-6
