@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q_tool_latency",
     "q_gini_lengths",
     "q_prf1",
+    "q_source_overlap",
 ]
 
 

@@ -7839,6 +7839,139 @@ FROM m
 QUERIES["q_prf1"] = q_prf1
 
 
+def q_source_overlap(sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the
+    duplicate-/mirrored-source detector a corpus intake runs before
+    weighting sources independently. Shape: per-batch DISTINCT
+    (source, term) partials → ONE term-keyed exchange
+    (grouped_agg_by_bucket) where each bucket emits (a) per-term source
+    PAIRS (k ≤ |sources| per term, the tool-co-occurrence shape) and
+    (b) per-source distinct-term counts (terms are globally partitioned
+    by bucket, so bucket-distinct IS globally distinct); the driver
+    merge is |sources|²-bounded. Jaccard = inter / (|Vₐ|+|V_b|−inter),
+    exact ints, ONE IEEE division."""
+    from ptrail_ray.functions.tokenize import arrow_tokens
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        flat, idx = arrow_tokens(t["text"])
+        src = t["source"].to_numpy(zero_copy_only=False).astype(object)[idx]
+        df = pd.DataFrame(
+            {"term": flat.to_pandas().to_numpy(object), "source": src}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket rows are (term, source) pairs, distinct within batch
+        # but possibly duplicated across batches — dedup once here
+        df = df.drop_duplicates(["term", "source"])
+        # (b) per-source distinct-term partials (src_b = NULL marker)
+        vocab = df.groupby("source", as_index=False).size()
+        out_rows = [
+            pd.DataFrame(
+                {
+                    "src_a": vocab["source"],
+                    "src_b": pd.array([None] * len(vocab), dtype="string"),
+                    "n": vocab["size"].astype("int64"),
+                }
+            )
+        ]
+        # (a) per-term source pairs; loop is per UNIQUE TERM (Heaps-
+        # bounded), inner work vectorized
+        df = df.sort_values(["term", "source"], kind="stable")
+        terms = df["term"].to_numpy(object)
+        srcs = df["source"].to_numpy(object)
+        _, first = np.unique(terms, return_index=True)
+        bounds = np.append(np.sort(first), len(terms))
+        pa_, pb_ = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            k = hi - lo
+            if k < 2:
+                continue
+            g = srcs[lo:hi]
+            iu, ju = np.triu_indices(k, 1)
+            pa_.append(g[iu])
+            pb_.append(g[ju])
+        if pa_:
+            pair = (
+                pd.DataFrame(
+                    {"src_a": np.concatenate(pa_), "src_b": np.concatenate(pb_)}
+                )
+                .groupby(["src_a", "src_b"], as_index=False)
+                .size()
+                .rename(columns={"size": "n"})
+            )
+            pair["src_b"] = pair["src_b"].astype("string")
+            pair["n"] = pair["n"].astype("int64")
+            out_rows.append(pair)
+        out = pd.concat(out_rows, ignore_index=True)
+        out["src_a"] = out["src_a"].astype("string")
+        return out
+
+    parts = grouped_agg_by_bucket(
+        _docs(sf_dir).select_columns(["source", "text"]).map_batches(
+            distinct_pairs, batch_format="pyarrow", batch_size=1 << 20
+        ),
+        "term",
+        bucket_agg,
+        num_buckets=32,
+    ).to_pandas()
+    vocab = (
+        parts[parts["src_b"].isna()]
+        .groupby("src_a", as_index=True)["n"]
+        .sum()
+        .to_dict()
+    )
+    inter = (
+        parts[parts["src_b"].notna()]
+        .groupby(["src_a", "src_b"], as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for r in inter.itertuples():
+        va, vb, ix = int(vocab[r.src_a]), int(vocab[r.src_b]), int(r.n)
+        union = va + vb - ix
+        rows.append(
+            (r.src_a, r.src_b, ix, float(ix) / float(union) if union else None)
+        )
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "inter", "jaccard"])
+    out["inter"] = out["inter"].astype("int64")
+    out = out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    return finalize(
+        pa.Table.from_pandas(out, preserve_index=False), round_columns=["jaccard"]
+    )
+
+
+ORACLE_SQL["q_source_overlap"] = r"""
+WITH t AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w
+    FROM documents
+  )
+),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM t GROUP BY source),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+  FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       CASE WHEN va.nv + vb.nv - inter = 0 THEN NULL
+            ELSE round(CAST(inter AS DOUBLE)
+                       / CAST(va.nv + vb.nv - inter AS DOUBLE), 6) + 0.0
+       END AS jaccard
+FROM p JOIN v va ON va.source = p.src_a JOIN v vb ON vb.source = p.src_b
+"""
+QUERIES["q_source_overlap"] = q_source_overlap
+
+
 RRF_K = 60
 RRF_TOPN = 100
 
@@ -8285,7 +8418,7 @@ _PRIORITY = [
     "q_response_latency", "q_burstiness", "q_rrf_fusion", "q_kappa",
     "q_render_sft", "q_loss_mask", "q_conv_dedup", "q_asof_staleness",
     "q_pref_pairs", "q_speaker_balance", "q_ttr", "q_auc", "q_tool_latency",
-    "q_gini_lengths", "q_prf1",
+    "q_gini_lengths", "q_prf1", "q_source_overlap",
     # remaining never-driver-sampled oracle-backed queries
     "q_conv_intersect", "q_gapfill_kinematic", "q_filter_min_both",
     "q_winnow", "q_hopping", "q_lineitem_pricing", "q_clean_corpus",

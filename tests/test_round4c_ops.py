@@ -450,3 +450,23 @@ def test_prf1_hand_values(ray_session):
         assert (out.loc[k, "tp"], out.loc[k, "fp"], out.loc[k, "fn"]) == (2, 1, 1)
         for m in ("precision", "recall", "f1"):
             assert abs(out.loc[k, m] - 2 / 3) < 1e-6
+
+
+def test_source_overlap_hand_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", "b c d", "x y"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s1", "s2", "s3"], pa.string()),
+            "n_chars": pa.array([5, 5, 3], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = QUERIES["q_source_overlap"](d).to_pandas()
+    got = {(r.src_a, r.src_b): (r.inter, r.jaccard) for r in out.itertuples()}
+    # s1={a,b,c}, s2={b,c,d}: inter 2, union 4 → 0.5; s3 disjoint (no rows)
+    assert got == {("s1", "s2"): (2, 0.5)}
