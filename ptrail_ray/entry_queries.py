@@ -1884,33 +1884,40 @@ def q_filter_max_both(sf_dir):
     """Conjunctive max filter with NaN sentinels
     (filter_by_max_distance_and_speed, preprocessing/filters.py:467-509).
 
-    Every surviving row has finite delta_len (the sentinel drops NaN
-    rows) and delta_len is integer-valued by construction (a length
-    difference), so both sides cast it to int64 — removing the only
-    unrounded float64 column any gated query emits (VERDICT r03 #1)."""
+    This query hash-failed the driver gate twice (r02, r03) at equal
+    row counts while passing ~300 local gate-condition executions, so
+    its output is hardened to ALL-INTEGER columns: delta_len is
+    integer-valued by construction (a length difference; the sentinel
+    drops the NaN rows), and len_rate is emitted as half-away-from-zero
+    micro-units (round(len_rate * 1e6) as int64) instead of a rounded
+    float64 — both sides compute the same IEEE multiply then the same
+    integer round, leaving no float bit-pattern channel at all."""
     from ptrail_ray.stages.filters import filter_by_max_both
 
     out = filter_by_max_both(
         _featurized(sf_dir), "delta_len", MAXBOTH_DL, "len_rate", MAXBOTH_LR
     )
-    out = finalize(
-        out.select_columns(["conv_id", "turn_idx", "delta_len", "len_rate"]),
-        round_columns=["len_rate"],
-    )
+    out = out.select_columns(["conv_id", "turn_idx", "delta_len", "len_rate"])
 
-    def cast_dl(t: pa.Table) -> pa.Table:
+    def to_ints(t: pa.Table) -> pa.Table:
         i = t.column_names.index("delta_len")
-        return t.set_column(
-            i, "delta_len", pc.cast(t["delta_len"], pa.int64())
-        )
+        t = t.set_column(i, "delta_len", pc.cast(t["delta_len"], pa.int64()))
+        j = t.column_names.index("len_rate")
+        y = t["len_rate"].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
+        f = np.floor(y)
+        d = y - f
+        r = np.where(d > 0.5, f + 1.0, f)
+        r = np.where(d == 0.5, np.where(y >= 0, f + 1.0, f), r)
+        t = t.remove_column(j)
+        return t.append_column("len_rate_micro", pa.array(r.astype(np.int64)))
 
-    return out.map_batches(cast_dl, batch_format="pyarrow", batch_size=None)
+    return out.map_batches(to_ints, batch_format="pyarrow", batch_size=None)
 
 
 ORACLE_SQL["q_filter_max_both"] = f"""
     WITH {FEATURES_SQL}
     SELECT conv_id, turn_idx, CAST(delta_len AS BIGINT) AS delta_len,
-           round(len_rate, 6) + 0.0 AS len_rate
+           CAST(round(len_rate * 1e6, 0) AS BIGINT) AS len_rate_micro
     FROM feat
     WHERE coalesce(delta_len, {MAXBOTH_DL} + 1) <= {MAXBOTH_DL}
       AND coalesce(len_rate, {MAXBOTH_LR} + 1) <= {MAXBOTH_LR}"""
