@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "q_gini_lengths",
     "q_prf1",
     "q_source_overlap",
+    "q_mann_kendall",
+    "q_theil_sen",
 ]
 
 

@@ -8394,6 +8394,96 @@ FROM (
 QUERIES["q_target_encode_loo"] = q_target_encode_loo
 
 
+def _pairwise_trend(sf_dir):
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.stats import pairwise_trend
+
+    ds = derive_from_events(sf_dir, num_buckets=16).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=None
+    )
+    return pairwise_trend(ds, value_col="m1", num_buckets=16)
+
+
+_PAIRWISE_SQL = f"""
+m AS (
+  SELECT conv_id,
+         CAST(row_number() OVER ({W}) AS BIGINT) AS x,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS y
+  FROM transcripts
+),
+c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY conv_id),
+p AS (
+  SELECT a.conv_id,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+         CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tie,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM m a JOIN m b ON a.conv_id = b.conv_id AND b.x > a.x
+),
+agg AS (
+  SELECT conv_id, CAST(sum(sg) AS BIGINT) AS mk_s,
+         CAST(sum(tie) AS BIGINT) AS n_ties,
+         quantile_cont(slope, 0.5) AS ts_slope
+  FROM p GROUP BY conv_id
+)"""
+
+
+def q_mann_kendall(sf_dir):
+    """Mann–Kendall trend test per conversation over message length —
+    the nonparametric sibling of q_conv_trend's OLS slope (the robust
+    monotone-trend statistic tsfresh/pymannkendall expose; the
+    reference's per-trajectory rate summaries, kinematic_features.py,
+    answer the same 'is this series drifting' question with finite
+    differences). S, pair and tie counts are PURE int64 computed over
+    all ordered pairs inside the single conv exchange, vectorized
+    across runs grouped by length (stages/stats.pairwise_trend_kernel);
+    tau-b is ONE sqrt + ONE division replicated operand-for-operand by
+    the pairwise-self-join SQL."""
+    out = _pairwise_trend(sf_dir).select_columns(
+        ["conv_id", "mk_s", "n_pairs", "n_ties", "tau"]
+    )
+    return finalize(out, round_columns=["tau"])
+
+
+ORACLE_SQL["q_mann_kendall"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+{_PAIRWISE_SQL}
+SELECT c.conv_id,
+       coalesce(a.mk_s, 0) AS mk_s,
+       c.n * (c.n - 1) // 2 AS n_pairs,
+       coalesce(a.n_ties, 0) AS n_ties,
+       CASE WHEN c.n * (c.n - 1) // 2 - coalesce(a.n_ties, 0) = 0 THEN NULL
+            ELSE round(
+              CAST(coalesce(a.mk_s, 0) AS DOUBLE)
+              / sqrt(CAST(c.n * (c.n - 1) // 2 AS DOUBLE)
+                     * CAST(c.n * (c.n - 1) // 2 - coalesce(a.n_ties, 0) AS DOUBLE)),
+              6) + 0.0
+       END AS tau
+FROM c LEFT JOIN agg a USING (conv_id)
+"""
+QUERIES["q_mann_kendall"] = q_mann_kendall
+
+
+def q_theil_sen(sf_dir):
+    """Theil–Sen robust slope per conversation (median of all pairwise
+    slopes of message length vs turn position) — the outlier-insensitive
+    alternative to q_conv_trend's OLS fit. Pairwise slopes are single
+    IEEE divisions of exact int64 differences; the median interpolates
+    with DuckDB quantile_cont's operand order (lo·(1−frac) + hi·frac,
+    same contract as robust_scale), so the SQL replica is bit-equal.
+    Single-turn conversations → NULL."""
+    out = _pairwise_trend(sf_dir).select_columns(["conv_id", "ts_slope"])
+    return finalize(out, round_columns=["ts_slope"])
+
+
+ORACLE_SQL["q_theil_sen"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+{_PAIRWISE_SQL}
+SELECT c.conv_id, round(a.ts_slope, 6) + 0.0 AS ts_slope
+FROM c LEFT JOIN agg a USING (conv_id)
+"""
+QUERIES["q_theil_sen"] = q_theil_sen
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

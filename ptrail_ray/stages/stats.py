@@ -1052,3 +1052,118 @@ def max_concurrency(
         pts, user_col, per_bucket, num_buckets=num_buckets,
         partial_batch=None, group_format="pyarrow",
     )
+
+
+def pairwise_trend_kernel(
+    table: pa.Table, *, value_col: str, max_run: int = 4096
+) -> pa.Table:
+    """Per-conversation pairwise order statistics of ``value_col`` taken
+    in bucket (time) order — the robust-trend family the reference's
+    per-trajectory rate-of-change summaries approximate with finite
+    differences (ptrail/features/kinematic_features.py), computed
+    exactly over ALL ordered pairs (i < j):
+
+    - ``mk_s``     Mann–Kendall S = Σ sign(y_j − y_i)  (pure int64)
+    - ``n_pairs``  n(n−1)/2, ``n_ties`` = tied pairs   (pure int64)
+    - ``tau``      tau-b vs time = S / sqrt(n0 · (n0 − T)) — the time
+                   axis has no ties, so T_x = 0; ONE sqrt + ONE division
+    - ``ts_slope`` Theil–Sen slope = quantile_cont-median of the n0
+                   pairwise slopes (y_j − y_i)/(j − i), DuckDB operand
+                   order (lo·(1−frac) + hi·frac)
+
+    Vectorized across runs GROUPED BY RUN LENGTH: all conversations of
+    length L in the bucket are stacked into an (R, L) matrix and their
+    n0 = L(L−1)/2 pairwise diffs computed in one fancy-indexed subtract
+    (chunked so R·n0 stays ≤ ~4M cells). No per-conversation Python
+    loop — the loop is over DISTINCT lengths.
+
+    O(L²) work per conversation is inherent to the exact statistics;
+    the loud ``max_run`` guard (default 4096 → ≤ 8.4M pairs) bounds it
+    — split pathological conversations upstream (stages/split.py)
+    rather than silently truncating.
+    """
+    starts, lengths = conv_runs(table[CONV_ID])
+    n_runs = len(starts)
+    if n_runs == 0:
+        return pa.table(
+            {
+                CONV_ID: pa.array([], pa.string()),
+                "mk_s": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "n_ties": pa.array([], pa.int64()),
+                "tau": pa.array([], pa.float64()),
+                "ts_slope": pa.array([], pa.float64()),
+            }
+        )
+    if int(lengths.max()) > max_run:
+        raise ValueError(
+            f"pairwise_trend_kernel: run of {int(lengths.max())} rows "
+            f"exceeds max_run={max_run} (O(L²) pairwise stage); split "
+            "giant conversations upstream (stages/split.py)"
+        )
+    y = table[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = starts.astype(np.int64)
+    lengths = lengths.astype(np.int64)
+
+    mk_s = np.zeros(n_runs, dtype=np.int64)
+    ties = np.zeros(n_runs, dtype=np.int64)
+    slope = np.full(n_runs, np.nan, dtype=np.float64)
+    for L in np.unique(lengths):
+        L = int(L)
+        if L < 2:
+            continue
+        which = np.flatnonzero(lengths == L)
+        iu, ju = np.triu_indices(L, 1)
+        n0 = L * (L - 1) // 2
+        dx = (ju - iu).astype(np.float64)
+        k = 0.5 * (n0 - 1)
+        lo = int(np.floor(k))
+        hi = int(np.ceil(k))
+        frac = k - lo
+        step = max(1, (4 << 20) // n0)
+        for c0 in range(0, len(which), step):
+            w = which[c0 : c0 + step]
+            seg = y[starts[w][:, None] + np.arange(L)[None, :]]
+            d = seg[:, ju] - seg[:, iu]
+            mk_s[w] = np.sign(d).sum(axis=1)
+            ties[w] = (d == 0).sum(axis=1)
+            sl = d.astype(np.float64) / dx[None, :]
+            sl.sort(axis=1)
+            # DuckDB CastInterpolation operand order (see robust_scale)
+            slope[w] = sl[:, lo] * (1.0 - frac) + sl[:, hi] * frac
+
+    n_pairs = lengths * (lengths - 1) // 2
+    den = n_pairs * (n_pairs - ties)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tau = np.where(
+            den > 0,
+            mk_s.astype(np.float64)
+            / np.sqrt(n_pairs.astype(np.float64) * (n_pairs - ties).astype(np.float64)),
+            np.nan,
+        )
+    conv = table[CONV_ID]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    conv = conv.take(pa.array(starts, pa.int64()))
+    return pa.table(
+        {
+            CONV_ID: conv,
+            "mk_s": pa.array(mk_s, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "n_ties": pa.array(ties, pa.int64()),
+            "tau": pa.array(tau, pa.float64(), mask=~(den > 0)),
+            "ts_slope": pa.array(slope, pa.float64(), mask=lengths < 2),
+        }
+    )
+
+
+def pairwise_trend(ds, *, value_col: str = "m1", num_buckets: int = 16):
+    """Distributed Mann–Kendall / Theil–Sen over the engine's single
+    conversation exchange (see `pairwise_trend_kernel`)."""
+    import functools
+
+    return map_conv_buckets(
+        ds,
+        functools.partial(pairwise_trend_kernel, value_col=value_col),
+        num_buckets=num_buckets,
+    )

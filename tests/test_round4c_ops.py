@@ -470,3 +470,84 @@ def test_source_overlap_hand_values(ray_session):
     got = {(r.src_a, r.src_b): (r.inter, r.jaccard) for r in out.itertuples()}
     # s1={a,b,c}, s2={b,c,d}: inter 2, union 4 → 0.5; s3 disjoint (no rows)
     assert got == {("s1", "s2"): (2, 0.5)}
+
+
+def test_mann_kendall_matches_bruteforce(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mann_kendall"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        y = g["m1"].to_numpy(np.int64)
+        n = len(y)
+        iu, ju = np.triu_indices(n, 1)
+        d = y[ju] - y[iu]
+        s, t, n0 = int(np.sign(d).sum()), int((d == 0).sum()), n * (n - 1) // 2
+        row = out.loc[conv]
+        assert row["mk_s"] == s and row["n_pairs"] == n0 and row["n_ties"] == t, conv
+        if n0 == 0 or n0 - t == 0:
+            assert np.isnan(row["tau"]), conv
+        else:
+            assert abs(row["tau"] - s / np.sqrt(n0 * (n0 - t))) < 1e-5, conv
+
+
+def test_theil_sen_matches_bruteforce(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_theil_sen"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        y = g["m1"].to_numpy(np.float64)
+        n = len(y)
+        got = out.loc[conv, "ts_slope"]
+        if n < 2:
+            assert np.isnan(got), conv
+            continue
+        iu, ju = np.triu_indices(n, 1)
+        slopes = np.sort((y[ju] - y[iu]) / (ju - iu))
+        k = 0.5 * (len(slopes) - 1)
+        lo, hi = int(np.floor(k)), int(np.ceil(k))
+        frac = k - lo
+        med = slopes[lo] * (1.0 - frac) + slopes[hi] * frac
+        assert abs(got - med) < 1e-5, conv
+
+
+def test_pairwise_trend_kernel_edges():
+    import pyarrow as pa
+
+    from ptrail_ray.stages.stats import pairwise_trend_kernel
+
+    conv = ["a", "b", "b", "b", "c", "c", "c", "c", "d", "d"]
+    y = [5, 7, 7, 7, 1, 2, 3, 4, 9, 3]
+    t = pa.table({"conv_id": pa.array(conv), "m1": pa.array(y, pa.int64())})
+    out = pairwise_trend_kernel(t, value_col="m1").to_pandas().set_index("conv_id")
+    # single turn: no pairs, NULL tau/slope
+    assert out.loc["a", "n_pairs"] == 0 and np.isnan(out.loc["a", "tau"])
+    assert np.isnan(out.loc["a", "ts_slope"])
+    # constant: all pairs tied -> S=0, tau NULL, slope 0
+    assert out.loc["b", "mk_s"] == 0 and out.loc["b", "n_ties"] == 3
+    assert np.isnan(out.loc["b", "tau"]) and out.loc["b", "ts_slope"] == 0.0
+    # strictly increasing: S = n0, tau = 1, slope 1
+    assert out.loc["c", "mk_s"] == 6 and out.loc["c", "tau"] == 1.0
+    assert out.loc["c", "ts_slope"] == 1.0
+    # strictly decreasing pair: S = -1, tau = -1, slope -6
+    assert out.loc["d", "mk_s"] == -1 and out.loc["d", "tau"] == -1.0
+    assert out.loc["d", "ts_slope"] == -6.0
+
+
+def test_pairwise_trend_kernel_max_run_guard():
+    import pyarrow as pa
+    import pytest
+
+    from ptrail_ray.stages.stats import pairwise_trend_kernel
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["x"] * 10),
+            "m1": pa.array(np.arange(10, dtype=np.int64)),
+        }
+    )
+    with pytest.raises(ValueError, match="max_run"):
+        pairwise_trend_kernel(t, value_col="m1", max_run=5)
