@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "q_source_overlap",
     "q_mann_kendall",
     "q_theil_sen",
+    "q_mutual_info",
+    "q_benford",
 ]
 
 

@@ -8484,6 +8484,108 @@ FROM c LEFT JOIN agg a USING (conv_id)
 QUERIES["q_theil_sen"] = q_theil_sen
 
 
+def q_mutual_info(sf_dir):
+    """Mutual information (nats) of lang × source — the
+    information-theoretic companion of q_chi2_lang_source (0 ⇔ the
+    source mix tells you nothing about language; a feature-selection /
+    corpus-drift gate). Catalog-bounded count partials; each cell's
+    (o/T)·ln(o·T/(r·c)) term is built from exact integers in a fixed
+    IEEE order, quantized at 1e9 half-away-from-zero (both signs) and
+    summed as ints — bit-identical to the HUGEINT SQL replica."""
+    from ptrail_ray.functions.textstats import mutual_info
+
+    out = mutual_info(
+        _docs(sf_dir).select_columns(["lang", "source"]),
+        col_a="lang",
+        col_b="source",
+    )
+    out["n_cells"] = out["n_cells"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_mutual_info"] = """
+WITH ct AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(n) AS HUGEINT) AS rn FROM ct GROUP BY 1),
+cb AS (SELECT b, CAST(sum(n) AS HUGEINT) AS cn FROM ct GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS HUGEINT) AS t FROM ct),
+term AS (SELECT CAST(round(1000000000.0 *
+                 ((CAST(ct.n AS DOUBLE) / CAST(t.t AS DOUBLE))
+                  * ln(CAST(ct.n * t.t AS DOUBLE)
+                       / CAST(ra.rn * cb.cn AS DOUBLE)))) AS BIGINT) AS q
+         FROM ct JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tt t)
+SELECT CAST(sum(q) AS DOUBLE) / 1000000000.0 AS mi,
+       CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_cells,
+       CAST((SELECT t FROM tt) AS BIGINT) AS n
+FROM term
+"""
+QUERIES["q_mutual_info"] = q_mutual_info
+
+
+def q_benford(sf_dir):
+    """Benford first-significant-digit audit of doc lengths — the
+    quick synthetic-/fabricated-data smell test over any positive
+    numeric column. First digit extracted the way the SQL does
+    (decimal string head — no float log10 boundary hazard); 9-cell
+    count partials merge on the driver; observed share and the Benford
+    expectation log10(1+1/d) are single IEEE expressions per digit."""
+    docs = _docs(sf_dir).select_columns(["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["n_chars"], 0))
+        d = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(pos["n_chars"], pa.string()), 0, 1
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        cnt = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("digit", as_index=False)["n"]
+        .sum()
+    )
+    parts = parts[parts["n"] > 0]
+    tot = int(parts["n"].sum())
+    dig = parts["digit"].to_numpy(np.int64)
+    obs = parts["n"].to_numpy(np.int64)
+    p = obs.astype(np.float64) / np.float64(tot)
+    bp = np.log10(1.0 + 1.0 / dig.astype(np.float64))
+    out = pa.table(
+        {
+            "digit": pa.array(dig, pa.int64()),
+            "n": pa.array(obs, pa.int64()),
+            "p": pa.array(p, pa.float64()),
+            "benford_p": pa.array(bp, pa.float64()),
+        }
+    )
+    return finalize(out, round_columns=["p", "benford_p"])
+
+
+ORACLE_SQL["q_benford"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM documents WHERE n_chars > 0
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0 AS p,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) + 0.0 AS benford_p
+FROM g CROSS JOIN t
+"""
+QUERIES["q_benford"] = q_benford
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

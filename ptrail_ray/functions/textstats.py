@@ -804,3 +804,73 @@ def term_cooccurrence_lift(
         flip, ["term_b", "term_a"]
     ].to_numpy()
     return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+def mutual_info(
+    ds,
+    *,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+    quant: float = 1e9,
+):
+    """Mutual information (nats) between two categorical columns — the
+    information-theoretic companion of `chi2_independence` (how many
+    nats does knowing the source tell you about the lang mix; 0 ⇔
+    independent). Same scale shape: per-batch (a, b) count partials,
+    |A|×|B|-bounded driver merge with a loud cap.
+
+    Each cell's term (o/T)·ln(o·T/(rᵢ·cⱼ)) is computed from EXACT
+    integer counts with a fixed IEEE operation order, quantized
+    half-away-from-zero at ``quant`` (terms CAN be negative — the
+    rounding replica handles both signs, unlike chi2's nonneg path)
+    and summed as integers: accumulation-order-independent,
+    bit-identical to the HUGEINT SQL replica. Returns a one-row
+    DataFrame (mi, n_cells, n)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col_a].to_numpy(zero_copy_only=False), dtype=str)
+        b = np.asarray(t[col_b].to_numpy(zero_copy_only=False), dtype=str)
+        ka, ia = np.unique(a, return_inverse=True)
+        kb, ib = np.unique(b, return_inverse=True)
+        comp = ia.astype(np.int64) * len(kb) + ib
+        keys, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(ka[keys // len(kb)], pa.string()),
+                "b": pa.array(kb[keys % len(kb)], pa.string()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)["n"]
+        .sum()
+    )
+    if len(parts) > max_cells:
+        raise RuntimeError(
+            f"mutual_info: {len(parts)} cells exceeds max_cells="
+            f"{max_cells} — the driver merge assumes catalog-sized dimensions"
+        )
+    row = parts.groupby("a")["n"].sum().to_dict()
+    col = parts.groupby("b")["n"].sum().to_dict()
+    T = int(parts["n"].sum())
+    acc = 0
+    for r in parts.itertuples():
+        o, rn, cn = int(r.n), int(row[r.a]), int(col[r.b])
+        # fixed IEEE order, mirrored by the SQL replica term-for-term
+        z = quant * (
+            (float(o) / float(T)) * np.log(float(o * T) / float(rn * cn))
+        )
+        # DuckDB round(): half away from zero, BOTH signs
+        f = int(np.floor(z))
+        d = z - f
+        if d > 0.5 or (d == 0.5 and z >= 0):
+            f += 1
+        acc += f
+    return pd.DataFrame(
+        {"mi": [acc / quant], "n_cells": [len(parts)], "n": [T]}
+    )

@@ -551,3 +551,37 @@ def test_pairwise_trend_kernel_max_run_guard():
     )
     with pytest.raises(ValueError, match="max_run"):
         pairwise_trend_kernel(t, value_col="m1", max_run=5)
+
+
+def test_mutual_info_matches_definition(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mutual_info"](SF).to_pandas()
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    ct = docs.groupby(["lang", "source"]).size()
+    T = int(ct.sum())
+    mi = 0.0
+    for (a, b), o in ct.items():
+        rn, cn = int(ct[a].sum()), int(ct.xs(b, level="source").sum())
+        mi += (o / T) * np.log(o * T / (rn * cn))
+    assert abs(float(out.loc[0, "mi"]) - mi) < 1e-6
+    assert int(out.loc[0, "n_cells"]) == len(ct)
+    assert int(out.loc[0, "n"]) == T
+    # MI is nonnegative up to quantization
+    assert float(out.loc[0, "mi"]) >= -1e-9
+
+
+def test_benford_counts_and_shares(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_benford"](SF).to_pandas().set_index("digit")
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    v = docs.loc[docs["n_chars"] > 0, "n_chars"].astype(str).str[0].astype(int)
+    ref = v.value_counts()
+    assert int(out["n"].sum()) == len(v)
+    for d, n in ref.items():
+        assert int(out.loc[d, "n"]) == int(n)
+    assert abs(out["p"].sum() - 1.0) < 1e-5
+    # Benford expectation column is the analytic log10(1 + 1/d)
+    for d in out.index:
+        assert abs(out.loc[d, "benford_p"] - np.log10(1 + 1 / d)) < 1e-6
