@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q_theil_sen",
     "q_mutual_info",
     "q_benford",
+    "q_anon_k",
+    "q_cross_source_dup",
 ]
 
 

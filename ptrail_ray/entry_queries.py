@@ -8586,6 +8586,129 @@ FROM g CROSS JOIN t
 QUERIES["q_benford"] = q_benford
 
 
+ANON_K = 5
+
+
+def q_anon_k(sf_dir):
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    n_chars): every QI combination carried by fewer than K documents is
+    a re-identification risk a privacy-scrubbing pipeline must
+    generalize or drop before release. High-cardinality composite-key
+    aggregation via ONE hash-bucketed exchange
+    (stages/bucket.grouped_agg_by_bucket — never Ray groupby.aggregate
+    on a high-card key); the per-bucket kernel is one vectorized
+    pandas groupby + size filter."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["lang", "source", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g = g[g["n"] < ANON_K].copy()
+        g["n_chars"] = g["n_chars"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return grouped_agg_by_bucket(
+        _docs(sf_dir).select_columns(["lang", "source", "n_chars"]),
+        ["lang", "source", "n_chars"],
+        per_bucket,
+        num_buckets=32,
+    )
+
+
+ORACLE_SQL["q_anon_k"] = f"""
+SELECT lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2, 3 HAVING count(*) < {ANON_K}
+"""
+QUERIES["q_anon_k"] = q_anon_k
+
+
+HEADFP_K = 16
+
+
+def q_cross_source_dup(sf_dir):
+    """Cross-source duplicate-HEAD clusters: md5 of each document's
+    first {HEADFP_K} whitespace tokens, reported where the same head is
+    carried by >1 document AND >1 source — the boilerplate-/mirrored-
+    crawl signal (shared openings survive tail edits that break the
+    byte-exact fingerprint; the synthetic corpus's near-dups are
+    exactly this shape). Heads are hashed per batch and text DROPPED
+    before the single fingerprint-keyed exchange — only 32-char keys +
+    source labels shuffle; per-bucket kernel emits a TYPED Arrow table
+    so an empty bucket can't degrade the block schema."""
+    import hashlib
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+
+    def head_fp(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        lst = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.values.to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = flat != ""
+        flat, par = flat[keep], par[keep]
+        n = t.num_rows
+        cnt = np.bincount(par, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        within = np.arange(len(par), dtype=np.int64) - starts[par]
+        sel = within < HEADFP_K
+        heads = pd.Series(flat[sel]).groupby(par[sel]).agg(" ".join)
+        full = np.full(n, empty_md5, dtype=object)
+        for i, s in heads.items():
+            full[i] = hashlib.md5(s.encode()).hexdigest()
+        return pa.table(
+            {"source": t["source"], "fingerprint": pa.array(full, pa.string())}
+        )
+
+    ds = _docs(sf_dir).select_columns(["source", "text"]).map_batches(
+        head_fp, batch_format="pyarrow", batch_size=1 << 16
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["source", "fingerprint"]).to_pandas()
+        g = df.groupby("fingerprint").agg(
+            n_docs=("source", "size"), n_sources=("source", "nunique")
+        )
+        g = g[(g["n_docs"] > 1) & (g["n_sources"] > 1)].reset_index()
+        return pa.table(
+            {
+                "fingerprint": pa.array(g["fingerprint"].tolist(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_sources": pa.array(g["n_sources"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_agg_by_bucket(
+        ds, "fingerprint", per_bucket, num_buckets=32, group_format="pyarrow"
+    )
+
+
+ORACLE_SQL["q_cross_source_dup"] = rf"""
+WITH f AS (
+  SELECT source,
+         md5(coalesce(list_aggregate(
+               regexp_extract_all(coalesce(text, ''), '\S+')[1:{HEADFP_K}],
+               'string_agg', ' '), '')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM f GROUP BY fingerprint
+HAVING count(*) > 1 AND count(DISTINCT source) > 1
+"""
+QUERIES["q_cross_source_dup"] = q_cross_source_dup
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -585,3 +585,49 @@ def test_benford_counts_and_shares(ray_session):
     # Benford expectation column is the analytic log10(1 + 1/d)
     for d in out.index:
         assert abs(out.loc[d, "benford_p"] - np.log10(1 + 1 / d)) < 1e-6
+
+
+def test_anon_k_flags_small_groups(ray_session):
+    from ptrail_ray.entry_queries import ANON_K, QUERIES
+
+    out = QUERIES["q_anon_k"](SF).to_pandas()
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    ref = (
+        docs.groupby(["lang", "source", "n_chars"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    ref = ref[ref["n"] < ANON_K]
+    assert len(out) == len(ref)
+    assert (out["n"] < ANON_K).all()
+    key = ["lang", "source", "n_chars"]
+    m = out.merge(ref, on=key, suffixes=("_got", "_ref"))
+    assert len(m) == len(ref) and (m["n_got"] == m["n_ref"]).all()
+
+
+def test_cross_source_dup_clusters(ray_session):
+    import hashlib
+    import re
+
+    from ptrail_ray.entry_queries import HEADFP_K, QUERIES
+
+    out = QUERIES["q_cross_source_dup"](SF).to_pandas()
+    # typed schema survives even when a scale has zero clusters
+    assert list(out.columns) == ["fingerprint", "n_docs", "n_sources"]
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    head = (
+        docs["text"]
+        .fillna("")
+        .map(lambda s: " ".join(re.findall(r"\S+", s)[:HEADFP_K]))
+    )
+    docs = docs.assign(fp=head.map(lambda s: hashlib.md5(s.encode()).hexdigest()))
+    ref = docs.groupby("fp").agg(
+        n_docs=("source", "size"), n_sources=("source", "nunique")
+    )
+    ref = ref[(ref["n_docs"] > 1) & (ref["n_sources"] > 1)]
+    got = out.set_index("fingerprint").sort_index()
+    assert len(got) == len(ref)
+    if len(ref):
+        ref = ref.sort_index()
+        assert (got["n_docs"].to_numpy() == ref["n_docs"].to_numpy()).all()
+        assert (got["n_sources"].to_numpy() == ref["n_sources"].to_numpy()).all()
