@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q_benford",
     "q_anon_k",
     "q_cross_source_dup",
+    "q_ngram_novelty",
 ]
 
 

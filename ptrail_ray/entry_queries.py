@@ -8709,6 +8709,54 @@ HAVING count(*) > 1 AND count(DISTINCT source) > 1
 QUERIES["q_cross_source_dup"] = q_cross_source_dup
 
 
+NOVELTY_N = 3
+
+
+def q_ngram_novelty(sf_dir):
+    """Per-doc n-gram novelty (fraction of distinct word trigrams whose
+    global first occurrence — min doc_id — is this doc): the
+    memorization/recombination downweighting signal. See
+    functions/decontam.ngram_novelty for the two-exchange no-gram-
+    strings shape; agreement with the gram-string SQL is exact up to
+    the 128-bit hash-collision budget shared with q_decontam."""
+    from ptrail_ray.functions.decontam import ngram_novelty
+
+    out = ngram_novelty(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n=NOVELTY_N
+    )
+    return finalize(out, round_columns=["novelty"])
+
+
+ORACLE_SQL["q_ngram_novelty"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {NOVELTY_N} THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(toks) - {NOVELTY_N - 1}),
+                                  i -> array_to_string(toks[i:i+{NOVELTY_N - 1}], ' '))
+         END AS grams
+  FROM d
+), e AS (
+  SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g
+), f AS (
+  SELECT gram, min(doc_id) AS first_doc FROM e GROUP BY gram
+), c AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM e JOIN f USING (gram) GROUP BY e.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) + 0.0 AS novelty
+FROM c
+"""
+QUERIES["q_ngram_novelty"] = q_ngram_novelty
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -272,3 +272,95 @@ def bloom_overlap_flags(
         )
 
     return corpus_ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)
+
+
+def ngram_novelty(ds, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+                  num_buckets: int = 64):
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams whose globally FIRST occurrence (min doc id)
+    is this document — the memorization/recombination signal corpus
+    curation uses to downweight documents that merely reshuffle text
+    already in the corpus (high novelty = new content, low = stitched
+    from earlier docs).
+
+    Scale shape: per-batch distinct (gram-hash-pair, doc) triples (no
+    gram strings — `_gram_hashes`' 128-bit identity), ONE gram-keyed
+    exchange where each bucket resolves min-doc-per-gram and emits
+    per-doc (n_grams, n_novel) partials (grams are globally partitioned
+    by bucket, so bucket-local min IS the global min), then one narrow
+    doc-keyed exchange summing 3-int partials. Text never shuffles.
+    Documents with fewer than ``n`` tokens have no grams and are not
+    emitted (same rule as the SQL oracle)."""
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    def triples(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g1, g2, doc_of = _gram_hashes(t[text_col], n)
+        if len(g1):
+            u = np.unique(np.stack([g1, g2, ids[doc_of].astype(np.uint64)], 1), axis=0)
+            g1, g2, doc = u[:, 0], u[:, 1], u[:, 2].astype(np.int64)
+        else:
+            doc = np.array([], np.int64)
+        return pa.table(
+            {
+                "g1": pa.array(g1, pa.uint64()),
+                "g2": pa.array(g2, pa.uint64()),
+                id_col: pa.array(doc, pa.int64()),
+            }
+        )
+
+    def per_gram_bucket(t: pa.Table) -> pa.Table:
+        g1 = t["g1"].to_numpy(zero_copy_only=False)
+        g2 = t["g2"].to_numpy(zero_copy_only=False)
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_novel": pa.array([], pa.int64()),
+            }
+        )
+        if len(g1) == 0:
+            return empty
+        order = np.lexsort((doc, g2, g1))
+        g1, g2, doc = g1[order], g2[order], doc[order]
+        new_gram = np.r_[True, (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])]
+        # triples are distinct per (gram, doc); within a gram group rows
+        # sort by doc, so the group head IS the min-doc (the novel one)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n_grams = np.bincount(inv, minlength=len(udoc)).astype(np.int64)
+        n_novel = np.bincount(inv[new_gram], minlength=len(udoc)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(udoc, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_novel": pa.array(n_novel, pa.int64()),
+            }
+        )
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "n_grams", "n_novel"]).to_pandas()
+        g = df.groupby(id_col, as_index=False)[["n_grams", "n_novel"]].sum()
+        ng = g["n_grams"].to_numpy(np.int64)
+        nv = g["n_novel"].to_numpy(np.int64)
+        novelty = nv.astype(np.float64) / ng.astype(np.float64)
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_novel": pa.array(nv, pa.int64()),
+                "novelty": pa.array(novelty, pa.float64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        ds.map_batches(triples, batch_format="pyarrow", batch_size=TEXT_BATCH),
+        "g1",
+        per_gram_bucket,
+        num_buckets=num_buckets,
+        group_format="pyarrow",
+    )
+    return grouped_agg_by_bucket(
+        parts, id_col, sum_doc, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    )

@@ -631,3 +631,33 @@ def test_cross_source_dup_clusters(ray_session):
         ref = ref.sort_index()
         assert (got["n_docs"].to_numpy() == ref["n_docs"].to_numpy()).all()
         assert (got["n_sources"].to_numpy() == ref["n_sources"].to_numpy()).all()
+
+
+def test_ngram_novelty_definition(ray_session):
+    import re
+
+    from ptrail_ray.entry_queries import NOVELTY_N, QUERIES
+
+    out = QUERIES["q_ngram_novelty"](SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    grams: dict[int, set] = {}
+    for r in docs.itertuples():
+        toks = re.findall(r"\S+", r.text or "")
+        gs = {
+            " ".join(toks[i : i + NOVELTY_N])
+            for i in range(len(toks) - NOVELTY_N + 1)
+        }
+        if gs:
+            grams[int(r.doc_id)] = gs
+    first: dict[str, int] = {}
+    for d in sorted(grams):
+        for g in grams[d]:
+            first.setdefault(g, d)
+    assert set(out.index) == set(grams)
+    for d, gs in grams.items():
+        novel = sum(1 for g in gs if first[g] == d)
+        assert int(out.loc[d, "n_grams"]) == len(gs)
+        assert int(out.loc[d, "n_novel"]) == novel
+        assert abs(out.loc[d, "novelty"] - novel / len(gs)) < 1e-6
+    # at least one doc should be non-novel at this scale (near-dups)
+    assert (out["novelty"] < 1.0).any()
