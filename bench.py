@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q_anon_k",
     "q_cross_source_dup",
     "q_ngram_novelty",
+    "q_triangle_count",
 ]
 
 

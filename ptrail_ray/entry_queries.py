@@ -8757,6 +8757,54 @@ FROM c
 QUERIES["q_ngram_novelty"] = q_ngram_novelty
 
 
+def q_triangle_count(sf_dir):
+    """Exact triangle census of the near-dup similarity graph (edges =
+    q_sparse_cosine pairs, the q_pagerank graph): node-iterator wedge
+    generation at each edge's min endpoint + one pair-keyed closing
+    exchange (functions/graph.triangle_count). Dense-triangle graphs ⇒
+    aggressive min-id cluster collapse; triangle-free ⇒ chains."""
+    from ptrail_ray.functions.apss import sparse_cosine_pairs
+    from ptrail_ray.functions.graph import triangle_count
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n = docs.count()
+    pairs = sparse_cosine_pairs(
+        docs,
+        threshold=APSS_THETA,
+        max_df=max(50, n // 10),
+        ngram=2,
+        num_buckets=16,
+    )
+    return triangle_count(pairs, num_buckets=16)
+
+
+def _triangle_oracle() -> str:
+    apss = ORACLE_SQL["q_sparse_cosine"]
+    head, tail = apss.rsplit("SELECT doc_a, doc_b", 1)
+    theta_filter = tail.split("WHERE", 1)[1].strip()
+    return f"""{head.rstrip().rstrip(',')},
+pairs AS (
+  SELECT doc_a, doc_b FROM p WHERE {theta_filter}
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+),
+wg AS (
+  SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM (SELECT count(*) AS d FROM pairs GROUP BY doc_a)
+),
+eg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+SELECT n_triangles, n_wedges, n_edges FROM tri CROSS JOIN wg CROSS JOIN eg
+"""
+
+
+ORACLE_SQL["q_triangle_count"] = _triangle_oracle()
+QUERIES["q_triangle_count"] = q_triangle_count
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -661,3 +661,40 @@ def test_ngram_novelty_definition(ray_session):
         assert abs(out.loc[d, "novelty"] - novel / len(gs)) < 1e-6
     # at least one doc should be non-novel at this scale (near-dups)
     assert (out["novelty"] < 1.0).any()
+
+
+def test_triangle_count_hand_graph(ray_session):
+    import ray.data as rd
+
+    from ptrail_ray.functions.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5) + disjoint
+    # edge (6,7): expect 4 triangles
+    edges = pa.table(
+        {
+            "doc_a": pa.array([1, 1, 1, 2, 2, 3, 4, 6], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 3, 4, 4, 5, 7], pa.int64()),
+        }
+    )
+    out = triangle_count(rd.from_arrow(edges), num_buckets=4).to_pandas()
+    assert int(out.loc[0, "n_triangles"]) == 4
+    assert int(out.loc[0, "n_edges"]) == 8
+    # wedges: deg+(1)=3 -> 3, deg+(2)=2 -> 1, deg+(3)=1, deg+(4)=1, deg+(6)=1 -> 0
+    assert int(out.loc[0, "n_wedges"]) == 4
+
+
+def test_triangle_count_degree_guard(ray_session):
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.graph import triangle_count
+
+    star = pa.table(
+        {
+            "doc_a": pa.array([0] * 10, pa.int64()),
+            "doc_b": pa.array(list(range(1, 11)), pa.int64()),
+        }
+    )
+    with pytest.raises(ray.exceptions.RayTaskError, match="max_out_degree"):
+        triangle_count(rd.from_arrow(star), num_buckets=2, max_out_degree=5)
