@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q_cross_source_dup",
     "q_ngram_novelty",
     "q_triangle_count",
+    "q_spearman",
 ]
 
 

@@ -8805,6 +8805,59 @@ ORACLE_SQL["q_triangle_count"] = _triangle_oracle()
 QUERIES["q_triangle_count"] = q_triangle_count
 
 
+def q_spearman(sf_dir):
+    """Per-conversation Spearman rank correlation of message length vs
+    elapsed time (stages/stats.spearman_kernel): rank-based drift —
+    scale-free 'messages grow/shrink as the conversation ages'.
+    Tie-averaged ranks doubled into pure int64, exact moment sums, one
+    float division; hash-exact vs the rank()-window SQL replica."""
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.stages.stats import spearman
+
+    ds = derive_from_events(sf_dir, num_buckets=16).map_batches(
+        project_measures, batch_format="pyarrow", batch_size=None
+    )
+    return finalize(spearman(ds, num_buckets=16), round_columns=["spearman"])
+
+
+ORACLE_SQL["q_spearman"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS v1,
+         CAST(date_diff('microsecond',
+                first_value(ts) OVER ({W} ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING),
+                ts) AS BIGINT) AS v2
+  FROM transcripts
+),
+r AS (
+  SELECT conv_id,
+         2 * rank() OVER (PARTITION BY conv_id ORDER BY v1)
+           + count(*) OVER (PARTITION BY conv_id, v1) - 1 AS x,
+         2 * rank() OVER (PARTITION BY conv_id ORDER BY v2)
+           + count(*) OVER (PARTITION BY conv_id, v2) - 1 AS y
+  FROM m
+),
+a AS (
+  SELECT conv_id, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM r GROUP BY conv_id
+)
+SELECT conv_id,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+       END AS spearman
+FROM a
+"""
+QUERIES["q_spearman"] = q_spearman
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

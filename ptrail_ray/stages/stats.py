@@ -1167,3 +1167,94 @@ def pairwise_trend(ds, *, value_col: str = "m1", num_buckets: int = 16):
         functools.partial(pairwise_trend_kernel, value_col=value_col),
         num_buckets=num_buckets,
     )
+
+
+def spearman_kernel(
+    table: pa.Table, *, max_run: int = 2048
+) -> pa.Table:
+    """Per-conversation Spearman rank correlation between message
+    length (m1) and elapsed time since the conversation start — the
+    rank-based drift diagnostic (do messages get longer as the
+    conversation ages, monotonically, regardless of scale).
+
+    Exactness: tie-averaged ranks are rationals with denominator 2, so
+    both axes use r2 = 2·avg_rank = 2·tie_group_start + tie_len − 1
+    (pure int64); the five correlation moments are exact int64 sums
+    and rho is ONE division of a float product/sqrt in the same
+    operand order as the SQL replica. ``max_run`` 2048 keeps
+    n·Σr² < 2⁵³ so the HUGEINT→DOUBLE casts on the SQL side are
+    exact too. Ties in BOTH variables are handled; zero-variance
+    series (all-tied) → NULL."""
+    starts, lengths = conv_runs(table[CONV_ID])
+    n_runs = len(starts)
+    empty = pa.table(
+        {
+            CONV_ID: pa.array([], pa.string()),
+            "spearman": pa.array([], pa.float64()),
+        }
+    )
+    if n_runs == 0:
+        return empty
+    if int(lengths.max()) > max_run:
+        raise ValueError(
+            f"spearman_kernel: run of {int(lengths.max())} rows exceeds "
+            f"max_run={max_run} (exact-int headroom bound); split giant "
+            "conversations upstream (stages/split.py)"
+        )
+    starts = starts.astype(np.int64)
+    lengths = lengths.astype(np.int64)
+    n = table.num_rows
+    grp = np.repeat(np.arange(n_runs, dtype=np.int64), lengths)
+    run_start_row = np.repeat(starts, lengths)
+
+    m1 = table["m1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = table[TS]
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        import pyarrow.compute as _pc
+
+        col = _pc.cast(col, pa.timestamp("us"))
+    ts = col.to_numpy(zero_copy_only=False).view("int64")
+    elapsed = ts - ts[run_start_row]
+
+    def rank2(v: np.ndarray) -> np.ndarray:
+        order = np.lexsort((v, grp))
+        gs, vs = grp[order], v[order]
+        pos = np.arange(n, dtype=np.int64) - run_start_row[order] + 1
+        new_tie = np.r_[True, (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])]
+        tie_id = np.cumsum(new_tie) - 1
+        tie_start = pos[new_tie][tie_id]
+        tie_len = np.bincount(tie_id).astype(np.int64)[tie_id]
+        r2 = np.empty(n, dtype=np.int64)
+        r2[order] = 2 * tie_start + tie_len - 1
+        return r2
+
+    x, y = rank2(m1), rank2(elapsed)
+    L = lengths
+    sx = np.add.reduceat(x, starts)
+    sy = np.add.reduceat(y, starts)
+    sxy = np.add.reduceat(x * y, starts)
+    sxx = np.add.reduceat(x * x, starts)
+    syy = np.add.reduceat(y * y, starts)
+    d1 = L * sxx - sx * sx
+    d2 = L * syy - sy * sy
+    num = L * sxy - sx * sy
+    bad = (d1 == 0) | (d2 == 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rho = num.astype(np.float64) / np.sqrt(
+            d1.astype(np.float64) * d2.astype(np.float64)
+        )
+    conv = table[CONV_ID]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    return pa.table(
+        {
+            CONV_ID: conv.take(pa.array(starts, pa.int64())),
+            "spearman": pa.array(rho, pa.float64(), mask=bad),
+        }
+    )
+
+
+def spearman(ds, *, num_buckets: int = 16):
+    """Distributed per-conversation Spearman over the single conv
+    exchange (see `spearman_kernel`)."""
+    return map_conv_buckets(ds, spearman_kernel, num_buckets=num_buckets)

@@ -698,3 +698,44 @@ def test_triangle_count_degree_guard(ray_session):
     )
     with pytest.raises(ray.exceptions.RayTaskError, match="max_out_degree"):
         triangle_count(rd.from_arrow(star), num_buckets=2, max_out_degree=5)
+
+
+def test_spearman_matches_scipy_free_definition(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_spearman"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        y1 = g["m1"].to_numpy(np.float64)
+        ts = g["ts"].to_numpy("datetime64[us]").view("int64")
+        y2 = (ts - ts[0]).astype(np.float64)
+        got = out.loc[conv, "spearman"]
+        r1 = pd.Series(y1).rank().to_numpy()
+        r2 = pd.Series(y2).rank().to_numpy()
+        if len(y1) < 2 or r1.std() == 0 or r2.std() == 0:
+            assert np.isnan(got), conv
+            continue
+        rho = np.corrcoef(r1, r2)[0, 1]
+        assert abs(got - rho) < 1e-5, conv
+
+
+def test_spearman_kernel_edges():
+    from ptrail_ray.stages.stats import spearman_kernel
+
+    ts = pa.array(
+        np.arange(10, dtype="int64").view("datetime64[us]"),
+        pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 4 + ["b"] * 4 + ["c", "d"]),
+            "m1": pa.array([1, 2, 3, 4, 5, 5, 5, 5, 7, 3], pa.int64()),
+            "ts": ts,
+        }
+    )
+    out = spearman_kernel(t).to_pandas().set_index("conv_id")
+    assert out.loc["a", "spearman"] == 1.0  # strictly increasing
+    assert np.isnan(out.loc["b", "spearman"])  # constant m1 -> NULL
+    assert np.isnan(out.loc["c", "spearman"])  # single row
+    assert np.isnan(out.loc["d", "spearman"])
