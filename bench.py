@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q_ngram_novelty",
     "q_triangle_count",
     "q_spearman",
+    "q_ks_drift",
 ]
 
 

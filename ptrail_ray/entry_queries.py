@@ -8858,6 +8858,94 @@ FROM a
 QUERIES["q_spearman"] = q_spearman
 
 
+def q_ks_drift(sf_dir):
+    """Per-source two-sample Kolmogorov–Smirnov drift statistic of the
+    doc-length distribution vs the whole corpus — the distribution-
+    level intake gate (chi2/MI see category mixes; KS sees shape).
+    Exact: ECDF differences are compared as cross-multiplied INTEGERS
+    (|n_src·C_glob(x) − n_glob·C_src(x)|, sup over the global jump
+    points), so the max needs no float compares; D is ONE division at
+    the end. Histogram partials are (source, n_chars)-bounded; the
+    driver merge carries a loud cap."""
+    docs = _docs(sf_dir).select_columns(["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "x": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "x"], as_index=False)["c"]
+        .sum()
+    )
+    if len(parts) > 2_000_000:
+        raise RuntimeError(
+            f"q_ks_drift: {len(parts)} (source, value) cells exceed the "
+            "driver-merge budget — bucket the value domain first"
+        )
+    xs_all = np.sort(parts["x"].unique())
+    gl = parts.groupby("x")["c"].sum()
+    cg = np.cumsum(gl.reindex(xs_all, fill_value=0).to_numpy(np.int64))
+    ng = int(cg[-1])
+    if ng >= 3_000_000_000:
+        raise RuntimeError("q_ks_drift: corpus count overflows int64 products")
+    rows = []
+    for src, g in parts.groupby("source"):
+        xs = g["x"].to_numpy(np.int64)
+        cs_at = np.zeros(len(xs_all), np.int64)
+        order = np.argsort(xs)
+        cum = np.cumsum(g["c"].to_numpy(np.int64)[order])
+        pos = np.searchsorted(xs[order], xs_all, side="right")
+        cs_at[pos > 0] = cum[pos[pos > 0] - 1]
+        ns = int(cum[-1])
+        num = int(np.abs(ns * cg - ng * cs_at).max())
+        rows.append((src, num, ns, ng, float(num) / (float(ns) * float(ng))))
+    out = pd.DataFrame(
+        rows, columns=["source", "ks_num", "n_src", "n_all", "ks_d"]
+    ).sort_values("source")
+    for c in ("ks_num", "n_src", "n_all"):
+        out[c] = out[c].astype("int64")
+    return finalize(
+        pa.Table.from_pandas(out, preserve_index=False), round_columns=["ks_d"]
+    )
+
+
+ORACLE_SQL["q_ks_drift"] = """
+WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+g AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+gc AS (SELECT x, CAST(sum(c) OVER (ORDER BY x) AS HUGEINT) AS cg,
+              (SELECT CAST(sum(c) AS HUGEINT) FROM g) AS ng
+       FROM g),
+s AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+sc AS (SELECT source, x,
+              CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS HUGEINT) AS cs
+       FROM s),
+ssum AS (SELECT source, CAST(count(*) AS HUGEINT) AS ns FROM v GROUP BY 1),
+pts AS (SELECT ssum.source, ssum.ns, gc.x, gc.cg, gc.ng
+        FROM ssum CROSS JOIN gc),
+ev AS (SELECT p.source, p.ns, p.ng, p.cg, coalesce(sc.cs, 0) AS cs
+       FROM pts p ASOF LEFT JOIN sc
+         ON sc.source = p.source AND sc.x <= p.x),
+d AS (SELECT source, max(abs(ns * cg - ng * cs)) AS num,
+             any_value(ns) AS ns, any_value(ng) AS ng
+      FROM ev GROUP BY source)
+SELECT source, CAST(num AS BIGINT) AS ks_num, CAST(ns AS BIGINT) AS n_src,
+       CAST(ng AS BIGINT) AS n_all,
+       round(CAST(num AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(ng AS DOUBLE)), 6)
+         + 0.0 AS ks_d
+FROM d
+"""
+QUERIES["q_ks_drift"] = q_ks_drift
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

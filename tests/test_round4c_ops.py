@@ -739,3 +739,25 @@ def test_spearman_kernel_edges():
     assert np.isnan(out.loc["b", "spearman"])  # constant m1 -> NULL
     assert np.isnan(out.loc["c", "spearman"])  # single row
     assert np.isnan(out.loc["d", "spearman"])
+
+
+def test_ks_drift_matches_scipy_style(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ks_drift"](SF).to_pandas().set_index("source")
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    allv = np.sort(docs["n_chars"].to_numpy(np.int64))
+    ng = len(allv)
+    for src, g in docs.groupby("source"):
+        sv = np.sort(g["n_chars"].to_numpy(np.int64))
+        ns = len(sv)
+        pts = np.unique(allv)
+        fg = np.searchsorted(allv, pts, side="right") / ng
+        fs = np.searchsorted(sv, pts, side="right") / ns
+        d = float(np.abs(fg - fs).max())
+        row = out.loc[src]
+        assert int(row["n_src"]) == ns and int(row["n_all"]) == ng
+        assert abs(row["ks_d"] - d) < 1e-6, src
+        assert int(row["ks_num"]) == round(d * ns * ng) or abs(
+            row["ks_d"] - int(row["ks_num"]) / (ns * ng)
+        ) < 1e-9
