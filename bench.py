@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "q_triangle_count",
     "q_spearman",
     "q_ks_drift",
+    "q_tpch_q4",
+    "q_tpch_q12",
 ]
 
 

@@ -8946,6 +8946,215 @@ FROM d
 QUERIES["q_ks_drift"] = q_ks_drift
 
 
+TPCH_Q4_FROM = "1996-01-01 00:00:00"
+TPCH_Q4_TO = "1997-01-01 00:00:00"
+
+
+def q_tpch_q4(sf_dir):
+    """TPC-H Q4 plan shape (EXISTS semi-join then count by priority),
+    adapted to the driver tables' columns: orders in a date window
+    having at least one returned ('R') lineitem, counted per
+    o_orderpriority. DISTRIBUTED semi-join — both fact sides are
+    large, so neither is broadcast: lineitem reduces to per-batch
+    DISTINCT R-orderkeys, orders reduce to (orderkey, priority), and
+    ONE orderkey-bucket exchange resolves existence per bucket; only
+    a 5-row priority histogram reaches the driver."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    lo = np.datetime64(TPCH_Q4_FROM.replace(" ", "T"), "us")
+    hi = np.datetime64(TPCH_Q4_TO.replace(" ", "T"), "us")
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+
+    def keys_partial(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        u = np.unique(k.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "okey": pa.array(u, pa.int64()),
+                "prio": pa.array([None] * len(u), pa.string()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "prio": t["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    both = line.map_batches(
+        keys_partial, batch_format="pyarrow", batch_size=1 << 20
+    ).union(
+        orders.map_batches(order_partial, batch_format="pyarrow", batch_size=1 << 20)
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "prio"]).to_pandas()
+        have = set(df.loc[df["prio"].isna(), "okey"].to_numpy(np.int64))
+        o = df[df["prio"].notna()]
+        o = o[o["okey"].isin(have)]
+        g = o.groupby("prio", as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["prio"].tolist(), pa.string()),
+                "order_count": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        both, "okey", per_bucket, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)["order_count"]
+        .sum()
+        .sort_values("o_orderpriority")
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tpch_q4"] = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{TPCH_Q4_FROM}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_Q4_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+QUERIES["q_tpch_q4"] = q_tpch_q4
+
+
+TPCH_Q12_FROM = "1997-01-01 00:00:00"
+TPCH_Q12_TO = "1998-01-01 00:00:00"
+TPCH_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12(sf_dir):
+    """TPC-H Q12 plan shape (fact-fact join + two-way conditional
+    count), adapted columns: lineitems shipped in a window, joined to
+    their order's priority class (high = 1-URGENT/2-HIGH), counted per
+    l_returnflag. One orderkey exchange joining narrow projections;
+    2×|flags| ints reach the driver."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    lo = np.datetime64(TPCH_Q12_FROM.replace(" ", "T"), "us")
+    hi = np.datetime64(TPCH_Q12_TO.replace(" ", "T"), "us")
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        t = t.filter(pa.array(keep))
+        t = t.filter(pc.is_in(t["l_returnflag"], value_set=pa.array(["A", "R"])))
+        return pa.table(
+            {
+                "okey": t["l_orderkey"].cast(pa.int64()),
+                "flag": t["l_returnflag"].cast(pa.string()),
+                "is_order": pa.array(np.zeros(t.num_rows, bool), pa.bool_()),
+                "high": pa.array(np.zeros(t.num_rows, bool), pa.bool_()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(
+            t["o_orderpriority"], value_set=pa.array(list(TPCH_Q12_HIGH))
+        ).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "flag": pa.array([None] * n, pa.string()),
+                "is_order": pa.array(np.ones(n, bool), pa.bool_()),
+                "high": pa.array(hi_m, pa.bool_()),
+            }
+        )
+
+    both = line.map_batches(
+        line_partial, batch_format="pyarrow", batch_size=1 << 20
+    ).union(
+        orders.map_batches(order_partial, batch_format="pyarrow", batch_size=1 << 20)
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "flag", "is_order", "high"]).to_pandas()
+        om = df[df["is_order"]].set_index("okey")["high"]
+        li = df[~df["is_order"]]
+        hi_of = li["okey"].map(om)
+        g = (
+            pd.DataFrame({"flag": li["flag"], "high": hi_of})
+            .dropna()
+            .groupby(["flag", "high"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["flag"].tolist(), pa.string()),
+                "high": pa.array(g["high"].astype(bool).tolist(), pa.bool_()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        both, "okey", per_bucket, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    g = parts.groupby(["l_returnflag", "high"])["n"].sum().unstack(fill_value=0)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g.index,
+            "high_count": g.get(True, pd.Series(0, index=g.index)).to_numpy(np.int64),
+            "low_count": g.get(False, pd.Series(0, index=g.index)).to_numpy(np.int64),
+        }
+    ).sort_values("l_returnflag")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tpch_q12"] = f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate >= TIMESTAMP '{TPCH_Q12_FROM}'
+  AND l.l_shipdate < TIMESTAMP '{TPCH_Q12_TO}'
+GROUP BY 1
+"""
+QUERIES["q_tpch_q12"] = q_tpch_q12
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

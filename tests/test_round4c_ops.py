@@ -761,3 +761,36 @@ def test_ks_drift_matches_scipy_style(ray_session):
         assert int(row["ks_num"]) == round(d * ns * ng) or abs(
             row["ks_d"] - int(row["ks_num"]) / (ns * ng)
         ) < 1e-9
+
+
+def test_tpch_q4_q12_duckdb_parity(ray_session):
+    # oracle parity is the gate; here assert structural invariants on
+    # the real sf0.001 tables so regressions fail fast without duckdb
+    from ptrail_ray.entry_queries import QUERIES, TPCH_Q12_HIGH
+
+    q4 = QUERIES["q_tpch_q4"](SF).to_pandas()
+    assert set(q4.columns) == {"o_orderpriority", "order_count"}
+    assert (q4["order_count"] > 0).all()
+    ords = pd.read_parquet(os.path.join(SF, "orders.parquet"))
+    line = pd.read_parquet(os.path.join(SF, "lineitem.parquet"))
+    rk = set(line.loc[line["l_returnflag"] == "R", "l_orderkey"])
+    win = ords[
+        (ords["o_orderdate"] >= "1996-01-01") & (ords["o_orderdate"] < "1997-01-01")
+    ]
+    ref = win[win["o_orderkey"].isin(rk)].groupby("o_orderpriority").size()
+    got = q4.set_index("o_orderpriority")["order_count"]
+    assert got.to_dict() == ref.to_dict()
+
+    q12 = QUERIES["q_tpch_q12"](SF).to_pandas().set_index("l_returnflag")
+    li = line[
+        (line["l_shipdate"] >= "1997-01-01")
+        & (line["l_shipdate"] < "1998-01-01")
+        & (line["l_returnflag"].isin(["A", "R"]))
+    ]
+    hi = li["l_orderkey"].map(
+        ords.set_index("o_orderkey")["o_orderpriority"].isin(TPCH_Q12_HIGH)
+    )
+    ref12 = pd.DataFrame({"flag": li["l_returnflag"].to_numpy(), "hi": hi.to_numpy()})
+    for f, g in ref12.groupby("flag"):
+        assert int(q12.loc[f, "high_count"]) == int(g["hi"].sum())
+        assert int(q12.loc[f, "low_count"]) == int((~g["hi"]).sum())
