@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q_ks_drift",
     "q_tpch_q4",
     "q_tpch_q12",
+    "q_ntile",
+    "q_cume_dist",
 ]
 
 

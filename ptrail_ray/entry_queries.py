@@ -9155,6 +9155,55 @@ GROUP BY 1
 QUERIES["q_tpch_q12"] = q_tpch_q12
 
 
+def q_ntile(sf_dir):
+    """DuckDB-exact ntile(4) quartile label of m1 within each
+    conversation (kernel ntile4_m1 — deterministic tie order via the
+    stable lexsort = ORDER BY m1, turn_idx, ts)."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["ntile4_m1"], num_buckets=16)
+    return finalize(ds.select_columns(["conv_id", "turn_idx", "ntile4_m1"]))
+
+
+ORACLE_SQL["q_ntile"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       CAST(ntile(4) OVER (
+         PARTITION BY conv_id
+         ORDER BY CAST(length(coalesce(text, '')) AS BIGINT), turn_idx, ts)
+         AS DOUBLE) AS ntile4_m1
+FROM transcripts
+"""
+QUERIES["q_ntile"] = q_ntile
+
+
+def q_cume_dist(sf_dir):
+    """DuckDB-exact cume_dist() of m1 within each conversation (kernel
+    cume_m1: tie groups share their END position; one division per
+    row)."""
+    from ptrail_ray.stages.kernels import featurize
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    ds = featurize(ds, ["cume_m1"], num_buckets=16)
+    return finalize(
+        ds.select_columns(["conv_id", "turn_idx", "cume_m1"]),
+        round_columns=["cume_m1"],
+    )
+
+
+ORACLE_SQL["q_cume_dist"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       round(cume_dist() OVER (
+         PARTITION BY conv_id
+         ORDER BY CAST(length(coalesce(text, '')) AS BIGINT)), 6) + 0.0
+         AS cume_m1
+FROM transcripts
+"""
+QUERIES["q_cume_dist"] = q_cume_dist
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

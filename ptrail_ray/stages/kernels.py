@@ -335,6 +335,59 @@ def _roll5_max_m1(ctx: KernelContext):
     return out
 
 
+@register("ntile4_m1", deps=(M1,))
+def _ntile4_m1(ctx: KernelContext):
+    """SQL ``ntile(4)`` over (m1, arrival order) within the
+    conversation — the per-entity quartile label used for curriculum
+    tiering at conversation granularity. The ORDER BY is made
+    deterministic by the stable lexsort (ties keep turn order, exactly
+    the SQL's ``ORDER BY m1, turn_idx, ts``). DuckDB tile sizing: the
+    first n % 4 tiles get ⌈n/4⌉ rows, the rest ⌊n/4⌋."""
+    m1 = _np_of(ctx, M1)
+    run = np.repeat(np.arange(len(ctx.starts), dtype=np.int64), ctx.lengths)
+    order = np.lexsort((m1, run))
+    run_start = np.repeat(ctx.starts, ctx.lengths)
+    pos = np.arange(ctx.n, dtype=np.int64) - run_start + 1  # 1-based in run
+    n_run = np.repeat(ctx.lengths, ctx.lengths).astype(np.int64)
+    big = n_run % 4
+    size_big = n_run // 4 + 1
+    size_small = np.maximum(n_run // 4, 1)  # avoid /0; small branch unused then
+    cutoff = big * size_big
+    in_big = pos <= cutoff
+    tile = np.where(
+        in_big,
+        (pos - 1) // size_big + 1,
+        big + (pos - cutoff - 1) // size_small + 1,
+    )
+    out = np.empty(ctx.n)
+    out[order] = tile.astype(np.float64)
+    return out
+
+
+@register("cume_m1", deps=(M1,))
+def _cume_m1(ctx: KernelContext):
+    """SQL ``cume_dist()`` of m1 within the conversation: the fraction
+    of the conversation's turns with m1 ≤ this turn's (ties share the
+    tie group's END position). One lexsort, tie-group ends by change
+    detection, ONE division per row — same IEEE op as DuckDB's."""
+    m1 = _np_of(ctx, M1)
+    run = np.repeat(np.arange(len(ctx.starts), dtype=np.int64), ctx.lengths)
+    order = np.lexsort((m1, run))
+    run_s, m1_s = run[order], m1[order]
+    new = np.ones(ctx.n, bool)
+    if ctx.n > 1:
+        new[1:] = (run_s[1:] != run_s[:-1]) | (m1_s[1:] != m1_s[:-1])
+    gstart = np.flatnonzero(new)
+    gend = np.r_[gstart[1:], ctx.n] - 1  # last index of each tie group
+    gid = np.cumsum(new) - 1
+    run_start = np.repeat(ctx.starts, ctx.lengths)
+    n_run = np.repeat(ctx.lengths, ctx.lengths).astype(np.float64)
+    cume_s = (gend[gid] - run_start + 1).astype(np.float64) / n_run
+    out = np.empty(ctx.n)
+    out[order] = cume_s
+    return out
+
+
 @register("rank_m1", deps=(M1,))
 def _rank_m1(ctx: KernelContext):
     """SQL ``rank()`` of m1 within the conversation (ties share the

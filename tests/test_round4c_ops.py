@@ -794,3 +794,31 @@ def test_tpch_q4_q12_duckdb_parity(ray_session):
     for f, g in ref12.groupby("flag"):
         assert int(q12.loc[f, "high_count"]) == int(g["hi"].sum())
         assert int(q12.loc[f, "low_count"]) == int((~g["hi"]).sum())
+
+
+def test_ntile_cume_kernels(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    nt = QUERIES["q_ntile"](SF).to_pandas()
+    cm = QUERIES["q_cume_dist"](SF).to_pandas()
+    ref = _transcripts_pdf()
+    ref["m1"] = ref["text"].fillna("").str.len()
+    nt = nt.set_index(["conv_id", "turn_idx"])
+    cm = cm.set_index(["conv_id", "turn_idx"])
+    for conv, g in ref.groupby("conv_id", sort=False):
+        v = g["m1"].to_numpy(np.int64)
+        n = len(v)
+        order = np.argsort(v, kind="stable")
+        # ntile sizing: first n%4 tiles take ceil(n/4)
+        big, size_b, size_s = n % 4, n // 4 + 1, max(n // 4, 1)
+        tiles = np.empty(n, np.int64)
+        for p in range(1, n + 1):
+            tiles[order[p - 1]] = (
+                (p - 1) // size_b + 1
+                if p <= big * size_b
+                else big + (p - big * size_b - 1) // size_s + 1
+            )
+        cume = np.array([(v <= x).sum() / n for x in v])
+        for i, ti in enumerate(g["turn_idx"].to_numpy()):
+            assert nt.loc[(conv, ti), "ntile4_m1"] == tiles[i], (conv, ti)
+            assert abs(cm.loc[(conv, ti), "cume_m1"] - cume[i]) < 1e-6, (conv, ti)
