@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q_tpch_q12",
     "q_ntile",
     "q_cume_dist",
+    "q_silhouette",
 ]
 
 

@@ -9204,6 +9204,57 @@ FROM transcripts
 QUERIES["q_cume_dist"] = q_cume_dist
 
 
+def q_silhouette(sf_dir):
+    """Simplified (centroid-based) silhouette per embedding against
+    the deterministic 8-lowest-id centroids (functions/cluster.
+    silhouette_centroid): s = (b−a)/max(a,b) over cosine distances to
+    the best and runner-up centroid — the shard-quality score of the
+    semantic-dedup pipeline. Oracle mode uses the DuckDB scalar-order
+    cosine; the float chain (1−sim, greatest, subtract, divide) is
+    replicated operand-for-operand."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import lowest_id_centroids, silhouette_centroid
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cids, cmat = lowest_id_centroids(ds, N_CENTROIDS)
+    out = silhouette_centroid(ds, cids, cmat, deterministic=True)
+    return finalize(out, round_columns=["silhouette"])
+
+
+ORACLE_SQL["q_silhouette"] = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
+), s AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) AS sim
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+  FROM s
+), t2 AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+         max(CASE WHEN rn = 1 THEN sim END) AS sim1,
+         max(CASE WHEN rn = 2 THEN sim END) AS sim2
+  FROM r WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT vec_id, centroid_id,
+       CASE WHEN greatest(1.0 - sim1, 1.0 - sim2) = 0 THEN NULL
+            ELSE round(((1.0 - sim2) - (1.0 - sim1))
+                       / greatest(1.0 - sim1, 1.0 - sim2), 6) + 0.0
+       END AS silhouette
+FROM t2
+"""
+QUERIES["q_silhouette"] = q_silhouette
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

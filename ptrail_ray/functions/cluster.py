@@ -373,3 +373,74 @@ def lowest_id_centroids(
     ids = top[id_col].to_numpy(np.int64)
     mat = np.stack([np.asarray(v, np.float64) for v in top[vec_col]])
     return ids, mat
+
+
+def _silhouette_batch(
+    t: pa.Table, *, cent_ref, id_col: str, vec_col: str, deterministic: bool
+) -> pa.Table:
+    cids, cmat = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    kernel = _duckdb_cosine_matrix if deterministic else _cosine_matrix_blas
+    m = _vec_matrix(t[vec_col])
+    if m.shape[0] == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "centroid_id": pa.array([], pa.int64()),
+                "silhouette": pa.array([], pa.float64()),
+            }
+        )
+    sims = kernel(m, cmat)  # (n, k)
+    # SQL row_number ORDER BY sim DESC, centroid_id ASC — stable argsort
+    # of -sim keeps ascending centroid index among ties
+    idx = np.argsort(-sims, axis=1, kind="stable")
+    rows = np.arange(m.shape[0])
+    sim1 = sims[rows, idx[:, 0]]
+    sim2 = sims[rows, idx[:, 1]]
+    a = 1.0 - sim1  # cosine distance to own centroid
+    b = 1.0 - sim2  # to the runner-up
+    den = np.maximum(a, b)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = (b - a) / den
+    return pa.table(
+        {
+            id_col: t[id_col].cast(pa.int64()),
+            "centroid_id": pa.array(cids[idx[:, 0]], pa.int64()),
+            "silhouette": pa.array(s, pa.float64(), mask=den == 0.0),
+        }
+    )
+
+
+def silhouette_centroid(
+    ds,
+    centroid_ids: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = False,
+    batch_size: int = 4096,
+):
+    """Simplified (centroid-based) silhouette per vector: with cosine
+    distance a to the assigned (max-sim) centroid and b to the
+    runner-up, s = (b − a)/max(a, b) ∈ [−1, 1] — the cluster-quality
+    score of Hartigan-style simplified silhouette (no O(n²) pairwise
+    pass; the full silhouette's within-cluster mean is replaced by the
+    centroid distance, the standard large-scale approximation).
+    Broadcast centroid matrix, stateless batches, no shuffle."""
+    if len(centroid_ids) < 2:
+        raise ValueError("silhouette_centroid needs at least 2 centroids")
+    order = np.argsort(centroid_ids, kind="stable")
+    cids = np.asarray(centroid_ids, np.int64)[order]
+    cmat = np.asarray(centroids, np.float64)[order]
+    cent_ref = ray.put((cids, cmat))
+    return ds.map_batches(
+        functools.partial(
+            _silhouette_batch,
+            cent_ref=cent_ref,
+            id_col=id_col,
+            vec_col=vec_col,
+            deterministic=deterministic,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -822,3 +822,30 @@ def test_ntile_cume_kernels(ray_session):
         for i, ti in enumerate(g["turn_idx"].to_numpy()):
             assert nt.loc[(conv, ti), "ntile4_m1"] == tiles[i], (conv, ti)
             assert abs(cm.loc[(conv, ti), "cume_m1"] - cume[i]) < 1e-6, (conv, ti)
+
+
+def test_silhouette_definition(ray_session):
+    from ptrail_ray.entry_queries import N_CENTROIDS, QUERIES
+
+    out = QUERIES["q_silhouette"](SF).to_pandas().set_index("vec_id")
+    emb = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    m = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    cmat = m[order[:N_CENTROIDS]].astype(np.float64)
+    cids = ids[order[:N_CENTROIDS]]
+
+    def cos(a, b):
+        return (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    for i in range(min(50, len(ids))):
+        sims = np.array([cos(m[i], c) for c in cmat])
+        idx = np.argsort(-sims, kind="stable")
+        a, b = 1 - sims[idx[0]], 1 - sims[idx[1]]
+        row = out.loc[ids[i]]
+        assert row["centroid_id"] == cids[idx[0]], ids[i]
+        if max(a, b) == 0:
+            assert np.isnan(row["silhouette"])
+        else:
+            assert abs(row["silhouette"] - (b - a) / max(a, b)) < 1e-5, ids[i]
+    assert out["silhouette"].between(-1 - 1e-9, 1 + 1e-9).all()
