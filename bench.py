@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q_ntile",
     "q_cume_dist",
     "q_silhouette",
+    "q_js_divergence",
 ]
 
 

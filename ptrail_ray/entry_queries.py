@@ -9255,6 +9255,108 @@ FROM t2
 QUERIES["q_silhouette"] = q_silhouette
 
 
+def q_js_divergence(sf_dir):
+    """Jensen–Shannon divergence (nats) between each source's
+    doc-length distribution and the REST of the corpus — the symmetric,
+    bounded drift score that complements q_ks_drift's sup-norm (KS sees
+    the worst point; JS sees the whole shape). Same bounded histogram
+    partials; each per-value cell term is a fixed-order IEEE expression
+    over exact integer counts, quantized at 1e12 half-away-from-zero
+    and INT-summed (order-free, HUGEINT-replica exact)."""
+    docs = _docs(sf_dir).select_columns(["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "x": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "x"], as_index=False)["c"]
+        .sum()
+    )
+    if len(parts) > 2_000_000:
+        raise RuntimeError(
+            f"q_js_divergence: {len(parts)} cells exceed the driver-merge "
+            "budget — bucket the value domain first"
+        )
+    gl = parts.groupby("x")["c"].sum().sort_index()
+    xs_all = gl.index.to_numpy(np.int64)
+    cg = gl.to_numpy(np.int64)
+    ng = int(cg.sum())
+    rows = []
+    for src, g in parts.groupby("source"):
+        cs = (
+            g.set_index("x")["c"].reindex(xs_all, fill_value=0).to_numpy(np.int64)
+        )
+        ns = int(cs.sum())
+        if ng - ns == 0:
+            continue  # degenerate single-source corpus
+        p = cs.astype(np.float64) / np.float64(ns)
+        q = (cg - cs).astype(np.float64) / np.float64(ng - ns)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t1 = np.where(cs > 0, 0.5 * p * np.log(2.0 * p / (p + q)), 0.0)
+            t2 = np.where(
+                cg - cs > 0, 0.5 * q * np.log(2.0 * q / (p + q)), 0.0
+            )
+        y = 1e12 * (t1 + t2)
+        f = np.floor(y)
+        d = y - f
+        r = np.where(d > 0.5, f + 1.0, f)
+        r = np.where(d == 0.5, np.where(y >= 0, f + 1.0, f), r)
+        acc = int(r.astype(np.int64).sum())
+        rows.append((src, acc / 1e12, ns, ng - ns))
+    out = pd.DataFrame(
+        rows, columns=["source", "js", "n_src", "n_rest"]
+    ).sort_values("source")
+    out["n_src"] = out["n_src"].astype("int64")
+    out["n_rest"] = out["n_rest"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_js_divergence"] = """
+WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+g AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS ng FROM g),
+s AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+ssum AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM v GROUP BY 1),
+grid AS (
+  SELECT m.source, m.ns, g.x, g.c AS cgl, coalesce(s.c, 0) AS cs, tt.ng
+  FROM ssum m CROSS JOIN g CROSS JOIN tt
+  LEFT JOIN s ON s.source = m.source AND s.x = g.x
+  WHERE tt.ng > m.ns
+),
+term AS (
+  SELECT source, ns, ng,
+         CAST(round(1000000000000.0 * (
+           CASE WHEN cs > 0
+                THEN 0.5 * (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                     * ln(2.0 * (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                          / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                             + (CAST(cgl - cs AS DOUBLE) / CAST(ng - ns AS DOUBLE))))
+                ELSE 0.0 END
+           + CASE WHEN cgl - cs > 0
+                THEN 0.5 * (CAST(cgl - cs AS DOUBLE) / CAST(ng - ns AS DOUBLE))
+                     * ln(2.0 * (CAST(cgl - cs AS DOUBLE) / CAST(ng - ns AS DOUBLE))
+                          / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                             + (CAST(cgl - cs AS DOUBLE) / CAST(ng - ns AS DOUBLE))))
+                ELSE 0.0 END)) AS BIGINT) AS qq
+  FROM grid
+)
+SELECT source, CAST(sum(qq) AS DOUBLE) / 1000000000000.0 AS js,
+       any_value(ns) AS n_src, any_value(ng) - any_value(ns) AS n_rest
+FROM term GROUP BY source
+"""
+QUERIES["q_js_divergence"] = q_js_divergence
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

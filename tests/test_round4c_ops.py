@@ -849,3 +849,31 @@ def test_silhouette_definition(ray_session):
         else:
             assert abs(row["silhouette"] - (b - a) / max(a, b)) < 1e-5, ids[i]
     assert out["silhouette"].between(-1 - 1e-9, 1 + 1e-9).all()
+
+
+def test_js_divergence_properties(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_js_divergence"](SF).to_pandas().set_index("source")
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    # nonneg, bounded by ln 2, and matches a scipy-free reference
+    assert (out["js"] >= -1e-9).all() and (out["js"] <= np.log(2) + 1e-9).all()
+    for src, g in docs.groupby("source"):
+        rest = docs[docs["source"] != src]
+        xs = np.unique(docs["n_chars"])
+        p = (
+            g["n_chars"].value_counts().reindex(xs, fill_value=0).to_numpy()
+            / len(g)
+        )
+        q = (
+            rest["n_chars"].value_counts().reindex(xs, fill_value=0).to_numpy()
+            / len(rest)
+        )
+        m = (p + q) / 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            js = 0.5 * np.nansum(
+                np.where(p > 0, p * np.log(p / m), 0)
+            ) + 0.5 * np.nansum(np.where(q > 0, q * np.log(q / m), 0))
+        assert abs(out.loc[src, "js"] - js) < 1e-6, src
+        assert int(out.loc[src, "n_src"]) == len(g)
+        assert int(out.loc[src, "n_rest"]) == len(rest)
