@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "q_cume_dist",
     "q_silhouette",
     "q_js_divergence",
+    "q_tpch_q6",
+    "q_tpch_q10",
 ]
 
 

@@ -9357,6 +9357,208 @@ FROM term GROUP BY source
 QUERIES["q_js_divergence"] = q_js_divergence
 
 
+TPCH_Q6_FROM = "1997-01-01 00:00:00"
+TPCH_Q6_TO = "1998-01-01 00:00:00"
+
+
+def q_tpch_q6(sf_dir):
+    """TPC-H Q6 (forecast revenue change): the canonical filtered
+    single-pass aggregate — columns pruned at the read, per-batch
+    exact-quantized partial sums (1e4, the Q14 contract), ONE int
+    reaching the driver. No shuffle at all."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+
+    lo = np.datetime64(TPCH_Q6_FROM.replace(" ", "T"), "us")
+    hi = np.datetime64(TPCH_Q6_TO.replace(" ", "T"), "us")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (
+            (d >= lo) & (d < hi) & (disc >= 0.04) & (disc <= 0.06) & (qty < 24.0)
+        )
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = _quant_int64(p[keep] * disc[keep], scale=10000.0)
+        return pa.table({"s": pa.array([int(q.sum())], pa.int64())})
+
+    s = int(
+        line.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()["s"]
+        .sum()
+    )
+    rev = _duckdb_round(np.array([s / 10000.0])) + 0.0
+    return pa.table({"revenue": pa.array(rev, pa.float64())})
+
+
+ORACLE_SQL["q_tpch_q6"] = f"""
+SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT))
+             / 10000.0, 6) + 0.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{TPCH_Q6_FROM}'
+  AND l_shipdate < TIMESTAMP '{TPCH_Q6_TO}'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24.0
+"""
+QUERIES["q_tpch_q6"] = q_tpch_q6
+
+
+TPCH_Q10_FROM = "1996-01-01 00:00:00"
+TPCH_Q10_TO = "1996-07-01 00:00:00"
+TPCH_Q10_K = 20
+
+
+def q_tpch_q10(sf_dir):
+    """TPC-H Q10 shape (returned-item revenue top-20 customers):
+    lineitem('R') ⋈ orders(window) on ONE orderkey exchange emitting
+    exact-quantized revenue partials per custkey; a second custkey
+    exchange completes each customer and prunes to per-bucket top-20
+    (rev desc, custkey asc — deterministic ties), the driver re-ranks
+    ≤ buckets×20 rows and decorates the winners from the broadcast
+    customer/nation dimensions."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    lo = np.datetime64(TPCH_Q10_FROM.replace(" ", "T"), "us")
+    hi = np.datetime64(TPCH_Q10_TO.replace(" ", "T"), "us")
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = _quant_int64(p * (1.0 - d), scale=10000.0)
+        return pa.table(
+            {
+                "okey": t["l_orderkey"].cast(pa.int64()),
+                "qrev": pa.array(q, pa.int64()),
+                "ckey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "qrev": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "ckey": t["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    both = line.map_batches(
+        line_partial, batch_format="pyarrow", batch_size=1 << 20
+    ).union(
+        orders.map_batches(order_partial, batch_format="pyarrow", batch_size=1 << 20)
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "qrev", "ckey"]).to_pandas()
+        om = df.loc[df["ckey"] >= 0].set_index("okey")["ckey"]
+        li = df[df["ckey"] < 0]
+        ck = li["okey"].map(om)
+        g = (
+            pd.DataFrame({"ckey": ck, "qrev": li["qrev"]})
+            .dropna()
+            .groupby("ckey", as_index=False)["qrev"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "ckey": pa.array(g["ckey"].to_numpy(np.int64), pa.int64()),
+                "qrev": pa.array(g["qrev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        both, "okey", join_bucket, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    )
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["ckey", "qrev"]).to_pandas()
+        g = df.groupby("ckey", as_index=False)["qrev"].sum()
+        g = g.sort_values(["qrev", "ckey"], ascending=[False, True]).head(
+            TPCH_Q10_K
+        )
+        return pa.table(
+            {
+                "ckey": pa.array(g["ckey"].to_numpy(np.int64), pa.int64()),
+                "qrev": pa.array(g["qrev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cand = grouped_agg_by_bucket(
+        parts, "ckey", topk_bucket, num_buckets=16, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    top = cand.sort_values(["qrev", "ckey"], ascending=[False, True]).head(
+        TPCH_Q10_K
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    top = top.merge(cust, left_on="ckey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    top["revenue"] = _duckdb_round(top["qrev"].to_numpy(np.float64) / 10000.0) + 0.0
+    top = top.sort_values(["qrev", "ckey"], ascending=[False, True])
+    out = top[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tpch_q10"] = f"""
+WITH r AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                  AS BIGINT)) AS qrev
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '{TPCH_Q10_FROM}'
+    AND o.o_orderdate < TIMESTAMP '{TPCH_Q10_TO}'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name,
+       round(qrev / 10000.0, 6) + 0.0 AS revenue
+FROM r
+ORDER BY qrev DESC, c_custkey ASC
+LIMIT {TPCH_Q10_K}
+"""
+QUERIES["q_tpch_q10"] = q_tpch_q10
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -877,3 +877,27 @@ def test_js_divergence_properties(ray_session):
         assert abs(out.loc[src, "js"] - js) < 1e-6, src
         assert int(out.loc[src, "n_src"]) == len(g)
         assert int(out.loc[src, "n_rest"]) == len(rest)
+
+
+def test_tpch_q6_q10_structure(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, TPCH_Q10_K
+
+    q6 = QUERIES["q_tpch_q6"](SF).to_pandas()
+    line = pd.read_parquet(os.path.join(SF, "lineitem.parquet"))
+    li = line[
+        (line["l_shipdate"] >= "1997-01-01")
+        & (line["l_shipdate"] < "1998-01-01")
+        & (line["l_discount"] >= 0.04)
+        & (line["l_discount"] <= 0.06)
+        & (line["l_quantity"] < 24.0)
+    ]
+    ref = float((li["l_extendedprice"] * li["l_discount"]).sum())
+    assert abs(float(q6.loc[0, "revenue"]) - ref) < 1.0  # quantized at 1e-4
+
+    q10 = QUERIES["q_tpch_q10"](SF).to_pandas()
+    assert len(q10) <= TPCH_Q10_K
+    assert list(q10.columns) == ["c_custkey", "c_name", "n_name", "revenue"]
+    # descending revenue with custkey tiebreak
+    rv = q10["revenue"].to_numpy()
+    assert (np.diff(rv) <= 1e-9).all()
+    assert (q10["revenue"] > 0).all()
