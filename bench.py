@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "q_js_divergence",
     "q_tpch_q6",
     "q_tpch_q10",
+    "q_entropy_mix",
+    "q_tool_cond_entropy",
 ]
 
 

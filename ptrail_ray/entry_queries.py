@@ -9559,6 +9559,128 @@ LIMIT {TPCH_Q10_K}
 QUERIES["q_tpch_q10"] = q_tpch_q10
 
 
+def _quant12_sum(t: np.ndarray) -> int:
+    """Σ CAST(round(1e12·t) AS BIGINT) — half away from zero, both
+    signs; the order-free quantized-sum contract shared with
+    q_mutual_info / q_js_divergence."""
+    y = 1e12 * t
+    f = np.floor(y)
+    d = y - f
+    r = np.where(d > 0.5, f + 1.0, f)
+    r = np.where(d == 0.5, np.where(y >= 0, f + 1.0, f), r)
+    return int(r.astype(np.int64).sum())
+
+
+def q_entropy_mix(sf_dir):
+    """Shannon entropy (nats) of the corpus source and language mixes —
+    the one-line diversity report a data-mixing pipeline watches (low
+    entropy ⇒ one source/lang dominating the weighted blend).
+    Catalog-bounded count partials; per-category −p·ln p terms in
+    fixed IEEE order, quantized at 1e12, int-summed."""
+    docs = _docs(sf_dir).select_columns(["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for dim in ("source", "lang"):
+            v = np.asarray(t[dim].to_numpy(zero_copy_only=False), dtype=str)
+            ks, cs = np.unique(v, return_counts=True)
+            rows.append(
+                pd.DataFrame({"dim": dim, "v": ks, "c": cs.astype(np.int64)})
+            )
+        return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
+
+    parts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["dim", "v"], as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for dim, g in parts.groupby("dim"):
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        p = c.astype(np.float64) / np.float64(n)
+        acc = _quant12_sum(-(p) * np.log(p))
+        rows.append((dim, acc / 1e12, len(c), n))
+    out = pd.DataFrame(rows, columns=["dim", "entropy", "n_cats", "n"])
+    out["n_cats"] = out["n_cats"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("dim"), preserve_index=False)
+
+
+ORACLE_SQL["q_entropy_mix"] = """
+WITH u AS (
+  SELECT 'source' AS dim, source AS v FROM documents
+  UNION ALL
+  SELECT 'lang' AS dim, lang AS v FROM documents
+),
+g AS (SELECT dim, v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+t AS (SELECT dim, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cats
+      FROM g GROUP BY 1),
+term AS (
+  SELECT g.dim,
+         CAST(round(1000000000000.0 *
+              (-(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * ln(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE)))) AS BIGINT) AS q
+  FROM g JOIN t USING (dim)
+)
+SELECT term.dim, CAST(sum(q) AS DOUBLE) / 1000000000000.0 AS entropy,
+       any_value(t.n_cats) AS n_cats, any_value(t.n) AS n
+FROM term JOIN t USING (dim) GROUP BY term.dim
+"""
+QUERIES["q_entropy_mix"] = q_entropy_mix
+
+
+def q_tool_cond_entropy(sf_dir):
+    """Conditional entropy H(next tool | current tool) per current
+    tool, over the q_tool_transitions matrix — the predictability
+    score of each dispatch state (0 ⇒ deterministic next hop; high ⇒
+    fan-out state). Reuses the transition-count exchange; the
+    driver-side finish is catalog²-bounded with the quantized-sum
+    contract."""
+    parts = q_tool_transitions(sf_dir).to_pandas()
+    rows = []
+    for ft, g in parts.groupby("from_tool"):
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        p = c.astype(np.float64) / np.float64(n)
+        acc = _quant12_sum(-(p) * np.log(p))
+        rows.append((ft, acc / 1e12, len(c), n))
+    out = pd.DataFrame(rows, columns=["from_tool", "h_next", "n_next", "n"])
+    out["n_next"] = out["n_next"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("from_tool"), preserve_index=False)
+
+
+ORACLE_SQL["q_tool_cond_entropy"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT lag(coalesce(tool, '')) OVER ({W}) AS from_tool,
+         coalesce(tool, '') AS to_tool,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+),
+g AS (SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS c
+      FROM p WHERE rn > 1 GROUP BY 1, 2),
+t AS (SELECT from_tool, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_next
+      FROM g GROUP BY 1),
+term AS (
+  SELECT g.from_tool,
+         CAST(round(1000000000000.0 *
+              (-(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * ln(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE)))) AS BIGINT) AS q
+  FROM g JOIN t USING (from_tool)
+)
+SELECT term.from_tool,
+       CAST(sum(q) AS DOUBLE) / 1000000000000.0 AS h_next,
+       any_value(t.n_next) AS n_next, any_value(t.n) AS n
+FROM term JOIN t USING (from_tool) GROUP BY term.from_tool
+"""
+QUERIES["q_tool_cond_entropy"] = q_tool_cond_entropy
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

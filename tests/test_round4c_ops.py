@@ -901,3 +901,26 @@ def test_tpch_q6_q10_structure(ray_session):
     rv = q10["revenue"].to_numpy()
     assert (np.diff(rv) <= 1e-9).all()
     assert (q10["revenue"] > 0).all()
+
+
+def test_entropy_mix_and_tool_cond_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    em = QUERIES["q_entropy_mix"](SF).to_pandas().set_index("dim")
+    docs = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    for dim in ("source", "lang"):
+        p = docs[dim].value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        assert abs(em.loc[dim, "entropy"] - h) < 1e-6
+        assert int(em.loc[dim, "n_cats"]) == docs[dim].nunique()
+        # entropy bounded by ln(n_cats)
+        assert em.loc[dim, "entropy"] <= np.log(em.loc[dim, "n_cats"]) + 1e-9
+
+    ce = QUERIES["q_tool_cond_entropy"](SF).to_pandas().set_index("from_tool")
+    tr = QUERIES["q_tool_transitions"](SF).to_pandas()
+    for ft, g in tr.groupby("from_tool"):
+        p = g["n"].to_numpy(np.float64)
+        p = p / p.sum()
+        h = float(-(p * np.log(p)).sum())
+        assert abs(ce.loc[ft, "h_next"] - h) < 1e-6, ft
+        assert int(ce.loc[ft, "n_next"]) == len(g)
