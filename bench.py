@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "q_tpch_q10",
     "q_entropy_mix",
     "q_tool_cond_entropy",
+    "q_first_tool_latency",
+    "q_repeat_user_rate",
 ]
 
 

@@ -9681,6 +9681,146 @@ FROM term JOIN t USING (from_tool) GROUP BY term.from_tool
 QUERIES["q_tool_cond_entropy"] = q_tool_cond_entropy
 
 
+def q_first_tool_latency(sf_dir):
+    """Time-to-first-tool per conversation: the turn index and elapsed
+    microseconds (from the conversation's first turn) of the first
+    tool-bearing turn — the agent-adoption latency metric. One conv
+    exchange; first-masked-row per run found with one flatnonzero scan;
+    conversations that never touch a tool emit NULLs."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "first_tool_turn": pa.array([], pa.int64()),
+                "first_tool_us": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lengths = conv_runs(t["conv_id"])
+        starts = starts.astype(np.int64)
+        n = t.num_rows
+        tool_mask = pc.is_valid(t["tool"]).to_numpy(zero_copy_only=False)
+        col = t["ts"]
+        if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+            col = pc.cast(col, pa.timestamp("us"))
+        ts = col.to_numpy(zero_copy_only=False).view("int64")
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        hit_rows = np.flatnonzero(tool_mask)
+        first_hit = np.full(len(starts), -1, np.int64)
+        # reversed fill: later hits overwritten by earlier ones
+        first_hit[run_of[hit_rows[::-1]]] = hit_rows[::-1]
+        has = first_hit >= 0
+        ft = np.where(has, turn[first_hit], 0)
+        fus = np.where(has, ts[first_hit] - ts[starts[run_of[first_hit]]], 0)
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "first_tool_turn": pa.array(ft, pa.int64(), mask=~has),
+                "first_tool_us": pa.array(fus, pa.int64(), mask=~has),
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_first_tool_latency"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+c0 AS (SELECT conv_id, min(ts) AS t0 FROM transcripts GROUP BY 1),
+ft AS (SELECT conv_id, min(turn_idx) AS first_tool_turn
+       FROM transcripts WHERE tool IS NOT NULL GROUP BY 1),
+j AS (SELECT ft.conv_id, ft.first_tool_turn, tr.ts AS fts
+      FROM ft JOIN transcripts tr
+        ON tr.conv_id = ft.conv_id AND tr.turn_idx = ft.first_tool_turn)
+SELECT c0.conv_id, CAST(j.first_tool_turn AS BIGINT) AS first_tool_turn,
+       CAST(date_diff('microsecond', c0.t0, j.fts) AS BIGINT) AS first_tool_us
+FROM c0 LEFT JOIN j USING (conv_id)
+"""
+QUERIES["q_first_tool_latency"] = q_first_tool_latency
+
+
+def q_repeat_user_rate(sf_dir):
+    """Repeated-user-turn rate per conversation: 1 − distinct/total
+    over the user role's turn texts — the 'user re-asking the same
+    thing' frustration signal an SFT-mining pipeline downweights.
+    Exact integers inside the conv exchange (per-bucket
+    drop_duplicates), ONE division; conversations with no user turns →
+    NULL."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_user": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "repeat_rate": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lengths = conv_runs(t["conv_id"])
+        starts = starts.astype(np.int64)
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        is_user = pc.equal(
+            pc.fill_null(t["role"], ""), "user"
+        ).to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(t["text"], "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        codes = pd.factorize(txt.to_pandas())[0].astype(np.int64)
+        r, c = run_of[is_user], codes[is_user]
+        n_user = np.bincount(r, minlength=len(starts)).astype(np.int64)
+        pair = np.unique(np.stack([r, c], 1), axis=0)
+        n_dist = np.bincount(pair[:, 0], minlength=len(starts)).astype(np.int64)
+        has = n_user > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = 1.0 - n_dist.astype(np.float64) / n_user.astype(np.float64)
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "n_user": pa.array(n_user, pa.int64()),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+                "repeat_rate": pa.array(rate, pa.float64(), mask=~has),
+            }
+        )
+
+    return finalize(
+        map_conv_buckets(ds, kern, num_buckets=16), round_columns=["repeat_rate"]
+    )
+
+
+ORACLE_SQL["q_repeat_user_rate"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+u AS (SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_user,
+             CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS n_distinct
+      FROM transcripts WHERE role = 'user' GROUP BY 1),
+c AS (SELECT DISTINCT conv_id FROM transcripts)
+SELECT c.conv_id, coalesce(u.n_user, 0) AS n_user,
+       coalesce(u.n_distinct, 0) AS n_distinct,
+       CASE WHEN u.n_user IS NULL THEN NULL
+            ELSE round(1.0 - CAST(u.n_distinct AS DOUBLE)
+                             / CAST(u.n_user AS DOUBLE), 6) + 0.0
+       END AS repeat_rate
+FROM c LEFT JOIN u USING (conv_id)
+"""
+QUERIES["q_repeat_user_rate"] = q_repeat_user_rate
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

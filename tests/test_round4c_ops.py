@@ -924,3 +924,31 @@ def test_entropy_mix_and_tool_cond_entropy(ray_session):
         h = float(-(p * np.log(p)).sum())
         assert abs(ce.loc[ft, "h_next"] - h) < 1e-6, ft
         assert int(ce.loc[ft, "n_next"]) == len(g)
+
+
+def test_first_tool_latency_and_repeat_rate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    ftl = QUERIES["q_first_tool_latency"](SF).to_pandas().set_index("conv_id")
+    rr = QUERIES["q_repeat_user_rate"](SF).to_pandas().set_index("conv_id")
+    ref = _transcripts_pdf()
+    for conv, g in ref.groupby("conv_id", sort=False):
+        tools = g[g["tool"].notna()]
+        if tools.empty:
+            assert np.isnan(ftl.loc[conv, "first_tool_turn"])
+        else:
+            ft = int(tools["turn_idx"].min())
+            assert int(ftl.loc[conv, "first_tool_turn"]) == ft
+            t0 = g["ts"].min()
+            fts = g.loc[g["turn_idx"] == ft, "ts"].iloc[0]
+            assert int(ftl.loc[conv, "first_tool_us"]) == int(
+                (fts - t0).total_seconds() * 1e6
+            )
+        u = g[g["role"] == "user"]
+        if u.empty:
+            assert np.isnan(rr.loc[conv, "repeat_rate"])
+        else:
+            nd = u["text"].fillna("").nunique()
+            assert int(rr.loc[conv, "n_user"]) == len(u)
+            assert int(rr.loc[conv, "n_distinct"]) == nd
+            assert abs(rr.loc[conv, "repeat_rate"] - (1 - nd / len(u))) < 1e-6
