@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "q_tool_cond_entropy",
     "q_first_tool_latency",
     "q_repeat_user_rate",
+    "q_tpch_q15",
+    "q_tpch_q19",
+    "q_tpch_q22",
 ]
 
 

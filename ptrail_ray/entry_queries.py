@@ -9821,6 +9821,310 @@ FROM c LEFT JOIN u USING (conv_id)
 QUERIES["q_repeat_user_rate"] = q_repeat_user_rate
 
 
+TPCH_Q15_FROM = "1996-01-01 00:00:00"
+TPCH_Q15_TO = "1996-04-01 00:00:00"
+
+
+def q_tpch_q15(sf_dir):
+    """TPC-H Q15 shape (top-revenue supplier over a quarter): per-batch
+    exact-quantized (1e4) revenue partials keyed by suppkey, ONE suppkey
+    exchange to complete each supplier, per-bucket max-row pruning so the
+    driver re-ranks ≤ buckets×ties rows, then a broadcast supplier-dim
+    decorate. Ties on max revenue all survive (suppkey asc)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    lo = np.datetime64(TPCH_Q15_FROM.replace(" ", "T"), "us")
+    hi = np.datetime64(TPCH_Q15_TO.replace(" ", "T"), "us")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = _quant_int64(p * (1.0 - disc), scale=10000.0)
+        uk, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, q)  # int64-exact (bincount would go via float64)
+        return pa.table(
+            {"skey": pa.array(uk, pa.int64()), "qrev": pa.array(s, pa.int64())}
+        )
+
+    parts = line.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+
+    def max_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["skey", "qrev"]).to_pandas()
+        g = df.groupby("skey", as_index=False)["qrev"].sum()
+        g = g[g["qrev"] == g["qrev"].max()]
+        return pa.table(
+            {
+                "skey": pa.array(g["skey"].to_numpy(np.int64), pa.int64()),
+                "qrev": pa.array(g["qrev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cand = grouped_agg_by_bucket(
+        parts, "skey", max_bucket, num_buckets=16, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    top = cand[cand["qrev"] == cand["qrev"].max()]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = top.merge(sup, left_on="skey", right_on="s_suppkey").sort_values(
+        "s_suppkey"
+    )
+    out["total_revenue"] = (
+        _duckdb_round(out["qrev"].to_numpy(np.float64) / 10000.0) + 0.0
+    )
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["s_suppkey", "s_name", "total_revenue"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_tpch_q15"] = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                  AS BIGINT)) AS qrev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TPCH_Q15_FROM}'
+    AND l_shipdate < TIMESTAMP '{TPCH_Q15_TO}'
+  GROUP BY 1
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       round(r.qrev / 10000.0, 6) + 0.0 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.qrev = (SELECT max(qrev) FROM rev)
+ORDER BY s_suppkey
+"""
+QUERIES["q_tpch_q15"] = q_tpch_q15
+
+
+def q_tpch_q19(sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive brand/size/qty
+    predicate): the part dimension's (brand-band, size) is broadcast once
+    via ``ray.put`` as a partkey-sorted lookup; every lineitem batch does
+    one searchsorted gather + vectorized 3-way disjunction + exact-
+    quantized partial sum. Zero shuffle; ONE int reaches the driver.
+    Partitioning assumption: part fits the object store as a per-node
+    shared read-only array (the standard Q19 build side)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order]
+    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    band = np.zeros(len(pk), np.int8)
+    band[(brand == "Brand#1") & (size >= 1) & (size <= 15)] = 1
+    band[(brand == "Brand#2") & (size >= 1) & (size <= 25)] = 2
+    band[(brand == "Brand#3") & (size >= 1) & (size <= 35)] = 3
+    side_ref = ray.put((pk, band))
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, bands = ray.get(side_ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos] == lk
+        b = np.where(hit, bands[pos], 0)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (
+            ((b == 1) & (qty >= 1.0) & (qty <= 15.0))
+            | ((b == 2) & (qty >= 10.0) & (qty <= 25.0))
+            | ((b == 3) & (qty >= 20.0) & (qty <= 35.0))
+        )
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = _quant_int64(p[keep] * (1.0 - d[keep]), scale=10000.0)
+        return pa.table({"s": pa.array([int(q.sum())], pa.int64())})
+
+    s = int(
+        line.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()["s"]
+        .sum()
+    )
+    rev = _duckdb_round(np.array([s / 10000.0])) + 0.0
+    return pa.table({"revenue": pa.array(rev, pa.float64())})
+
+
+ORACLE_SQL["q_tpch_q19"] = """
+SELECT round(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                      AS BIGINT)) / 10000.0, 6) + 0.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1.0 AND 15.0)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10.0 AND 25.0)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20.0 AND 35.0)
+"""
+QUERIES["q_tpch_q19"] = q_tpch_q19
+
+
+TPCH_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_tpch_q22(sf_dir):
+    """TPC-H Q22 shape (dormant wealthy customers): global positive-
+    balance average via exact-quantized scalar partials (ONE IEEE
+    division builds the threshold identically on both sides), then a
+    custkey-exchange ANTI-join of above-threshold customers against
+    orders placed after the cutoff, finishing in per-nation count/sum
+    partials (≤ buckets×25 rows to the driver). Q22's NOT-EXISTS is
+    windowed on the cutoff because the driver corpus gives every
+    customer at least one lifetime order."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    cutoff = np.datetime64(TPCH_Q22_CUTOFF.replace(" ", "T"), "us")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = bal > 0.0
+        q = _quant_int64(bal[pos], scale=10000.0)
+        return pa.table(
+            {
+                "qsum": pa.array([int(q.sum())], pa.int64()),
+                "cnt": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    agg = cust.map_batches(
+        thr_partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    qsum, cnt = int(agg["qsum"].sum()), int(agg["cnt"].sum())
+    # same operand order as the SQL: qsum / (10000.0 * cnt) — one
+    # correctly-rounded division on identical ints → identical threshold
+    thr = qsum / (10000.0 * cnt)
+
+    def elig_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = t.filter(pa.array(bal > thr))
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "ckey": t["c_custkey"].cast(pa.int64()),
+                "nkey": t["c_nationkey"].cast(pa.int64()),
+                "qbal": pa.array(_quant_int64(bal, scale=10000.0), pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d >= cutoff))
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t["o_custkey"].cast(pa.int64()),
+                "nkey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "qbal": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    both = cust.map_batches(
+        elig_partial, batch_format="pyarrow", batch_size=1 << 20
+    ).union(
+        orders.map_batches(order_partial, batch_format="pyarrow", batch_size=1 << 20)
+    )
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["ckey", "nkey", "qbal", "side"]).to_pandas()
+        active = df.loc[df["side"] == 1, "ckey"].unique()
+        c = df[(df["side"] == 0) & ~df["ckey"].isin(active)]
+        g = c.groupby("nkey", as_index=False).agg(
+            numcust=("ckey", "size"), qbal=("qbal", "sum")
+        )
+        return pa.table(
+            {
+                "nkey": pa.array(g["nkey"].to_numpy(np.int64), pa.int64()),
+                "numcust": pa.array(g["numcust"].to_numpy(np.int64), pa.int64()),
+                "qbal": pa.array(g["qbal"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        both, "ckey", anti_bucket, num_buckets=16, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    g = parts.groupby("nkey", as_index=False).agg(
+        numcust=("numcust", "sum"), qbal=("qbal", "sum")
+    ).sort_values("nkey")
+    g["totacctbal"] = _duckdb_round(g["qbal"].to_numpy(np.float64) / 10000.0) + 0.0
+    g["c_nationkey"] = g["nkey"].astype("int64")
+    g["numcust"] = g["numcust"].astype("int64")
+    return pa.Table.from_pandas(
+        g[["c_nationkey", "numcust", "totacctbal"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_tpch_q22"] = f"""
+WITH thr AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE)
+         / (10000.0 * count(*)) AS t
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(CAST(round(c.c_acctbal * 10000.0) AS BIGINT)) / 10000.0, 6)
+         + 0.0 AS totacctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.t
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{TPCH_Q22_CUTOFF}'
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["q_tpch_q22"] = q_tpch_q22
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
