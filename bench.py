@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "q_tpch_q15",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_hapax_bigrams",
+    "q_oov_rate",
+    "q_bigram_entropy",
 ]
 
 

@@ -10125,6 +10125,339 @@ ORDER BY 1
 QUERIES["q_tpch_q22"] = q_tpch_q22
 
 
+def _src_bigram_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (source, bigram, n) partial counts: adjacent-token
+    bigrams masked at document boundaries — the ``top_bigrams`` kernel
+    shape (functions/textstats.py:396) extended with the source key.
+    Counting happens per distinct (source, a, b) CODE triple (one
+    np.unique over a packed int64), strings materialize only for the
+    batch-distinct triples that leave the task."""
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "bigram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    codes, vocab, idx = encoded_tokens(t["text"])
+    if len(codes) < 2:
+        return empty
+    same_doc = idx[1:] == idx[:-1]
+    if not same_doc.any():
+        return empty
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    scodes, suniq = pd.factorize(src.to_pandas())
+    srow = scodes.astype(np.int64)[idx[:-1][same_doc]]
+    a, b = codes[:-1][same_doc], codes[1:][same_doc]
+    v = np.int64(len(vocab))
+    key = (srow * v + a) * v + b
+    uniq, counts = np.unique(key, return_counts=True)
+    us, ua, ub = uniq // (v * v), (uniq // v) % v, uniq % v
+    big = pc.binary_join_element_wise(
+        pc.take(vocab, pa.array(ua, pa.int64())).cast(pa.string()),
+        pc.take(vocab, pa.array(ub, pa.int64())).cast(pa.string()),
+        " ",
+    )
+    return pa.table(
+        {
+            "source": pa.array(np.asarray(suniq, dtype=object)[us], pa.string()),
+            "bigram": big,
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_hapax_bigrams(sf_dir):
+    """Per-source hapax-legomenon ratio over adjacent-token bigrams —
+    the 'how much of this source's phrasing is one-off' vocabulary-
+    freshness signal (a high hapax share flags noisy/unique text, a
+    low one flags templated text). Per-batch code-packed partials, ONE
+    composite (source, bigram) exchange completing every cell, per-
+    bucket distinct/hapax partials, driver combine bounded by
+    sources × buckets; ONE division."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    parts = ds.map_batches(
+        _src_bigram_partial, batch_format="pyarrow", batch_size=1 << 18
+    )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["source", "bigram", "n"]).to_pandas()
+        g = df.groupby(["source", "bigram"], as_index=False)["n"].sum()
+        g["is1"] = (g["n"] == 1).astype(np.int64)
+        s = g.groupby("source", as_index=False).agg(
+            nd=("bigram", "size"), nh=("is1", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(s["source"].astype(str), pa.string()),
+                "nd": pa.array(s["nd"].to_numpy(np.int64), pa.int64()),
+                "nh": pa.array(s["nh"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        parts, ["source", "bigram"], bucket_fn, num_buckets=32,
+        group_format="pyarrow", partial_batch=None,
+    ).to_pandas()
+    g = parts.groupby("source", as_index=False).agg(
+        n_distinct=("nd", "sum"), n_hapax=("nh", "sum")
+    ).sort_values("source")
+    ratio = g["n_hapax"].to_numpy(np.float64) / g["n_distinct"].to_numpy(
+        np.float64
+    )
+    g["n_distinct"] = g["n_distinct"].astype("int64")
+    g["n_hapax"] = g["n_hapax"].astype("int64")
+    g["hapax_ratio"] = _duckdb_round(ratio) + 0.0
+    return pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False)
+
+
+_BIGRAM_SQL = """
+d AS (
+  SELECT source, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT source, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+)
+"""
+
+ORACLE_SQL["q_hapax_bigrams"] = f"""
+WITH {_BIGRAM_SQL},
+tc AS (SELECT source, bigram, count(*) AS n FROM b GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS hapax_ratio
+FROM tc GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_hapax_bigrams"] = q_hapax_bigrams
+
+
+OOV_K = 500
+
+
+def q_oov_rate(sf_dir):
+    """Per-source out-of-vocabulary rate against the corpus top-K
+    bigram vocabulary — the domain-shift indicator a mixing pipeline
+    watches per source (training tokenizers/filters are built on the
+    head of the distribution). Stage 1 reuses the ``top_bigrams``
+    heavy-hitter exchange (deterministic n-desc/bigram-asc ties) and
+    broadcasts the K-row vocab once via ``ray.put``; stage 2 is a
+    shuffle-free per-batch membership count. ONE division per source."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import top_bigrams
+
+    top = top_bigrams(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        ),
+        k=OOV_K,
+    )
+    vocab_ref = ray.put(pa.array(sorted(top["bigram"].astype(str)), pa.string()))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = _src_bigram_partial(t)
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "total": pa.array([], pa.int64()),
+                "in_vocab": pa.array([], pa.int64()),
+            }
+        )
+        if p.num_rows == 0:
+            return empty
+        hit = pc.is_in(p["bigram"], value_set=ray.get(vocab_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        n = p["n"].to_numpy(zero_copy_only=False)
+        scodes, suniq = pd.factorize(p["source"].to_pandas())
+        total = np.bincount(scodes, weights=n, minlength=len(suniq))
+        inv = np.bincount(
+            scodes, weights=np.where(hit, n, 0), minlength=len(suniq)
+        )
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(suniq, dtype=object), pa.string()),
+                "total": pa.array(total.astype(np.int64), pa.int64()),
+                "in_vocab": pa.array(inv.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(total=("total", "sum"), in_vocab=("in_vocab", "sum"))
+        .sort_values("source")
+    )
+    rate = 1.0 - agg["in_vocab"].to_numpy(np.float64) / agg["total"].to_numpy(
+        np.float64
+    )
+    agg["total"] = agg["total"].astype("int64")
+    agg["in_vocab"] = agg["in_vocab"].astype("int64")
+    agg["oov_rate"] = _duckdb_round(rate) + 0.0
+    return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_oov_rate"] = f"""
+WITH {_BIGRAM_SQL},
+top AS (
+  SELECT bigram FROM (
+    SELECT bigram, count(*) AS n FROM b
+    GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT {OOV_K}
+  )
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (WHERE bigram IN (SELECT bigram FROM top))
+              AS BIGINT) AS in_vocab
+  FROM b GROUP BY 1
+)
+SELECT source, total, in_vocab,
+       round(1.0 - CAST(in_vocab AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+         AS oov_rate
+FROM s ORDER BY source
+"""
+QUERIES["q_oov_rate"] = q_oov_rate
+
+
+def q_bigram_entropy(sf_dir):
+    """Per-source Shannon entropy (nats) of the adjacent-bigram
+    distribution — the phrasing-diversity score (templated sources sit
+    far below ln(n_cells)). Cells complete on ONE composite
+    (source, bigram) exchange; per-source totals come from bounded
+    partials over the completed cells; the −p·ln p terms are computed
+    DISTRIBUTED per cell, quantized at 1e12 (the q_entropy_mix
+    contract, same ln/division operand order) and int-summed order-
+    free."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    parts = ds.map_batches(
+        _src_bigram_partial, batch_format="pyarrow", batch_size=1 << 18
+    )
+
+    def cell_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["source", "bigram", "n"]).to_pandas()
+        g = df.groupby(["source", "bigram"], as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "c": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = grouped_agg_by_bucket(
+        parts, ["source", "bigram"], cell_fn, num_buckets=32,
+        group_format="pyarrow", partial_batch=None,
+    ).materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        scodes, suniq = pd.factorize(t["source"].to_pandas())
+        c = t["c"].to_numpy(zero_copy_only=False)
+        tot = np.bincount(scodes, weights=c, minlength=len(suniq))
+        cnt = np.bincount(scodes, minlength=len(suniq))
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(suniq, dtype=object), pa.string()),
+                "n": pa.array(tot.astype(np.int64), pa.int64()),
+                "n_cells": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tots = (
+        cells.map_batches(tot_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n=("n", "sum"), n_cells=("n_cells", "sum"))
+    )
+    n_ref = ray.put(dict(zip(tots["source"], tots["n"].astype(np.int64))))
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        nmap = ray.get(n_ref)
+        src = t["source"].to_pandas()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = src.map(nmap).to_numpy(np.float64)
+        p = c / n
+        q = _quant_int64(-(p) * np.log(p), scale=1e12)
+        scodes, suniq = pd.factorize(src)
+        qs = np.zeros(len(suniq), np.int64)
+        np.add.at(qs, scodes, q)
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(suniq, dtype=object), pa.string()),
+                "qsum": pa.array(qs, pa.int64()),
+            }
+        )
+
+    terms = (
+        cells.map_batches(term_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("source", as_index=False)["qsum"]
+        .sum()
+    )
+    out = tots.merge(terms, on="source").sort_values("source")
+    out["entropy"] = out["qsum"].to_numpy(np.float64) / 1e12
+    out["n_cells"] = out["n_cells"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["source", "entropy", "n_cells", "n"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_bigram_entropy"] = f"""
+WITH {_BIGRAM_SQL},
+g AS (SELECT source, bigram, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM g GROUP BY 1),
+term AS (
+  SELECT g.source,
+         CAST(round(1000000000000.0 *
+              (-(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * ln(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE)))) AS BIGINT) AS q
+  FROM g JOIN t USING (source)
+)
+SELECT term.source, CAST(sum(q) AS DOUBLE) / 1000000000000.0 AS entropy,
+       any_value(t.n_cells) AS n_cells, any_value(t.n) AS n
+FROM term JOIN t USING (source) GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_bigram_entropy"] = q_bigram_entropy
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

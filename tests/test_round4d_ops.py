@@ -83,3 +83,59 @@ def test_tpch_q22_dormant_customers(ray_session):
     for nk, r in exp.iterrows():
         assert int(got.loc[nk, "numcust"]) == int(r["numcust"])
         assert abs(got.loc[nk, "totacctbal"] - r["bal"]) < 1e-3
+
+
+def _docs_pdf():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _bigram_counts(df):
+    rows = []
+    for _, r in df.iterrows():
+        toks = [w for w in str(r["text"] or "").split() if w]
+        rows += [(r["source"], f"{a} {b}") for a, b in zip(toks, toks[1:])]
+    return pd.DataFrame(rows, columns=["source", "bigram"])
+
+
+def test_hapax_bigrams_matches_pandas(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hapax_bigrams"](SF).to_pandas().set_index("source")
+    b = _bigram_counts(_docs_pdf())
+    tc = b.groupby(["source", "bigram"]).size().rename("n").reset_index()
+    for src, g in tc.groupby("source"):
+        nd, nh = len(g), int((g["n"] == 1).sum())
+        assert int(out.loc[src, "n_distinct"]) == nd
+        assert int(out.loc[src, "n_hapax"]) == nh
+        assert abs(out.loc[src, "hapax_ratio"] - nh / nd) < 1e-6
+
+
+def test_oov_rate_matches_pandas(ray_session):
+    from ptrail_ray.entry_queries import OOV_K, QUERIES
+
+    out = QUERIES["q_oov_rate"](SF).to_pandas().set_index("source")
+    b = _bigram_counts(_docs_pdf())
+    cnt = b.groupby("bigram").size().rename("n").reset_index()
+    cnt = cnt.sort_values(["n", "bigram"], ascending=[False, True])
+    vocab = set(cnt.head(OOV_K)["bigram"])
+    for src, g in b.groupby("source"):
+        total = len(g)
+        inv = int(g["bigram"].isin(vocab).sum())
+        assert int(out.loc[src, "total"]) == total
+        assert int(out.loc[src, "in_vocab"]) == inv
+        assert abs(out.loc[src, "oov_rate"] - (1 - inv / total)) < 1e-6
+
+
+def test_bigram_entropy_matches_pandas(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bigram_entropy"](SF).to_pandas().set_index("source")
+    b = _bigram_counts(_docs_pdf())
+    tc = b.groupby(["source", "bigram"]).size().rename("n").reset_index()
+    for src, g in tc.groupby("source"):
+        p = g["n"].to_numpy(np.float64) / g["n"].sum()
+        h = float(-(p * np.log(p)).sum())
+        assert int(out.loc[src, "n_cells"]) == len(g)
+        assert int(out.loc[src, "n"]) == int(g["n"].sum())
+        assert abs(out.loc[src, "entropy"] - h) < 1e-6
+        assert out.loc[src, "entropy"] <= np.log(len(g)) + 1e-9
