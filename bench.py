@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "q_hapax_bigrams",
     "q_oov_rate",
     "q_bigram_entropy",
+    "q_abandoned_convs",
+    "q_runs_test",
+    "q_tool_trigrams",
 ]
 
 

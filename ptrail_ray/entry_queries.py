@@ -10458,6 +10458,213 @@ FROM term JOIN t USING (source) GROUP BY 1 ORDER BY 1
 QUERIES["q_bigram_entropy"] = q_bigram_entropy
 
 
+def q_abandoned_convs(sf_dir):
+    """Abandoned-conversation flag: a conversation whose LAST turn is a
+    user turn got no reply — the retention/escalation signal an SFT
+    miner drops or routes for completion. One conv exchange; last-row
+    gather per run; exact ints + one bool."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "last_role": pa.array([], pa.string()),
+                    "abandoned": pa.array([], pa.bool_()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        starts = starts.astype(np.int64)
+        last = starts + lengths.astype(np.int64) - 1
+        conv = t["conv_id"]
+        role = t["role"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        lr = role.take(pa.array(last, pa.int64()))
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "n_turns": pa.array(lengths.astype(np.int64), pa.int64()),
+                "last_role": lr,
+                "abandoned": pc.equal(lr, "user"),
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_abandoned_convs"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+l AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             max(turn_idx) AS mt
+      FROM transcripts GROUP BY 1)
+SELECT l.conv_id, l.n_turns, t.role AS last_role,
+       t.role = 'user' AS abandoned
+FROM l JOIN transcripts t ON t.conv_id = l.conv_id AND t.turn_idx = l.mt
+ORDER BY 1
+"""
+QUERIES["q_abandoned_convs"] = q_abandoned_convs
+
+
+def q_runs_test(sf_dir):
+    """Wald–Wolfowitz runs test inputs per conversation over the
+    user-vs-other role sequence: n1, n2, observed runs, and the
+    expected run count 1 + 2·n1·n2/(n1+n2) — the randomness screen for
+    turn-taking (far fewer runs than expected ⇒ blocky monologues, far
+    more ⇒ strict alternation). Exact ints inside the conv exchange;
+    ONE division for the expectation."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n1": pa.array([], pa.int64()),
+                    "n2": pa.array([], pa.int64()),
+                    "runs": pa.array([], pa.int64()),
+                    "expected_runs": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        starts = starts.astype(np.int64)
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        u = pc.equal(
+            pc.fill_null(t["role"], ""), "user"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = np.bincount(run_of, weights=u, minlength=len(starts)).astype(
+            np.int64
+        )
+        n2 = lengths.astype(np.int64) - n1
+        # boundary rows: role flag differs from the previous row of the
+        # SAME conversation (conv starts excluded)
+        bnd = np.zeros(t.num_rows, np.int64)
+        bnd[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        bnd[starts] = 0
+        runs = 1 + np.bincount(run_of, weights=bnd, minlength=len(starts)).astype(
+            np.int64
+        )
+        # same operand order as the SQL: 2.0 * (n1*n2 as double) / (n1+n2)
+        exp = 1.0 + 2.0 * (n1 * n2).astype(np.float64) / (n1 + n2).astype(
+            np.float64
+        )
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "n1": pa.array(n1, pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+                "runs": pa.array(runs, pa.int64()),
+                "expected_runs": pa.array(
+                    _duckdb_round(exp) + 0.0, pa.float64()
+                ),
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_runs_test"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+f AS (
+  SELECT conv_id, CASE WHEN role = 'user' THEN 1 ELSE 0 END AS u,
+         lag(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER ({W}) AS pu
+  FROM transcripts
+),
+a AS (
+  SELECT conv_id, CAST(sum(u) AS BIGINT) AS n1,
+         CAST(count(*) - sum(u) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN pu IS NOT NULL AND u <> pu THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM f GROUP BY 1
+)
+SELECT conv_id, n1, n2, runs,
+       round(1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE)
+                   / CAST(n1 + n2 AS DOUBLE), 6) + 0.0 AS expected_runs
+FROM a ORDER BY 1
+"""
+QUERIES["q_runs_test"] = q_runs_test
+
+
+def q_tool_trigrams(sf_dir):
+    """Tool-call trigram census: counts of consecutive (t1→t2→t3)
+    triples over each conversation's tool-bearing turns — the workflow-
+    pattern miner behind agent-trajectory curricula (extends
+    q_tool_transitions to order 3). Per-bucket vectorized triple
+    extraction on the filtered tool subsequence; catalog³-bounded
+    partials; driver combine."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    empty = pa.table(
+        {
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "t3": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        starts, lengths = conv_runs(t["conv_id"])
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        tool = t["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        mask = pc.is_valid(tool).to_numpy(zero_copy_only=False)
+        if mask.sum() < 3:
+            return empty
+        r = run_of[mask]
+        tl = tool.filter(pa.array(mask)).to_pandas().to_numpy(dtype=object)
+        tri = (r[:-2] == r[1:-1]) & (r[1:-1] == r[2:])
+        if not tri.any():
+            return empty
+        df = pd.DataFrame(
+            {"t1": tl[:-2][tri], "t2": tl[1:-1][tri], "t3": tl[2:][tri]}
+        )
+        g = df.groupby(["t1", "t2", "t3"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    if parts.empty:
+        return empty
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    out = out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_tool_trigrams"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+tl AS (
+  SELECT conv_id, turn_idx, ts, tool FROM transcripts WHERE tool IS NOT NULL
+),
+tg AS (
+  SELECT tool AS t1,
+         lead(tool, 1) OVER ({W}) AS t2,
+         lead(tool, 2) OVER ({W}) AS t3
+  FROM tl
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM tg WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+QUERIES["q_tool_trigrams"] = q_tool_trigrams
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

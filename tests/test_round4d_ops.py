@@ -139,3 +139,51 @@ def test_bigram_entropy_matches_pandas(ray_session):
         assert int(out.loc[src, "n"]) == int(g["n"].sum())
         assert abs(out.loc[src, "entropy"] - h) < 1e-6
         assert out.loc[src, "entropy"] <= np.log(len(g)) + 1e-9
+
+
+def _transcripts_pdf():
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    df = derive_from_events(SF).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx", "ts"]).reset_index(drop=True)
+
+
+def test_abandoned_convs(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_abandoned_convs"](SF).to_pandas().set_index("conv_id")
+    for conv, g in _transcripts_pdf().groupby("conv_id", sort=False):
+        last = g.iloc[-1]
+        assert int(out.loc[conv, "n_turns"]) == len(g)
+        assert out.loc[conv, "last_role"] == last["role"]
+        assert bool(out.loc[conv, "abandoned"]) == (last["role"] == "user")
+
+
+def test_runs_test_matches_definition(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_runs_test"](SF).to_pandas().set_index("conv_id")
+    for conv, g in _transcripts_pdf().groupby("conv_id", sort=False):
+        u = (g["role"] == "user").to_numpy()
+        n1, n2 = int(u.sum()), int((~u).sum())
+        runs = 1 + int((u[1:] != u[:-1]).sum())
+        assert int(out.loc[conv, "n1"]) == n1
+        assert int(out.loc[conv, "n2"]) == n2
+        assert int(out.loc[conv, "runs"]) == runs
+        exp = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+        assert abs(out.loc[conv, "expected_runs"] - exp) < 1e-6
+
+
+def test_tool_trigrams(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_trigrams"](SF).to_pandas()
+    exp = {}
+    for conv, g in _transcripts_pdf().groupby("conv_id", sort=False):
+        seq = g.loc[g["tool"].notna(), "tool"].tolist()
+        for tri in zip(seq, seq[1:], seq[2:]):
+            exp[tri] = exp.get(tri, 0) + 1
+    got = {
+        (r["t1"], r["t2"], r["t3"]): int(r["n"]) for _, r in out.iterrows()
+    }
+    assert got == exp and sum(exp.values()) > 0
