@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "q_abandoned_convs",
     "q_runs_test",
     "q_tool_trigrams",
+    "q_length_anomaly",
+    "q_vowel_ratio",
+    "q_mean_word_len",
 ]
 
 

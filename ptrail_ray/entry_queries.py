@@ -10665,6 +10665,266 @@ FROM tg WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 QUERIES["q_tool_trigrams"] = q_tool_trigrams
 
 
+def q_length_anomaly(sf_dir):
+    """Per-source 1.5σ document-length anomaly screen, INTEGER-exact:
+    |x − μ| > 1.5σ is evaluated as (2·(x·n − S))² > 9·(n·Q − S²) with
+    n/S/Q the per-source count/Σx/Σx² — no float mean or stddev ever
+    materializes, so the flag can't waver on accumulation order. Pass 1
+    collects int64 batch partials combined as Python ints (int128-safe,
+    the HUGEINT-SQL twin); pass 2 compares each doc against the
+    broadcast per-source integer cutoff isqrt(9(nQ−S²)), shuffle-free."""
+    import math
+    import os
+
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scodes, suniq = pd.factorize(t["source"].to_pandas())
+        n = np.bincount(scodes, minlength=len(suniq)).astype(np.int64)
+        s1 = np.zeros(len(suniq), np.int64)
+        s2 = np.zeros(len(suniq), np.int64)
+        np.add.at(s1, scodes, x)
+        np.add.at(s2, scodes, x * x)
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(suniq, dtype=object), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    )
+    side = {}
+    for _, r in m.iterrows():
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])  # exact int128 path
+        side[r["source"]] = (n, s1, math.isqrt(9 * (n * s2 - s1 * s1)))
+    side_ref = ray.put(side)
+
+    def flags(t: pa.Table) -> pa.Table:
+        sm = ray.get(side_ref)
+        src = t["source"].to_pandas()
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scodes, suniq = pd.factorize(src)
+        nv = np.array([sm[s][0] for s in suniq], np.int64)
+        sv = np.array([sm[s][1] for s in suniq], np.int64)
+        tv = np.array([sm[s][2] for s in suniq], np.int64)
+        assert int(np.abs(x).max(initial=0)) * int(nv.max(initial=1)) < (
+            1 << 62
+        ), "q_length_anomaly: x*n exceeds int64 headroom — shard the moments"
+        dd = 2 * (x * nv[scodes] - sv[scodes])
+        hi = dd > tv[scodes]
+        lo = -dd > tv[scodes]
+        n_hi = np.bincount(scodes, weights=hi, minlength=len(suniq))
+        n_lo = np.bincount(scodes, weights=lo, minlength=len(suniq))
+        cnt = np.bincount(scodes, minlength=len(suniq))
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(suniq, dtype=object), pa.string()),
+                "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_hi": pa.array(n_hi.astype(np.int64), pa.int64()),
+                "n_lo": pa.array(n_lo.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(flags, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_hi=("n_hi", "sum"), n_lo=("n_lo", "sum"))
+        .sort_values("source")
+    )
+    for c in ("n_docs", "n_hi", "n_lo"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_length_anomaly"] = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_chars) AS HUGEINT) AS s1,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+  FROM documents GROUP BY 1
+),
+j AS (
+  SELECT d.source, 2 * (CAST(d.n_chars AS HUGEINT) * s.n - s.s1) AS dd,
+         9 * (s.n * s.s2 - s.s1 * s.s1) AS bb
+  FROM documents d JOIN s ON d.source = s.source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE dd > 0 AND dd * dd > bb) AS BIGINT) AS n_hi,
+       CAST(count(*) FILTER (WHERE dd < 0 AND dd * dd > bb) AS BIGINT) AS n_lo
+FROM j GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_length_anomaly"] = q_length_anomaly
+
+
+def q_vowel_ratio(sf_dir):
+    """Per-source vowel-to-character ratio — the cheap charclass probe
+    of a gibberish/encoding screen (natural-language text sits in a
+    narrow vowel band; base64/binary spills out of it). Exact char
+    counts via regex-strip length deltas (RE2 on both sides), bounded
+    partials, ONE division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "").cast(pa.large_string())
+        total = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        stripped = pc.utf8_length(
+            pc.replace_substring_regex(txt, "[aeiou]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        scodes, suniq = pd.factorize(t["source"].to_pandas())
+        nc = np.zeros(len(suniq), np.int64)
+        nv = np.zeros(len(suniq), np.int64)
+        np.add.at(nc, scodes, total)
+        np.add.at(nv, scodes, total - stripped)
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(suniq, dtype=object), pa.string()),
+                "n_chars": pa.array(nc, pa.int64()),
+                "n_vowels": pa.array(nv, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n_chars=("n_chars", "sum"), n_vowels=("n_vowels", "sum"))
+        .sort_values("source")
+    )
+    ratio = out["n_vowels"].to_numpy(np.float64) / out["n_chars"].to_numpy(
+        np.float64
+    )
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["n_vowels"] = out["n_vowels"].astype("int64")
+    out["vowel_ratio"] = _duckdb_round(ratio) + 0.0
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_vowel_ratio"] = """
+WITH v AS (
+  SELECT source, CAST(length(coalesce(text, '')) AS BIGINT) AS nc,
+         CAST(length(coalesce(text, ''))
+              - length(regexp_replace(coalesce(text, ''), '[aeiou]', '', 'g'))
+              AS BIGINT) AS nv
+  FROM documents
+)
+SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(nv) AS BIGINT) AS n_vowels,
+       round(CAST(sum(nv) AS DOUBLE) / CAST(sum(nc) AS DOUBLE), 6) + 0.0
+         AS vowel_ratio
+FROM v GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_vowel_ratio"] = q_vowel_ratio
+
+
+def q_mean_word_len(sf_dir):
+    """Mean token length per (source, lang) cell — the tokenizer-cost /
+    language-sanity profile (agglutinative or concatenated-garbage
+    text jumps out). Token char counts computed per UNIQUE term from
+    the dictionary-encoded stream, catalog-bounded partials, ONE
+    division per cell."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "text"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ptrail_ray.functions.tokenize import encoded_tokens
+
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+        codes, vocab, idx = encoded_tokens(t["text"])
+        if len(codes) == 0:
+            return empty
+        vlen = pc.utf8_length(vocab.cast(pa.string())).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cell = pd.MultiIndex.from_arrays(
+            [t["source"].to_pandas(), t["lang"].to_pandas()]
+        )
+        ccodes, cuniq = pd.factorize(cell)
+        row_cell = ccodes.astype(np.int64)[idx]
+        n_tok = np.bincount(row_cell, minlength=len(cuniq)).astype(np.int64)
+        n_chr = np.zeros(len(cuniq), np.int64)
+        np.add.at(n_chr, row_cell, vlen[codes])
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.asarray(cuniq.get_level_values(0), dtype=object),
+                    pa.string(),
+                ),
+                "lang": pa.array(
+                    np.asarray(cuniq.get_level_values(1), dtype=object),
+                    pa.string(),
+                ),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_chars": pa.array(n_chr, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)
+        .agg(n_tokens=("n_tokens", "sum"), n_chars=("n_chars", "sum"))
+        .sort_values(["source", "lang"])
+    )
+    mwl = out["n_chars"].to_numpy(np.float64) / out["n_tokens"].to_numpy(
+        np.float64
+    )
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["mean_word_len"] = _duckdb_round(mwl) + 0.0
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_mean_word_len"] = """
+WITH tok AS (
+  SELECT source, lang,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       round(CAST(sum(length(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         + 0.0 AS mean_word_len
+FROM tok GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q_mean_word_len"] = q_mean_word_len
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

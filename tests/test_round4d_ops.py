@@ -187,3 +187,49 @@ def test_tool_trigrams(ray_session):
         (r["t1"], r["t2"], r["t3"]): int(r["n"]) for _, r in out.iterrows()
     }
     assert got == exp and sum(exp.values()) > 0
+
+
+def test_length_anomaly_matches_float_sigma(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_length_anomaly"](SF).to_pandas().set_index("source")
+    docs = _docs_pdf()
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.float64)
+        mu, sd = x.mean(), x.std()  # population
+        hi = int((x - mu > 1.5 * sd).sum())
+        lo = int((mu - x > 1.5 * sd).sum())
+        assert int(out.loc[src, "n_docs"]) == len(g)
+        assert int(out.loc[src, "n_hi"]) == hi, src
+        assert int(out.loc[src, "n_lo"]) == lo, src
+
+
+def test_vowel_ratio(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_vowel_ratio"](SF).to_pandas().set_index("source")
+    docs = _docs_pdf()
+    for src, g in docs.groupby("source"):
+        txt = g["text"].fillna("")
+        nc = int(txt.str.len().sum())
+        nv = int(txt.str.count(r"[aeiou]").sum())
+        assert int(out.loc[src, "n_chars"]) == nc
+        assert int(out.loc[src, "n_vowels"]) == nv
+        assert abs(out.loc[src, "vowel_ratio"] - nv / nc) < 1e-6
+
+
+def test_mean_word_len(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_mean_word_len"](SF)
+        .to_pandas()
+        .set_index(["source", "lang"])
+    )
+    docs = _docs_pdf()
+    for (src, lang), g in docs.groupby(["source", "lang"]):
+        toks = [w for t in g["text"].fillna("") for w in t.split() if w]
+        assert int(out.loc[(src, lang), "n_tokens"]) == len(toks)
+        nch = sum(len(w) for w in toks)
+        assert int(out.loc[(src, lang), "n_chars"]) == nch
+        assert abs(out.loc[(src, lang), "mean_word_len"] - nch / len(toks)) < 1e-6
