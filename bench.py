@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "q_length_anomaly",
     "q_vowel_ratio",
     "q_mean_word_len",
+    "q_zipf_fit",
+    "q_mcnemar",
+    "q_role_length_ratio",
 ]
 
 

@@ -10925,6 +10925,332 @@ FROM tok GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["q_mean_word_len"] = q_mean_word_len
 
 
+ZIPF_MAX_TERMS = 200_000  # loud driver-collect guard (tfidf max_vocab precedent)
+
+
+def q_zipf_fit(sf_dir):
+    """Zipf-law OLS slope per language: regress ln(freq) on ln(rank)
+    over the term catalog (rank ties broken freq-desc/term-asc, both
+    sides). Per-cell ln/product terms are quantized at 1e6 and summed
+    as BIGINT (sums stay < 2^53 under the loud ZIPF_MAX_TERMS guard so
+    the final double casts are EXACT); the closed-form slope is ONE
+    fixed-order double expression on both engines. Natural text lands
+    near −1; templated/synthetic vocabularies flatten toward 0."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.functions.tokenize import encoded_tokens
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        codes, vocab, idx = encoded_tokens(t["text"])
+        if len(codes) == 0:
+            return empty
+        lcodes, luniq = pd.factorize(t["lang"].to_pandas())
+        lrow = lcodes.astype(np.int64)[idx]
+        v = np.int64(len(vocab))
+        key = lrow * v + codes
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(
+                    np.asarray(luniq, dtype=object)[uniq // v], pa.string()
+                ),
+                "term": pc.take(vocab, pa.array(uniq % v, pa.int64())).cast(
+                    pa.string()
+                ),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+
+    def cell_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "term", "n"]).to_pandas()
+        g = df.groupby(["lang", "term"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = grouped_agg_by_bucket(
+        parts, ["lang", "term"], cell_fn, num_buckets=32,
+        group_format="pyarrow", partial_batch=None,
+    ).to_pandas()
+    if len(cells) > ZIPF_MAX_TERMS:
+        raise ValueError(
+            f"q_zipf_fit: {len(cells)} (lang, term) cells exceed "
+            f"ZIPF_MAX_TERMS={ZIPF_MAX_TERMS}; raise the guard or "
+            "pre-filter the vocabulary"
+        )
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        g = g.sort_values(["n", "term"], ascending=[False, True], kind="stable")
+        r = np.arange(1, len(g) + 1, dtype=np.float64)
+        c = g["n"].to_numpy(np.float64)
+        lx, ly = np.log(r), np.log(c)
+        sx = int(_quant_int64(lx, scale=1e6).sum())
+        sy = int(_quant_int64(ly, scale=1e6).sum())
+        sxy = int(_quant_int64(lx * ly, scale=1e6).sum())
+        sxx = int(_quant_int64(lx * lx, scale=1e6).sum())
+        n = len(g)
+        num = (float(n) * float(sxy)) * 1e6 - float(sx) * float(sy)
+        den = (float(n) * float(sxx)) * 1e6 - float(sx) * float(sx)
+        slope = (
+            np.nan if den == 0.0 else float(_duckdb_round(np.array([num / den]))[0])
+        )
+        rows.append((lang, n, slope + 0.0))
+    out = pd.DataFrame(rows, columns=["lang", "n_terms", "zipf_slope"])
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return finalize(
+        pa.Table.from_pandas(out.sort_values("lang"), preserve_index=False)
+    )
+
+
+ORACLE_SQL["q_zipf_fit"] = """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                        '\\s+'),
+                                  x -> x <> '')) AS w
+  FROM documents
+),
+tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+rk AS (SELECT lang, w, c,
+              row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS r
+       FROM tc),
+q AS (
+  SELECT lang,
+         CAST(round(1000000.0 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS qx,
+         CAST(round(1000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS qy,
+         CAST(round(1000000.0 * (ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))))
+              AS BIGINT) AS qxy,
+         CAST(round(1000000.0 * (ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))))
+              AS BIGINT) AS qxx
+  FROM rk
+),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, sum(qx) AS sx, sum(qy) AS sy,
+             sum(qxy) AS sxy, sum(qxx) AS sxx
+      FROM q GROUP BY 1)
+SELECT lang, n AS n_terms,
+       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) * 1000000.0
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) * 1000000.0
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+         AS zipf_slope
+FROM s ORDER BY lang
+"""
+QUERIES["q_zipf_fit"] = q_zipf_fit
+
+
+def q_mcnemar(sf_dir):
+    """McNemar paired test: the stoplist lang-ID heuristic vs the
+    source-majority baseline, both scored against the true ``lang``
+    label — the standard 'is classifier A actually better than B on
+    the SAME docs' gate for pipeline upgrades. b / c are the
+    discordant-pair counts (exact ints, catalog-bounded partials +
+    broadcast majority map); the χ² statistic (b−c)²/(b+c) is one
+    fixed-order double expression."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import lang_id_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "text"],
+    )
+
+    def sl_counts(t: pa.Table) -> pa.Table:
+        cell = pd.MultiIndex.from_arrays(
+            [t["source"].to_pandas(), t["lang"].to_pandas()]
+        )
+        ccodes, cuniq = pd.factorize(cell)
+        n = np.bincount(ccodes, minlength=len(cuniq)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.asarray(cuniq.get_level_values(0), dtype=object),
+                    pa.string(),
+                ),
+                "lang": pa.array(
+                    np.asarray(cuniq.get_level_values(1), dtype=object),
+                    pa.string(),
+                ),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    sl = (
+        ds.map_batches(sl_counts, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)["n"]
+        .sum()
+    )
+    sl = sl.sort_values(["n", "lang"], ascending=[False, True], kind="stable")
+    majority = dict(zip(sl.drop_duplicates("source")["source"],
+                        sl.drop_duplicates("source")["lang"]))
+    mj_ref = ray.put(majority)
+
+    def discordant(t: pa.Table) -> pa.Table:
+        mj = ray.get(mj_ref)
+        p = lang_id_batch(t)
+        pred = p["lang_pred"].to_pandas().to_numpy(dtype=object)
+        lang = t["lang"].to_pandas().to_numpy(dtype=object)
+        base = t["source"].to_pandas().map(mj).to_numpy(dtype=object)
+        hc = pred == lang
+        bc = base == lang
+        return pa.table(
+            {
+                "b": pa.array([int((hc & ~bc).sum())], pa.int64()),
+                "c": pa.array([int((~hc & bc).sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(
+        discordant, batch_format="pyarrow", batch_size=1 << 18
+    ).to_pandas()
+    b, c = int(agg["b"].sum()), int(agg["c"].sum())
+    if b + c == 0:
+        stat = np.array([np.nan])
+    else:
+        bd, cd = float(b), float(c)
+        stat = _duckdb_round(np.array([((bd - cd) * (bd - cd)) / (bd + cd)]))
+    return finalize(
+        pa.table(
+            {
+                "b": pa.array([b], pa.int64()),
+                "c": pa.array([c], pa.int64()),
+                "mcnemar_stat": pa.array(stat + 0.0, pa.float64()),
+            }
+        )
+    )
+
+
+ORACLE_SQL["q_mcnemar"] = f"""
+WITH d AS (
+  SELECT source, lang, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT source, lang,
+         CASE WHEN len(toks) > 0 AND
+              CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x)))
+                   AS DOUBLE) / len(toks) > 0.05
+              THEN 'en' ELSE 'unk' END AS pred
+  FROM d
+),
+mc AS (SELECT source, lang AS ml, count(*) AS n FROM documents GROUP BY 1, 2),
+mj AS (
+  SELECT source, ml FROM (
+    SELECT source, ml,
+           row_number() OVER (PARTITION BY source ORDER BY n DESC, ml ASC) AS r
+    FROM mc
+  ) WHERE r = 1
+),
+x AS (SELECT p.lang, p.pred, mj.ml FROM p JOIN mj USING (source)),
+s AS (
+  SELECT CAST(count(*) FILTER (WHERE pred = lang AND ml <> lang) AS BIGINT) AS b,
+         CAST(count(*) FILTER (WHERE pred <> lang AND ml = lang) AS BIGINT) AS c
+  FROM x
+)
+SELECT b, c,
+       CASE WHEN b + c = 0 THEN NULL
+            ELSE round(((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                        * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)))
+                       / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) + 0.0
+       END AS mcnemar_stat
+FROM s
+"""
+QUERIES["q_mcnemar"] = q_mcnemar
+
+
+def q_role_length_ratio(sf_dir):
+    """Assistant-to-user character ratio per conversation — the
+    verbosity-balance feature SFT curricula stratify on (tiny ratios ⇒
+    terse bot, huge ⇒ wall-of-text bot). Exact per-role char sums
+    inside the conv exchange, ONE division; NULL when the conversation
+    has no user characters."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "a_chars": pa.array([], pa.int64()),
+                    "u_chars": pa.array([], pa.int64()),
+                    "au_ratio": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        starts = starts.astype(np.int64)
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        m1 = pc.utf8_length(
+            pc.fill_null(t["text"], "").cast(pa.large_string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        role = pc.fill_null(t["role"], "")
+        is_a = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        is_u = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        a = np.zeros(len(starts), np.int64)
+        u = np.zeros(len(starts), np.int64)
+        np.add.at(a, run_of[is_a], m1[is_a])
+        np.add.at(u, run_of[is_u], m1[is_u])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = a.astype(np.float64) / u.astype(np.float64)
+        has = u > 0
+        ratio = np.where(has, _duckdb_round(ratio) + 0.0, np.nan)
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "a_chars": pa.array(a, pa.int64()),
+                "u_chars": pa.array(u, pa.int64()),
+                "au_ratio": pa.array(ratio, pa.float64(), mask=~has),
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_role_length_ratio"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+a AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'assistant'
+                       THEN length(coalesce(text, '')) ELSE 0 END)
+              AS BIGINT) AS a_chars,
+         CAST(sum(CASE WHEN role = 'user'
+                       THEN length(coalesce(text, '')) ELSE 0 END)
+              AS BIGINT) AS u_chars
+  FROM transcripts GROUP BY 1
+)
+SELECT conv_id, a_chars, u_chars,
+       CASE WHEN u_chars = 0 THEN NULL
+            ELSE round(CAST(a_chars AS DOUBLE) / CAST(u_chars AS DOUBLE), 6)
+                 + 0.0
+       END AS au_ratio
+FROM a ORDER BY 1
+"""
+QUERIES["q_role_length_ratio"] = q_role_length_ratio
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -233,3 +233,62 @@ def test_mean_word_len(ray_session):
         nch = sum(len(w) for w in toks)
         assert int(out.loc[(src, lang), "n_chars"]) == nch
         assert abs(out.loc[(src, lang), "mean_word_len"] - nch / len(toks)) < 1e-6
+
+
+def test_zipf_fit_matches_polyfit(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_zipf_fit"](SF).to_pandas().set_index("lang")
+    docs = _docs_pdf()
+    for lang, g in docs.groupby("lang"):
+        toks = pd.Series([w for t in g["text"].fillna("") for w in t.split() if w])
+        tc = toks.value_counts()
+        r = np.arange(1, len(tc) + 1, dtype=np.float64)
+        slope = np.polyfit(np.log(r), np.log(tc.to_numpy(np.float64)), 1)[0]
+        assert int(out.loc[lang, "n_terms"]) == len(tc)
+        assert abs(out.loc[lang, "zipf_slope"] - slope) < 1e-4, lang
+
+
+def test_mcnemar_matches_counts(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.functions.textstats import LANG_TAU, STOPWORDS
+
+    out = QUERIES["q_mcnemar"](SF).to_pandas()
+    docs = _docs_pdf()
+
+    def pred(t):
+        toks = [w for w in str(t or "").split() if w]
+        if not toks:
+            return "unk"
+        r = sum(w in STOPWORDS for w in toks) / len(toks)
+        return "en" if r > LANG_TAU else "unk"
+
+    docs["pred"] = docs["text"].map(pred)
+    mj = (
+        docs.groupby(["source", "lang"]).size().rename("n").reset_index()
+        .sort_values(["n", "lang"], ascending=[False, True], kind="stable")
+        .drop_duplicates("source").set_index("source")["lang"]
+    )
+    docs["ml"] = docs["source"].map(mj)
+    hc = docs["pred"] == docs["lang"]
+    bc = docs["ml"] == docs["lang"]
+    b, c = int((hc & ~bc).sum()), int((~hc & bc).sum())
+    assert int(out["b"].iloc[0]) == b and int(out["c"].iloc[0]) == c
+    if b + c:
+        assert abs(out["mcnemar_stat"].iloc[0] - (b - c) ** 2 / (b + c)) < 1e-6
+
+
+def test_role_length_ratio(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_role_length_ratio"](SF).to_pandas().set_index("conv_id")
+    for conv, g in _transcripts_pdf().groupby("conv_id", sort=False):
+        m1 = g["text"].fillna("").str.len()
+        a = int(m1[g["role"] == "assistant"].sum())
+        u = int(m1[g["role"] == "user"].sum())
+        assert int(out.loc[conv, "a_chars"]) == a
+        assert int(out.loc[conv, "u_chars"]) == u
+        if u == 0:
+            assert np.isnan(out.loc[conv, "au_ratio"])
+        else:
+            assert abs(out.loc[conv, "au_ratio"] - a / u) < 1e-6
