@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     "q_zipf_fit",
     "q_mcnemar",
     "q_role_length_ratio",
+    "q_tpch_q7",
+    "q_norm_bands",
+    "q_event_type_dow",
 ]
 
 

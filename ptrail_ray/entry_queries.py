@@ -11251,6 +11251,335 @@ FROM a ORDER BY 1
 QUERIES["q_role_length_ratio"] = q_role_length_ratio
 
 
+def q_tpch_q7(sf_dir):
+    """TPC-H Q7 shape (cross-border shipping volume): revenue between
+    every DISTINCT (supplier nation → customer nation) pair by ship
+    year. Supplier/nation dims broadcast once (suppkey → nation name);
+    orders pick up the customer nation on ONE custkey exchange; the
+    decorated orders union the lineitem partials on ONE orderkey
+    exchange where the per-bucket map join drops same-nation pairs and
+    emits exact-quantized (sn, cn, year) partials — driver combine
+    bounded by 25²×years."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    nmap = dict(
+        zip(nat["n_nationkey"].astype(np.int64), nat["n_name"].astype(str))
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    smap = dict(
+        zip(sup["s_suppkey"].astype(np.int64), sup["s_nationkey"].astype(np.int64))
+    )
+    sup_ref = ray.put(smap)
+
+    # stage 1: orders pick up the customer nation (custkey exchange)
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t["c_custkey"].cast(pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "nkey": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t["o_custkey"].cast(pa.int64()),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "nkey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            }
+        )
+
+    def cust_join(t: pa.Table) -> pa.Table:
+        df = t.select(["ckey", "okey", "nkey"]).to_pandas()
+        cm = df.loc[df["okey"] < 0].set_index("ckey")["nkey"]
+        od = df[df["okey"] >= 0]
+        nk = od["ckey"].map(cm)
+        keep = nk.notna()
+        return pa.table(
+            {
+                "okey": pa.array(od["okey"][keep].to_numpy(np.int64), pa.int64()),
+                "cnat": pa.array(nk[keep].to_numpy(np.int64), pa.int64()),
+                "year": pa.array(
+                    np.full(int(keep.sum()), -1, np.int64), pa.int64()
+                ),
+                "qrev": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    ordnat = grouped_agg_by_bucket(
+        cust.map_batches(cust_partial, batch_format="pyarrow", batch_size=1 << 20)
+        .union(
+            orders.map_batches(
+                order_partial, batch_format="pyarrow", batch_size=1 << 20
+            )
+        ),
+        "ckey", cust_join, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    )
+
+    # stage 2: lineitem partials join the decorated orders (orderkey exchange)
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        sm = ray.get(sup_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = pd.Series(sk).map(sm).to_numpy(np.int64)
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = _quant_int64(p * (1.0 - disc), scale=10000.0)
+        # pack (snat, year) into cnat-slot-free columns: cnat = -1 marks line rows
+        return pa.table(
+            {
+                "okey": t["l_orderkey"].cast(pa.int64()),
+                "cnat": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "year": pa.array(snat * 10000 + year, pa.int64()),
+                "qrev": pa.array(q, pa.int64()),
+            }
+        )
+
+    def order_join(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "cnat", "year", "qrev"]).to_pandas()
+        om = df.loc[df["cnat"] >= 0].set_index("okey")["cnat"]
+        li = df[df["cnat"] < 0]
+        cn = li["okey"].map(om)
+        keep = cn.notna()
+        li, cn = li[keep], cn[keep].to_numpy(np.int64)
+        sn = li["year"].to_numpy(np.int64) // 10000
+        yr = li["year"].to_numpy(np.int64) % 10000
+        m = sn != cn
+        g = (
+            pd.DataFrame(
+                {"sn": sn[m], "cn": cn[m], "y": yr[m],
+                 "qrev": li["qrev"].to_numpy(np.int64)[m]}
+            )
+            .groupby(["sn", "cn", "y"], as_index=False)["qrev"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "sn": pa.array(g["sn"].to_numpy(np.int64), pa.int64()),
+                "cn": pa.array(g["cn"].to_numpy(np.int64), pa.int64()),
+                "y": pa.array(g["y"].to_numpy(np.int64), pa.int64()),
+                "qrev": pa.array(g["qrev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    both = ordnat.union(
+        line.map_batches(line_partial, batch_format="pyarrow", batch_size=1 << 20)
+    )
+    parts = grouped_agg_by_bucket(
+        both, "okey", order_join, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+    g = parts.groupby(["sn", "cn", "y"], as_index=False)["qrev"].sum()
+    g["supp_nation"] = g["sn"].map(nmap)
+    g["cust_nation"] = g["cn"].map(nmap)
+    g = g.sort_values(["supp_nation", "cust_nation", "y"])
+    g["l_year"] = g["y"].astype("int64")
+    g["revenue"] = _duckdb_round(g["qrev"].to_numpy(np.float64) / 10000.0) + 0.0
+    return pa.Table.from_pandas(
+        g[["supp_nation", "cust_nation", "l_year", "revenue"]].reset_index(
+            drop=True
+        ),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_tpch_q7"] = """
+WITH v AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+              AS BIGINT) AS q
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  WHERE sn.n_name <> cn.n_name
+)
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(q) / 10000.0, 6) + 0.0 AS revenue
+FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+QUERIES["q_tpch_q7"] = q_tpch_q7
+
+
+NORM_BAND_Q = 0.25  # squared-norm band width
+
+
+def q_norm_bands(sf_dir):
+    """Embedding L2-norm band histogram per label — the sanity screen
+    run before cosine pipelines (un-normalized or zero vectors break
+    them). Each element's x² is quantized at 1e9 and int-summed per
+    row (order-free, exact), so the band edges cut on INTEGERS —
+    identical on both engines; bands of width 0.25 in squared-norm
+    units. Catalog-bounded (label × band) partials, no shuffle."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    bw = int(NORM_BAND_Q * 1e9)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // max(t.num_rows, 1)
+        q = _quant_int64(flat * flat, scale=1e9).reshape(t.num_rows, d)
+        qnorm = q.sum(axis=1)
+        band = qnorm // bw
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = lab * 1_000_000 + band
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(uniq // 1_000_000, pa.int64()),
+                "band": pa.array(uniq % 1_000_000, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 16)
+        .to_pandas()
+        .groupby(["label", "band"], as_index=False)["n"]
+        .sum()
+        .sort_values(["label", "band"])
+    )
+    for c in ("label", "band", "n"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_norm_bands"] = f"""
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_sum(list_transform(embedding,
+             x -> CAST(round(1000000000.0 *
+                             (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  AS BIGINT))) AS qnorm
+  FROM embeddings
+)
+SELECT label, CAST(qnorm // {int(NORM_BAND_Q * 1e9)} AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q_norm_bands"] = q_norm_bands
+
+
+def q_event_type_dow(sf_dir):
+    """Event volume mix per (event_type, ISO day-of-week) with the
+    within-type share — the seasonality profile per event class.
+    Catalog-bounded count partials, one division per cell."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # ISO weekday 1..7 (DuckDB isodow)
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        days = ts.to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        dow = ((days.view("int64") + 3) % 7 + 1).astype(np.int64)
+        ecodes, euniq = pd.factorize(t["event_type"].to_pandas())
+        key = ecodes.astype(np.int64) * 8 + dow
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.asarray(euniq, dtype=object)[uniq // 8], pa.string()
+                ),
+                "isodow": pa.array(uniq % 8, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["event_type", "isodow"], as_index=False)["n"]
+        .sum()
+    )
+    tot = out.groupby("event_type")["n"].transform("sum")
+    share = out["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    out["n"] = out["n"].astype("int64")
+    out["isodow"] = out["isodow"].astype("int64")
+    out["share"] = _duckdb_round(share) + 0.0
+    out = out.sort_values(["event_type", "isodow"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_event_type_dow"] = """
+WITH g AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+SELECT g.event_type, g.isodow, g.n,
+       round(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0 AS share
+FROM g JOIN t USING (event_type)
+ORDER BY 1, 2
+"""
+QUERIES["q_event_type_dow"] = q_event_type_dow
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

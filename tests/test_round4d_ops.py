@@ -292,3 +292,62 @@ def test_role_length_ratio(ray_session):
             assert np.isnan(out.loc[conv, "au_ratio"])
         else:
             assert abs(out.loc[conv, "au_ratio"] - a / u) < 1e-6
+
+
+def test_tpch_q7_cross_border(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tpch_q7"](SF).to_pandas()
+    li = (
+        _tbl("lineitem")
+        .merge(_tbl("supplier"), left_on="l_suppkey", right_on="s_suppkey")
+        .merge(_tbl("orders"), left_on="l_orderkey", right_on="o_orderkey")
+        .merge(_tbl("customer"), left_on="o_custkey", right_on="c_custkey")
+    )
+    nat = _tbl("nation").set_index("n_nationkey")["n_name"]
+    li["sn"] = li["s_nationkey"].map(nat)
+    li["cn"] = li["c_nationkey"].map(nat)
+    li = li[li["sn"] != li["cn"]]
+    li["y"] = li["l_shipdate"].dt.year
+    li["q"] = np.round(
+        li["l_extendedprice"] * (1.0 - li["l_discount"]) * 1e4
+    ).astype(np.int64)
+    exp = li.groupby(["sn", "cn", "y"])["q"].sum()
+    assert len(out) == len(exp)
+    got = out.set_index(["supp_nation", "cust_nation", "l_year"])["revenue"]
+    for k, v in exp.items():
+        assert abs(got.loc[k] - v / 1e4) < 1e-5, k
+
+
+def test_norm_bands(ray_session):
+    from ptrail_ray.entry_queries import NORM_BAND_Q, QUERIES
+
+    out = QUERIES["q_norm_bands"](SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.round(1e9 * (mat * mat)).astype(np.int64).sum(axis=1)
+    band = q // int(NORM_BAND_Q * 1e9)
+    exp = (
+        pd.DataFrame({"label": emb["label"].astype(np.int64), "band": band})
+        .groupby(["label", "band"])
+        .size()
+    )
+    got = out.set_index(["label", "band"])["n"]
+    assert len(got) == len(exp)
+    for k, v in exp.items():
+        assert int(got.loc[k]) == int(v)
+
+
+def test_event_type_dow(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_event_type_dow"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["isodow"] = ev["ts"].dt.dayofweek + 1
+    exp = ev.groupby(["event_type", "isodow"]).size()
+    got = out.set_index(["event_type", "isodow"])
+    assert len(got) == len(exp)
+    for k, v in exp.items():
+        assert int(got.loc[k, "n"]) == int(v)
+        tot = exp.loc[k[0]].sum()
+        assert abs(got.loc[k, "share"] - v / tot) < 1e-6
