@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "q_tpch_q7",
     "q_norm_bands",
     "q_event_type_dow",
+    "q_poisson_dispersion",
+    "q_role_entropy",
+    "q_peak_hour",
 ]
 
 

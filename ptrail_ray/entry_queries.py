@@ -11580,6 +11580,277 @@ ORDER BY 1, 2
 QUERIES["q_event_type_dow"] = q_event_type_dow
 
 
+def q_poisson_dispersion(sf_dir):
+    """Poisson dispersion index (variance-to-mean of per-user event
+    counts) per event type — the burst/bot screen: ≈1 is Poisson-like
+    organic traffic, ≫1 is bursty or scripted. Per-user counts complete
+    on ONE composite (event_type, user_id) exchange; per-type integer
+    moments (n, Σc, Σc²) combine exactly; ONE fixed-order double
+    expression both sides. NULL when a type has <2 users."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = pd.MultiIndex.from_arrays(
+            [t["event_type"].to_pandas(),
+             t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        )
+        ccodes, cuniq = pd.factorize(cell)
+        n = np.bincount(ccodes, minlength=len(cuniq)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.asarray(cuniq.get_level_values(0), dtype=object),
+                    pa.string(),
+                ),
+                "user_id": pa.array(
+                    cuniq.get_level_values(1).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "c": pa.array(n, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["event_type", "user_id", "c"]).to_pandas()
+        g = df.groupby(["event_type", "user_id"], as_index=False)["c"].sum()
+        g["c2"] = g["c"] * g["c"]
+        s = g.groupby("event_type", as_index=False).agg(
+            n=("user_id", "size"), s1=("c", "sum"), s2=("c2", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(s["event_type"].astype(str), pa.string()),
+                "n": pa.array(s["n"].to_numpy(np.int64), pa.int64()),
+                "s1": pa.array(s["s1"].to_numpy(np.int64), pa.int64()),
+                "s2": pa.array(s["s2"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        grouped_agg_by_bucket(
+            parts, ["event_type", "user_id"], bucket_fn, num_buckets=32,
+            group_format="pyarrow", partial_batch=None,
+        )
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        .sort_values("event_type")
+    )
+    nd = agg["n"].to_numpy(np.float64)
+    s1 = agg["s1"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        disp = (nd * (nd * s2 - s1 * s1)) / ((nd * (nd - 1.0)) * s1)
+    has = (agg["n"].to_numpy(np.int64) >= 2) & (agg["s1"].to_numpy(np.int64) > 0)
+    agg["n_users"] = agg["n"].astype("int64")
+    agg["sum_c"] = agg["s1"].astype("int64")
+    agg["sum_c2"] = agg["s2"].astype("int64")
+    agg["dispersion"] = np.where(has, _duckdb_round(disp) + 0.0, np.nan)
+    out = pa.Table.from_pandas(
+        agg[["event_type", "n_users", "sum_c", "sum_c2", "dispersion"]]
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+    return finalize(out)
+
+
+ORACLE_SQL["q_poisson_dispersion"] = """
+WITH uc AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS sum_c,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM uc GROUP BY 1
+)
+SELECT event_type, n_users, sum_c, sum_c2,
+       CASE WHEN n_users < 2 OR sum_c = 0 THEN NULL
+            ELSE round((CAST(n_users AS DOUBLE)
+                        * (CAST(n_users AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+                           - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)))
+                       / ((CAST(n_users AS DOUBLE)
+                           * (CAST(n_users AS DOUBLE) - 1.0))
+                          * CAST(sum_c AS DOUBLE)), 6) + 0.0
+       END AS dispersion
+FROM s ORDER BY 1
+"""
+QUERIES["q_poisson_dispersion"] = q_poisson_dispersion
+
+
+def q_role_entropy(sf_dir):
+    """Role-mix Shannon entropy per conversation — the turn-taking
+    diversity feature (pure monologues score 0; balanced multi-role
+    chats approach ln(n_roles)). Counts live wholly inside the conv
+    exchange; each −p·ln p term is quantized at 1e12 and int-summed
+    (the q_entropy_mix contract), so per-conversation entropy is
+    accumulation-order-proof."""
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_roles": pa.array([], pa.int64()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "role_entropy": pa.array([], pa.float64()),
+                }
+            )
+        starts, lengths = conv_runs(t["conv_id"])
+        starts = starts.astype(np.int64)
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        rcodes, _ = pd.factorize(
+            pc.fill_null(t["role"], "").to_pandas()
+        )
+        nr = np.int64(rcodes.max() + 1) if len(rcodes) else np.int64(1)
+        key = run_of * nr + rcodes.astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        cell_run = uniq // nr
+        n = lengths.astype(np.int64)
+        p = counts.astype(np.float64) / n[cell_run].astype(np.float64)
+        q = _quant_int64(-(p) * np.log(p), scale=1e12)
+        qs = np.zeros(len(starts), np.int64)
+        np.add.at(qs, cell_run, q)
+        n_roles = np.bincount(cell_run, minlength=len(starts)).astype(np.int64)
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "n_roles": pa.array(n_roles, pa.int64()),
+                "n_turns": pa.array(n, pa.int64()),
+                "role_entropy": pa.array(
+                    qs.astype(np.float64) / 1e12, pa.float64()
+                ),
+            }
+        )
+
+    return map_conv_buckets(ds, kern, num_buckets=16)
+
+
+ORACLE_SQL["q_role_entropy"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+g AS (SELECT conv_id, coalesce(role, '') AS role,
+             CAST(count(*) AS BIGINT) AS c
+      FROM transcripts GROUP BY 1, 2),
+t AS (SELECT conv_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_roles
+      FROM g GROUP BY 1),
+term AS (
+  SELECT g.conv_id,
+         CAST(round(1000000000000.0 *
+              (-(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * ln(CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE)))) AS BIGINT) AS q
+  FROM g JOIN t USING (conv_id)
+)
+SELECT term.conv_id, any_value(t.n_roles) AS n_roles,
+       any_value(t.n) AS n_turns,
+       CAST(sum(q) AS DOUBLE) / 1000000000000.0 AS role_entropy
+FROM term JOIN t USING (conv_id) GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_role_entropy"] = q_role_entropy
+
+
+def q_peak_hour(sf_dir):
+    """Peak traffic hour per event type (UTC hour-of-day argmax with
+    deterministic count-desc/hour-asc ties) and its share of the
+    type's volume — the capacity-planning profile. 24×catalog-bounded
+    count partials, driver argmax, ONE division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        us = ts.to_numpy(zero_copy_only=False).view("int64")
+        hour = (us // 3_600_000_000) % 24
+        ecodes, euniq = pd.factorize(t["event_type"].to_pandas())
+        key = ecodes.astype(np.int64) * 24 + hour
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.asarray(euniq, dtype=object)[uniq // 24], pa.string()
+                ),
+                "hour": pa.array(uniq % 24, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["event_type", "hour"], as_index=False)["n"]
+        .sum()
+    )
+    tot = g.groupby("event_type", as_index=False)["n"].sum().rename(
+        columns={"n": "tot"}
+    )
+    g = g.sort_values(["n", "hour"], ascending=[False, True], kind="stable")
+    peak = g.drop_duplicates("event_type").merge(tot, on="event_type")
+    share = peak["n"].to_numpy(np.float64) / peak["tot"].to_numpy(np.float64)
+    peak = peak.sort_values("event_type")
+    peak["peak_hour"] = peak["hour"].astype("int64")
+    peak["peak_n"] = peak["n"].astype("int64")
+    peak["total_n"] = peak["tot"].astype("int64")
+    peak["peak_share"] = (
+        _duckdb_round(
+            peak["peak_n"].to_numpy(np.float64)
+            / peak["total_n"].to_numpy(np.float64)
+        )
+        + 0.0
+    )
+    return pa.Table.from_pandas(
+        peak[["event_type", "peak_hour", "peak_n", "total_n", "peak_share"]]
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_peak_hour"] = """
+WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1),
+r AS (
+  SELECT event_type, h, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, h ASC) AS rk
+  FROM g
+)
+SELECT r.event_type, r.h AS peak_hour, r.n AS peak_n, t.tot AS total_n,
+       round(CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0
+         AS peak_share
+FROM r JOIN t USING (event_type)
+WHERE r.rk = 1 ORDER BY 1
+"""
+QUERIES["q_peak_hour"] = q_peak_hour
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -351,3 +351,46 @@ def test_event_type_dow(ray_session):
         assert int(got.loc[k, "n"]) == int(v)
         tot = exp.loc[k[0]].sum()
         assert abs(got.loc[k, "share"] - v / tot) < 1e-6
+
+
+def test_poisson_dispersion(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_poisson_dispersion"](SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    for et, g in ev.groupby("event_type"):
+        c = g.groupby("user_id").size().to_numpy(np.float64)
+        assert int(out.loc[et, "n_users"]) == len(c)
+        assert int(out.loc[et, "sum_c"]) == int(c.sum())
+        if len(c) >= 2 and c.sum() > 0:
+            d = c.var(ddof=1) / c.mean()
+            assert abs(out.loc[et, "dispersion"] - d) < 1e-6, et
+
+
+def test_role_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_role_entropy"](SF).to_pandas().set_index("conv_id")
+    for conv, g in _transcripts_pdf().groupby("conv_id", sort=False):
+        c = g["role"].fillna("").value_counts().to_numpy(np.float64)
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        assert int(out.loc[conv, "n_roles"]) == len(c)
+        assert int(out.loc[conv, "n_turns"]) == len(g)
+        assert abs(out.loc[conv, "role_entropy"] - h) < 1e-6, conv
+
+
+def test_peak_hour(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_peak_hour"](SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["h"] = ev["ts"].dt.hour
+    for et, g in ev.groupby("event_type"):
+        counts = g.groupby("h").size().rename("n").reset_index()
+        counts = counts.sort_values(["n", "h"], ascending=[False, True])
+        top = counts.iloc[0]
+        assert int(out.loc[et, "peak_hour"]) == int(top["h"])
+        assert int(out.loc[et, "peak_n"]) == int(top["n"])
+        assert int(out.loc[et, "total_n"]) == len(g)
+        assert abs(out.loc[et, "peak_share"] - top["n"] / len(g)) < 1e-6
