@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "q_poisson_dispersion",
     "q_role_entropy",
     "q_peak_hour",
+    "q_tpch_q8",
+    "q_gap_histogram",
+    "q_priority_mix",
 ]
 
 

@@ -11851,6 +11851,367 @@ WHERE r.rk = 1 ORDER BY 1
 QUERIES["q_peak_hour"] = q_peak_hour
 
 
+TPCH_Q8_REGION = "AFRICA"
+TPCH_Q8_NATION = "NATION_0"
+TPCH_Q8_TYPE = "PROMO"
+
+
+def q_tpch_q8(sf_dir):
+    """TPC-H Q8 shape (national market share): for AFRICA-region
+    customers buying PROMO parts, NATION_0 suppliers' share of yearly
+    revenue. Part/supplier/nation dims broadcast (standard Q8 build
+    sides); orders gain the region flag on ONE custkey exchange; the
+    orderkey exchange joins lineitem partials carrying exact-quantized
+    (revenue, is-nation-revenue) pairs; per-year int partials finish
+    with ONE share division each."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == TPCH_Q8_REGION, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    nkey = int(nat.loc[nat["n_name"] == TPCH_Q8_NATION, "n_nationkey"].iloc[0])
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    nation_supps = set(
+        sup.loc[sup["s_nationkey"] == nkey, "s_suppkey"].astype(int)
+    )
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo_parts = np.sort(
+        part.loc[part["p_type"] == TPCH_Q8_TYPE, "p_partkey"].to_numpy(np.int64)
+    )
+    side_ref = ray.put((promo_parts, np.array(sorted(nation_supps), np.int64)))
+    rn_ref = ray.put(np.array(sorted(region_nations), np.int64))
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        rn = ray.get(rn_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(np.isin(nk, rn)))
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t["c_custkey"].cast(pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "ckey": t["o_custkey"].cast(pa.int64()),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "year": pa.array(year, pa.int64()),
+            }
+        )
+
+    def cust_join(t: pa.Table) -> pa.Table:
+        df = t.select(["ckey", "okey", "year"]).to_pandas()
+        inr = set(df.loc[df["okey"] < 0, "ckey"])
+        od = df[(df["okey"] >= 0) & df["ckey"].isin(inr)]
+        n = len(od)
+        return pa.table(
+            {
+                "okey": pa.array(od["okey"].to_numpy(np.int64), pa.int64()),
+                "year": pa.array(od["year"].to_numpy(np.int64), pa.int64()),
+                "qrev": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "qnat": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            }
+        )
+
+    ordreg = grouped_agg_by_bucket(
+        cust.map_batches(cust_partial, batch_format="pyarrow", batch_size=1 << 20)
+        .union(
+            orders.map_batches(
+                order_partial, batch_format="pyarrow", batch_size=1 << 20
+            )
+        ),
+        "ckey", cust_join, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    )
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        pp, ns = ray.get(side_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(pk, pp)
+        t = t.filter(pa.array(keep))
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = _quant_int64(p * (1.0 - d), scale=10000.0)
+        return pa.table(
+            {
+                "okey": t["l_orderkey"].cast(pa.int64()),
+                "year": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "qrev": pa.array(q, pa.int64()),
+                "qnat": pa.array(
+                    np.where(np.isin(sk, ns), q, 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def order_join(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "year", "qrev", "qnat"]).to_pandas()
+        om = df.loc[df["qnat"] < 0].set_index("okey")["year"]
+        li = df[df["qnat"] >= 0]
+        yr = li["okey"].map(om)
+        keep = yr.notna()
+        g = (
+            pd.DataFrame(
+                {
+                    "year": yr[keep].to_numpy(np.int64),
+                    "qrev": li["qrev"][keep].to_numpy(np.int64),
+                    "qnat": li["qnat"][keep].to_numpy(np.int64),
+                }
+            )
+            .groupby("year", as_index=False)
+            .agg(qrev=("qrev", "sum"), qnat=("qnat", "sum"))
+        )
+        return pa.table(
+            {
+                "year": pa.array(g["year"].to_numpy(np.int64), pa.int64()),
+                "qrev": pa.array(g["qrev"].to_numpy(np.int64), pa.int64()),
+                "qnat": pa.array(g["qnat"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        ordreg.union(
+            line.map_batches(
+                line_partial, batch_format="pyarrow", batch_size=1 << 20
+            )
+        ),
+        "okey", order_join, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "mkt_share": pa.array([], pa.float64()),
+            }
+        )
+    g = parts.groupby("year", as_index=False).agg(
+        qrev=("qrev", "sum"), qnat=("qnat", "sum")
+    )
+    g = g[g["qrev"] != 0].sort_values("year")
+    share = g["qnat"].to_numpy(np.float64) / g["qrev"].to_numpy(np.float64)
+    g["o_year"] = g["year"].astype("int64")
+    g["mkt_share"] = _duckdb_round(share) + 0.0
+    return pa.Table.from_pandas(
+        g[["o_year", "mkt_share"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+ORACLE_SQL["q_tpch_q8"] = f"""
+WITH v AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+              AS BIGINT) AS q,
+         CASE WHEN sn.n_name = '{TPCH_Q8_NATION}' THEN 1 ELSE 0 END AS isn
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  WHERE r.r_name = '{TPCH_Q8_REGION}' AND p.p_type = '{TPCH_Q8_TYPE}'
+),
+s AS (
+  SELECT o_year, CAST(sum(q) AS BIGINT) AS qrev,
+         CAST(sum(CASE WHEN isn = 1 THEN q ELSE 0 END) AS BIGINT) AS qnat
+  FROM v GROUP BY 1
+)
+SELECT o_year,
+       round(CAST(qnat AS DOUBLE) / CAST(qrev AS DOUBLE), 6) + 0.0 AS mkt_share
+FROM s WHERE qrev <> 0 ORDER BY 1
+"""
+QUERIES["q_tpch_q8"] = q_tpch_q8
+
+
+GAP_BANDS_US = [1_000_000, 60_000_000, 600_000_000, 3_600_000_000]
+
+
+def q_gap_histogram(sf_dir):
+    """Corpus-wide turn-gap band census: consecutive-turn deltas within
+    conversations bucketed on exact-microsecond integer band edges
+    (≤1s / ≤1m / ≤10m / ≤1h / >1h) — the latency-mix profile behind
+    sessionization-threshold choices. Band cut on INTS, 5-row partials
+    per bucket, driver combine."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    edges = np.array(GAP_BANDS_US, np.int64)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        starts, _ = conv_runs(t["conv_id"])
+        col = t["ts"]
+        if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+            col = pc.cast(col, pa.timestamp("us"))
+        ts = col.to_numpy(zero_copy_only=False).view("int64")
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep[starts] = False
+        d = (ts[1:] - ts[:-1])[keep[1:]]
+        band = np.searchsorted(edges, d, side="left").astype(np.int64)
+        uniq, counts = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("band", as_index=False)["n"]
+        .sum()
+        .sort_values("band")
+    )
+    out["band"] = out["band"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_gap_histogram"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+d AS (
+  SELECT date_diff('microsecond', lag(ts) OVER ({W}), ts) AS dus
+  FROM transcripts
+),
+b AS (
+  SELECT CASE WHEN dus < {GAP_BANDS_US[0]} THEN 0
+              WHEN dus < {GAP_BANDS_US[1]} THEN 1
+              WHEN dus < {GAP_BANDS_US[2]} THEN 2
+              WHEN dus < {GAP_BANDS_US[3]} THEN 3
+              ELSE 4 END AS band
+  FROM d WHERE dus IS NOT NULL
+)
+SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_gap_histogram"] = q_gap_histogram
+
+
+def q_priority_mix(sf_dir):
+    """Order count and revenue share per (status, priority) cell — the
+    catalog-bounded two-key mix report (the Q4 dimensions finished with
+    exact-quantized money). Zero-shuffle partials, one division per
+    cell."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = pd.MultiIndex.from_arrays(
+            [t["o_orderstatus"].to_pandas(), t["o_orderpriority"].to_pandas()]
+        )
+        ccodes, cuniq = pd.factorize(cell)
+        q = _quant_int64(
+            t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64),
+            scale=10000.0,
+        )
+        n = np.bincount(ccodes, minlength=len(cuniq)).astype(np.int64)
+        qs = np.zeros(len(cuniq), np.int64)
+        np.add.at(qs, ccodes.astype(np.int64), q)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(
+                    np.asarray(cuniq.get_level_values(0), dtype=object),
+                    pa.string(),
+                ),
+                "o_orderpriority": pa.array(
+                    np.asarray(cuniq.get_level_values(1), dtype=object),
+                    pa.string(),
+                ),
+                "n": pa.array(n, pa.int64()),
+                "qp": pa.array(qs, pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+        .agg(n=("n", "sum"), qp=("qp", "sum"))
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+    )
+    tot = int(g["qp"].sum())
+    share = g["qp"].to_numpy(np.float64) / np.float64(tot)
+    g["n_orders"] = g["n"].astype("int64")
+    g["total_price"] = _duckdb_round(g["qp"].to_numpy(np.float64) / 10000.0) + 0.0
+    g["price_share"] = _duckdb_round(share) + 0.0
+    return pa.Table.from_pandas(
+        g[["o_orderstatus", "o_orderpriority", "n_orders", "total_price",
+           "price_share"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_priority_mix"] = """
+WITH g AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT)) AS BIGINT)
+           AS qp
+  FROM orders GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(qp) AS BIGINT) AS tot FROM g)
+SELECT g.o_orderstatus, g.o_orderpriority, g.n_orders,
+       round(g.qp / 10000.0, 6) + 0.0 AS total_price,
+       round(CAST(g.qp AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0
+         AS price_share
+FROM g, t ORDER BY 1, 2
+"""
+QUERIES["q_priority_mix"] = q_priority_mix
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -394,3 +394,75 @@ def test_peak_hour(ray_session):
         assert int(out.loc[et, "peak_n"]) == int(top["n"])
         assert int(out.loc[et, "total_n"]) == len(g)
         assert abs(out.loc[et, "peak_share"] - top["n"] / len(g)) < 1e-6
+
+
+def test_tpch_q8_market_share(ray_session):
+    from ptrail_ray.entry_queries import (
+        TPCH_Q8_NATION,
+        TPCH_Q8_REGION,
+        TPCH_Q8_TYPE,
+        QUERIES,
+    )
+
+    out = QUERIES["q_tpch_q8"](SF).to_pandas()
+    nat = _tbl("nation")
+    reg = _tbl("region")
+    rk = int(reg.loc[reg["r_name"] == TPCH_Q8_REGION, "r_regionkey"].iloc[0])
+    li = (
+        _tbl("lineitem")
+        .merge(_tbl("part"), left_on="l_partkey", right_on="p_partkey")
+        .merge(_tbl("supplier"), left_on="l_suppkey", right_on="s_suppkey")
+        .merge(_tbl("orders"), left_on="l_orderkey", right_on="o_orderkey")
+        .merge(_tbl("customer"), left_on="o_custkey", right_on="c_custkey")
+    )
+    nmap = nat.set_index("n_nationkey")
+    li = li[li["p_type"] == TPCH_Q8_TYPE]
+    li = li[li["c_nationkey"].map(nmap["n_regionkey"]) == rk]
+    li["q"] = np.round(
+        li["l_extendedprice"] * (1.0 - li["l_discount"]) * 1e4
+    ).astype(np.int64)
+    li["isn"] = li["s_nationkey"].map(nmap["n_name"]) == TPCH_Q8_NATION
+    li["y"] = li["o_orderdate"].dt.year
+    exp = li.groupby("y").apply(
+        lambda g: g.loc[g["isn"], "q"].sum() / g["q"].sum()
+        if g["q"].sum()
+        else None,
+        include_groups=False,
+    )
+    exp = exp.dropna()
+    got = out.set_index("o_year")["mkt_share"]
+    assert len(got) == len(exp)
+    for y, v in exp.items():
+        assert abs(got.loc[y] - v) < 1e-6, y
+
+
+def test_gap_histogram(ray_session):
+    from ptrail_ray.entry_queries import GAP_BANDS_US, QUERIES
+
+    out = QUERIES["q_gap_histogram"](SF).to_pandas().set_index("band")["n"]
+    edges = np.array(GAP_BANDS_US, np.int64)
+    exp = {}
+    for conv, g in _transcripts_pdf().groupby("conv_id", sort=False):
+        us = g["ts"].astype("int64").to_numpy()
+        for d in np.diff(us):
+            b = int(np.searchsorted(edges, d, side="left"))
+            exp[b] = exp.get(b, 0) + 1
+    assert out.to_dict() == exp
+
+
+def test_priority_mix(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_priority_mix"](SF).to_pandas()
+    od = _tbl("orders")
+    od["q"] = np.round(od["o_totalprice"] * 1e4).astype(np.int64)
+    exp = od.groupby(["o_orderstatus", "o_orderpriority"]).agg(
+        n=("q", "size"), qp=("q", "sum")
+    )
+    tot = exp["qp"].sum()
+    got = out.set_index(["o_orderstatus", "o_orderpriority"])
+    assert len(got) == len(exp)
+    for k, r in exp.iterrows():
+        assert int(got.loc[k, "n_orders"]) == int(r["n"])
+        assert abs(got.loc[k, "total_price"] - r["qp"] / 1e4) < 1e-5
+        assert abs(got.loc[k, "price_share"] - r["qp"] / tot) < 1e-6
