@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "q_tpch_q8",
     "q_gap_histogram",
     "q_priority_mix",
+    "q_tpch_q17",
+    "q_price_quantiles",
+    "q_user_type_diversity",
 ]
 
 

@@ -12212,6 +12212,188 @@ FROM g, t ORDER BY 1, 2
 QUERIES["q_priority_mix"] = q_priority_mix
 
 
+def q_tpch_q17(sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue of
+    lineitems whose quantity is below 20% of their part's average — the
+    correlated-subquery plan done on ONE partkey exchange (each part's
+    rows co-locate, so the per-part average and the probe happen in the
+    same vectorized bucket kernel). Threshold = 0.2 · (Σqty / n) with
+    the SQL's operand order; revenue exact-quantized; ONE number out."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pkey": t["l_partkey"].cast(pa.int64()),
+                "qty": t["l_quantity"].cast(pa.float64()),
+                "qext": pa.array(
+                    _quant_int64(
+                        t["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64),
+                        scale=10000.0,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["pkey", "qty", "qext"]).to_pandas()
+        g = df.groupby("pkey")["qty"].agg(["sum", "size"])
+        # SQL operand order: 0.2 * (sum / count)
+        thr = 0.2 * (
+            g["sum"].to_numpy(np.float64) / g["size"].to_numpy(np.float64)
+        )
+        thr_of = pd.Series(thr, index=g.index)
+        keep = df["qty"].to_numpy(np.float64) < df["pkey"].map(thr_of).to_numpy(
+            np.float64
+        )
+        return pa.table(
+            {"s": pa.array([int(df["qext"].to_numpy(np.int64)[keep].sum())],
+                           pa.int64())}
+        )
+
+    parts = grouped_agg_by_bucket(
+        line.map_batches(project, batch_format="pyarrow", batch_size=1 << 20),
+        "pkey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    s = int(parts["s"].sum())
+    avg_yearly = _duckdb_round(np.array([(s / 10000.0) / 7.0])) + 0.0
+    return pa.table({"avg_yearly": pa.array(avg_yearly, pa.float64())})
+
+
+ORACLE_SQL["q_tpch_q17"] = """
+WITH a AS (
+  SELECT l_partkey,
+         0.2 * (CAST(sum(l_quantity) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           AS thr
+  FROM lineitem GROUP BY 1
+)
+SELECT round((sum(CAST(round(l.l_extendedprice * 10000.0) AS BIGINT))
+              / 10000.0) / 7.0, 6) + 0.0 AS avg_yearly
+FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DOUBLE) < a.thr
+"""
+QUERIES["q_tpch_q17"] = q_tpch_q17
+
+
+PRICE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_price_quantiles(sf_dir):
+    """Exact order-value quantiles per order status — the
+    `grouped_exact_quantiles` kernel (one exchange, one vectorized
+    rank-interp pass) applied to the TPC-H side; quantile_cont
+    semantics, 6 dp both sides."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.quantiles import grouped_exact_quantiles
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_totalprice"],
+    )
+    out = grouped_exact_quantiles(
+        orders, "o_orderstatus", "o_totalprice", PRICE_QS, num_buckets=4
+    )
+    return finalize(
+        out, round_columns=[f"q{int(q * 100)}" for q in PRICE_QS]
+    )
+
+
+ORACLE_SQL["q_price_quantiles"] = f"""
+SELECT o_orderstatus,
+       {", ".join(f"round(quantile_cont(o_totalprice, {q}), 6) + 0.0 AS q{int(q * 100)}" for q in PRICE_QS)}
+FROM orders GROUP BY 1
+"""
+QUERIES["q_price_quantiles"] = q_price_quantiles
+
+
+def q_user_type_diversity(sf_dir):
+    """Histogram of per-user event-type diversity (how many DISTINCT
+    event types each user touches) — the engagement-breadth profile.
+    Distinct (user, type) pairs complete on ONE user exchange;
+    catalog-bounded (n_types → n_users) partials out."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = pd.MultiIndex.from_arrays(
+            [t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+             t["event_type"].to_pandas()]
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    cell.get_level_values(0).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "event_type": pa.array(
+                    np.asarray(cell.get_level_values(1), dtype=object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "event_type"]).to_pandas().drop_duplicates()
+        nt = df.groupby("user_id").size()
+        h = nt.value_counts()
+        return pa.table(
+            {
+                "n_types": pa.array(h.index.to_numpy(np.int64), pa.int64()),
+                "n_users": pa.array(h.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        grouped_agg_by_bucket(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20),
+            "user_id", bucket_fn, num_buckets=32, group_format="pyarrow",
+            partial_batch=None,
+        )
+        .to_pandas()
+        .groupby("n_types", as_index=False)["n_users"]
+        .sum()
+        .sort_values("n_types")
+    )
+    out["n_types"] = out["n_types"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_SQL["q_user_type_diversity"] = """
+WITH u AS (
+  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY 1
+)
+SELECT n_types, CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_user_type_diversity"] = q_user_type_diversity
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

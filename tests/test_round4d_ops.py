@@ -466,3 +466,44 @@ def test_priority_mix(ray_session):
         assert int(got.loc[k, "n_orders"]) == int(r["n"])
         assert abs(got.loc[k, "total_price"] - r["qp"] / 1e4) < 1e-5
         assert abs(got.loc[k, "price_share"] - r["qp"] / tot) < 1e-6
+
+
+def test_tpch_q17_small_qty_revenue(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tpch_q17"](SF).to_pandas()
+    li = _tbl("lineitem")
+    avg = li.groupby("l_partkey")["l_quantity"].transform(
+        lambda s: 0.2 * (s.sum() / len(s))
+    )
+    keep = li["l_quantity"].to_numpy(np.float64) < avg.to_numpy(np.float64)
+    q = np.round(li["l_extendedprice"].to_numpy(np.float64) * 1e4).astype(
+        np.int64
+    )
+    exp = (int(q[keep].sum()) / 1e4) / 7.0
+    assert abs(out["avg_yearly"].iloc[0] - exp) < 1e-6
+
+
+def test_price_quantiles(ray_session):
+    from ptrail_ray.entry_queries import PRICE_QS, QUERIES
+
+    out = QUERIES["q_price_quantiles"](SF).to_pandas().set_index(
+        "o_orderstatus"
+    )
+    od = _tbl("orders")
+    for st, g in od.groupby("o_orderstatus"):
+        v = np.sort(g["o_totalprice"].to_numpy(np.float64))
+        for q in PRICE_QS:
+            exp = np.quantile(v, q, method="linear")
+            assert abs(out.loc[st, f"q{int(q * 100)}"] - exp) < 1e-5, (st, q)
+
+
+def test_user_type_diversity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_user_type_diversity"](SF).to_pandas()
+    ev = _tbl("events")
+    nt = ev.groupby("user_id")["event_type"].nunique()
+    exp = nt.value_counts().sort_index()
+    got = out.set_index("n_types")["n_users"]
+    assert got.to_dict() == {int(k): int(v) for k, v in exp.items()}
