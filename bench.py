@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "q_tpch_q17",
     "q_price_quantiles",
     "q_user_type_diversity",
+    "q_tpch_q21",
+    "q_tpch_q9",
+    "q_tpch_q16",
 ]
 
 

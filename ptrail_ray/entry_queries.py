@@ -12394,6 +12394,419 @@ FROM u GROUP BY 1 ORDER BY 1
 QUERIES["q_user_type_diversity"] = q_user_type_diversity
 
 
+TPCH_Q21_LATE_DAYS = 90  # no l_receiptdate/l_commitdate in this corpus:
+# "late" = shipped more than 90 days after the order date (same plan shape)
+
+
+def q_tpch_q21(sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for 'F'
+    orders, count per supplier the orders where that supplier shipped
+    late (> +90 d after order date), the order had >=2 distinct
+    suppliers, and the supplier was the ONLY late one — the classic
+    EXISTS + NOT-EXISTS self-join, done as ONE orderkey exchange
+    (order date + all its lineitems co-locate, so the semi- and
+    anti-join predicates evaluate in the same vectorized bucket
+    kernel). Supplier-bounded count partials out; names broadcast.
+
+    Reference shape: TPC-H Q21 (four-table self-join); engine analog of
+    the reference's filter-then-aggregate helpers
+    (ptrail/preprocessing/filters.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    late_us = np.int64(TPCH_Q21_LATE_DAYS) * 86_400_000_000
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        od = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "skey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "t_us": od,
+            }
+        )
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t["l_orderkey"].cast(pa.int64()),
+                "skey": t["l_suppkey"].cast(pa.int64()),
+                "t_us": t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "skey", "t_us"]).to_pandas()
+        od = df.loc[df["skey"] < 0].set_index("okey")["t_us"]
+        li = df[df["skey"] >= 0].copy()
+        li["od"] = li["okey"].map(od)
+        li = li[li["od"].notna()]  # drops non-'F' orders' lineitems
+        if li.empty:
+            return pa.table(
+                {"skey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        li["late"] = li["t_us"].to_numpy(np.int64) > (
+            li["od"].to_numpy(np.int64) + late_us
+        )
+        pairs = li.drop_duplicates(["okey", "skey"])
+        nsupp = pairs.groupby("okey").size()
+        lpairs = li[li["late"]].drop_duplicates(["okey", "skey"])
+        nlate = lpairs.groupby("okey").size()
+        ok = nsupp.index[
+            (nsupp >= 2) & (nlate.reindex(nsupp.index).fillna(0) == 1)
+        ]
+        w = lpairs[lpairs["okey"].isin(set(ok))]
+        g = w.groupby("skey").size()
+        return pa.table(
+            {
+                "skey": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        orders.map_batches(order_partial, batch_format="pyarrow",
+                           batch_size=1 << 20)
+        .union(
+            line.map_batches(line_partial, batch_format="pyarrow",
+                             batch_size=1 << 20)
+        ),
+        "okey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas()
+    g = parts.groupby("skey", as_index=False)["n"].sum()
+    g["s_name"] = g["skey"].map(sup.set_index("s_suppkey")["s_name"])
+    g = g.sort_values(["n", "s_name"], ascending=[False, True])
+    return pa.table(
+        {
+            "s_name": pa.array(g["s_name"].tolist(), pa.string()),
+            "numwait": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tpch_q21"] = f"""
+WITH f AS (
+  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+         (l.l_shipdate > o.o_orderdate
+            + INTERVAL {TPCH_Q21_LATE_DAYS} DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per AS (
+  SELECT okey, count(DISTINCT skey) AS nsupp,
+         count(DISTINCT CASE WHEN late THEN skey END) AS nlate
+  FROM f GROUP BY 1
+),
+w AS (
+  SELECT DISTINCT f.okey, f.skey
+  FROM f JOIN per ON per.okey = f.okey
+  WHERE f.late AND per.nsupp >= 2 AND per.nlate = 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.skey
+GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+QUERIES["q_tpch_q21"] = q_tpch_q21
+
+
+TPCH_Q9_TOKEN = "widget"
+
+
+def q_tpch_q9(sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year, minus
+    partsupp cost — the corpus has no partsupp): revenue of lineitems
+    whose part name contains a token, grouped by supplier nation x
+    order year. Part filter and supplier->nation map broadcast (build
+    sides); ONE orderkey exchange attaches the year; (25 nations x
+    years)-bounded exact-int partials; one rounding division per cell.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    keys = np.sort(
+        part.loc[
+            part["p_name"].str.contains(TPCH_Q9_TOKEN, regex=False),
+            "p_partkey",
+        ].to_numpy(np.int64)
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    smap = np.full(int(sup["s_suppkey"].max()) + 1, -1, np.int64)
+    smap[sup["s_suppkey"].to_numpy(np.int64)] = sup["s_nationkey"].to_numpy(
+        np.int64
+    )
+    side_ref = ray.put((keys, smap))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "nid": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "v": pa.array(year, pa.int64()),
+            }
+        )
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        pk_set, sm = ray.get(side_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(np.isin(pk, pk_set)))
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "okey": t["l_orderkey"].cast(pa.int64()),
+                "nid": pa.array(sm[sk], pa.int64()),
+                "v": pa.array(_quant_int64(p * (1.0 - d), scale=10000.0),
+                              pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["okey", "nid", "v"]).to_pandas()
+        ym = df.loc[df["nid"] < 0].set_index("okey")["v"]
+        li = df[df["nid"] >= 0].copy()
+        li["year"] = li["okey"].map(ym)
+        li = li[li["year"].notna()]
+        if li.empty:
+            return pa.table(
+                {
+                    "nid": pa.array([], pa.int64()),
+                    "year": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        g = li.groupby(["nid", "year"], as_index=False)["v"].sum()
+        return pa.table(
+            {
+                "nid": pa.array(g["nid"].to_numpy(np.int64), pa.int64()),
+                "year": pa.array(g["year"].to_numpy(np.int64), pa.int64()),
+                "q": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        orders.map_batches(order_partial, batch_format="pyarrow",
+                           batch_size=1 << 20)
+        .union(
+            line.map_batches(line_partial, batch_format="pyarrow",
+                             batch_size=1 << 20)
+        ),
+        "okey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    g = parts.groupby(["nid", "year"], as_index=False)["q"].sum()
+    g["nation"] = g["nid"].map(nat.set_index("n_nationkey")["n_name"])
+    g = g.sort_values(["nation", "year"], ascending=[True, False])
+    profit = _duckdb_round(g["q"].to_numpy(np.int64) / 10000.0) + 0.0
+    return pa.table(
+        {
+            "nation": pa.array(g["nation"].tolist(), pa.string()),
+            "o_year": pa.array(g["year"].to_numpy(np.int64), pa.int64()),
+            "profit": pa.array(profit, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tpch_q9"] = f"""
+WITH pw AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%{TPCH_Q9_TOKEN}%'
+)
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000.0) AS BIGINT)) / 10000.0, 6) + 0.0
+         AS profit
+FROM lineitem l
+JOIN pw ON pw.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+QUERIES["q_tpch_q9"] = q_tpch_q9
+
+
+TPCH_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+TPCH_Q16_BAL = 1500.0  # acctbal exclusion replaces the complaint NOT IN
+
+
+def q_tpch_q16(sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes, minus
+    partsupp — lineitem is the part<->supplier bridge): distinct
+    suppliers per (brand, type, size) cell, excluding an anti-set of
+    suppliers (acctbal threshold replaces the comment-LIKE complaint
+    filter; same NOT-IN plan). Part-attribute map + anti-set broadcast;
+    per-batch distinct (cell, supplier) partials; ONE suppkey exchange
+    makes the pairs globally distinct (each supplier lives in exactly
+    one bucket, so per-bucket per-cell counts sum exactly); cell-
+    catalog-bounded partials out."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    pf = part[
+        (part["p_brand"] != "Brand#1")
+        & (part["p_type"] != "PROMO")
+        & part["p_size"].isin(TPCH_Q16_SIZES)
+    ].reset_index(drop=True)
+    cells = (
+        pf[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True)
+    )
+    cell_of = {
+        (b, t, int(s)): i
+        for i, (b, t, s) in enumerate(
+            zip(cells["p_brand"], cells["p_type"], cells["p_size"])
+        )
+    }
+    pmap = np.full(int(part["p_partkey"].max()) + 1, -1, np.int64)
+    pmap[pf["p_partkey"].to_numpy(np.int64)] = [
+        cell_of[(b, t, int(s))]
+        for b, t, s in zip(pf["p_brand"], pf["p_type"], pf["p_size"])
+    ]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    ).to_pandas()
+    excl = np.sort(
+        sup.loc[sup["s_acctbal"] < TPCH_Q16_BAL, "s_suppkey"].to_numpy(
+            np.int64
+        )
+    )
+    side_ref = ray.put((pmap, excl))
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm, ex = ray.get(side_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.where(pk < len(pm), pm[np.minimum(pk, len(pm) - 1)], -1)
+        keep = (cell >= 0) & ~np.isin(sk, ex)
+        pairs = np.unique(
+            (sk[keep].astype(np.int64) << 20) | cell[keep].astype(np.int64)
+        )
+        return pa.table(
+            {
+                "skey": pa.array(pairs >> 20, pa.int64()),
+                "cell": pa.array(pairs & ((1 << 20) - 1), pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["skey", "cell"]).to_pandas().drop_duplicates()
+        g = df.groupby("cell").size()
+        return pa.table(
+            {
+                "cell": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = grouped_agg_by_bucket(
+        line.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20),
+        "skey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    g = parts.groupby("cell", as_index=False)["n"].sum()
+    g = g.merge(
+        cells.reset_index().rename(columns={"index": "cell"}), on="cell"
+    )
+    g = g.sort_values(
+        ["n", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "p_type": pa.array(g["p_type"].tolist(), pa.string()),
+            "p_size": pa.array(g["p_size"].to_numpy(np.int64), pa.int64()),
+            "supplier_cnt": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tpch_q16"] = f"""
+WITH pf AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part
+  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+    AND p_size IN ({", ".join(str(s) for s in TPCH_Q16_SIZES)})
+)
+SELECT pf.p_brand, pf.p_type, CAST(pf.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN pf ON pf.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < {TPCH_Q16_BAL}
+)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+QUERIES["q_tpch_q16"] = q_tpch_q16
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

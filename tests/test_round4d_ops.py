@@ -507,3 +507,84 @@ def test_user_type_diversity(ray_session):
     exp = nt.value_counts().sort_index()
     got = out.set_index("n_types")["n_users"]
     assert got.to_dict() == {int(k): int(v) for k, v in exp.items()}
+
+
+def test_tpch_q21_late_supplier(ray_session):
+    from ptrail_ray.entry_queries import TPCH_Q21_LATE_DAYS, QUERIES
+
+    out = QUERIES["q_tpch_q21"](SF).to_pandas()
+    li = _tbl("lineitem")
+    od = _tbl("orders")
+    m = li.merge(
+        od[["o_orderkey", "o_orderdate", "o_orderstatus"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    m = m[m["o_orderstatus"] == "F"].copy()
+    m["late"] = (
+        m["l_shipdate"].astype("int64")
+        > m["o_orderdate"].astype("int64")
+        + TPCH_Q21_LATE_DAYS * 86_400_000_000
+    )
+    nsupp = m.drop_duplicates(["l_orderkey", "l_suppkey"]).groupby(
+        "l_orderkey"
+    ).size()
+    lp = m[m["late"]].drop_duplicates(["l_orderkey", "l_suppkey"])
+    nlate = lp.groupby("l_orderkey").size()
+    ok = nsupp.index[(nsupp >= 2) & (nlate.reindex(nsupp.index).fillna(0) == 1)]
+    exp = lp[lp["l_orderkey"].isin(set(ok))].groupby("l_suppkey").size()
+    sup = _tbl("supplier").set_index("s_suppkey")["s_name"]
+    got = out.set_index("s_name")["numwait"]
+    assert len(got) == len(exp)
+    for sk, n in exp.items():
+        assert int(got[sup[sk]]) == int(n)
+
+
+def test_tpch_q9_profit(ray_session):
+    from ptrail_ray.entry_queries import TPCH_Q9_TOKEN, QUERIES
+
+    out = QUERIES["q_tpch_q9"](SF).to_pandas()
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    keys = set(p.loc[p["p_name"].str.contains(TPCH_Q9_TOKEN), "p_partkey"])
+    m = li[li["l_partkey"].isin(keys)].merge(
+        _tbl("orders")[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    ).merge(
+        _tbl("supplier")[["s_suppkey", "s_nationkey"]],
+        left_on="l_suppkey", right_on="s_suppkey",
+    )
+    nmap = _tbl("nation").set_index("n_nationkey")["n_name"]
+    m["nation"] = m["s_nationkey"].map(nmap)
+    m["y"] = m["o_orderdate"].dt.year
+    m["q"] = np.round(
+        m["l_extendedprice"] * (1.0 - m["l_discount"]) * 1e4
+    ).astype(np.int64)
+    exp = m.groupby(["nation", "y"])["q"].sum()
+    got = out.set_index(["nation", "o_year"])["profit"]
+    assert len(got) == len(exp)
+    for k, v in exp.items():
+        assert abs(got[k] - v / 1e4) < 1e-5, k
+
+
+def test_tpch_q16_supplier_cnt(ray_session):
+    from ptrail_ray.entry_queries import (
+        TPCH_Q16_BAL, TPCH_Q16_SIZES, QUERIES,
+    )
+
+    out = QUERIES["q_tpch_q16"](SF).to_pandas()
+    p = _tbl("part")
+    pf = p[
+        (p["p_brand"] != "Brand#1")
+        & (p["p_type"] != "PROMO")
+        & p["p_size"].isin(TPCH_Q16_SIZES)
+    ]
+    s = _tbl("supplier")
+    excl = set(s.loc[s["s_acctbal"] < TPCH_Q16_BAL, "s_suppkey"])
+    li = _tbl("lineitem")
+    m = li[li["l_partkey"].isin(set(pf["p_partkey"])) & ~li["l_suppkey"].isin(excl)]
+    m = m.merge(pf, left_on="l_partkey", right_on="p_partkey")
+    exp = m.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"].nunique()
+    got = out.set_index(["p_brand", "p_type", "p_size"])["supplier_cnt"]
+    assert len(got) == len(exp)
+    for k, v in exp.items():
+        assert int(got[k]) == int(v), k
