@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     "q_tpch_q21",
     "q_tpch_q9",
     "q_tpch_q16",
+    "q_cusum",
+    "q_mode_event",
+    "q_ndcg",
 ]
 
 

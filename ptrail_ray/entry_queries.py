@@ -12807,6 +12807,322 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 QUERIES["q_tpch_q16"] = q_tpch_q16
 
 
+def q_cusum(sf_dir):
+    """Exact-integer CUSUM changepoint score per event type: daily
+    counts over the global calendar grid, centered by n·x − T (scaling
+    by n keeps the mean subtraction in integers), prefix-summed, and
+    scored as the max drawup above the running prefix minimum — the
+    classic CUSUM statistic with ZERO floating point. Break day =
+    earliest argmax. Catalog×days-bounded count partials, no shuffle.
+    """
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        et = t["event_type"].to_pandas()
+        g = pd.DataFrame({"event_type": et, "d": d}).groupby(
+            ["event_type", "d"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    grid = np.arange(dmin, dmax + 1, dtype=np.int64)
+    rows = []
+    for et, g in cnt.groupby("event_type"):
+        x = np.zeros(n, np.int64)
+        x[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        tot = int(x.sum())
+        p = np.cumsum(np.int64(n) * x - tot)
+        run_min = np.minimum(np.minimum.accumulate(p), 0)
+        s = p - run_min
+        best = int(s.max())
+        bday = int(grid[int(np.argmax(s))])  # np.argmax = earliest max
+        rows.append((et, best, bday))
+    out = pd.DataFrame(rows, columns=["event_type", "cusum", "break_day"])
+    out["cusum"] = out["cusum"].astype("int64")
+    out["break_day"] = out["break_day"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("event_type").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLE_SQL["q_cusum"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type, grid.d, coalesce(cnt.x, 0) AS x
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ser GROUP BY 1),
+p AS (
+  SELECT s.event_type, s.d,
+         sum(tot.n * s.x - tot.t) OVER (
+           PARTITION BY s.event_type ORDER BY s.d
+           ROWS UNBOUNDED PRECEDING) AS pf
+  FROM ser s JOIN tot ON tot.event_type = s.event_type
+),
+sc AS (
+  SELECT event_type, d,
+         pf - least(CAST(0 AS BIGINT),
+                    min(pf) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING)) AS s
+  FROM p
+),
+rk AS (
+  SELECT event_type, s, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, d ASC) AS r
+  FROM sc
+)
+SELECT event_type, CAST(s AS BIGINT) AS cusum, CAST(d AS BIGINT) AS break_day
+FROM rk WHERE r = 1 ORDER BY event_type
+"""
+QUERIES["q_cusum"] = q_cusum
+
+
+def q_mode_event(sf_dir):
+    """Deterministic mode: each user's most frequent event type, ties
+    broken toward the lexicographically smallest type (never arg_max —
+    the same explicit-ordering rule as q_peak_hour). (user, type) count
+    partials complete on ONE user exchange; the argmax is a vectorized
+    sort-head per bucket."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "event_type": t["event_type"].to_pandas(),
+            }
+        ).groupby(["user_id", "event_type"], as_index=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64), pa.int64()),
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["user_id", "event_type", "n"])
+            .to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)["n"]
+            .sum()
+        )
+        df = df.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("user_id")
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64),
+                                    pa.int64()),
+                "mode_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        grouped_agg_by_bucket(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20),
+            "user_id", bucket_fn, num_buckets=32, group_format="pyarrow",
+            partial_batch=None,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_mode_event"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS r
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, n
+FROM rk WHERE r = 1 ORDER BY user_id
+"""
+QUERIES["q_mode_event"] = q_mode_event
+
+
+NDCG_K = 10
+NDCG_GAINS = {"purchase": 3, "signup": 2, "click": 1, "view": 0, "error": 0}
+# Quantized rank weights: qw[r] = round(1e12 / log2(r + 1)) for rank r =
+# 1..K, precomputed ONCE and inlined into the SQL — both engines sum the
+# SAME integers, so DCG/IDCG are exact and the single final division is
+# the only float op.
+NDCG_QW = [round(1e12 / np.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+
+
+def q_ndcg(sf_dir):
+    """NDCG@10 per user: events ranked by (value DESC, event_id ASC)
+    are the 'retrieved' list; graded relevance comes from the event
+    type (purchase=3, signup=2, click=1). DCG and ideal-DCG use the
+    shared integer weight table; users with zero ideal gain are
+    excluded on both sides. ONE user exchange co-locates each user's
+    events; ranking + both integer dot products are vectorized per
+    bucket."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    qw = np.array(NDCG_QW, np.int64)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pandas()
+        gain = et.map(NDCG_GAINS).fillna(0).to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "gain": pa.array(gain, pa.int64()),
+                "value": t["value"].cast(pa.float64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "event_id", "gain", "value"]).to_pandas()
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True], kind="stable",
+        )
+        pos = df.groupby("user_id", sort=False).cumcount()
+        top = df[pos.to_numpy() < NDCG_K].copy()
+        pos = top.groupby("user_id", sort=False).cumcount().to_numpy()
+        top["dcg"] = top["gain"].to_numpy(np.int64) * qw[pos]
+        # ideal ordering: gains desc within user
+        ideal = top.sort_values(
+            ["user_id", "gain"], ascending=[True, False], kind="stable"
+        )
+        ipos = ideal.groupby("user_id", sort=False).cumcount().to_numpy()
+        ideal = ideal.assign(idcg=ideal["gain"].to_numpy(np.int64) * qw[ipos])
+        g = top.groupby("user_id")["dcg"].sum().to_frame()
+        g["idcg"] = ideal.groupby("user_id")["idcg"].sum()
+        g = g[g["idcg"] > 0]
+        nd = _duckdb_round(
+            g["dcg"].to_numpy(np.float64) / g["idcg"].to_numpy(np.float64)
+        ) + 0.0
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "ndcg": pa.array(nd, pa.float64()),
+            }
+        )
+
+    out = (
+        grouped_agg_by_bucket(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20),
+            "user_id", bucket_fn, num_buckets=32, group_format="pyarrow",
+            partial_batch=None,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL["q_ndcg"] = f"""
+WITH w(r, qw) AS (VALUES {", ".join(f"({r + 1}, CAST({int(q)} AS BIGINT))" for r, q in enumerate(NDCG_QW))}),
+g AS (
+  SELECT user_id, event_id, value,
+         CASE event_type {" ".join(f"WHEN '{k}' THEN {v}" for k, v in NDCG_GAINS.items())} ELSE 0 END AS gain
+  FROM events
+),
+rk AS (
+  SELECT user_id, gain,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS r
+  FROM g
+),
+top AS (SELECT * FROM rk WHERE r <= {NDCG_K}),
+irk AS (
+  SELECT user_id, gain,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gain DESC, r ASC) AS ir
+  FROM top
+),
+d AS (
+  SELECT t.user_id, sum(t.gain * w.qw) AS dcg
+  FROM top t JOIN w ON w.r = t.r GROUP BY 1
+),
+i AS (
+  SELECT t.user_id, sum(t.gain * w.qw) AS idcg
+  FROM irk t JOIN w ON w.r = t.ir GROUP BY 1
+)
+SELECT d.user_id,
+       round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) + 0.0 AS ndcg
+FROM d JOIN i ON i.user_id = d.user_id
+WHERE i.idcg > 0 ORDER BY d.user_id
+"""
+QUERIES["q_ndcg"] = q_ndcg
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -588,3 +588,56 @@ def test_tpch_q16_supplier_cnt(ray_session):
     assert len(got) == len(exp)
     for k, v in exp.items():
         assert int(got[k]) == int(v), k
+
+
+def test_cusum(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cusum"](SF).to_pandas().set_index("event_type")
+    ev = _tbl("events")
+    d = (ev["ts"].astype("int64") // 86_400_000_000).to_numpy(np.int64)
+    dmin, dmax = int(d.min()), int(d.max())
+    n = dmax - dmin + 1
+    for et, g in ev.assign(d=d).groupby("event_type"):
+        x = np.zeros(n, np.int64)
+        cnt = g.groupby("d").size()
+        x[cnt.index.to_numpy(np.int64) - dmin] = cnt.to_numpy(np.int64)
+        p = np.cumsum(n * x - int(x.sum()))
+        s = p - np.minimum(np.minimum.accumulate(p), 0)
+        assert int(out.loc[et, "cusum"]) == int(s.max())
+        assert int(out.loc[et, "break_day"]) == dmin + int(np.argmax(s))
+
+
+def test_mode_event(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mode_event"](SF).to_pandas().set_index("user_id")
+    ev = _tbl("events")
+    c = ev.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    c = c.sort_values(
+        ["user_id", "n", "event_type"], ascending=[True, False, True]
+    ).drop_duplicates("user_id").set_index("user_id")
+    assert len(out) == len(c)
+    for u in c.index:
+        assert out.loc[u, "mode_type"] == c.loc[u, "event_type"]
+        assert int(out.loc[u, "n"]) == int(c.loc[u, "n"])
+
+
+def test_ndcg(ray_session):
+    from ptrail_ray.entry_queries import NDCG_GAINS, NDCG_K, NDCG_QW, QUERIES
+
+    out = QUERIES["q_ndcg"](SF).to_pandas().set_index("user_id")["ndcg"]
+    ev = _tbl("events")
+    qw = np.array(NDCG_QW, np.int64)
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        gains = g["event_type"].map(NDCG_GAINS).fillna(0).to_numpy(np.int64)[
+            :NDCG_K
+        ]
+        dcg = int((gains * qw[: len(gains)]).sum())
+        ideal = np.sort(gains)[::-1]
+        idcg = int((ideal * qw[: len(ideal)]).sum())
+        if idcg == 0:
+            assert u not in out.index
+        else:
+            assert abs(out[u] - dcg / idcg) < 1e-6
