@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "q_cusum",
     "q_mode_event",
     "q_ndcg",
+    "q_kendall_tau",
+    "q_cramers_v",
+    "q_prop_ztest",
 ]
 
 

@@ -13123,6 +13123,282 @@ WHERE i.idcg > 0 ORDER BY d.user_id
 QUERIES["q_ndcg"] = q_ndcg
 
 
+KENDALL_MAX_N = 8192  # n⁴/4 stays < 2^52 so the tau-b denominator's
+# int product casts to double EXACTLY on both engines
+
+
+def q_kendall_tau(sf_dir):
+    """Kendall tau-b per conversation between turn text length and
+    timestamp ("does message length trend over the conversation") —
+    the rank-correlation counterpart of q_spearman. Concordant /
+    discordant / tie counts are exact integers (pair statistics are
+    order-independent, so the O(n²) pair scan runs per conversation
+    inside the ONE conv exchange); the denominator is sqrt of an exact
+    int product (loud n guard keeps it under 2^52), one division, 6 dp.
+    Degenerate convs (all-tied x or y) emit NULL on both sides."""
+    from ptrail_ray.schema import CONV_ID, TEXT, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        starts, lens = conv_runs(t[CONV_ID])
+        x = pc.utf8_length(pc.fill_null(t[TEXT], "")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = (
+            t[TS]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cid = t[CONV_ID].to_pandas()
+        out_id, out_n, out_tau = [], [], []
+        for s, ln in zip(starts, lens):
+            n = int(ln)
+            if n > KENDALL_MAX_N:
+                raise ValueError(
+                    f"q_kendall_tau: conversation of {n} turns exceeds "
+                    f"KENDALL_MAX_N={KENDALL_MAX_N} (denominator exactness "
+                    "guard) — split the conversation upstream"
+                )
+            xs, ys = x[s : s + n], y[s : s + n]
+            iu, ju = np.triu_indices(n, 1)
+            dx = np.sign(xs[ju].astype(np.int64) - xs[iu].astype(np.int64))
+            dy = np.sign(ys[ju].astype(np.int64) - ys[iu].astype(np.int64))
+            prod = dx * dy
+            c = int((prod > 0).sum())
+            d = int((prod < 0).sum())
+            n0 = n * (n - 1) // 2
+            _, cx = np.unique(xs, return_counts=True)
+            _, cy = np.unique(ys, return_counts=True)
+            n1 = int((cx.astype(object) * (cx - 1) // 2).sum())
+            n2 = int((cy.astype(object) * (cy - 1) // 2).sum())
+            d1, d2 = n0 - n1, n0 - n2
+            if d1 > 0 and d2 > 0:
+                tau = float(
+                    _duckdb_round(
+                        np.array([(c - d) / np.sqrt(float(d1 * d2))])
+                    )[0]
+                ) + 0.0
+            else:
+                tau = np.nan
+            out_id.append(cid.iloc[s])
+            out_n.append(n)
+            out_tau.append(tau)
+        return pa.table(
+            {
+                "conv_id": pa.array(out_id, pa.string()),
+                "n": pa.array(np.array(out_n, np.int64), pa.int64()),
+                "tau": pa.array(np.array(out_tau, np.float64), pa.float64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_kendall_tau"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+t AS (
+  SELECT conv_id, turn_idx,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS x,
+         CAST(epoch_us(ts) AS BIGINT) AS y
+  FROM transcripts
+),
+nn AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+p AS (
+  SELECT a.conv_id,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                         OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM t a JOIN t b ON b.conv_id = a.conv_id AND b.turn_idx > a.turn_idx
+  GROUP BY 1
+),
+tx AS (SELECT conv_id, CAST(sum(k * (k - 1) / 2) AS BIGINT) AS n1
+       FROM (SELECT conv_id, x, CAST(count(*) AS BIGINT) AS k
+             FROM t GROUP BY 1, 2) GROUP BY 1),
+ty AS (SELECT conv_id, CAST(sum(k * (k - 1) / 2) AS BIGINT) AS n2
+       FROM (SELECT conv_id, y, CAST(count(*) AS BIGINT) AS k
+             FROM t GROUP BY 1, 2) GROUP BY 1)
+SELECT nn.conv_id, nn.n,
+       CASE WHEN (nn.n * (nn.n - 1) / 2 - tx.n1) > 0
+             AND (nn.n * (nn.n - 1) / 2 - ty.n2) > 0
+            THEN round(CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
+                       / sqrt(CAST((nn.n * (nn.n - 1) / 2 - tx.n1)
+                                   * (nn.n * (nn.n - 1) / 2 - ty.n2)
+                              AS DOUBLE)), 6) + 0.0
+            ELSE NULL END AS tau
+FROM nn
+LEFT JOIN p ON p.conv_id = nn.conv_id
+JOIN tx ON tx.conv_id = nn.conv_id
+JOIN ty ON ty.conv_id = nn.conv_id
+"""
+QUERIES["q_kendall_tau"] = q_kendall_tau
+
+
+def q_cramers_v(sf_dir):
+    """Cramér's V effect size for event_type × ISO weekday — "is the
+    traffic mix weekday-dependent, and by how much": the exact-int
+    chi-square machinery (order-independent quantized terms) plus
+    V = sqrt(chi2 / (n · min(r−1, c−1))) as ONE fixed-order float
+    expression on both engines. Catalog-bounded partials, no shuffle.
+    """
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import chi2_independence
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        isodow = ((d + 3) % 7) + 1  # 1970-01-01 = Thursday = ISO 4
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": pa.array(isodow.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = chi2_independence(
+        ds.map_batches(project, batch_format="pyarrow", batch_size=1 << 20),
+        col_a="event_type", col_b="dow", with_dims=True,
+    )
+    chi2 = float(out["chi2"].iloc[0])
+    n = int(out["n"].iloc[0])
+    m = min(int(out["r"].iloc[0]) - 1, int(out["c"].iloc[0]) - 1)
+    v = float(_duckdb_round(np.array([np.sqrt(chi2 / float(n * m))]))[0])
+    return pa.table(
+        {
+            "chi2": pa.array([float(_duckdb_round(np.array([chi2]))[0]) + 0.0],
+                             pa.float64()),
+            "n": pa.array([n], pa.int64()),
+            "cramers_v": pa.array([v + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_cramers_v"] = """
+WITH b AS (
+  SELECT event_type AS a, CAST(isodow(ts) AS VARCHAR) AS bb FROM events
+),
+ct AS (SELECT a, bb, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(n) AS HUGEINT) AS rn FROM ct GROUP BY 1),
+cb AS (SELECT bb, CAST(sum(n) AS HUGEINT) AS cn FROM ct GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS HUGEINT) AS t FROM ct),
+cell AS (SELECT ra.a, cb.bb, ra.rn, cb.cn,
+                CAST(coalesce(ct.n, 0) AS HUGEINT) AS o,
+                (SELECT t FROM tt) AS t
+         FROM ra CROSS JOIN cb
+         LEFT JOIN ct ON ct.a = ra.a AND ct.bb = cb.bb),
+term AS (SELECT CAST(round(1000000000.0 *
+                 (CAST((o*t - rn*cn) * (o*t - rn*cn) AS DOUBLE)
+                  / CAST(rn*cn*t AS DOUBLE))) AS BIGINT) AS q
+         FROM cell),
+s AS (SELECT CAST(sum(q) AS DOUBLE) / 1000000000.0 AS chi2,
+             CAST((SELECT t FROM tt) AS BIGINT) AS n,
+             least((SELECT count(*) - 1 FROM ra),
+                   (SELECT count(*) - 1 FROM cb)) AS m
+      FROM term)
+SELECT round(chi2, 6) + 0.0 AS chi2, n,
+       round(sqrt(chi2 / CAST(n * m AS DOUBLE)), 6) + 0.0 AS cramers_v
+FROM s
+"""
+QUERIES["q_cramers_v"] = q_cramers_v
+
+
+ZTEST_SUCCESS = "purchase"
+
+
+def q_prop_ztest(sf_dir):
+    """Two-proportion z-test of the purchase rate between the even and
+    odd user-id cohorts (the A/B-bucket readout of an experimentation
+    pipeline): four exact-int partials (successes/trials per cohort),
+    zero shuffle, and the pooled-variance z statistic as ONE
+    fixed-order float expression on both engines."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        )
+        suc = pc.equal(t["event_type"], ZTEST_SUCCESS).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "x1": pa.array([int(suc[grp == 0].sum())], pa.int64()),
+                "n1": pa.array([int((grp == 0).sum())], pa.int64()),
+                "x2": pa.array([int(suc[grp == 1].sum())], pa.int64()),
+                "n2": pa.array([int((grp == 1).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    x1, n1 = int(parts["x1"].sum()), int(parts["n1"].sum())
+    x2, n2 = int(parts["x2"].sum()), int(parts["n2"].sum())
+    p1, p2 = x1 / float(n1), x2 / float(n2)
+    p = float(x1 + x2) / float(n1 + n2)
+    se = np.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+    z = float(_duckdb_round(np.array([(p1 - p2) / se]))[0]) + 0.0
+    return pa.table(
+        {
+            "x1": pa.array([x1], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "x2": pa.array([x2], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_prop_ztest"] = f"""
+WITH c AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = '{ZTEST_SUCCESS}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT (SELECT x FROM c WHERE grp = 0) AS x1,
+         (SELECT n FROM c WHERE grp = 0) AS n1,
+         (SELECT x FROM c WHERE grp = 1) AS x2,
+         (SELECT n FROM c WHERE grp = 1) AS n2
+),
+e AS (
+  SELECT x1, n1, x2, n2,
+         CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+         CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p
+  FROM s
+)
+SELECT x1, n1, x2, n2,
+       round((p1 - p2) / sqrt(p * (1.0 - p)
+             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+         + 0.0 AS z
+FROM e
+"""
+QUERIES["q_prop_ztest"] = q_prop_ztest
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

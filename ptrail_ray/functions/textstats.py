@@ -528,6 +528,7 @@ def chi2_independence(
     col_b: str,
     max_cells: int = 1_000_000,
     quant: float = 1e9,
+    with_dims: bool = False,
 ):
     """Pearson chi-square test of independence between two categorical
     columns (is the lang mix independent of source? — the corpus-drift
@@ -586,7 +587,11 @@ def chi2_independence(
             acc += f + 1 if (z - f) >= 0.5 else f
     chi2 = acc / quant
     dof = (len(row) - 1) * (len(col) - 1)
-    return pd.DataFrame({"chi2": [chi2], "dof": [dof], "n": [T]})
+    out = pd.DataFrame({"chi2": [chi2], "dof": [dof], "n": [T]})
+    if with_dims:
+        out["r"] = len(row)
+        out["c"] = len(col)
+    return out
 
 
 def grouped_top_terms(

@@ -641,3 +641,66 @@ def test_ndcg(ray_session):
             assert u not in out.index
         else:
             assert abs(out[u] - dcg / idcg) < 1e-6
+
+
+
+def test_kendall_tau(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kendall_tau"](SF)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.set_index("conv_id")
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id"):
+        x = g["text"].fillna("").str.len().to_numpy(np.int64)
+        y = g["ts"].astype("int64").to_numpy(np.int64)
+        n = len(g)
+        iu, ju = np.triu_indices(n, 1)
+        prod = np.sign(x[ju] - x[iu]) * np.sign(y[ju] - y[iu])
+        c, d = int((prod > 0).sum()), int((prod < 0).sum())
+        n0 = n * (n - 1) // 2
+        n1 = int(sum(k * (k - 1) // 2 for k in np.unique(x, return_counts=True)[1]))
+        n2 = int(sum(k * (k - 1) // 2 for k in np.unique(y, return_counts=True)[1]))
+        assert int(out.loc[conv, "n"]) == n
+        if n0 - n1 > 0 and n0 - n2 > 0:
+            exp = (c - d) / np.sqrt(float((n0 - n1) * (n0 - n2)))
+            assert abs(out.loc[conv, "tau"] - exp) < 1e-6, conv
+        else:
+            assert pd.isna(out.loc[conv, "tau"])
+
+
+def test_cramers_v(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cramers_v"](SF).to_pandas()
+    ev = _tbl("events")
+    dow = ((ev["ts"].astype("int64") // 86_400_000_000 + 3) % 7) + 1
+    ct = pd.crosstab(ev["event_type"], dow)
+    o = ct.to_numpy(np.float64)
+    rn = o.sum(axis=1, keepdims=True)
+    cn = o.sum(axis=0, keepdims=True)
+    t = o.sum()
+    e = rn * cn / t
+    chi2 = ((o - e) ** 2 / e).sum()
+    m = min(ct.shape[0] - 1, ct.shape[1] - 1)
+    assert abs(out["chi2"].iloc[0] - chi2) < 1e-4
+    assert int(out["n"].iloc[0]) == int(t)
+    assert abs(out["cramers_v"].iloc[0] - np.sqrt(chi2 / (t * m))) < 1e-6
+
+
+def test_prop_ztest(ray_session):
+    from ptrail_ray.entry_queries import ZTEST_SUCCESS, QUERIES
+
+    out = QUERIES["q_prop_ztest"](SF).to_pandas().iloc[0]
+    ev = _tbl("events")
+    g0 = ev[ev["user_id"] % 2 == 0]
+    g1 = ev[ev["user_id"] % 2 == 1]
+    x1, n1 = int((g0["event_type"] == ZTEST_SUCCESS).sum()), len(g0)
+    x2, n2 = int((g1["event_type"] == ZTEST_SUCCESS).sum()), len(g1)
+    assert (int(out["x1"]), int(out["n1"])) == (x1, n1)
+    assert (int(out["x2"]), int(out["n2"])) == (x2, n2)
+    p1, p2, p = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    assert abs(out["z"] - z) < 1e-6
