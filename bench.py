@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "q_kendall_tau",
     "q_cramers_v",
     "q_prop_ztest",
+    "q_cube_orders",
+    "q_turn_edit_dist",
+    "q_above_avg_orders",
 ]
 
 

@@ -13399,6 +13399,249 @@ FROM e
 QUERIES["q_prop_ztest"] = q_prop_ztest
 
 
+def q_cube_orders(sf_dir):
+    """GROUP BY CUBE(status, priority): all four grouping sets — the
+    OLAP-cube counterpart of q_rollup_docs. Catalog-bounded quantized-
+    money partials, zero shuffle; the three coarser groupings are
+    integer re-sums of the finest cells on the driver, so every total
+    is exact."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s": t["o_orderstatus"].to_pandas(),
+                "p": t["o_orderpriority"].to_pandas(),
+                "q": _quant_int64(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    ),
+                    scale=10000.0,
+                ),
+            }
+        )
+        g = df.groupby(["s", "p"], as_index=False).agg(
+            n=("q", "size"), q=("q", "sum")
+        )
+        return pa.table(
+            {
+                "s": pa.array(g["s"].tolist(), pa.string()),
+                "p": pa.array(g["p"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "q": pa.array(g["q"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["s", "p"], as_index=False)
+        .agg(n=("n", "sum"), q=("q", "sum"))
+    )
+    outs = [cells.rename(columns={"s": "o_orderstatus", "p": "o_orderpriority"})]
+    by_s = cells.groupby("s", as_index=False).agg(n=("n", "sum"), q=("q", "sum"))
+    by_s = by_s.rename(columns={"s": "o_orderstatus"})
+    by_s["o_orderpriority"] = None
+    outs.append(by_s)
+    by_p = cells.groupby("p", as_index=False).agg(n=("n", "sum"), q=("q", "sum"))
+    by_p = by_p.rename(columns={"p": "o_orderpriority"})
+    by_p["o_orderstatus"] = None
+    outs.append(by_p)
+    outs.append(
+        pd.DataFrame(
+            {
+                "o_orderstatus": [None],
+                "o_orderpriority": [None],
+                "n": [int(cells["n"].sum())],
+                "q": [int(cells["q"].sum())],
+            }
+        )
+    )
+    out = pd.concat(outs, ignore_index=True)
+    tp = _duckdb_round(out["q"].to_numpy(np.int64) / 10000.0) + 0.0
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(out["o_orderstatus"].tolist(),
+                                      pa.string()),
+            "o_orderpriority": pa.array(out["o_orderpriority"].tolist(),
+                                        pa.string()),
+            "n_orders": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "total_price": pa.array(tp, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_cube_orders"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT)) / 10000.0, 6)
+         + 0.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+QUERIES["q_cube_orders"] = q_cube_orders
+
+
+def q_turn_edit_dist(sf_dir):
+    """Mean Levenshtein distance between consecutive turn texts per
+    conversation ("how much does each message rewrite the last") —
+    reuses the pair-axis-vectorized DP kernel
+    (functions/editdist.py:levenshtein_batch) with a non-binding clamp
+    so distances are exact. Pairs never leave their conv bucket (ONE
+    exchange); single-turn convs emit no row on either side."""
+    from ptrail_ray.functions.editdist import levenshtein_batch
+    from ptrail_ray.schema import CONV_ID, TEXT
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "mean_edit": pa.array([], pa.float64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        txt = pc.fill_null(t[TEXT], "").to_pandas().to_numpy(dtype=object)
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        idx = np.flatnonzero(keep[1:]) + 1  # rows that end a pair
+        if len(idx) == 0:
+            return empty
+        pairs = [(txt[i - 1], txt[i]) for i in idx]
+        cap = max(max(len(a), len(b)) for a, b in pairs)
+        dist = levenshtein_batch(pairs, max_dist=cap)  # clamp never binds
+        cid = t[CONV_ID].to_pandas()
+        g = pd.DataFrame({"conv_id": cid.iloc[idx].to_numpy(), "d": dist}).groupby(
+            "conv_id", as_index=False
+        ).agg(n_pairs=("d", "size"), s=("d", "sum"))
+        me = _duckdb_round(
+            g["s"].to_numpy(np.int64) / g["n_pairs"].to_numpy(np.float64)
+        ) + 0.0
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+                "n_pairs": pa.array(g["n_pairs"].to_numpy(np.int64), pa.int64()),
+                "mean_edit": pa.array(me, pa.float64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_turn_edit_dist"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT conv_id,
+         lag(coalesce(text, '')) OVER ({W}) AS prev,
+         coalesce(text, '') AS cur,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(levenshtein(prev, cur) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_edit
+FROM p WHERE rn > 1 GROUP BY 1
+"""
+QUERIES["q_turn_edit_dist"] = q_turn_edit_dist
+
+
+def q_above_avg_orders(sf_dir):
+    """Correlated-aggregate shape: per customer, how many orders are
+    STRICTLY above that customer's own average order value. The float
+    average is eliminated algebraically — price·n > Σprice over
+    quantized ints — so the correlated comparison is pure integer and
+    completes inside ONE custkey exchange."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ckey": t["o_custkey"].cast(pa.int64()),
+                "p": pa.array(
+                    _quant_int64(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+                            np.float64
+                        ),
+                        scale=10000.0,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["ckey", "p"]).to_pandas()
+        g = df.groupby("ckey").agg(n=("p", "size"), s=("p", "sum"))
+        n_of = df["ckey"].map(g["n"]).to_numpy(np.int64)
+        s_of = df["ckey"].map(g["s"]).to_numpy(np.int64)
+        above = df["p"].to_numpy(np.int64) * n_of > s_of
+        na = (
+            pd.DataFrame({"ckey": df["ckey"], "a": above})
+            .groupby("ckey")["a"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "n_above": pa.array(
+                    na.reindex(g.index).fillna(0).to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_agg_by_bucket(
+        orders.map_batches(project, batch_format="pyarrow", batch_size=1 << 20),
+        "ckey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    )
+
+
+ORACLE_SQL["q_above_avg_orders"] = """
+WITH q AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 10000.0) AS BIGINT) AS p
+  FROM orders
+),
+a AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS s
+  FROM q GROUP BY 1
+)
+SELECT q.o_custkey AS c_custkey, a.n AS n_orders,
+       CAST(sum(CASE WHEN q.p * a.n > a.s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM q JOIN a ON a.o_custkey = q.o_custkey
+GROUP BY 1, 2
+"""
+QUERIES["q_above_avg_orders"] = q_above_avg_orders
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -704,3 +704,71 @@ def test_prop_ztest(ray_session):
     p1, p2, p = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
     z = (p1 - p2) / np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
     assert abs(out["z"] - z) < 1e-6
+
+
+def test_cube_orders(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cube_orders"](SF).to_pandas()
+    od = _tbl("orders")
+    od["q"] = np.round(od["o_totalprice"] * 1e4).astype(np.int64)
+    assert len(out) == (
+        od.groupby(["o_orderstatus", "o_orderpriority"]).ngroups
+        + od["o_orderstatus"].nunique()
+        + od["o_orderpriority"].nunique()
+        + 1
+    )
+    total = out[
+        out["o_orderstatus"].isna() & out["o_orderpriority"].isna()
+    ].iloc[0]
+    assert int(total["n_orders"]) == len(od)
+    assert abs(total["total_price"] - od["q"].sum() / 1e4) < 1e-5
+    bys = out[out["o_orderpriority"].isna() & out["o_orderstatus"].notna()]
+    exp = od.groupby("o_orderstatus")["q"].sum()
+    for _, r in bys.iterrows():
+        assert abs(r["total_price"] - exp[r["o_orderstatus"]] / 1e4) < 1e-5
+
+
+def test_turn_edit_dist(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_turn_edit_dist"](SF)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    out = out.set_index("conv_id")
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id"):
+        txt = g["text"].fillna("").tolist()
+        if len(txt) < 2:
+            assert conv not in out.index
+            continue
+        ds = [lev(a, b) for a, b in zip(txt, txt[1:])]
+        assert int(out.loc[conv, "n_pairs"]) == len(ds)
+        assert abs(out.loc[conv, "mean_edit"] - np.mean(ds)) < 1e-6, conv
+
+
+def test_above_avg_orders(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_above_avg_orders"](SF)
+    out = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    out = out.set_index("c_custkey")
+    od = _tbl("orders")
+    od["p"] = np.round(od["o_totalprice"] * 1e4).astype(np.int64)
+    for ck, g in od.groupby("o_custkey"):
+        above = int((g["p"] * len(g) > g["p"].sum()).sum())
+        assert int(out.loc[ck, "n_orders"]) == len(g)
+        assert int(out.loc[ck, "n_above"]) == above
