@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "q_cube_orders",
     "q_turn_edit_dist",
     "q_above_avg_orders",
+    "q_min_unit_price",
+    "q_interarrival",
+    "q_odds_ratio",
 ]
 
 

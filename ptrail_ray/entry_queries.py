@@ -13642,6 +13642,231 @@ GROUP BY 1, 2
 QUERIES["q_above_avg_orders"] = q_above_avg_orders
 
 
+def q_min_unit_price(sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part, minus partsupp):
+    for every part, the supplier(s) achieving the minimum unit price
+    (quantized extendedprice ÷ integer quantity — ONE deterministic
+    IEEE division per row on both engines, so min and ties are
+    bit-identical). ONE partkey exchange co-locates each part's rows;
+    all tied argmin suppliers are emitted, DISTINCT, like the SQL
+    window-min."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        pq_ = _quant_int64(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ),
+            scale=10000.0,
+        )
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = pq_.astype(np.float64) / qty.astype(np.float64)
+        return pa.table(
+            {
+                "pkey": t["l_partkey"].cast(pa.int64()),
+                "skey": t["l_suppkey"].cast(pa.int64()),
+                "u": pa.array(u, pa.float64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.select(["pkey", "skey", "u"]).to_pandas()
+        mn = df.groupby("pkey")["u"].transform("min")
+        w = df[df["u"] == mn].drop_duplicates(["pkey", "skey"])
+        w = w.sort_values(["pkey", "skey"])
+        return pa.table(
+            {
+                "p_partkey": pa.array(w["pkey"].to_numpy(np.int64), pa.int64()),
+                "s_suppkey": pa.array(w["skey"].to_numpy(np.int64), pa.int64()),
+                "min_unit_price": pa.array(
+                    _duckdb_round(w["u"].to_numpy(np.float64)) + 0.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return grouped_agg_by_bucket(
+        line.map_batches(project, batch_format="pyarrow", batch_size=1 << 20),
+        "pkey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    )
+
+
+ORACLE_SQL["q_min_unit_price"] = """
+WITH u AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(round(l_extendedprice * 10000.0) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS u
+  FROM lineitem
+),
+m AS (
+  SELECT l_partkey, l_suppkey, u,
+         min(u) OVER (PARTITION BY l_partkey) AS mn
+  FROM u
+)
+SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       round(u, 6) + 0.0 AS min_unit_price
+FROM m WHERE u = mn
+"""
+QUERIES["q_min_unit_price"] = q_min_unit_price
+
+
+def q_interarrival(sf_dir):
+    """Inter-arrival rate per event type (the exponential-MLE readout
+    of a point process): mean consecutive gap telescopes to
+    (max − min)/(n − 1), so the WHOLE statistic needs only three
+    catalog-bounded integer partials — no sort, no shuffle, no gap
+    materialization. Single-event types emit NULL on both sides."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = pd.DataFrame({"et": t["event_type"].to_pandas(), "us": us}).groupby(
+            "et"
+        )["us"].agg(["min", "max", "size"])
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.tolist(), pa.string()),
+                "mn": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+                "mx": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    g = parts.groupby("event_type").agg(
+        mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum")
+    )
+    span = g["mx"].to_numpy(np.int64) - g["mn"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    mean_gap = np.where(
+        n > 1,
+        _duckdb_round(span.astype(np.float64) / (n - 1).astype(np.float64)),
+        np.nan,
+    ) + 0.0
+    out = pa.table(
+        {
+            "event_type": pa.array(g.index.tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "mean_gap_us": pa.array(mean_gap, pa.float64()),
+        }
+    )
+    return finalize(out)
+
+
+ORACLE_SQL["q_interarrival"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CASE WHEN count(*) > 1
+            THEN round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+                       / CAST(count(*) - 1 AS DOUBLE), 6) + 0.0
+            ELSE NULL END AS mean_gap_us
+FROM events GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_interarrival"] = q_interarrival
+
+
+def q_odds_ratio(sf_dir):
+    """Odds ratio of the 2×2 (cohort × purchase) table — the effect
+    size companion of q_prop_ztest: OR = (x1·(n2−x2))/(x2·(n1−x1))
+    from four exact-int zero-shuffle partials, ONE division; the
+    log-OR standard error sqrt(1/a+1/b+1/c+1/d) is one fixed-order
+    float expression on both engines."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        )
+        suc = pc.equal(t["event_type"], ZTEST_SUCCESS).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "x1": pa.array([int(suc[grp == 0].sum())], pa.int64()),
+                "n1": pa.array([int((grp == 0).sum())], pa.int64()),
+                "x2": pa.array([int(suc[grp == 1].sum())], pa.int64()),
+                "n2": pa.array([int((grp == 1).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    a, n1 = int(parts["x1"].sum()), int(parts["n1"].sum())
+    c, n2 = int(parts["x2"].sum()), int(parts["n2"].sum())
+    b, d = n1 - a, n2 - c
+    orat = float(_duckdb_round(np.array([float(a * d) / float(c * b)]))[0])
+    se = float(
+        _duckdb_round(
+            np.array(
+                [np.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)]
+            )
+        )[0]
+    )
+    return pa.table(
+        {
+            "a": pa.array([a], pa.int64()),
+            "b": pa.array([b], pa.int64()),
+            "c": pa.array([c], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "odds_ratio": pa.array([orat + 0.0], pa.float64()),
+            "log_or_se": pa.array([se + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_odds_ratio"] = f"""
+WITH c2 AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = '{ZTEST_SUCCESS}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT (SELECT x FROM c2 WHERE grp = 0) AS a,
+         (SELECT n - x FROM c2 WHERE grp = 0) AS b,
+         (SELECT x FROM c2 WHERE grp = 1) AS c,
+         (SELECT n - x FROM c2 WHERE grp = 1) AS d
+)
+SELECT a, b, c, d,
+       round(CAST(a * d AS DOUBLE) / CAST(c * b AS DOUBLE), 6) + 0.0
+         AS odds_ratio,
+       round(sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                  + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)), 6)
+         + 0.0 AS log_or_se
+FROM s
+"""
+QUERIES["q_odds_ratio"] = q_odds_ratio
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -772,3 +772,54 @@ def test_above_avg_orders(ray_session):
         above = int((g["p"] * len(g) > g["p"].sum()).sum())
         assert int(out.loc[ck, "n_orders"]) == len(g)
         assert int(out.loc[ck, "n_above"]) == above
+
+
+def test_min_unit_price(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_min_unit_price"](SF)
+    out = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    li = _tbl("lineitem")
+    li["u"] = np.round(li["l_extendedprice"] * 1e4).astype(np.int64).astype(
+        np.float64
+    ) / li["l_quantity"].astype(np.int64).astype(np.float64)
+    mn = li.groupby("l_partkey")["u"].transform("min")
+    exp = li[li["u"] == mn].drop_duplicates(["l_partkey", "l_suppkey"])
+    got = out.set_index(["p_partkey", "s_suppkey"])["min_unit_price"]
+    assert len(got) == len(exp)
+    for _, r in exp.iterrows():
+        assert abs(got[(r["l_partkey"], r["l_suppkey"])] - r["u"]) < 1e-6
+
+
+def test_interarrival(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_interarrival"](SF)
+    out = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    out = out.set_index("event_type")
+    ev = _tbl("events")
+    for et, g in ev.groupby("event_type"):
+        us = g["ts"].astype("int64")
+        assert int(out.loc[et, "n"]) == len(g)
+        exp = (us.max() - us.min()) / (len(g) - 1)
+        assert abs(out.loc[et, "mean_gap_us"] - exp) < 1e-4
+
+
+def test_odds_ratio(ray_session):
+    from ptrail_ray.entry_queries import ZTEST_SUCCESS, QUERIES
+
+    out = QUERIES["q_odds_ratio"](SF).to_pandas().iloc[0]
+    ev = _tbl("events")
+    g0 = ev[ev["user_id"] % 2 == 0]
+    g1 = ev[ev["user_id"] % 2 == 1]
+    a = int((g0["event_type"] == ZTEST_SUCCESS).sum())
+    b = len(g0) - a
+    c = int((g1["event_type"] == ZTEST_SUCCESS).sum())
+    d = len(g1) - c
+    assert (int(out["a"]), int(out["b"]), int(out["c"]), int(out["d"])) == (
+        a, b, c, d,
+    )
+    assert abs(out["odds_ratio"] - (a * d) / (c * b)) < 1e-6
+    assert abs(
+        out["log_or_se"] - np.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    ) < 1e-6
