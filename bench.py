@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     "q_min_unit_price",
     "q_interarrival",
     "q_odds_ratio",
+    "q_unpivot",
+    "q_hhi",
+    "q_mase",
 ]
 
 

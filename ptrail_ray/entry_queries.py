@@ -13867,6 +13867,264 @@ FROM s
 QUERIES["q_odds_ratio"] = q_odds_ratio
 
 
+def q_unpivot(sf_dir):
+    """UNPIVOT / melt operator (stages/project.melt_table): a wide
+    per-source aggregate (n_docs, chars, max_chars) melts into long
+    (source, metric, value) rows — DuckDB's UNPIVOT row semantics,
+    pure Arrow take/tile, no Python per row. The wide side here is a
+    catalog-bounded zero-shuffle aggregate; the melt kernel itself is
+    a streaming per-block stage (see test for the Dataset-level op)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.project import melt_table
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "c": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby("source")["c"].agg(["size", "sum", "max"])
+        return pa.table(
+            {
+                "source": pa.array(g.index.tolist(), pa.string()),
+                "n_docs": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "chars": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+                "max_chars": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    g = parts.groupby("source").agg(
+        n_docs=("n_docs", "sum"), chars=("chars", "sum"),
+        max_chars=("max_chars", "max"),
+    ).sort_index()
+    wide = pa.table(
+        {
+            "source": pa.array(g.index.tolist(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+            "chars": pa.array(g["chars"].to_numpy(np.int64), pa.int64()),
+            "max_chars": pa.array(
+                g["max_chars"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+    return melt_table(
+        wide, ["source"], ["n_docs", "chars", "max_chars"]
+    )
+
+
+ORACLE_SQL["q_unpivot"] = """
+WITH w AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM documents GROUP BY 1
+)
+UNPIVOT w ON n_docs, chars, max_chars INTO NAME metric VALUE value
+"""
+QUERIES["q_unpivot"] = q_unpivot
+
+
+def q_hhi(sf_dir):
+    """Herfindahl–Hirschman concentration of sources within each
+    language: HHI = Σ_s n²(lang,s) / N²(lang) — both operands exact
+    int64 from catalog-bounded (lang,source) count partials, ONE
+    division per lang. No shuffle."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas(),
+                "source": t["source"].to_pandas(),
+            }
+        ).groupby(["lang", "source"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    c = parts.groupby(["lang", "source"])["n"].sum()
+    g = c.groupby(level="lang")
+    s2 = g.apply(lambda s: int((s.to_numpy(np.int64) ** 2).sum()))
+    n = g.sum().astype(np.int64)
+    hhi = _duckdb_round(
+        s2.to_numpy(np.float64) / (n.to_numpy(np.int64) ** 2).astype(
+            np.float64
+        )
+    ) + 0.0
+    return pa.table(
+        {
+            "lang": pa.array(s2.index.tolist(), pa.string()),
+            "n_docs": pa.array(n.to_numpy(np.int64), pa.int64()),
+            "hhi": pa.array(hhi, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_hhi"] = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT lang, CAST(sum(n * n) AS BIGINT) AS s2,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM c GROUP BY 1
+)
+SELECT lang, n AS n_docs,
+       round(CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE), 6) + 0.0 AS hhi
+FROM t ORDER BY 1
+"""
+QUERIES["q_hhi"] = q_hhi
+
+
+def q_mase(sf_dir):
+    """Seasonal-naive forecast error (MASE, period 7) per event type on
+    the global daily grid: numerator Σ|y_t − y_{t−7}| and denominator
+    Σ|y_t − y_{t−1}| are exact integer sums over daily counts; the
+    MASE ratio (num/(n−7)) / (den/(n−1)) is computed as ONE division
+    of the cross-multiplied exact ints num·(n−1) / den·(n−7). Uses the
+    q_cusum partial shape: catalog×days-bounded counts, no shuffle."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type"):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        num = int(np.abs(y[7:] - y[:-7]).sum()) if n > 7 else 0
+        den = int(np.abs(y[1:] - y[:-1]).sum()) if n > 1 else 0
+        if n > 7 and den > 0:
+            mase = float(
+                _duckdb_round(
+                    np.array(
+                        [float(num * (n - 1)) / float(den * (n - 7))]
+                    )
+                )[0]
+            ) + 0.0
+        else:
+            mase = np.nan
+        rows.append((et, num, den, mase))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "sum_abs_e7", "sum_abs_e1", "mase"]
+    ).sort_values("event_type")
+    return finalize(
+        pa.table(
+            {
+                "event_type": pa.array(
+                    out["event_type"].tolist(), pa.string()
+                ),
+                "sum_abs_e7": pa.array(
+                    out["sum_abs_e7"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_abs_e1": pa.array(
+                    out["sum_abs_e1"].to_numpy(np.int64), pa.int64()
+                ),
+                "mase": pa.array(
+                    out["mase"].to_numpy(np.float64), pa.float64()
+                ),
+            }
+        )
+    )
+
+
+ORACLE_SQL["q_mase"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type, grid.d, coalesce(cnt.x, 0) AS x
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+lagged AS (
+  SELECT event_type, d, x,
+         lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7,
+         lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1
+  FROM ser
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN x7 IS NULL THEN 0 ELSE abs(x - x7) END)
+              AS BIGINT) AS num,
+         CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE abs(x - x1) END)
+              AS BIGINT) AS den
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, num AS sum_abs_e7, den AS sum_abs_e1,
+       CASE WHEN n > 7 AND den > 0
+            THEN round(CAST(num * (n - 1) AS DOUBLE)
+                       / CAST(den * (n - 7) AS DOUBLE), 6) + 0.0
+            ELSE NULL END AS mase
+FROM s ORDER BY 1
+"""
+QUERIES["q_mase"] = q_mase
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

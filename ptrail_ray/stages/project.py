@@ -288,3 +288,39 @@ def nearest_point(
     # everything into ONE bundling task (the CLAUDE.md stall; measured
     # 17 s -> sub-second on 100k rows x 1.5k POIs at sf0.1)
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def melt_table(
+    t: pa.Table,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> pa.Table:
+    """UNPIVOT / melt kernel: wide (id…, v1, v2, …) → long
+    (id…, metric, value), metrics emitted per-row in ``value_cols``
+    order — exactly DuckDB's ``UNPIVOT … INTO NAME … VALUE …`` row
+    order for NON-NULL cells. Value columns are cast to one common
+    type (int64 here; widen at the call site for floats). Pure Arrow
+    take/concat — no Python per row, safe inside ``map_batches``."""
+    n = t.num_rows
+    k = len(value_cols)
+    # row i of the wide table expands to rows i*k .. i*k+k-1
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+    cols = {c: t[c].take(idx) for c in id_cols}
+    cols[var_name] = pa.array(np.tile(np.array(value_cols, object), n))
+    stacked = np.empty(n * k, np.int64)
+    for j, c in enumerate(value_cols):
+        stacked[j::k] = t[c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cols[value_name] = pa.array(stacked, pa.int64())
+    return pa.table(cols)
+
+
+def melt(ds, id_cols, value_cols, var_name="metric", value_name="value"):
+    """Dataset-level UNPIVOT: each block melts independently (row order
+    within a block is preserved), so the stage streams — no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return melt_table(t, id_cols, value_cols, var_name, value_name)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -823,3 +823,74 @@ def test_odds_ratio(ray_session):
     assert abs(
         out["log_or_se"] - np.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
     ) < 1e-6
+
+
+def test_unpivot(ray_session):
+    import pyarrow as pa
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_unpivot"](SF)
+    out = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    docs = _tbl("documents")
+    g = docs.groupby("source")["n_chars"].agg(["size", "sum", "max"])
+    got = out.set_index(["source", "metric"])["value"]
+    assert len(out) == 3 * len(g)
+    for src, r in g.iterrows():
+        assert got[(src, "n_docs")] == r["size"]
+        assert got[(src, "chars")] == r["sum"]
+        assert got[(src, "max_chars")] == r["max"]
+    # Dataset-level melt: per-block streaming, row conservation
+    import ray.data as rd
+
+    from ptrail_ray.stages.project import melt
+
+    wide = pa.table(
+        {
+            "k": pa.array(["a", "b", "c"]),
+            "v1": pa.array([1, 2, 3], pa.int64()),
+            "v2": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    long = melt(rd.from_arrow(wide), ["k"], ["v1", "v2"]).to_pandas()
+    assert len(long) == 6
+    assert set(zip(long["k"], long["metric"], long["value"])) == {
+        ("a", "v1", 1), ("a", "v2", 10), ("b", "v1", 2),
+        ("b", "v2", 20), ("c", "v1", 3), ("c", "v2", 30),
+    }
+
+
+def test_hhi(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hhi"](SF)
+    out = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    out = out.set_index("lang")
+    docs = _tbl("documents")
+    for lang, g in docs.groupby("lang"):
+        c = g.groupby("source").size()
+        exp = float((c**2).sum()) / float(len(g)) ** 2
+        assert int(out.loc[lang, "n_docs"]) == len(g)
+        assert abs(out.loc[lang, "hhi"] - exp) < 1e-6
+
+
+def test_mase(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mase"](SF)
+    out = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    out = out.set_index("event_type")
+    ev = _tbl("events")
+    d = ev["ts"].astype("int64") // 86_400_000_000
+    dmin, dmax = int(d.min()), int(d.max())
+    n = dmax - dmin + 1
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.int64)
+        vc = (g["ts"].astype("int64") // 86_400_000_000 - dmin).value_counts()
+        y[vc.index.to_numpy()] = vc.to_numpy()
+        num = int(np.abs(y[7:] - y[:-7]).sum())
+        den = int(np.abs(y[1:] - y[:-1]).sum())
+        assert int(out.loc[et, "sum_abs_e7"]) == num
+        assert int(out.loc[et, "sum_abs_e1"]) == den
+        exp = (num / (n - 7)) / (den / (n - 1))
+        assert abs(out.loc[et, "mase"] - exp) < 1e-6
