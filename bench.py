@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "q_unpivot",
     "q_hhi",
     "q_mase",
+    "q_char_jaccard",
+    "q_anova_f",
+    "q_percentile_disc",
 ]
 
 

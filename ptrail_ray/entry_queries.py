@@ -14125,6 +14125,295 @@ FROM s ORDER BY 1
 QUERIES["q_mase"] = q_mase
 
 
+def _byte_set_matrix(col) -> tuple[np.ndarray, np.ndarray]:
+    """(n,256) bool byte-membership matrix + per-row byte length for an
+    Arrow string column — zero per-row Python (offsets/data buffers →
+    one np.repeat + one fancy assignment). DuckDB's `jaccard` compares
+    DISTINCT BYTE sets (verified: jaccard('é','e') = 0), so bytes, not
+    codepoints, are the right universe."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], odt)[col.offset : col.offset + n + 1]
+    dbuf = col.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, np.uint8)
+        if dbuf is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(off).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mask = np.zeros((n, 256), bool)
+    if len(rows):
+        mask[rows, data[off[0] : off[-1]]] = True
+    return mask, lens
+
+
+def q_char_jaccard(sf_dir):
+    """Byte-set Jaccard similarity between consecutive turn texts per
+    conversation — DuckDB `jaccard` semantics (distinct-byte sets).
+    Each pair's similarity is an exact small-int rational i/u (u ≤ 256)
+    → ONE identical IEEE division on both engines, quantized to int
+    micro-units (floor(x·1e6 + 0.5), positive ⇒ identical to DuckDB
+    round()) so per-conv sums are exact integers; one final mean
+    division. Pairs stay in their conv bucket (ONE exchange); pairs
+    with an empty side are excluded (DuckDB jaccard('',·) errors)."""
+    from ptrail_ray.schema import CONV_ID, TEXT
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "sum_j_micro": pa.array([], pa.int64()),
+            "mean_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        mask, lens = _byte_set_matrix(t[TEXT])
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        idx = np.flatnonzero(keep[1:]) + 1
+        if len(idx):
+            ok = (lens[idx] > 0) & (lens[idx - 1] > 0)
+            idx = idx[ok]
+        if len(idx) == 0:
+            return empty
+        inter = (mask[idx - 1] & mask[idx]).sum(axis=1).astype(np.int64)
+        sz = mask.sum(axis=1).astype(np.int64)
+        union = sz[idx - 1] + sz[idx] - inter
+        j = inter.astype(np.float64) / union.astype(np.float64)
+        micro = np.floor(j * 1e6 + 0.5).astype(np.int64)
+        cid = t[CONV_ID].to_pandas()
+        g = pd.DataFrame(
+            {"conv_id": cid.iloc[idx].to_numpy(), "m": micro}
+        ).groupby("conv_id", as_index=False).agg(
+            n_pairs=("m", "size"), s=("m", "sum")
+        )
+        mean = _duckdb_round(
+            g["s"].to_numpy(np.float64)
+            / (g["n_pairs"].to_numpy(np.float64) * 1e6)
+        ) + 0.0
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+                "n_pairs": pa.array(
+                    g["n_pairs"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_j_micro": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+                "mean_jaccard": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_char_jaccard"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT conv_id,
+         lag(coalesce(text, '')) OVER ({W}) AS prev,
+         coalesce(text, '') AS cur,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(jaccard(prev, cur) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS sum_j_micro,
+       round(CAST(sum(CAST(round(jaccard(prev, cur) * 1000000.0)
+                           AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) + 0.0
+         AS mean_jaccard
+FROM p
+WHERE rn > 1 AND length(prev) > 0 AND length(cur) > 0
+GROUP BY 1
+"""
+QUERIES["q_char_jaccard"] = q_char_jaccard
+
+
+def q_anova_f(sf_dir):
+    """One-way ANOVA F statistic of document length across sources:
+    per-source (n, Σx, Σx²) exact-int partials (zero shuffle), each
+    between-group term S_i²/n_i quantized to int micro-units after ONE
+    identical IEEE division (order-free int sum replaces the
+    order-sensitive float Σ), SSB/SSW kept as exact micro-ints, and
+    F = (SSB·(N−k)) / (SSW·(k−1)) as ONE division of two exact ints
+    (HUGEINT on the SQL side)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"source": t["source"].to_pandas(), "x": x}).groupby(
+            "source"
+        )["x"].agg(["size", "sum"])
+        q = pd.DataFrame({"source": t["source"].to_pandas(), "x2": x * x}).groupby(
+            "source"
+        )["x2"].sum()
+        return pa.table(
+            {
+                "source": pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+                "q": pa.array(q.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    g = parts.groupby("source").agg(
+        n=("n", "sum"), s=("s", "sum"), q=("q", "sum")
+    )
+    k = len(g)
+    nn = int(g["n"].sum())
+    ss = int(g["s"].sum())
+    qq = int(g["q"].sum())
+    if max(ss * ss, qq * 1_000_000) >= (1 << 62):
+        raise ValueError("q_anova_f: moment overflow — rescale first")
+    a = 0
+    for ni, si in zip(g["n"].tolist(), g["s"].tolist()):
+        term = float(si * si) / float(ni)
+        a += int(np.floor(term * 1e6 + 0.5))
+    b = int(np.floor(float(ss * ss) / float(nn) * 1e6 + 0.5))
+    ssb = a - b
+    ssw = qq * 1_000_000 - a
+    f_stat = float(
+        _duckdb_round(
+            np.array([float(ssb * (nn - k)) / float(ssw * (k - 1))])
+        )[0]
+    ) + 0.0
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([nn], pa.int64()),
+            "ssb_micro": pa.array([ssb], pa.int64()),
+            "ssw_micro": pa.array([ssw], pa.int64()),
+            "f_stat": pa.array([f_stat], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_anova_f"] = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(q) AS BIGINT) AS qq,
+         CAST(sum(CAST(round(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS a
+  FROM g
+),
+f AS (
+  SELECT k, nn,
+         a - CAST(round(CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS ssb,
+         qq * 1000000 - a AS ssw
+  FROM t
+)
+SELECT k, nn AS n, ssb AS ssb_micro, ssw AS ssw_micro,
+       round(CAST(CAST(ssb AS HUGEINT) * (nn - k) AS DOUBLE)
+             / CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DOUBLE), 6) + 0.0
+         AS f_stat
+FROM f
+"""
+QUERIES["q_anova_f"] = q_anova_f
+
+
+def q_percentile_disc(sf_dir):
+    """Grouped DISCRETE percentiles (DuckDB quantile_disc semantics:
+    the element at index ceil(q·n)−1 of the sorted group) of doc length
+    per source — integer in, integer out, ZERO float arithmetic.
+    (source × distinct-length) count partials are bounded by the value
+    catalog, so no shuffle; the per-group selection is a cumsum +
+    searchsorted on the driver-side bounded table."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["source", "v"], as_index=False)["c"].sum()
+    rows = []
+    for src, gg in cnt.groupby("source"):
+        gg = gg.sort_values("v")
+        c = gg["c"].to_numpy(np.int64)
+        v = gg["v"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        pv = []
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            idx = (n * num + den - 1) // den - 1  # ceil(q*n) - 1, exact
+            pv.append(int(v[np.searchsorted(cum, idx + 1)]))
+        rows.append((src, n, *pv))
+    out = pd.DataFrame(
+        rows, columns=["source", "n", "p25", "p50", "p75"]
+    ).sort_values("source")
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "p25": pa.array(out["p25"].to_numpy(np.int64), pa.int64()),
+            "p50": pa.array(out["p50"].to_numpy(np.int64), pa.int64()),
+            "p75": pa.array(out["p75"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_percentile_disc"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_percentile_disc"] = q_percentile_disc
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

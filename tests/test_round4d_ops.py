@@ -894,3 +894,64 @@ def test_mase(ray_session):
         assert int(out.loc[et, "sum_abs_e1"]) == den
         exp = (num / (n - 7)) / (den / (n - 1))
         assert abs(out.loc[et, "mase"] - exp) < 1e-6
+
+
+def test_char_jaccard(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_char_jaccard"](SF)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    out = out.set_index("conv_id")
+
+    def jac(a, b):
+        sa, sb = set(a.encode("utf-8")), set(b.encode("utf-8"))
+        return len(sa & sb) / len(sa | sb)
+
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id"):
+        txt = g["text"].fillna("").tolist()
+        pairs = [
+            (a, b) for a, b in zip(txt, txt[1:]) if len(a) and len(b)
+        ]
+        if not pairs:
+            assert conv not in out.index
+            continue
+        micro = [int(np.floor(jac(a, b) * 1e6 + 0.5)) for a, b in pairs]
+        assert int(out.loc[conv, "n_pairs"]) == len(pairs)
+        assert int(out.loc[conv, "sum_j_micro"]) == sum(micro)
+        assert abs(
+            out.loc[conv, "mean_jaccard"] - sum(micro) / len(micro) / 1e6
+        ) < 1e-6
+
+
+def test_anova_f(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_anova_f"](SF).to_pandas().iloc[0]
+    docs = _tbl("documents")
+    g = docs.groupby("source")["n_chars"]
+    k, n = len(g), len(docs)
+    grand = docs["n_chars"].mean()
+    ssb = sum(len(gg) * (gg.mean() - grand) ** 2 for _, gg in g)
+    ssw = sum(((gg - gg.mean()) ** 2).sum() for _, gg in g)
+    f_exp = (ssb / (k - 1)) / (ssw / (n - k))
+    assert int(out["k"]) == k and int(out["n"]) == n
+    assert abs(out["ssb_micro"] / 1e6 - ssb) < 1e-3 * max(1.0, ssb)
+    assert abs(out["ssw_micro"] / 1e6 - ssw) < 1e-3 * max(1.0, ssw)
+    assert abs(out["f_stat"] - f_exp) < 1e-4 * max(1.0, f_exp)
+
+
+def test_percentile_disc(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_percentile_disc"](SF)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    out = out.set_index("source")
+    docs = _tbl("documents")
+    for src, g in docs.groupby("source"):
+        v = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(v)
+        assert int(out.loc[src, "n"]) == n
+        for col, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            idx = int(np.ceil(q * n)) - 1
+            assert int(out.loc[src, col]) == int(v[idx])
