@@ -234,6 +234,9 @@ BENCH_QUERIES = [
     "q_char_jaccard",
     "q_anova_f",
     "q_percentile_disc",
+    "q_mannwhitney",
+    "q_holt",
+    "q_tpch_q11",
 ]
 
 

@@ -14414,6 +14414,290 @@ FROM documents GROUP BY 1 ORDER BY 1
 QUERIES["q_percentile_disc"] = q_percentile_disc
 
 
+def q_mannwhitney(sf_dir):
+    """Mann–Whitney U rank-sum test (doc length: lang='en' vs rest)
+    with midranks and the tie-corrected normal approximation. Ranks
+    never materialize: the pooled rank-sum telescopes over the value
+    catalog — 2·midrank(v) = 2·cum_prev(v) + c(v) + 1 is an exact
+    integer, so R1, U1 and the z numerator are exact ints from
+    (value, cohort) count partials (bounded by the length catalog,
+    zero shuffle); z is one fixed-order float expression."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"v": v, "one": 1, "c1": en.astype(np.int64)}).groupby(
+            "v", as_index=False
+        ).agg(c=("one", "sum"), c1=("c1", "sum"))
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                "c1": pa.array(g["c1"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    g = parts.groupby("v").agg(c=("c", "sum"), c1=("c1", "sum")).sort_index()
+    c = g["c"].to_numpy(np.int64)
+    c1 = g["c1"].to_numpy(np.int64)
+    cp = np.concatenate(([0], np.cumsum(c)[:-1]))
+    r1d = int((c1 * (2 * cp + c + 1)).sum())  # 2 × rank-sum of cohort 1
+    n1 = int(c1.sum())
+    n = int(c.sum())
+    n2 = n - n1
+    tsum = int((c**3 - c).sum())
+    u1d = r1d - n1 * (n1 + 1)  # 2 × U1
+    num = u1d - n1 * n2  # 2 × (U1 − n1·n2/2), exact int
+    var = (float(n1 * n2) / 12.0) * (
+        float(n + 1) - float(tsum) / float(n * (n - 1))
+    )
+    z = float(_duckdb_round(np.array([float(num) / (2.0 * np.sqrt(var))]))[0])
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "u1_double": pa.array([u1d], pa.int64()),
+            "tie_sum": pa.array([tsum], pa.int64()),
+            "z": pa.array([z + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_mannwhitney"] = """
+WITH c AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT v, c, c1,
+         CAST(coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cp
+  FROM c
+),
+s AS (
+  SELECT CAST(sum(c1 * (2 * cp + c + 1)) AS BIGINT) AS r1d,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+  FROM r
+)
+SELECT n1, n - n1 AS n2,
+       r1d - n1 * (n1 + 1) AS u1_double,
+       tsum AS tie_sum,
+       round(CAST(r1d - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+             / (2.0 * sqrt((CAST(n1 * (n - n1) AS DOUBLE) / 12.0)
+                           * (CAST(n + 1 AS DOUBLE)
+                              - CAST(tsum AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE)))), 6) + 0.0
+         AS z
+FROM s
+"""
+QUERIES["q_mannwhitney"] = q_mannwhitney
+
+
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
+
+
+def q_holt(sf_dir):
+    """Holt double (level + trend) exponential smoothing of the daily
+    event-count series per event type — the sequential-recurrence
+    window op (like q_ewma) done on the bounded daily grid: counts are
+    exact-int partials (q_cusum shape, no shuffle); the recurrence
+    l←α·y+(1−α)(l+b), b←β(l_new−l)+(1−β)b runs in IEEE doubles in the
+    SAME literal operand order as the recursive-CTE oracle, so every
+    step is bit-equal. Init l₀=y₀, b₀=0."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type"):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        lvl, b = float(y[0]), 0.0
+        for t in range(1, n):
+            l_new = HOLT_ALPHA * float(y[t]) + (1.0 - HOLT_ALPHA) * (lvl + b)
+            b = HOLT_BETA * (l_new - lvl) + (1.0 - HOLT_BETA) * b
+            lvl = l_new
+        rows.append(
+            (
+                et,
+                float(_duckdb_round(np.array([lvl]))[0]) + 0.0,
+                float(_duckdb_round(np.array([b]))[0]) + 0.0,
+                float(_duckdb_round(np.array([lvl + b]))[0]) + 0.0,
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "level", "trend", "forecast"]
+    ).sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "level": pa.array(out["level"].to_numpy(np.float64), pa.float64()),
+            "trend": pa.array(out["trend"].to_numpy(np.float64), pa.float64()),
+            "forecast": pa.array(
+                out["forecast"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_holt"] = """
+WITH RECURSIVE b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS MATERIALIZED (
+  SELECT grid.event_type,
+         grid.d - (SELECT dmin FROM lim) AS idx,
+         coalesce(cnt.x, 0) AS y
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+h(event_type, idx, l, bb) AS (
+  SELECT event_type, idx, CAST(y AS DOUBLE), CAST(0 AS DOUBLE)
+  FROM ser WHERE idx = 0
+  UNION ALL
+  SELECT s.event_type, s.idx,
+         0.5 * CAST(s.y AS DOUBLE) + 0.5 * (h.l + h.bb),
+         0.3 * ((0.5 * CAST(s.y AS DOUBLE) + 0.5 * (h.l + h.bb)) - h.l)
+           + 0.7 * h.bb
+  FROM ser s JOIN h ON s.event_type = h.event_type AND s.idx = h.idx + 1
+)
+SELECT event_type, round(l, 6) + 0.0 AS level,
+       round(bb, 6) + 0.0 AS trend,
+       round(l + bb, 6) + 0.0 AS forecast
+FROM h WHERE idx = (SELECT max(idx) FROM ser)
+ORDER BY 1
+"""
+QUERIES["q_holt"] = q_holt
+
+
+def q_tpch_q11(sf_dir):
+    """TPC-H Q11 shape (important-stock screen, partsupp→lineitem
+    adaptation): parts whose total quantized net revenue exceeds
+    fraction 1/10000 of the global total. Per-part sums on ONE partkey
+    exchange; the global threshold compares exact ints cross-multiplied
+    (val·10000 > total) — no float anywhere. The final table is
+    dimension-bounded (≤ #parts)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.cluster import _quant_int64
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        e = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = _quant_int64(e * (1.0 - d), scale=10000.0)
+        return pa.table(
+            {
+                "pkey": t["l_partkey"].cast(pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "pkey": t["pkey"].to_numpy(zero_copy_only=False),
+                "v": t["v"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby("pkey", as_index=False)["v"].sum()
+        return pa.table(
+            {
+                "pkey": pa.array(g["pkey"].to_numpy(np.int64), pa.int64()),
+                "val": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_part = grouped_agg_by_bucket(
+        line.map_batches(project, batch_format="pyarrow", batch_size=1 << 20),
+        "pkey", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()  # dimension-bounded: one row per part
+    total = int(per_part["val"].sum())
+    keep = per_part[per_part["val"].astype(object) * 10000 > total]
+    keep = keep.sort_values("pkey")
+    return pa.table(
+        {
+            "p_partkey": pa.array(keep["pkey"].to_numpy(np.int64), pa.int64()),
+            "value_q": pa.array(keep["val"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tpch_q11"] = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                             * 10000.0) AS BIGINT)) AS BIGINT) AS val
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(val) AS BIGINT) AS tot FROM v)
+SELECT l_partkey AS p_partkey, val AS value_q
+FROM v, t WHERE CAST(val AS HUGEINT) * 10000 > tot
+ORDER BY 1
+"""
+QUERIES["q_tpch_q11"] = q_tpch_q11
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

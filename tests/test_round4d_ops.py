@@ -955,3 +955,71 @@ def test_percentile_disc(ray_session):
         for col, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
             idx = int(np.ceil(q * n)) - 1
             assert int(out.loc[src, col]) == int(v[idx])
+
+
+def test_mannwhitney(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mannwhitney"](SF).to_pandas().iloc[0]
+    docs = _tbl("documents")
+    v = docs["n_chars"].to_numpy(np.int64)
+    en = (docs["lang"] == "en").to_numpy()
+    order = np.argsort(v, kind="mergesort")
+    sv = v[order]
+    ranks = np.empty(len(v), np.float64)
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n1, n = int(en.sum()), len(v)
+    r1 = ranks[en].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert int(out["n1"]) == n1 and int(out["n2"]) == n - n1
+    assert int(out["u1_double"]) == int(round(2 * u1))
+    _, cts = np.unique(v, return_counts=True)
+    assert int(out["tie_sum"]) == int((cts.astype(object) ** 3 - cts).sum())
+    var = (n1 * (n - n1) / 12.0) * (
+        (n + 1) - float((cts**3 - cts).sum()) / (n * (n - 1))
+    )
+    z_exp = (u1 - n1 * (n - n1) / 2.0) / np.sqrt(var)
+    assert abs(out["z"] - z_exp) < 1e-5
+
+
+def test_holt(ray_session):
+    from ptrail_ray.entry_queries import HOLT_ALPHA, HOLT_BETA, QUERIES
+
+    out = QUERIES["q_holt"](SF).to_pandas().set_index("event_type")
+    ev = _tbl("events")
+    d = (ev["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000)
+    dmin, dmax = int(d.min()), int(d.max())
+    n = dmax - dmin + 1
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.int64)
+        dd = (g["ts"].astype("datetime64[us]").astype(np.int64)
+              // 86_400_000_000).to_numpy() - dmin
+        np.add.at(y, dd, 1)
+        lvl, b = float(y[0]), 0.0
+        for t in range(1, n):
+            l_new = HOLT_ALPHA * float(y[t]) + (1 - HOLT_ALPHA) * (lvl + b)
+            b = HOLT_BETA * (l_new - lvl) + (1 - HOLT_BETA) * b
+            lvl = l_new
+        assert abs(out.loc[et, "level"] - lvl) < 1e-5 * max(1.0, abs(lvl))
+        assert abs(out.loc[et, "trend"] - b) < 1e-5 * max(1.0, abs(b))
+
+
+def test_tpch_q11(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tpch_q11"](SF).to_pandas()
+    li = _tbl("lineitem")
+    q = np.round(
+        li["l_extendedprice"] * (1.0 - li["l_discount"]) * 10000.0
+    ).astype(np.int64)
+    per = pd.DataFrame({"p": li["l_partkey"], "v": q}).groupby("p")["v"].sum()
+    tot = int(per.sum())
+    keep = per[per.astype(object) * 10000 > tot].sort_index()
+    assert out["p_partkey"].tolist() == keep.index.tolist()
+    assert out["value_q"].tolist() == keep.tolist()
