@@ -237,6 +237,9 @@ BENCH_QUERIES = [
     "q_mannwhitney",
     "q_holt",
     "q_tpch_q11",
+    "q_kruskal",
+    "q_tpch_q20",
+    "q_top_decile_share",
 ]
 
 

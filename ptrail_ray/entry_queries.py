@@ -14698,6 +14698,318 @@ ORDER BY 1
 QUERIES["q_tpch_q11"] = q_tpch_q11
 
 
+def q_kruskal(sf_dir):
+    """Kruskal–Wallis H across sources (doc length): the k-group
+    generalization of q_mannwhitney's telescoped-midrank trick. Per
+    (value, source) counts are exact-int partials bounded by the
+    length-catalog × source cross (zero shuffle); doubled rank-sums
+    R_jd = Σ c_j·(2·cum_prev+c+1) are exact ints, the Σ R_jd²/n_j term
+    is micro-quantized per group via round-half-up integer division
+    (Python big ints vs HUGEINT SQL), and H is one fixed-order float
+    expression with the tie correction as an exact-int-ratio division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "source": t["source"].to_pandas(),
+            }
+        ).groupby(["v", "source"], as_index=False).size()
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cell = parts.groupby(["v", "source"], as_index=False)["c"].sum()
+    byv = cell.groupby("v")["c"].sum().sort_index()
+    c = byv.to_numpy(np.int64)
+    cp = np.concatenate(([0], np.cumsum(c)[:-1]))
+    w = pd.Series(2 * cp + c + 1, index=byv.index)  # 2·midrank per value
+    cell["wt"] = w.loc[cell["v"].to_numpy()].to_numpy() * cell["c"].to_numpy()
+    grp = cell.groupby("source").agg(rjd=("wt", "sum"), nj=("c", "sum"))
+    n = int(c.sum())
+    k = len(grp)
+    tsum = int((c.astype(object) ** 3 - c).sum())
+    s_micro = 0
+    for rjd, nj in zip(grp["rjd"].tolist(), grp["nj"].tolist()):
+        s_micro += (int(rjd) ** 2 * 2_000_000 + int(nj)) // (2 * int(nj))
+    nnn = n**3 - n
+    h_raw = 3.0 * (float(s_micro) / 1e6) / float(n * (n + 1)) - 3.0 * float(
+        n + 1
+    )
+    d = float(nnn - tsum) / float(nnn)
+    h = float(_duckdb_round(np.array([h_raw / d]))[0])
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "tie_sum": pa.array([tsum], pa.int64()),
+            "h": pa.array([h + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_kruskal"] = """
+WITH cell AS (
+  SELECT n_chars AS v, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+vv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cell GROUP BY 1),
+r AS (
+  SELECT v, cv,
+         CAST(coalesce(sum(cv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cp
+  FROM vv
+),
+g AS (
+  SELECT cell.source,
+         CAST(sum(cell.c * (2 * r.cp + r.cv + 1)) AS BIGINT) AS rjd,
+         CAST(sum(cell.c) AS BIGINT) AS nj
+  FROM cell JOIN r USING (v) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cv) AS BIGINT) AS n,
+         CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tsum
+  FROM vv
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum((CAST(rjd AS HUGEINT) * rjd * 2000000 + nj) // (2 * nj))
+           AS s_micro
+  FROM g
+)
+SELECT s.k, tot.n, tot.tsum AS tie_sum,
+       round((3.0 * (CAST(s.s_micro AS DOUBLE) / 1000000.0)
+                / CAST(tot.n * (tot.n + 1) AS DOUBLE)
+              - 3.0 * CAST(tot.n + 1 AS DOUBLE))
+             / (CAST(CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n - tot.tsum
+                     AS DOUBLE)
+                / CAST(CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
+                       AS DOUBLE)), 6) + 0.0 AS h
+FROM s, tot
+"""
+QUERIES["q_kruskal"] = q_kruskal
+
+
+TPCH_Q20_FROM, TPCH_Q20_TO = "1996-01-01", "1997-01-01"
+
+
+def q_tpch_q20(sf_dir):
+    """TPC-H Q20 shape (excess-stock supplier screen) adapted to the
+    corpus (ref has no partsupp): suppliers that shipped MORE THAN HALF
+    of a part's total 1996 volume. Per-(part,supp) and per-part integer
+    quantity sums live in the SAME partkey exchange group (one
+    exchange); dominance is the exact-int cross-multiply 2·q_ps > q_p;
+    the survivor set is dimension-bounded and decorated with the
+    broadcast supplier table. Zero floats end to end."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    lo = np.datetime64(TPCH_Q20_FROM, "us").astype(np.int64)
+    hi = np.datetime64(TPCH_Q20_TO, "us").astype(np.int64)
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = (ts >= lo) & (ts < hi)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "pk": pa.array(
+                    t["l_partkey"].to_numpy(zero_copy_only=False)[m], pa.int64()
+                ),
+                "sk": pa.array(
+                    t["l_suppkey"].to_numpy(zero_copy_only=False)[m], pa.int64()
+                ),
+                "q": pa.array(np.rint(q).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pk": t["pk"].to_numpy(zero_copy_only=False),
+                "sk": t["sk"].to_numpy(zero_copy_only=False),
+                "q": t["q"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["pk", "sk"], as_index=False)["q"].sum()
+        tot = df.groupby("pk")["q"].transform("sum")
+        keep = df[2 * df["q"].to_numpy() > tot.to_numpy()]
+        return pa.table(
+            {
+                "pk": pa.array(keep["pk"].to_numpy(np.int64), pa.int64()),
+                "sk": pa.array(keep["sk"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    dom = grouped_agg_by_bucket(
+        line.map_batches(project, batch_format="pyarrow", batch_size=1 << 20),
+        "pk", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()  # dimension-bounded: ≤ one row per part
+    per_s = dom.groupby("sk").size().rename("n_parts_dominant").reset_index()
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas()  # broadcast dimension
+    out = per_s.merge(
+        sup, left_on="sk", right_on="s_suppkey", how="inner"
+    ).sort_values("s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(
+                out["s_suppkey"].to_numpy(np.int64), pa.int64()
+            ),
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "n_parts_dominant": pa.array(
+                out["n_parts_dominant"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_tpch_q20"] = f"""
+WITH w AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TPCH_Q20_FROM}'
+    AND l_shipdate < TIMESTAMP '{TPCH_Q20_TO}'
+),
+ps AS (SELECT pk, sk, CAST(sum(q) AS BIGINT) AS qs FROM w GROUP BY 1, 2),
+p AS (SELECT pk, CAST(sum(qs) AS BIGINT) AS qt FROM ps GROUP BY 1),
+dom AS (SELECT ps.sk FROM ps JOIN p USING (pk) WHERE 2 * ps.qs > p.qt)
+SELECT s.s_suppkey, any_value(s.s_name) AS s_name,
+       CAST(count(*) AS BIGINT) AS n_parts_dominant
+FROM dom JOIN supplier s ON dom.sk = s.s_suppkey
+GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_tpch_q20"] = q_tpch_q20
+
+
+def q_top_decile_share(sf_dir):
+    """Top-decile concentration (one Lorenz-curve point): share of all
+    turns contributed by the largest 10% of conversations. Per-conv
+    sizes come off ONE conv exchange; the decile walk then runs on the
+    SIZE CATALOG (size→conv-count histogram partials, bounded by the
+    largest conversation), so the driver never sees per-conv rows.
+    k = ceil(n/10) via integer (n+9)//10 on both sides; the take at the
+    boundary size is count-exact (tie-invariant: the top-k size sum
+    does not depend on which tied convs are chosen). One division."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"uid": t["user_id"].to_numpy(zero_copy_only=False)}
+        ).groupby("uid", as_index=False).size()
+        return pa.table(
+            {
+                "uid": pa.array(g["uid"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "uid": t["uid"].to_numpy(zero_copy_only=False),
+                "c": t["c"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby("uid", as_index=False)["c"].sum()
+        h = g.groupby("c", as_index=False).size()  # size → #convs
+        return pa.table(
+            {
+                "sz": pa.array(h["c"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(h["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = grouped_agg_by_bucket(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20),
+        "uid", bucket_fn, num_buckets=32, group_format="pyarrow",
+        partial_batch=None,
+    ).to_pandas()
+    h = hist.groupby("sz")["n"].sum().sort_index(ascending=False)
+    sizes = h.index.to_numpy(np.int64)
+    cnt = h.to_numpy(np.int64)
+    n_convs = int(cnt.sum())
+    turns_total = int((sizes * cnt).sum())
+    k = (n_convs + 9) // 10
+    cum = np.cumsum(cnt)
+    full = cum <= k
+    turns_top = int((sizes[full] * cnt[full]).sum())
+    taken = int(cum[full][-1]) if full.any() else 0
+    if taken < k:
+        bidx = int(full.sum())  # first partially-taken size bin
+        turns_top += (k - taken) * int(sizes[bidx])
+    share = float(
+        _duckdb_round(np.array([float(turns_top) / float(turns_total)]))[0]
+    )
+    return pa.table(
+        {
+            "n_convs": pa.array([n_convs], pa.int64()),
+            "k_top": pa.array([k], pa.int64()),
+            "turns_top": pa.array([turns_top], pa.int64()),
+            "turns_total": pa.array([turns_total], pa.int64()),
+            "share": pa.array([share + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_top_decile_share"] = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS sz FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(sz) AS BIGINT) AS turns_total
+  FROM c
+),
+r AS (SELECT sz, row_number() OVER (ORDER BY sz DESC) AS rn FROM c),
+t AS (
+  SELECT CAST(sum(r.sz) AS BIGINT) AS turns_top
+  FROM r, s WHERE r.rn <= (s.n_convs + 9) // 10
+)
+SELECT s.n_convs, (s.n_convs + 9) // 10 AS k_top, t.turns_top,
+       s.turns_total,
+       round(CAST(t.turns_top AS DOUBLE) / CAST(s.turns_total AS DOUBLE), 6)
+         + 0.0 AS share
+FROM s, t
+"""
+QUERIES["q_top_decile_share"] = q_top_decile_share
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1023,3 +1023,69 @@ def test_tpch_q11(ray_session):
     keep = per[per.astype(object) * 10000 > tot].sort_index()
     assert out["p_partkey"].tolist() == keep.index.tolist()
     assert out["value_q"].tolist() == keep.tolist()
+
+
+def test_kruskal(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kruskal"](SF).to_pandas().iloc[0]
+    docs = _tbl("documents")
+    v = docs["n_chars"].to_numpy(np.int64)
+    order = np.argsort(v, kind="mergesort")
+    sv = v[order]
+    ranks = np.empty(len(v), np.float64)
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(v)
+    grp = pd.DataFrame({"s": docs["source"], "r": ranks}).groupby("s")["r"]
+    h = 12.0 / (n * (n + 1)) * sum(
+        g.sum() ** 2 / len(g) for _, g in grp
+    ) - 3 * (n + 1)
+    _, cts = np.unique(v, return_counts=True)
+    h /= 1.0 - float((cts.astype(object) ** 3 - cts).sum()) / (n**3 - n)
+    assert int(out["k"]) == docs["source"].nunique()
+    assert int(out["n"]) == n
+    assert abs(out["h"] - h) < 1e-4 * max(1.0, abs(h))
+
+
+def test_tpch_q20(ray_session):
+    from ptrail_ray.entry_queries import TPCH_Q20_FROM, TPCH_Q20_TO, QUERIES
+
+    out = QUERIES["q_tpch_q20"](SF).to_pandas()
+    li = _tbl("lineitem")
+    w = li[
+        (li["l_shipdate"] >= pd.Timestamp(TPCH_Q20_FROM))
+        & (li["l_shipdate"] < pd.Timestamp(TPCH_Q20_TO))
+    ].copy()
+    w["q"] = np.rint(w["l_quantity"]).astype(np.int64)
+    ps = w.groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+    tot = ps.groupby("l_partkey")["q"].transform("sum")
+    dom = ps[2 * ps["q"] > tot]
+    exp = dom.groupby("l_suppkey").size().sort_index()
+    assert out["s_suppkey"].tolist() == exp.index.tolist()
+    assert out["n_parts_dominant"].tolist() == exp.tolist()
+    sup = _tbl("supplier").set_index("s_suppkey")
+    assert (
+        out["s_name"].tolist()
+        == sup.loc[out["s_suppkey"], "s_name"].tolist()
+    )
+
+
+def test_top_decile_share(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_top_decile_share"](SF).to_pandas().iloc[0]
+    ev = _tbl("events")
+    sz = ev.groupby("user_id").size().sort_values(ascending=False)
+    n = len(sz)
+    k = (n + 9) // 10
+    top = int(sz.iloc[:k].sum())
+    assert int(out["n_convs"]) == n and int(out["k_top"]) == k
+    assert int(out["turns_top"]) == top
+    assert int(out["turns_total"]) == int(sz.sum())
+    assert abs(out["share"] - top / sz.sum()) < 1e-6
