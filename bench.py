@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "q_kruskal",
     "q_tpch_q20",
     "q_top_decile_share",
+    "q_entropy_rate",
+    "q_seasonal_idx",
+    "q_logrank",
 ]
 
 

@@ -15010,6 +15010,412 @@ FROM s, t
 QUERIES["q_top_decile_share"] = q_top_decile_share
 
 
+def q_entropy_rate(sf_dir):
+    """Markov entropy rate (nats/transition) of the role chain:
+    H = −Σ_ij (c_ij/T)·ln(c_ij/r_i) over consecutive-role transition
+    counts — how predictable the next speaker is given the current one.
+    Pair extraction runs vectorized inside the ONE conv exchange
+    (q_tool_transitions shape); the driver combine is role²-bounded and
+    each cell term is a fixed-IEEE-order expression over exact ints,
+    quantized at 1e12 and int-summed (order-free)."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        df = pd.DataFrame(
+            {
+                "a": role.slice(0, n - 1).to_pandas(),
+                "b": role.slice(1).to_pandas(),
+            }
+        )[keep[1:]]
+        if df.empty:
+            return empty
+        g = df.groupby(["a", "b"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "a": pa.array(g["a"].tolist(), pa.string()),
+                "b": pa.array(g["b"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    ct = parts.groupby(["a", "b"], as_index=False)["n"].sum()
+    r = ct.groupby("a")["n"].sum()
+    t_total = int(ct["n"].sum())
+    cf = ct["n"].to_numpy(np.float64)
+    rf = r.loc[ct["a"].to_numpy()].to_numpy(np.float64)
+    terms = -((cf / float(t_total)) * np.log(cf / rf))
+    qsum = _quant12_sum(terms)
+    return pa.table(
+        {
+            "n_pairs": pa.array([t_total], pa.int64()),
+            "n_cells": pa.array([len(ct)], pa.int64()),
+            "entropy_rate": pa.array(
+                [float(qsum) / 1e12 + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_entropy_rate"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT lag(role) OVER ({W}) AS a, role AS b,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+),
+ct AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+       FROM p WHERE rn > 1 GROUP BY 1, 2),
+r AS (SELECT a, CAST(sum(n) AS BIGINT) AS rn FROM ct GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ct),
+term AS (
+  SELECT CAST(round(1000000000000.0 *
+           (-((CAST(ct.n AS DOUBLE) / CAST(tt.t AS DOUBLE))
+              * ln(CAST(ct.n AS DOUBLE) / CAST(r.rn AS DOUBLE)))))
+         AS BIGINT) AS q
+  FROM ct JOIN r USING (a) CROSS JOIN tt
+)
+SELECT (SELECT t FROM tt) AS n_pairs,
+       CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_cells,
+       CAST(sum(q) AS DOUBLE) / 1000000000000.0 AS entropy_rate
+FROM term
+"""
+QUERIES["q_entropy_rate"] = q_entropy_rate
+
+
+def q_seasonal_idx(sf_dir):
+    """Additive seasonal indices per (event_type, ISO weekday) via
+    centered MA-7 detrending on the zero-filled daily grid (STL-lite).
+    Daily counts are exact-int partials (q_holt shape, no shuffle);
+    the detrended residual is kept ×7 (7·x − Σ₋₃..₊₃ x — exact int, no
+    division per day); the per-weekday index is ONE division of int
+    sums, rounded 6 dp both sides. Interior days only (full windows)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    assert dmin >= 0, "daily grid assumes post-epoch timestamps"
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type"):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        if n < 7:
+            continue
+        s7 = np.convolve(y, np.ones(7, np.int64), mode="valid")  # len n-6
+        core = y[3 : n - 3]
+        d7 = 7 * core - s7
+        dow = ((np.arange(3, n - 3, dtype=np.int64) + dmin) % 7 + 3) % 7 + 1
+        agg = pd.DataFrame({"isodow": dow, "d7": d7}).groupby(
+            "isodow", as_index=False
+        ).agg(sum_d7=("d7", "sum"), n_days=("d7", "size"))
+        for _, rr in agg.iterrows():
+            idx = float(
+                _duckdb_round(
+                    np.array(
+                        [float(rr["sum_d7"]) / (7.0 * float(rr["n_days"]))]
+                    )
+                )[0]
+            )
+            rows.append(
+                (et, int(rr["isodow"]), int(rr["sum_d7"]),
+                 int(rr["n_days"]), idx + 0.0)
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=["event_type", "isodow", "sum_d7", "n_days", "seasonal_idx"],
+    ).sort_values(["event_type", "isodow"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "isodow": pa.array(out["isodow"].to_numpy(np.int64), pa.int64()),
+            "sum_d7": pa.array(out["sum_d7"].to_numpy(np.int64), pa.int64()),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64), pa.int64()),
+            "seasonal_idx": pa.array(
+                out["seasonal_idx"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_seasonal_idx"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type, grid.d, coalesce(cnt.x, 0) AS y
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+ma AS (
+  SELECT event_type, d, y,
+         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w
+  FROM ser
+),
+det AS (
+  SELECT event_type, CAST(((d % 7) + 3) % 7 + 1 AS BIGINT) AS isodow,
+         7 * y - s7 AS d7
+  FROM ma WHERE w = 7
+)
+SELECT event_type, isodow, CAST(sum(d7) AS BIGINT) AS sum_d7,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(d7) AS DOUBLE)
+             / (7.0 * CAST(count(*) AS BIGINT)), 6) + 0.0 AS seasonal_idx
+FROM det GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q_seasonal_idx"] = q_seasonal_idx
+
+
+def q_logrank(sf_dir):
+    """Log-rank (Mantel–Cox) test comparing time-to-first-tool
+    "survival" between conversations opened by a user turn vs all
+    others; convs that never call a tool are right-censored at their
+    last turn. Per-conv (duration_s, cohort, event) triples come off
+    ONE conv exchange; everything after runs on the duration CATALOG
+    (bounded by the corpus time span in seconds, not by conv count):
+    at-risk counts are suffix sums, O1 is an exact int, and the E1/V
+    terms are fixed-IEEE-order expressions over exact ints quantized at
+    1e12 and int-summed. z = (O1−E1)/√V is the one final float."""
+    from ptrail_ray.schema import CONV_ID, ROLE, TOOL, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dur": pa.array([], pa.int64()),
+                "coh": pa.array([], pa.int64()),
+                "ev": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        big = np.int64(n)
+        idx = np.where(valid, np.arange(n, dtype=np.int64), big)
+        fti = np.minimum.reduceat(idx, starts)
+        ends = starts + lens - 1
+        t0 = ts[starts]
+        t1 = ts[ends]
+        ev = fti < big
+        tt = np.where(ev, ts[np.minimum(fti, n - 1)], t1)
+        dur = (tt - t0) // 1_000_000
+        role0 = t[ROLE]
+        if isinstance(role0, pa.ChunkedArray):
+            role0 = role0.combine_chunks()
+        coh = pc.equal(role0.take(pa.array(starts)), "user").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"dur": dur, "coh": coh, "ev": ev.astype(np.int64)}
+        ).groupby(["dur", "coh", "ev"], as_index=False).size()
+        return pa.table(
+            {
+                "dur": pa.array(g["dur"].to_numpy(np.int64), pa.int64()),
+                "coh": pa.array(g["coh"].to_numpy(np.int64), pa.int64()),
+                "ev": pa.array(g["ev"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["dur", "coh", "ev"], as_index=False)["n"]
+        .sum()
+    )
+    n1_total = int(cat.loc[cat["coh"] == 1, "n"].sum())
+    n2_total = int(cat.loc[cat["coh"] == 0, "n"].sum())
+    # suffix sums over the (sorted-asc) duration catalog, per cohort
+    byd = cat.pivot_table(
+        index="dur", columns="coh", values="n", aggfunc="sum", fill_value=0
+    ).reindex(columns=[0, 1], fill_value=0).sort_index()
+    durs = byd.index.to_numpy(np.int64)
+    at1 = np.cumsum(byd[1].to_numpy(np.int64)[::-1])[::-1]  # at risk, coh 1
+    atn = at1 + np.cumsum(byd[0].to_numpy(np.int64)[::-1])[::-1]
+    dth = cat[cat["ev"] == 1].pivot_table(
+        index="dur", columns="coh", values="n", aggfunc="sum", fill_value=0
+    ).reindex(columns=[0, 1], fill_value=0).sort_index()
+    pos = np.searchsorted(durs, dth.index.to_numpy(np.int64))
+    d1 = dth[1].to_numpy(np.int64)
+    d = d1 + dth[0].to_numpy(np.int64)
+    n1 = at1[pos]
+    nn = atn[pos]
+    o1 = int(d1.sum())
+    df_, n1f, nnf = d.astype(np.float64), n1.astype(np.float64), nn.astype(
+        np.float64
+    )
+    e1q = _quant12_sum((df_ * n1f) / nnf)
+    ok = nn > 1
+    vterm = (
+        ((((df_ * n1f) / nnf) * (nn - n1).astype(np.float64)) / nnf)
+        * ((nn - d).astype(np.float64) / (nn - 1).astype(np.float64))
+    )[ok]
+    vq = _quant12_sum(vterm)
+    z = float(
+        _duckdb_round(
+            np.array(
+                [
+                    (float(o1) - float(e1q) / 1e12)
+                    / np.sqrt(float(vq) / 1e12)
+                ]
+            )
+        )[0]
+    )
+    return pa.table(
+        {
+            "n1_total": pa.array([n1_total], pa.int64()),
+            "n2_total": pa.array([n2_total], pa.int64()),
+            "n_event_times": pa.array([len(d)], pa.int64()),
+            "o1": pa.array([o1], pa.int64()),
+            "e1": pa.array(
+                [float(_duckdb_round(np.array([float(e1q) / 1e12]))[0]) + 0.0],
+                pa.float64(),
+            ),
+            "v": pa.array(
+                [float(_duckdb_round(np.array([float(vq) / 1e12]))[0]) + 0.0],
+                pa.float64(),
+            ),
+            "z": pa.array([z + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_logrank"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS t1,
+         CAST(epoch_us(min(CASE WHEN tool IS NOT NULL THEN ts END))
+              AS BIGINT) AS tt,
+         max(CASE WHEN turn_idx = 0 THEN role END) AS r0
+  FROM transcripts GROUP BY 1
+),
+pcv AS (
+  SELECT (coalesce(tt, t1) - t0) // 1000000 AS dur,
+         CASE WHEN r0 = 'user' THEN 1 ELSE 0 END AS coh,
+         CASE WHEN tt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+cat AS (SELECT dur, coh, ev, CAST(count(*) AS BIGINT) AS n
+        FROM pcv GROUP BY 1, 2, 3),
+risk AS (SELECT DISTINCT dur FROM cat WHERE ev = 1),
+att AS (
+  SELECT r.dur AS t,
+         CAST(sum(CASE WHEN c.coh = 1 THEN c.n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(c.n) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN c.coh = 1 AND c.ev = 1 AND c.dur = r.dur
+                       THEN c.n ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN c.ev = 1 AND c.dur = r.dur
+                       THEN c.n ELSE 0 END) AS BIGINT) AS d
+  FROM risk r JOIN cat c ON c.dur >= r.dur
+  GROUP BY 1
+),
+term AS (
+  SELECT d1, d,
+         CAST(round(1000000000000.0 *
+              ((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
+               / CAST(nn AS DOUBLE))) AS BIGINT) AS e1q,
+         CASE WHEN nn > 1 THEN
+           CAST(round(1000000000000.0 *
+                (((((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
+                    / CAST(nn AS DOUBLE)) * CAST(nn - n1 AS DOUBLE))
+                  / CAST(nn AS DOUBLE))
+                 * (CAST(nn - d AS DOUBLE) / CAST(nn - 1 AS DOUBLE))))
+                AS BIGINT)
+         ELSE 0 END AS vq
+  FROM att
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN coh = 1 THEN n ELSE 0 END) AS BIGINT)
+           AS n1_total,
+         CAST(sum(CASE WHEN coh = 0 THEN n ELSE 0 END) AS BIGINT)
+           AS n2_total
+  FROM cat
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+         CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e1q) AS BIGINT) AS e1q,
+         CAST(sum(vq) AS BIGINT) AS vq
+  FROM term
+)
+SELECT tot.n1_total, tot.n2_total, s.n_event_times, s.o1,
+       round(CAST(s.e1q AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS e1,
+       round(CAST(s.vq AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS v,
+       round((CAST(s.o1 AS DOUBLE) - CAST(s.e1q AS DOUBLE) / 1000000000000.0)
+             / sqrt(CAST(s.vq AS DOUBLE) / 1000000000000.0), 6) + 0.0 AS z
+FROM s, tot
+"""
+QUERIES["q_logrank"] = q_logrank
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

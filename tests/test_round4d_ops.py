@@ -1089,3 +1089,87 @@ def test_top_decile_share(ray_session):
     assert int(out["turns_top"]) == top
     assert int(out["turns_total"]) == int(sz.sum())
     assert abs(out["share"] - top / sz.sum()) < 1e-6
+
+
+def test_entropy_rate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_entropy_rate"](SF).to_pandas().iloc[0]
+    tr = _transcripts_pdf()
+    pairs = []
+    for _, g in tr.groupby("conv_id", sort=False):
+        r = g["role"].tolist()
+        pairs += list(zip(r, r[1:]))
+    ct = pd.Series(pairs).value_counts()
+    t = int(ct.sum())
+    rsum = {}
+    for (a, _), n in ct.items():
+        rsum[a] = rsum.get(a, 0) + n
+    h = sum(-(n / t) * np.log(n / rsum[a]) for (a, _), n in ct.items())
+    assert int(out["n_pairs"]) == t
+    assert int(out["n_cells"]) == len(ct)
+    assert abs(out["entropy_rate"] - h) < 1e-9
+
+
+def test_seasonal_idx(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_seasonal_idx"](SF).to_pandas()
+    ev = _tbl("events")
+    d = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+         // 86_400_000_000).to_numpy()
+    dmin, dmax = int(d.min()), int(d.max())
+    n = dmax - dmin + 1
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.int64)
+        dd = (g["ts"].astype("datetime64[us]").astype(np.int64)
+              // 86_400_000_000).to_numpy() - dmin
+        np.add.at(y, dd, 1)
+        s7 = np.convolve(y, np.ones(7, np.int64), mode="valid")
+        d7 = 7 * y[3:n - 3] - s7
+        dow = ((np.arange(3, n - 3) + dmin) % 7 + 3) % 7 + 1
+        exp = pd.DataFrame({"dw": dow, "d7": d7}).groupby("dw")["d7"]
+        sub = out[out["event_type"] == et].set_index("isodow")
+        for dw, gg in exp:
+            assert int(sub.loc[dw, "sum_d7"]) == int(gg.sum())
+            assert int(sub.loc[dw, "n_days"]) == len(gg)
+            assert abs(
+                sub.loc[dw, "seasonal_idx"] - gg.sum() / (7.0 * len(gg))
+            ) < 1e-6
+
+
+def test_logrank(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_logrank"](SF).to_pandas().iloc[0]
+    tr = _transcripts_pdf()
+    recs = []
+    for _, g in tr.groupby("conv_id", sort=False):
+        t0 = g["ts"].min()
+        tool = g[g["tool"].notna()]
+        ev = len(tool) > 0
+        tt = tool["ts"].min() if ev else g["ts"].max()
+        dur = int(
+            (tt.value // 1000 - t0.value // 1000) // 1_000_000
+        )  # pandas ns → us → s
+        coh = 1 if g["role"].iloc[0] == "user" else 0
+        recs.append((dur, coh, int(ev)))
+    df = pd.DataFrame(recs, columns=["dur", "coh", "ev"])
+    assert int(out["n1_total"]) == int((df["coh"] == 1).sum())
+    assert int(out["n2_total"]) == int((df["coh"] == 0).sum())
+    times = sorted(df.loc[df["ev"] == 1, "dur"].unique())
+    assert int(out["n_event_times"]) == len(times)
+    o1 = e1 = v = 0.0
+    for t in times:
+        at = df[df["dur"] >= t]
+        nn, n1 = len(at), int((at["coh"] == 1).sum())
+        dth = at[(at["dur"] == t) & (at["ev"] == 1)]
+        dd, dd1 = len(dth), int((dth["coh"] == 1).sum())
+        o1 += dd1
+        e1 += dd * n1 / nn
+        if nn > 1:
+            v += dd * (n1 / nn) * ((nn - n1) / nn) * (nn - dd) / (nn - 1)
+    assert int(out["o1"]) == int(o1)
+    assert abs(out["e1"] - e1) < 1e-6
+    assert abs(out["v"] - v) < 1e-6
+    assert abs(out["z"] - (o1 - e1) / np.sqrt(v)) < 1e-5
