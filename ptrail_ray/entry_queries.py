@@ -15416,6 +15416,369 @@ FROM s, tot
 QUERIES["q_logrank"] = q_logrank
 
 
+def q_wilcoxon(sf_dir):
+    """Wilcoxon signed-rank test on the paired per-conversation totals
+    (user text length vs assistant text length). Pair differences come
+    off ONE conv exchange; ranks never materialize — the |d| catalog
+    telescopes midranks exactly like q_mannwhitney (2·midrank =
+    2·cum_prev + c + 1, exact int), so 2·W⁺ and the 4×-numerator are
+    exact ints, 48·Var = 2n(n+1)(2n+1) − Σ(t³−t) is an exact int, and
+    z is ONE fixed-IEEE-order float expression on both engines.
+    Zero differences are dropped (standard signed-rank convention).
+    Reference stats-over-groups precedent:
+    ptrail/features/kinematic_features.py:1020-1070 (stats pivots)."""
+    from ptrail_ray.schema import CONV_ID, ROLE, TEXT
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ad": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "cpos": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        m1 = pc.utf8_length(
+            pc.fill_null(t[TEXT], "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t[ROLE]
+        is_u = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_a = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        u = np.add.reduceat(np.where(is_u, m1, 0), starts)
+        a = np.add.reduceat(np.where(is_a, m1, 0), starts)
+        d = u - a
+        d = d[d != 0]
+        if len(d) == 0:
+            return empty
+        g = pd.DataFrame(
+            {"ad": np.abs(d), "one": 1, "pos": (d > 0).astype(np.int64)}
+        ).groupby("ad", as_index=False).agg(
+            c=("one", "sum"), cpos=("pos", "sum")
+        )
+        return pa.table(
+            {
+                "ad": pa.array(g["ad"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                "cpos": pa.array(g["cpos"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    g = (
+        parts.groupby("ad")
+        .agg(c=("c", "sum"), cpos=("cpos", "sum"))
+        .sort_index()
+    )
+    c = g["c"].to_numpy(np.int64)
+    cpos = g["cpos"].to_numpy(np.int64)
+    cp = np.concatenate(([0], np.cumsum(c)[:-1]))
+    w2 = int((cpos * (2 * cp + c + 1)).sum())  # 2 × W+
+    n = int(c.sum())
+    tsum = int((c**3 - c).sum())
+    num4 = 2 * w2 - n * (n + 1)  # 4 × (W+ − n(n+1)/4)
+    v48 = 2 * n * (n + 1) * (2 * n + 1) - tsum  # 48 × Var
+    z = float(
+        _duckdb_round(
+            np.array([(float(num4) / 4.0) / np.sqrt(float(v48) / 48.0)])
+        )[0]
+    )
+    return pa.table(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "w_plus_double": pa.array([w2], pa.int64()),
+            "tie_sum": pa.array([tsum], pa.int64()),
+            "z": pa.array([z + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_wilcoxon"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'user'
+                       THEN length(coalesce(text, '')) ELSE 0 END)
+              AS BIGINT)
+         - CAST(sum(CASE WHEN role = 'assistant'
+                         THEN length(coalesce(text, '')) ELSE 0 END)
+                AS BIGINT) AS d
+  FROM transcripts GROUP BY 1
+),
+nz AS (SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+       FROM per WHERE d <> 0),
+c AS (SELECT ad, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(pos) AS BIGINT) AS cpos
+      FROM nz GROUP BY 1),
+r AS (
+  SELECT ad, c, cpos,
+         CAST(coalesce(sum(c) OVER (ORDER BY ad
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cp
+  FROM c
+),
+s AS (
+  SELECT CAST(sum(cpos * (2 * cp + c + 1)) AS BIGINT) AS w2,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+  FROM r
+)
+SELECT n AS n_pairs, w2 AS w_plus_double, tsum AS tie_sum,
+       round((CAST(2 * w2 - n * (n + 1) AS DOUBLE) / 4.0)
+             / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tsum AS DOUBLE)
+                    / 48.0), 6) + 0.0 AS z
+FROM s
+"""
+QUERIES["q_wilcoxon"] = q_wilcoxon
+
+
+def q_kaplan_meier(sf_dir):
+    """Kaplan–Meier survival curve for time-to-first-tool (q_logrank's
+    duration extraction, pooled cohorts): one row per distinct event
+    time with the at-risk count, event count, and the KM product
+    estimate. The product never multiplies floats pairwise — each
+    factor's ln((n−d)/n) is quantized at 1e12 and the RUNNING SUM is an
+    exact-int cumsum, so S(t) = exp(cum/1e12) is bit-identical on both
+    engines (terminal d=n rows emit exactly 0.0). At-risk counts are
+    suffix sums over the duration catalog; ZERO per-conv driver state."""
+    from ptrail_ray.schema import CONV_ID, TOOL, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dur": pa.array([], pa.int64()),
+                "ev": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        big = np.int64(n)
+        idx = np.where(valid, np.arange(n, dtype=np.int64), big)
+        fti = np.minimum.reduceat(idx, starts)
+        ends = starts + lens - 1
+        ev = fti < big
+        tt = np.where(ev, ts[np.minimum(fti, n - 1)], ts[ends])
+        dur = (tt - ts[starts]) // 1_000_000
+        g = pd.DataFrame({"dur": dur, "ev": ev.astype(np.int64)}).groupby(
+            ["dur", "ev"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "dur": pa.array(g["dur"].to_numpy(np.int64), pa.int64()),
+                "ev": pa.array(g["ev"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["dur", "ev"], as_index=False)["n"]
+        .sum()
+    )
+    byd = cat.pivot_table(
+        index="dur", columns="ev", values="n", aggfunc="sum", fill_value=0
+    ).reindex(columns=[0, 1], fill_value=0).sort_index()
+    durs = byd.index.to_numpy(np.int64)
+    nn_all = np.cumsum(
+        (byd[0] + byd[1]).to_numpy(np.int64)[::-1]
+    )[::-1]
+    d_all = byd[1].to_numpy(np.int64)
+    mask = d_all > 0  # distinct event times only
+    tvals, nn, d = durs[mask], nn_all[mask], d_all[mask]
+    alive = nn > d
+    q = np.zeros(len(d), dtype=np.int64)
+    q[alive] = np.round(
+        1e12
+        * np.log(
+            (nn[alive] - d[alive]).astype(np.float64)
+            / nn[alive].astype(np.float64)
+        )
+    ).astype(np.int64)
+    cum = np.cumsum(q)
+    km = np.where(alive, np.exp(cum.astype(np.float64) / 1e12), 0.0)
+    return pa.table(
+        {
+            "dur_s": pa.array(tvals, pa.int64()),
+            "n_risk": pa.array(nn, pa.int64()),
+            "n_event": pa.array(d, pa.int64()),
+            "km": pa.array(_duckdb_round(km) + 0.0, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_kaplan_meier"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS t1,
+         CAST(epoch_us(min(CASE WHEN tool IS NOT NULL THEN ts END))
+              AS BIGINT) AS tt
+  FROM transcripts GROUP BY 1
+),
+pcv AS (
+  SELECT (coalesce(tt, t1) - t0) // 1000000 AS dur,
+         CASE WHEN tt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+cat AS (SELECT dur, ev, CAST(count(*) AS BIGINT) AS n
+        FROM pcv GROUP BY 1, 2),
+risk AS (SELECT DISTINCT dur FROM cat WHERE ev = 1),
+att AS (
+  SELECT r.dur AS t,
+         CAST(sum(c.n) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN c.ev = 1 AND c.dur = r.dur
+                       THEN c.n ELSE 0 END) AS BIGINT) AS d
+  FROM risk r JOIN cat c ON c.dur >= r.dur
+  GROUP BY 1
+),
+term AS (
+  SELECT t, nn, d,
+         CASE WHEN nn > d THEN
+           CAST(round(1000000000000.0 *
+                ln(CAST(nn - d AS DOUBLE) / CAST(nn AS DOUBLE)))
+                AS BIGINT)
+         ELSE 0 END AS q,
+         CASE WHEN nn > d THEN 1 ELSE 0 END AS alive
+  FROM att
+)
+SELECT t AS dur_s, nn AS n_risk, d AS n_event,
+       CASE WHEN alive = 1 THEN
+         round(exp(CAST(sum(q) OVER (ORDER BY t) AS DOUBLE)
+                   / 1000000000000.0), 6) + 0.0
+       ELSE 0.0 END AS km
+FROM term
+"""
+QUERIES["q_kaplan_meier"] = q_kaplan_meier
+
+
+REACH_SEED = "tool-0"
+
+
+def q_reach_hops(sf_dir):
+    """BFS hop distance from a seed tool over the directed
+    tool-transition graph (edges = consecutive tool-bearing turns
+    within a conversation, self-loops dropped) — a recursive-closure
+    operator the Dataset API lacks. Distinct edges come off ONE conv
+    exchange (tool catalog is bounded, so the edge set is tiny by
+    construction); the closure itself is a driver BFS, checked against
+    a DuckDB WITH RECURSIVE shortest-path oracle. Pattern for any
+    bounded-catalog reachability (tool graphs, state machines)."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        idx = np.flatnonzero(valid)
+        if len(idx) < 2:
+            return empty
+        a_i, b_i = idx[:-1], idx[1:]
+        same = rid[a_i] == rid[b_i]
+        a_i, b_i = a_i[same], b_i[same]
+        if len(a_i) == 0:
+            return empty
+        tool = t[TOOL]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        src = tool.take(pa.array(a_i))
+        dst = tool.take(pa.array(b_i))
+        keep = pc.not_equal(src, dst).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "src": src.to_pandas()[keep],
+                "dst": dst.to_pandas()[keep],
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "src": pa.array(df["src"].tolist(), pa.string()),
+                "dst": pa.array(df["dst"].tolist(), pa.string()),
+            }
+        )
+
+    edges = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .drop_duplicates()
+    )
+    adj: dict[str, set[str]] = {}
+    for s_, d_ in zip(edges["src"], edges["dst"]):
+        adj.setdefault(s_, set()).add(d_)
+    dist = {REACH_SEED: 0}
+    frontier = [REACH_SEED]
+    hops = 0
+    while frontier and hops < 10:
+        hops += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hops
+                    nxt.append(v)
+        frontier = nxt
+    tools = sorted(dist)
+    return pa.table(
+        {
+            "tool": pa.array(tools, pa.string()),
+            "hops": pa.array([dist[k] for k in tools], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_reach_hops"] = f"""
+WITH RECURSIVE transcripts AS ({TRANSCRIPTS_SQL}),
+tt AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.tool AS src, b.tool AS dst
+  FROM tt a JOIN tt b
+    ON a.conv_id = b.conv_id AND b.rn = a.rn + 1 AND a.tool <> b.tool
+),
+reach(tool, hops) AS (
+  SELECT '{REACH_SEED}' AS tool, 0 AS hops
+  UNION
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN e ON e.src = r.tool
+  WHERE r.hops < 10
+)
+SELECT tool, CAST(min(hops) AS BIGINT) AS hops
+FROM reach GROUP BY 1
+"""
+QUERIES["q_reach_hops"] = q_reach_hops
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------
