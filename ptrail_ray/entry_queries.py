@@ -15779,6 +15779,351 @@ FROM reach GROUP BY 1
 QUERIES["q_reach_hops"] = q_reach_hops
 
 
+def q_friedman(sf_dir):
+    """Friedman test (tie-corrected) of within-week traffic shape:
+    blocks = complete ISO weeks on the zero-filled daily grid,
+    treatments = the 7 ISO weekdays, value = daily event count. Ranks
+    stay doubled ints (2·midrank = 2·min_rank + cnt_eq − 1), so the
+    column rank-sums R2_j, A4 = Σ(2r)² and C4 = b·k·(k+1)² are exact
+    ints and Q = (k−1)·Σ(R2_j − b(k+1))² / (A4 − C4) is ONE division.
+    Daily counts are exact-int partials (q_holt shape, zero shuffle)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "y": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby("d", as_index=False)["y"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    assert dmin >= 0, "daily grid assumes post-epoch timestamps"
+    days = np.arange(dmin, dmax + 1, dtype=np.int64)
+    y = np.zeros(len(days), np.int64)
+    y[cnt["d"].to_numpy(np.int64) - dmin] = cnt["y"].to_numpy(np.int64)
+    wk = (days + 3) // 7  # ISO week id: Monday-anchored (1970-01-01 = Thu)
+    isodow = ((days % 7) + 3) % 7 + 1
+    # complete blocks only: all 7 days inside [dmin, dmax]
+    lo, hi = wk * 7 - 3, wk * 7 + 3
+    keep = (lo >= dmin) & (hi <= dmax)
+    wk, isodow, y = wk[keep], isodow[keep], y[keep]
+    k = 7
+    df = pd.DataFrame({"wk": wk, "dow": isodow, "y": y})
+    # doubled midrank within each week: 2*min_rank + cnt_eq - 1
+    df["min_rank"] = df.groupby("wk")["y"].rank(method="min").astype(np.int64)
+    df["cnt_eq"] = df.groupby(["wk", "y"])["y"].transform("size").astype(
+        np.int64
+    )
+    df["r2"] = 2 * df["min_rank"] + df["cnt_eq"] - 1
+    b = int(df["wk"].nunique())
+    r2j = df.groupby("dow")["r2"].sum().to_numpy(np.int64)
+    a4 = int((df["r2"].to_numpy(np.int64) ** 2).sum())
+    c4 = b * k * (k + 1) * (k + 1)
+    num = int(((r2j - b * (k + 1)) ** 2).sum())
+    denom = a4 - c4
+    q_stat = float(
+        _duckdb_round(np.array([float((k - 1) * num) / float(denom)]))[0]
+    )
+    return pa.table(
+        {
+            "n_blocks": pa.array([b], pa.int64()),
+            "num_sum": pa.array([num], pa.int64()),
+            "denom4": pa.array([denom], pa.int64()),
+            "q_stat": pa.array([q_stat + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_friedman"] = """
+WITH b0 AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b0),
+grid AS (
+  SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                (SELECT dmax FROM lim))) AS d
+),
+cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM b0 GROUP BY 1),
+ser AS (
+  SELECT grid.d, coalesce(cnt.y, 0) AS y,
+         ((grid.d % 7) + 3) % 7 + 1 AS dow,
+         (grid.d + 3) // 7 AS wk
+  FROM grid LEFT JOIN cnt USING (d)
+),
+cw AS (
+  SELECT s.* FROM ser s, lim
+  WHERE s.wk * 7 - 3 >= lim.dmin AND s.wk * 7 + 3 <= lim.dmax
+),
+rk AS (
+  SELECT wk, dow,
+         CAST(2 * rank() OVER (PARTITION BY wk ORDER BY y)
+              + count(*) OVER (PARTITION BY wk, y) - 1 AS BIGINT) AS r2
+  FROM cw
+),
+tj AS (SELECT dow, CAST(sum(r2) AS BIGINT) AS r2j FROM rk GROUP BY 1),
+tot AS (
+  SELECT CAST(count(DISTINCT wk) AS BIGINT) AS b,
+         CAST(sum(r2 * r2) AS BIGINT) AS a4
+  FROM rk
+)
+SELECT tot.b AS n_blocks,
+       CAST(sum((tj.r2j - tot.b * 8) * (tj.r2j - tot.b * 8)) AS BIGINT)
+         AS num_sum,
+       tot.a4 - tot.b * 448 AS denom4,
+       round(CAST(6 * sum((tj.r2j - tot.b * 8) * (tj.r2j - tot.b * 8))
+                  AS DOUBLE)
+             / CAST(tot.a4 - tot.b * 448 AS DOUBLE), 6) + 0.0 AS q_stat
+FROM tj, tot
+GROUP BY tot.b, tot.a4
+"""
+QUERIES["q_friedman"] = q_friedman
+
+
+def q_levene(sf_dir):
+    """Brown–Forsythe (median-centered Levene) test of doc-length
+    variance homogeneity across sources. The (source × length) count
+    catalog gives BOTH stages without a second pass: per-source
+    discrete medians (quantile_disc 0.5 = element ceil(n/2)−1) via
+    cumsum, then z = |x − med| feeds the exact q_anova_f machinery —
+    per-group (Σz)²/n quantized to micro-ints after ONE identical IEEE
+    division, F = (SSB·(N−k)) / (SSW·(k−1)) as one HUGEINT-ratio
+    division. Zero shuffle; ZERO per-row floats."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cat = (
+        parts.groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["source", "v"])
+    )
+    rows = []
+    for src, g in cat.groupby("source", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        z = np.abs(v - med)
+        s1 = int((c * z).sum())
+        s2 = int((c * z * z).sum())
+        rows.append((src, n, s1, s2))
+    g = pd.DataFrame(rows, columns=["source", "n", "s", "q"])
+    k = len(g)
+    nn = int(g["n"].sum())
+    ss = int(g["s"].sum())
+    qq = int(g["q"].sum())
+    if max(ss * ss, qq * 1_000_000) >= (1 << 62):
+        raise ValueError("q_levene: moment overflow — rescale first")
+    a = 0
+    for ni, si in zip(g["n"].tolist(), g["s"].tolist()):
+        a += int(np.floor(float(si * si) / float(ni) * 1e6 + 0.5))
+    bterm = int(np.floor(float(ss * ss) / float(nn) * 1e6 + 0.5))
+    ssb = a - bterm
+    ssw = qq * 1_000_000 - a
+    f_stat = float(
+        _duckdb_round(
+            np.array([float(ssb * (nn - k)) / float(ssw * (k - 1))])
+        )[0]
+    ) + 0.0
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([nn], pa.int64()),
+            "ssb_micro": pa.array([ssb], pa.int64()),
+            "ssw_micro": pa.array([ssw], pa.int64()),
+            "f_stat": pa.array([f_stat], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_levene"] = """
+WITH med AS (
+  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+  FROM documents GROUP BY 1
+),
+z AS (
+  SELECT d.source, abs(d.n_chars - m.med) AS z
+  FROM documents d JOIN med m USING (source)
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(z * z) AS BIGINT) AS q
+  FROM z GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(q) AS BIGINT) AS qq,
+         CAST(sum(CAST(round(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS a
+  FROM g
+),
+f AS (
+  SELECT k, nn,
+         a - CAST(round(CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS ssb,
+         qq * 1000000 - a AS ssw
+  FROM t
+)
+SELECT k, nn AS n, ssb AS ssb_micro, ssw AS ssw_micro,
+       round(CAST(CAST(ssb AS HUGEINT) * (nn - k) AS DOUBLE)
+             / CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DOUBLE), 6) + 0.0
+         AS f_stat
+FROM f
+"""
+QUERIES["q_levene"] = q_levene
+
+
+def q_durbin_watson(sf_dir):
+    """Durbin–Watson first-order autocorrelation statistic of the
+    zero-filled daily count series, per event type. Mean-centering
+    cancels in the numerator (Δe = Δy), so
+    DW = n·Σ(Δy)² / (n·Σy² − (Σy)²) is an exact-int cross-multiplied
+    ratio with ONE division — ZERO per-day floats. Daily counts are
+    exact-int partials (q_holt shape, no shuffle); the grid is the
+    shared [min,max] day span across types (q_seasonal_idx grid)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    assert dmin >= 0, "daily grid assumes post-epoch timestamps"
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        sdiff = int((np.diff(y) ** 2).sum())
+        sy = int(y.sum())
+        sq = int((y * y).sum())
+        denom = n * sq - sy * sy
+        dw = float(
+            _duckdb_round(np.array([float(n * sdiff) / float(denom)]))[0]
+        )
+        rows.append((et, n, sdiff, dw + 0.0))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_days", "sum_sq_diff", "dw"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64), pa.int64()),
+            "sum_sq_diff": pa.array(
+                out["sum_sq_diff"].to_numpy(np.int64), pa.int64()
+            ),
+            "dw": pa.array(out["dw"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_durbin_watson"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type, grid.d, coalesce(cnt.x, 0) AS y
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+dd AS (
+  SELECT event_type, y,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY d) AS dy
+  FROM ser
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dy * dy) AS BIGINT) AS sdiff,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS sq
+  FROM dd GROUP BY 1
+)
+SELECT event_type, n AS n_days, sdiff AS sum_sq_diff,
+       round(CAST(CAST(n AS HUGEINT) * sdiff AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sq - CAST(sy AS HUGEINT) * sy
+                    AS DOUBLE), 6) + 0.0 AS dw
+FROM s ORDER BY 1
+"""
+QUERIES["q_durbin_watson"] = q_durbin_watson
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

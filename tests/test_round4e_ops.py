@@ -95,3 +95,81 @@ def test_reach_hops_bfs(ray_session):
     got = dict(zip(out["tool"], out["hops"]))
     assert got == dist
     assert got[REACH_SEED] == 0
+
+
+def _events_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_friedman_weekday_blocks(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_friedman"](SF).to_pandas()
+    ev = _events_pdf()
+    d = (ev["ts"].astype("datetime64[ns]").astype("int64")
+         // (86_400 * 10**9)).to_numpy()
+    dmin, dmax = d.min(), d.max()
+    days = np.arange(dmin, dmax + 1)
+    y = np.zeros(len(days), np.int64)
+    u, c = np.unique(d, return_counts=True)
+    y[u - dmin] = c
+    wk = (days + 3) // 7
+    keep = (wk * 7 - 3 >= dmin) & (wk * 7 + 3 <= dmax)
+    wk, y = wk[keep], y[keep]
+    df = pd.DataFrame({"wk": wk, "y": y})
+    df["r"] = df.groupby("wk")["y"].rank(method="average")
+    df["dow"] = ((days[keep] % 7) + 3) % 7 + 1
+    b = df["wk"].nunique()
+    k = 7
+    rj = df.groupby("dow")["r"].sum().to_numpy()
+    a = float((df["r"] ** 2).sum())
+    cc = b * k * (k + 1) ** 2 / 4.0
+    q = (k - 1) * float(((rj - b * (k + 1) / 2.0) ** 2).sum()) / (a - cc)
+    assert out["n_blocks"].iloc[0] == b
+    assert abs(out["q_stat"].iloc[0] - q) < 1e-6
+
+
+def test_levene_brown_forsythe(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_levene"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    zs = []
+    for _, g in docs.groupby("source"):
+        x = np.sort(g["n_chars"].to_numpy(np.int64))
+        med = x[int(np.ceil(0.5 * len(x))) - 1]
+        zs.append(np.abs(g["n_chars"].to_numpy(np.int64) - med))
+    k = len(zs)
+    nn = sum(len(z) for z in zs)
+    allz = np.concatenate(zs)
+    gm = allz.mean()
+    ssb = sum(len(z) * (z.mean() - gm) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert out["k"].iloc[0] == k and out["n"].iloc[0] == nn
+    assert abs(out["f_stat"].iloc[0] - f) < 1e-4
+
+
+def test_durbin_watson_daily(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_durbin_watson"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    dmin, dmax = ev["d"].min(), ev["d"].max()
+    n = dmax - dmin + 1
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.float64)
+        u, c = np.unique(g["d"].to_numpy(), return_counts=True)
+        y[u - dmin] = c
+        e = y - y.mean()
+        dw = float((np.diff(e) ** 2).sum() / (e**2).sum())
+        assert out.loc[et, "n_days"] == n
+        assert abs(out.loc[et, "dw"] - dw) < 1e-6
+        assert 0.0 <= out.loc[et, "dw"] <= 4.0
