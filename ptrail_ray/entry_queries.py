@@ -16124,6 +16124,325 @@ FROM s ORDER BY 1
 QUERIES["q_durbin_watson"] = q_durbin_watson
 
 
+def q_jarque_bera(sf_dir):
+    """Jarque–Bera normality statistic of doc length per source.
+    The (source × value) count catalog (zero shuffle) yields exact-int
+    shifted moments T_k = Σ(x−μ0)^k around the integer floor-mean
+    μ0 = ⌊S1/n⌋ — shifting keeps T4 inside HUGEINT at any corpus size
+    (deviations, not magnitudes, get raised to the 4th power). The
+    true-mean central moments, skewness, excess kurtosis and JB are
+    then ONE fixed-IEEE-order float expression over those ints,
+    written operand-for-operand identically in numpy and SQL."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cat = parts.groupby(["source", "v"], as_index=False)["c"].sum()
+    rows = []
+    for src, g in cat.groupby("source", sort=True):
+        v = [int(x) for x in g["v"]]
+        c = [int(x) for x in g["c"]]
+        n = sum(c)
+        s1 = sum(ci * vi for ci, vi in zip(c, v))
+        mu0 = s1 // n
+        e = s1 - n * mu0
+        t2 = sum(ci * (vi - mu0) ** 2 for ci, vi in zip(c, v))
+        t3 = sum(ci * (vi - mu0) ** 3 for ci, vi in zip(c, v))
+        t4 = sum(ci * (vi - mu0) ** 4 for ci, vi in zip(c, v))
+        nf, ef = float(n), float(e)
+        t2f, t3f, t4f = float(t2), float(t3), float(t4)
+        m2 = (nf * t2f - ef * ef) / (nf * nf)
+        m3 = (nf * nf * t3f - 3.0 * nf * t2f * ef + 2.0 * ef * ef * ef) / (
+            nf * nf * nf
+        )
+        m4 = (
+            nf * nf * nf * t4f
+            - 4.0 * nf * nf * t3f * ef
+            + 6.0 * nf * t2f * ef * ef
+            - 3.0 * ef * ef * ef * ef
+        ) / (nf * nf * nf * nf)
+        skew = m3 / (m2 * np.sqrt(m2))
+        exk = m4 / (m2 * m2) - 3.0
+        jb = (nf / 6.0) * (skew * skew + exk * exk / 4.0)
+        rows.append((src, n, skew, exk, jb))
+    out = pd.DataFrame(rows, columns=["source", "n", "skew", "ex_kurt", "jb"])
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "skew": pa.array(
+                _duckdb_round(out["skew"].to_numpy(np.float64)) + 0.0,
+                pa.float64(),
+            ),
+            "ex_kurt": pa.array(
+                _duckdb_round(out["ex_kurt"].to_numpy(np.float64)) + 0.0,
+                pa.float64(),
+            ),
+            "jb": pa.array(
+                _duckdb_round(out["jb"].to_numpy(np.float64)) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_jarque_bera"] = """
+WITH mu AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu0,
+         CAST(sum(n_chars) AS BIGINT)
+           - (CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT))
+             * CAST(count(*) AS BIGINT) AS e
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT d.source, mu.n, mu.e,
+         CAST(sum(CAST((d.n_chars - mu.mu0) * (d.n_chars - mu.mu0)
+                       AS HUGEINT)) AS HUGEINT) AS t2,
+         CAST(sum(CAST((d.n_chars - mu.mu0) * (d.n_chars - mu.mu0)
+                       AS HUGEINT) * (d.n_chars - mu.mu0)) AS HUGEINT) AS t3,
+         CAST(sum(CAST((d.n_chars - mu.mu0) * (d.n_chars - mu.mu0)
+                       AS HUGEINT)
+                  * CAST((d.n_chars - mu.mu0) * (d.n_chars - mu.mu0)
+                         AS HUGEINT)) AS HUGEINT) AS t4
+  FROM documents d JOIN mu ON d.source = mu.source
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT source, n,
+         (CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE)
+          - CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(t3 AS DOUBLE)
+          - 3.0 * CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE) * CAST(e AS DOUBLE)
+          + 2.0 * CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m3,
+         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * CAST(t4 AS DOUBLE)
+          - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(t3 AS DOUBLE)
+            * CAST(e AS DOUBLE)
+          + 6.0 * CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE) * CAST(e AS DOUBLE)
+            * CAST(e AS DOUBLE)
+          - 3.0 * CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+            * CAST(e AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * CAST(n AS DOUBLE)) AS m4
+  FROM t
+),
+s AS (
+  SELECT source, n, m3 / (m2 * sqrt(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exk
+  FROM m
+)
+SELECT source, n, round(skew, 6) + 0.0 AS skew,
+       round(exk, 6) + 0.0 AS ex_kurt,
+       round((CAST(n AS DOUBLE) / 6.0)
+             * (skew * skew + exk * exk / 4.0), 6) + 0.0 AS jb
+FROM s ORDER BY 1
+"""
+QUERIES["q_jarque_bera"] = q_jarque_bera
+
+
+def q_cohens_d(sf_dir):
+    """Cohen's d effect size of doc length, lang='en' vs the rest,
+    with the pooled standard deviation. Six exact-int partials
+    (n, Σx, Σx² per cohort; zero shuffle), then d is ONE
+    fixed-IEEE-order float expression — per-cohort variances use the
+    n·Q − S² cross-multiplied form so no intermediate mean is ever
+    re-rounded."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        out = {}
+        for tag, m in (("1", en), ("2", ~en)):
+            out[f"n{tag}"] = int(m.sum())
+            out[f"s{tag}"] = int(x[m].sum())
+            out[f"q{tag}"] = int((x[m] * x[m]).sum())
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    n1, s1, q1 = (int(parts[k].sum()) for k in ("n1", "s1", "q1"))
+    n2, s2, q2 = (int(parts[k].sum()) for k in ("n2", "s2", "q2"))
+    n1f, s1f, q1f = float(n1), float(s1), float(q1)
+    n2f, s2f, q2f = float(n2), float(s2), float(q2)
+    v1 = (n1f * q1f - s1f * s1f) / (n1f * (n1f - 1.0))
+    v2 = (n2f * q2f - s2f * s2f) / (n2f * (n2f - 1.0))
+    sp = np.sqrt(
+        ((n1f - 1.0) * v1 + (n2f - 1.0) * v2) / (n1f + n2f - 2.0)
+    )
+    d = (s1f / n1f - s2f / n2f) / sp
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "cohens_d": pa.array(
+                [float(_duckdb_round(np.array([d]))[0]) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_cohens_d"] = """
+WITH g AS (
+  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT)
+           AS s1,
+         CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END)
+              AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE n_chars END) AS BIGINT)
+           AS s2,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE n_chars * n_chars END)
+              AS BIGINT) AS q2
+  FROM documents
+),
+v AS (
+  SELECT n1, n2, s1, s2,
+         (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+         (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+         / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+  FROM g
+)
+SELECT n1, n2,
+       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+                     + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)),
+             6) + 0.0 AS cohens_d
+FROM v
+"""
+QUERIES["q_cohens_d"] = q_cohens_d
+
+
+def q_mrr(sf_dir):
+    """Mean reciprocal rank of the first assistant turn per
+    conversation (no-assistant convs score 0, standard IR convention).
+    First-hit positions come off ONE conv exchange as a RANK CATALOG
+    (position → conv count), so 1/rank is evaluated once per distinct
+    rank, quantized at 1e12, weighted by exact-int counts, and MRR is
+    ONE fixed-order division chain."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rnk": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        hit = pc.equal(t[ROLE], "assistant").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        big = np.int64(n)
+        idx = np.where(hit, np.arange(n, dtype=np.int64), big)
+        first = np.minimum.reduceat(idx, starts)
+        rnk = np.where(first < big, first - starts + 1, 0)  # 0 = no hit
+        u, c = np.unique(rnk, return_counts=True)
+        return pa.table(
+            {
+                "rnk": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("rnk", as_index=False)["n"]
+        .sum()
+    )
+    n_convs = int(cat["n"].sum())
+    hits = cat[cat["rnk"] > 0]
+    n_hit = int(hits["n"].sum())
+    q = np.round(
+        1e12 / hits["rnk"].to_numpy(np.float64)
+    ).astype(np.int64)
+    qsum = int((q * hits["n"].to_numpy(np.int64)).sum())
+    mrr = float(
+        _duckdb_round(
+            np.array([float(qsum) / 1e12 / float(n_convs)])
+        )[0]
+    )
+    return pa.table(
+        {
+            "n_convs": pa.array([n_convs], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "mrr": pa.array([mrr + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_mrr"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END) + 1 AS rnk
+  FROM transcripts GROUP BY 1
+),
+cat AS (
+  SELECT coalesce(rnk, 0) AS rnk, CAST(count(*) AS BIGINT) AS n
+  FROM per GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_convs,
+         CAST(sum(CASE WHEN rnk > 0 THEN n ELSE 0 END) AS BIGINT) AS n_hit,
+         CAST(sum(CASE WHEN rnk > 0 THEN
+                CAST(round(1000000000000.0 / CAST(rnk AS DOUBLE)) AS BIGINT)
+                * n ELSE 0 END) AS BIGINT) AS qsum
+  FROM cat
+)
+SELECT n_convs, n_hit,
+       round(CAST(qsum AS DOUBLE) / 1000000000000.0
+             / CAST(n_convs AS DOUBLE), 6) + 0.0 AS mrr
+FROM s
+"""
+QUERIES["q_mrr"] = q_mrr
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

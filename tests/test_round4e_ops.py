@@ -173,3 +173,57 @@ def test_durbin_watson_daily(ray_session):
         assert out.loc[et, "n_days"] == n
         assert abs(out.loc[et, "dw"] - dw) < 1e-6
         assert 0.0 <= out.loc[et, "dw"] <= 4.0
+
+
+def test_jarque_bera_per_source(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_jarque_bera"](SF).to_pandas().set_index("source")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.float64)
+        n = len(x)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        skew = m3 / m2**1.5
+        exk = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+        assert out.loc[src, "n"] == n
+        assert abs(out.loc[src, "skew"] - skew) < 1e-5
+        assert abs(out.loc[src, "ex_kurt"] - exk) < 1e-5
+        assert abs(out.loc[src, "jb"] - jb) < max(1e-4, abs(jb) * 1e-6)
+
+
+def test_cohens_d_en_vs_rest(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cohens_d"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = docs.loc[docs["lang"] == "en", "n_chars"].to_numpy(np.float64)
+    b = docs.loc[docs["lang"] != "en", "n_chars"].to_numpy(np.float64)
+    sp = np.sqrt(
+        ((len(a) - 1) * a.var(ddof=1) + (len(b) - 1) * b.var(ddof=1))
+        / (len(a) + len(b) - 2)
+    )
+    d = (a.mean() - b.mean()) / sp
+    assert out["n1"].iloc[0] == len(a) and out["n2"].iloc[0] == len(b)
+    assert abs(out["cohens_d"].iloc[0] - d) < 1e-6
+
+
+def test_mrr_first_assistant(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mrr"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    rrs = []
+    for _, g in tr.groupby("conv_id", sort=False):
+        pos = np.flatnonzero((g["role"] == "assistant").to_numpy())
+        rrs.append(1.0 / (pos[0] + 1) if len(pos) else 0.0)
+    assert out["n_convs"].iloc[0] == len(rrs)
+    assert out["n_hit"].iloc[0] == sum(1 for r in rrs if r > 0)
+    assert abs(out["mrr"].iloc[0] - np.mean(rrs)) < 1e-6
