@@ -16443,6 +16443,289 @@ FROM s
 QUERIES["q_mrr"] = q_mrr
 
 
+def q_grubbs(sf_dir):
+    """Grubbs' outlier statistic G = max|x−x̄|/s per source. The
+    (source × value) count catalog (zero shuffle) gives n, Σx, Σx²,
+    min, max exactly; the farthest deviation is max(x̄−min, max−x̄)
+    evaluated in ONE fixed-IEEE-order expression with the sample
+    variance in n·Q−S² cross-multiplied form — no per-row floats."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"source": t["source"].to_pandas(), "x": x}).groupby(
+            "source"
+        )["x"].agg(["size", "sum", "min", "max"])
+        q = pd.DataFrame(
+            {"source": t["source"].to_pandas(), "x2": x * x}
+        ).groupby("source")["x2"].sum()
+        return pa.table(
+            {
+                "source": pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+                "mn": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+                "mx": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+                "q": pa.array(q.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    g = parts.groupby("source").agg(
+        n=("n", "sum"), s=("s", "sum"), q=("q", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    ).sort_index()
+    nf = g["n"].to_numpy(np.int64).astype(np.float64)
+    sf_ = g["s"].to_numpy(np.int64).astype(np.float64)
+    qf = g["q"].to_numpy(np.int64).astype(np.float64)
+    mean = sf_ / nf
+    dev = np.maximum(
+        mean - g["mn"].to_numpy(np.int64).astype(np.float64),
+        g["mx"].to_numpy(np.int64).astype(np.float64) - mean,
+    )
+    sd = np.sqrt((nf * qf - sf_ * sf_) / (nf * (nf - 1.0)))
+    return pa.table(
+        {
+            "source": pa.array(g.index.tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "vmin": pa.array(g["mn"].to_numpy(np.int64), pa.int64()),
+            "vmax": pa.array(g["mx"].to_numpy(np.int64), pa.int64()),
+            "g_stat": pa.array(
+                _duckdb_round(dev / sd) + 0.0, pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_grubbs"] = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS q,
+         CAST(min(n_chars) AS BIGINT) AS mn,
+         CAST(max(n_chars) AS BIGINT) AS mx
+  FROM documents GROUP BY 1
+)
+SELECT source, n, mn AS vmin, mx AS vmax,
+       round(greatest(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(mn AS DOUBLE),
+                      CAST(mx AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+             6) + 0.0 AS g_stat
+FROM g ORDER BY 1
+"""
+QUERIES["q_grubbs"] = q_grubbs
+
+
+def q_ece(sf_dir):
+    """Expected calibration error of the length-normalized quality
+    score p = n_chars / max(n_chars) against the lang='en' label, with
+    10 equal-width bins. The bin id is EXACT integer arithmetic
+    (min(10·v // M, 9) — no float boundary jitter), per-bin
+    (n, Σv, Σy) are exact ints off the q_auc histogram partials, and
+    acc/conf/gap/ECE are fixed-order expressions; the final ECE sums
+    1e12-quantized per-bin terms (order-free)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(v, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        npos = np.zeros(len(uniq), np.int64)
+        np.add.at(npos, inv, y)
+        return pa.table(
+            {
+                "v": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "np_": pa.array(npos, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cat = parts.groupby("v", as_index=False).agg(
+        n=("n", "sum"), np_=("np_", "sum")
+    )
+    v = cat["v"].to_numpy(np.int64)
+    m = int(v.max())
+    binid = np.minimum(10 * v // m, 9)
+    bins = pd.DataFrame(
+        {"bin": binid, "n": cat["n"], "sv": cat["n"] * v, "sy": cat["np_"]}
+    ).groupby("bin", as_index=False).sum()
+    ntot = int(bins["n"].sum())
+    nb = bins["n"].to_numpy(np.int64).astype(np.float64)
+    sv = bins["sv"].to_numpy(np.int64).astype(np.float64)
+    sy = bins["sy"].to_numpy(np.int64).astype(np.float64)
+    acc = sy / nb
+    conf = sv / (float(m) * nb)
+    gap = np.abs(acc - conf)
+    q = np.round(1e12 * (nb * gap)).astype(np.int64)
+    ece = float(
+        _duckdb_round(np.array([float(q.sum()) / 1e12 / float(ntot)]))[0]
+    )
+    return pa.table(
+        {
+            "bin": pa.array(bins["bin"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(bins["n"].to_numpy(np.int64), pa.int64()),
+            "acc": pa.array(_duckdb_round(acc) + 0.0, pa.float64()),
+            "conf": pa.array(_duckdb_round(conf) + 0.0, pa.float64()),
+            "gap": pa.array(_duckdb_round(gap) + 0.0, pa.float64()),
+            "ece": pa.array(
+                np.full(len(bins), ece) + 0.0, pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_ece"] = """
+WITH m AS (SELECT CAST(max(n_chars) AS BIGINT) AS m FROM documents),
+b AS (
+  SELECT least(10 * CAST(d.n_chars AS BIGINT) // m.m, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sv,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+  FROM documents d, m GROUP BY 1
+),
+t AS (
+  SELECT bin, n, sv, sy,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+         CAST(sv AS DOUBLE)
+           / ((SELECT CAST(m AS DOUBLE) FROM m) * CAST(n AS DOUBLE)) AS conf
+  FROM b
+),
+e AS (
+  SELECT CAST(sum(CAST(round(1000000000000.0
+                * (CAST(n AS DOUBLE) * abs(acc - conf))) AS BIGINT))
+              AS BIGINT) AS qsum,
+         CAST(sum(n) AS BIGINT) AS ntot
+  FROM t
+)
+SELECT t.bin, t.n,
+       round(t.acc, 6) + 0.0 AS acc,
+       round(t.conf, 6) + 0.0 AS conf,
+       round(abs(t.acc - t.conf), 6) + 0.0 AS gap,
+       round(CAST(e.qsum AS DOUBLE) / 1000000000000.0
+             / CAST(e.ntot AS DOUBLE), 6) + 0.0 AS ece
+FROM t, e ORDER BY t.bin
+"""
+QUERIES["q_ece"] = q_ece
+
+
+def q_goertzel(sf_dir):
+    """Weekly-periodicity strength of total daily traffic via the
+    Goertzel/DFT bin at frequency 1/7: because e^{−2πit/7} depends only
+    on t mod 7, the transform collapses to SEVEN exact-int residue-class
+    sums W_k (zero shuffle, no per-day trig). The cos/sin weights are
+    1e6-quantized ONCE per residue (1-ulp-proof: no weight is near a
+    rounding boundary), so C = Σ q_k·W_k and S are exact ints and the
+    spectral amplitude is one fixed-order float expression."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "y": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby("d", as_index=False)["y"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n_days = dmax - dmin + 1
+    days = cnt["d"].to_numpy(np.int64)
+    yv = cnt["y"].to_numpy(np.int64)
+    res = (days - dmin) % 7  # zero-filled days contribute 0 — skip them
+    w = np.zeros(7, np.int64)
+    np.add.at(w, res, yv)
+    k = np.arange(7, dtype=np.float64)
+    qc = np.round(1e6 * np.cos(2.0 * np.pi * k / 7.0)).astype(np.int64)
+    qs = np.round(1e6 * np.sin(2.0 * np.pi * k / 7.0)).astype(np.int64)
+    cq = int((qc * w).sum())
+    sq = int((qs * w).sum())
+    amp = float(
+        _duckdb_round(
+            np.array(
+                [
+                    np.sqrt(float(cq) * float(cq) + float(sq) * float(sq))
+                    / 1e6
+                    / float(n_days)
+                ]
+            )
+        )[0]
+    )
+    return pa.table(
+        {
+            "n_days": pa.array([n_days], pa.int64()),
+            "c_q": pa.array([cq], pa.int64()),
+            "s_q": pa.array([sq], pa.int64()),
+            "weekly_amp": pa.array([amp + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_goertzel"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+w AS (
+  SELECT (d - (SELECT dmin FROM lim)) % 7 AS k,
+         CAST(count(*) AS BIGINT) AS w
+  FROM b GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CAST(round(1000000.0 * cos(2.0 * pi() * k / 7.0))
+                       AS BIGINT) * w) AS BIGINT) AS cq,
+         CAST(sum(CAST(round(1000000.0 * sin(2.0 * pi() * k / 7.0))
+                       AS BIGINT) * w) AS BIGINT) AS sq
+  FROM w
+)
+SELECT (SELECT dmax - dmin + 1 FROM lim) AS n_days, s.cq AS c_q,
+       s.sq AS s_q,
+       round(sqrt(CAST(cq AS DOUBLE) * CAST(cq AS DOUBLE)
+                  + CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             / 1000000.0
+             / CAST((SELECT dmax - dmin + 1 FROM lim) AS DOUBLE), 6) + 0.0
+         AS weekly_amp
+FROM s
+"""
+QUERIES["q_goertzel"] = q_goertzel
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -227,3 +227,61 @@ def test_mrr_first_assistant(ray_session):
     assert out["n_convs"].iloc[0] == len(rrs)
     assert out["n_hit"].iloc[0] == sum(1 for r in rrs if r > 0)
     assert abs(out["mrr"].iloc[0] - np.mean(rrs)) < 1e-6
+
+
+def test_grubbs_per_source(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_grubbs"](SF).to_pandas().set_index("source")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.float64)
+        gstat = np.abs(x - x.mean()).max() / x.std(ddof=1)
+        assert out.loc[src, "n"] == len(x)
+        assert out.loc[src, "vmin"] == x.min() and out.loc[src, "vmax"] == x.max()
+        assert abs(out.loc[src, "g_stat"] - gstat) < 1e-6
+
+
+def test_ece_calibration_bins(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ece"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    m = docs["n_chars"].max()
+    p = docs["n_chars"].to_numpy(np.float64) / m
+    y = (docs["lang"] == "en").to_numpy(np.float64)
+    binid = np.minimum((10 * docs["n_chars"].to_numpy(np.int64)) // m, 9)
+    ece = 0.0
+    for b in np.unique(binid):
+        sel = binid == b
+        row = out[out["bin"] == b].iloc[0]
+        assert row["n"] == sel.sum()
+        assert abs(row["acc"] - y[sel].mean()) < 1e-6
+        assert abs(row["conf"] - p[sel].mean()) < 1e-6
+        ece += sel.sum() / len(p) * abs(y[sel].mean() - p[sel].mean())
+    assert abs(out["ece"].iloc[0] - ece) < 1e-6
+    assert (out["ece"] == out["ece"].iloc[0]).all()
+
+
+def test_goertzel_weekly_amplitude(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_goertzel"](SF).to_pandas()
+    ev = _events_pdf()
+    d = (ev["ts"].astype("datetime64[ns]").astype("int64")
+         // (86_400 * 10**9)).to_numpy()
+    dmin, dmax = d.min(), d.max()
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.float64)
+    u, c = np.unique(d, return_counts=True)
+    y[u - dmin] = c
+    t = np.arange(n)
+    cx = (y * np.cos(2 * np.pi * t / 7)).sum()
+    sx = (y * np.sin(2 * np.pi * t / 7)).sum()
+    amp = np.sqrt(cx**2 + sx**2) / n
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["weekly_amp"].iloc[0] - amp) < max(1e-3, amp * 1e-3)
