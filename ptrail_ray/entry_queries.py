@@ -16726,6 +16726,449 @@ FROM s
 QUERIES["q_goertzel"] = q_goertzel
 
 
+def _byte_pos_matrix(col) -> tuple[np.ndarray, np.ndarray]:
+    """(n, Lmax) zero-padded POSITIONAL byte matrix + per-row length
+    for an Arrow string column — the positional sibling of
+    _byte_set_matrix (offsets/data buffers → one boolean fancy
+    assignment, zero per-row Python). Row-major mask assignment
+    consumes the concatenated data buffer in exactly string order."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], odt)[col.offset : col.offset + n + 1]
+    dbuf = col.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, np.uint8)
+        if dbuf is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(off).astype(np.int64)
+    lmax = int(lens.max()) if n else 0
+    mat = np.zeros((n, lmax), np.uint8)
+    if lmax:
+        colmask = np.arange(lmax, dtype=np.int64) < lens[:, None]
+        mat[colmask] = data[off[0] : off[-1]]
+    return mat, lens
+
+
+def q_hamming_prefix(sf_dir):
+    """Hamming distance between consecutive turn texts over their
+    COMMON PREFIX (min length), per conversation — DuckDB
+    `hamming(substr(a,1,L), substr(b,1,L))` semantics. The pair scan is
+    a vectorized (n, Lmax) positional byte-matrix comparison inside the
+    ONE conv exchange (the corpus text is ASCII, so byte positions ==
+    char positions — asserted against the jaccard precedent); per-conv
+    sums are exact ints and the mean is ONE division. Zero-length
+    sides are excluded (hamming('',·) is undefined)."""
+    from ptrail_ray.schema import CONV_ID, TEXT
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "sum_ham": pa.array([], pa.int64()),
+            "mean_ham": pa.array([], pa.float64()),
+        }
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        mat, lens = _byte_pos_matrix(t[TEXT])
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        idx = np.flatnonzero(keep[1:]) + 1
+        if len(idx):
+            lcom = np.minimum(lens[idx - 1], lens[idx])
+            ok = lcom > 0
+            idx, lcom = idx[ok], lcom[ok]
+        if len(idx) == 0:
+            return empty
+        lmax = mat.shape[1]
+        diff = (mat[idx - 1] != mat[idx]) & (
+            np.arange(lmax, dtype=np.int64) < lcom[:, None]
+        )
+        ham = diff.sum(axis=1).astype(np.int64)
+        cid = t[CONV_ID].to_pandas()
+        g = pd.DataFrame(
+            {"conv_id": cid.iloc[idx].to_numpy(), "h": ham}
+        ).groupby("conv_id", as_index=False).agg(
+            n_pairs=("h", "size"), s=("h", "sum")
+        )
+        mean = _duckdb_round(
+            g["s"].to_numpy(np.float64) / g["n_pairs"].to_numpy(np.float64)
+        ) + 0.0
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+                "n_pairs": pa.array(
+                    g["n_pairs"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_ham": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+                "mean_ham": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_hamming_prefix"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT conv_id,
+         lag(coalesce(text, '')) OVER ({W}) AS prev,
+         coalesce(text, '') AS cur,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+),
+q AS (
+  SELECT conv_id,
+         CAST(hamming(substr(prev, 1, least(length(prev), length(cur))),
+                      substr(cur, 1, least(length(prev), length(cur))))
+              AS BIGINT) AS h
+  FROM p
+  WHERE rn > 1 AND least(length(prev), length(cur)) > 0
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(h) AS BIGINT) AS sum_ham,
+       round(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+         AS mean_ham
+FROM q GROUP BY 1
+"""
+QUERIES["q_hamming_prefix"] = q_hamming_prefix
+
+
+def q_tool_assortativity(sf_dir):
+    """Strength-weighted assortativity of the directed tool-transition
+    graph: Pearson correlation, across transition INSTANCES, of
+    (out-strength(src), in-strength(dst)) — do busy-exit tools feed
+    busy-entry tools? (The 7-tool graph is complete, so unweighted
+    degree assortativity is degenerate by construction — strengths
+    carry the signal.) Edge counts come off ONE conv exchange
+    (q_tool_transitions shape, catalog-bounded); strengths and all
+    five w-weighted correlation moments are exact ints, r is ONE
+    fixed-order float expression."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        idx = np.flatnonzero(valid)
+        if len(idx) < 2:
+            return empty
+        a_i, b_i = idx[:-1], idx[1:]
+        same = rid[a_i] == rid[b_i]
+        a_i, b_i = a_i[same], b_i[same]
+        if len(a_i) == 0:
+            return empty
+        tool = t[TOOL]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        src = tool.take(pa.array(a_i))
+        dst = tool.take(pa.array(b_i))
+        keep = pc.not_equal(src, dst).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"src": src.to_pandas()[keep], "dst": dst.to_pandas()[keep]}
+        ).groupby(["src", "dst"], as_index=False).size()
+        return pa.table(
+            {
+                "src": pa.array(df["src"].tolist(), pa.string()),
+                "dst": pa.array(df["dst"].tolist(), pa.string()),
+                "w": pa.array(df["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["src", "dst"], as_index=False)["w"]
+        .sum()
+    )
+    od = edges.groupby("src")["w"].sum()
+    idg = edges.groupby("dst")["w"].sum()
+    x = od.loc[edges["src"]].to_numpy(np.int64)
+    y = idg.loc[edges["dst"]].to_numpy(np.int64)
+    w = edges["w"].to_numpy(np.int64)
+    m = int(w.sum())
+    sx, sy = int((w * x).sum()), int((w * y).sum())
+    sxx = int((w * x * x).sum())
+    syy = int((w * y * y).sum())
+    sxy = int((w * x * y).sum())
+    r = float(
+        _duckdb_round(
+            np.array(
+                [
+                    (float(m) * float(sxy) - float(sx) * float(sy))
+                    / np.sqrt(
+                        (float(m) * float(sxx) - float(sx) * float(sx))
+                        * (float(m) * float(syy) - float(sy) * float(sy))
+                    )
+                ]
+            )
+        )[0]
+    )
+    return pa.table(
+        {
+            "n_transitions": pa.array([m], pa.int64()),
+            "n_edges": pa.array([len(edges)], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "assortativity": pa.array([r + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tool_assortativity"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+tt AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+e AS (
+  SELECT a.tool AS src, b.tool AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM tt a JOIN tt b
+    ON a.conv_id = b.conv_id AND b.rn = a.rn + 1 AND a.tool <> b.tool
+  GROUP BY 1, 2
+),
+od AS (SELECT src, CAST(sum(w) AS BIGINT) AS x FROM e GROUP BY 1),
+idg AS (SELECT dst, CAST(sum(w) AS BIGINT) AS y FROM e GROUP BY 1),
+xy AS (
+  SELECT e.w, od.x, idg.y
+  FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst
+),
+s AS (
+  SELECT CAST(sum(w) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS ne,
+         CAST(sum(w * x) AS BIGINT) AS sx,
+         CAST(sum(w * y) AS BIGINT) AS sy,
+         CAST(sum(w * x * x) AS BIGINT) AS sxx,
+         CAST(sum(w * y * y) AS BIGINT) AS syy,
+         CAST(sum(w * x * y) AS BIGINT) AS sxy
+  FROM xy
+)
+SELECT m AS n_transitions, ne AS n_edges, sxy,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) + 0.0 AS assortativity
+FROM s
+"""
+QUERIES["q_tool_assortativity"] = q_tool_assortativity
+
+
+def q_rfm(sf_dir):
+    """RFM segmentation of customers (recency / frequency / monetary
+    quintiles) — the classic commerce cohorting op. Per-customer
+    aggregates run on ONE custkey exchange (grouped_agg_by_bucket);
+    the small per-customer dataset is materialized ONCE (bounded by
+    |customers|, not order volume) and scanned twice: value-count
+    catalogs → quantile_disc(0.2/0.4/0.6/0.8) boundaries (element
+    ceil(q·n)−1, exact ints), then scores 1 + Σ(v > bᵢ) → ≤125
+    (r,f,m)-cell counts. Money stays integer cents throughout;
+    recency uses calendar-day floor-division (datediff semantics)."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def max_day(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table({"md": pa.array([int(d.max())], pa.int64())})
+
+    md = int(
+        ds.map_batches(max_day, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()["md"]
+        .max()
+    )
+
+    def per_customer(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["o_orderdate"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        g = pd.DataFrame(
+            {"c": df["o_custkey"], "day": day, "cents": cents}
+        ).groupby("c")
+        out = g.agg(last=("day", "max"), f=("day", "size"), m=("cents", "sum"))
+        return pd.DataFrame(
+            {
+                "o_custkey": out.index.to_numpy(np.int64),
+                "r": md - out["last"].to_numpy(np.int64),
+                "f": out["f"].to_numpy(np.int64),
+                "m": out["m"].to_numpy(np.int64),
+            }
+        )
+
+    cust = grouped_agg_by_bucket(
+        ds, "o_custkey", per_customer, num_buckets=32
+    ).materialize()
+
+    def cat_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for metric in ("r", "f", "m"):
+            u, c = np.unique(
+                t[metric].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "metric": pa.array([metric] * len(u), pa.string()),
+                        "v": pa.array(u.astype(np.int64), pa.int64()),
+                        "c": pa.array(c.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    cats = (
+        cust.map_batches(cat_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["metric", "v"], as_index=False)["c"]
+        .sum()
+    )
+    bounds = {}
+    for metric, g in cats.groupby("metric"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        # quantile_disc: element at index ceil(q·n)−1, q = k/5
+        bounds[metric] = [
+            int(v[np.searchsorted(cum, (k * n + 4) // 5)]) for k in (1, 2, 3, 4)
+        ]
+
+    def score(t: pa.Table) -> pa.Table:
+        out = {}
+        for metric in ("r", "f", "m"):
+            x = t[metric].to_numpy(zero_copy_only=False)
+            s = np.ones(len(x), np.int64)
+            for b in bounds[metric]:
+                s += (x > b).astype(np.int64)
+            out[f"{metric}_score"] = s
+        g = pd.DataFrame(
+            {
+                **out,
+                "m_cents": t["m"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["r_score", "f_score", "m_score"], as_index=False).agg(
+            n_customers=("m_cents", "size"), sum_m_cents=("m_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        cust.map_batches(score, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["r_score", "f_score", "m_score"], as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "r_score": pa.array(cells["r_score"].to_numpy(np.int64), pa.int64()),
+            "f_score": pa.array(cells["f_score"].to_numpy(np.int64), pa.int64()),
+            "m_score": pa.array(cells["m_score"].to_numpy(np.int64), pa.int64()),
+            "n_customers": pa.array(
+                cells["n_customers"].to_numpy(np.int64), pa.int64()
+            ),
+            "sum_m_cents": pa.array(
+                cells["sum_m_cents"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_rfm"] = """
+WITH mx AS (
+  SELECT max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+    AS md
+  FROM orders
+),
+cust AS (
+  SELECT o_custkey,
+         (SELECT md FROM mx)
+           - max(datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE))) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS m
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT CAST(quantile_disc(r, 0.2) AS BIGINT) AS r1,
+         CAST(quantile_disc(r, 0.4) AS BIGINT) AS r2,
+         CAST(quantile_disc(r, 0.6) AS BIGINT) AS r3,
+         CAST(quantile_disc(r, 0.8) AS BIGINT) AS r4,
+         CAST(quantile_disc(f, 0.2) AS BIGINT) AS f1,
+         CAST(quantile_disc(f, 0.4) AS BIGINT) AS f2,
+         CAST(quantile_disc(f, 0.6) AS BIGINT) AS f3,
+         CAST(quantile_disc(f, 0.8) AS BIGINT) AS f4,
+         CAST(quantile_disc(m, 0.2) AS BIGINT) AS m1,
+         CAST(quantile_disc(m, 0.4) AS BIGINT) AS m2,
+         CAST(quantile_disc(m, 0.6) AS BIGINT) AS m3,
+         CAST(quantile_disc(m, 0.8) AS BIGINT) AS m4
+  FROM cust
+),
+s AS (
+  SELECT 1 + (CASE WHEN r > b.r1 THEN 1 ELSE 0 END)
+           + (CASE WHEN r > b.r2 THEN 1 ELSE 0 END)
+           + (CASE WHEN r > b.r3 THEN 1 ELSE 0 END)
+           + (CASE WHEN r > b.r4 THEN 1 ELSE 0 END) AS r_score,
+         1 + (CASE WHEN f > b.f1 THEN 1 ELSE 0 END)
+           + (CASE WHEN f > b.f2 THEN 1 ELSE 0 END)
+           + (CASE WHEN f > b.f3 THEN 1 ELSE 0 END)
+           + (CASE WHEN f > b.f4 THEN 1 ELSE 0 END) AS f_score,
+         1 + (CASE WHEN m > b.m1 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > b.m2 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > b.m3 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > b.m4 THEN 1 ELSE 0 END) AS m_score,
+         m
+  FROM cust, b
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(m) AS BIGINT) AS sum_m_cents
+FROM s GROUP BY 1, 2, 3
+"""
+QUERIES["q_rfm"] = q_rfm
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -285,3 +285,94 @@ def test_goertzel_weekly_amplitude(ray_session):
     amp = np.sqrt(cx**2 + sx**2) / n
     assert out["n_days"].iloc[0] == n
     assert abs(out["weekly_amp"].iloc[0] - amp) < max(1e-3, amp * 1e-3)
+
+
+def test_hamming_prefix_pairs(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hamming_prefix"](SF).to_pandas().set_index("conv_id")
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id", sort=False):
+        texts = g["text"].fillna("").tolist()
+        hams = []
+        for a, b in zip(texts, texts[1:]):
+            L = min(len(a), len(b))
+            if L == 0:
+                continue
+            hams.append(sum(1 for i in range(L) if a[i] != b[i]))
+        if not hams:
+            assert conv not in out.index
+            continue
+        assert out.loc[conv, "n_pairs"] == len(hams)
+        assert out.loc[conv, "sum_ham"] == sum(hams)
+        assert abs(out.loc[conv, "mean_ham"] - np.mean(hams)) < 1e-6
+
+
+def test_tool_assortativity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_assortativity"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    ecnt: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        tools = g.loc[g["tool"].notna(), "tool"].tolist()
+        for a, b in zip(tools, tools[1:]):
+            if a != b:
+                ecnt[(a, b)] = ecnt.get((a, b), 0) + 1
+    od, idg = {}, {}
+    for (a, b), w in ecnt.items():
+        od[a] = od.get(a, 0) + w
+        idg[b] = idg.get(b, 0) + w
+    # expand to per-instance samples, then plain Pearson
+    x = np.concatenate(
+        [np.full(w, od[a], np.float64) for (a, b), w in ecnt.items()]
+    )
+    y = np.concatenate(
+        [np.full(w, idg[b], np.float64) for (a, b), w in ecnt.items()]
+    )
+    assert out["n_transitions"].iloc[0] == len(x)
+    assert out["n_edges"].iloc[0] == len(ecnt)
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(out["assortativity"].iloc[0] - r) < 1e-6
+
+
+def test_rfm_segments(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_rfm"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    day = orders["o_orderdate"].astype("datetime64[ns]").astype(
+        np.int64
+    ) // 86_400_000_000_000
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    df = pd.DataFrame(
+        {"c": orders["o_custkey"], "day": day, "cents": cents}
+    )
+    md = day.max()
+    cust = df.groupby("c").agg(
+        last=("day", "max"), f=("day", "size"), m=("cents", "sum")
+    )
+    cust["r"] = md - cust["last"]
+
+    def scores(v):
+        x = np.sort(v.to_numpy(np.int64))
+        n = len(x)
+        bs = [x[int(np.ceil(k * n / 5)) - 1] for k in (1, 2, 3, 4)]
+        s = np.ones(n, np.int64)
+        raw = v.to_numpy(np.int64)
+        s = 1 + sum((raw > b).astype(np.int64) for b in bs)
+        return s
+
+    cust["rs"] = scores(cust["r"])
+    cust["fs"] = scores(cust["f"])
+    cust["ms"] = scores(cust["m"])
+    exp = cust.groupby(["rs", "fs", "ms"]).agg(
+        n=("m", "size"), sm=("m", "sum")
+    )
+    assert len(out) == len(exp)
+    assert out["n_customers"].sum() == len(cust)
+    for _, row in out.iterrows():
+        e = exp.loc[(row["r_score"], row["f_score"], row["m_score"])]
+        assert row["n_customers"] == e["n"] and row["sum_m_cents"] == e["sm"]
