@@ -17169,6 +17169,408 @@ FROM s GROUP BY 1, 2, 3
 QUERIES["q_rfm"] = q_rfm
 
 
+def q_partial_corr(sf_dir):
+    """Per-conversation partial correlation of text length vs elapsed
+    seconds CONTROLLING for turn index — does length still trend with
+    time once position is held fixed? All nine moment sums are exact
+    ints inside the ONE conv exchange (elapsed is µs→s floor-div so y²
+    stays int64-safe); degenerate conversations are filtered by EXACT
+    integer Cauchy–Schwarz predicates (D_xz > 0, D_zy > 0, evaluated
+    in Python big ints / HUGEINT — no float sign flips); the three
+    Pearson r's and the partial are one mirrored fixed-order float
+    expression. Convs with n < 3 are excluded."""
+    from ptrail_ray.schema import CONV_ID, TEXT, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "r_xy": pa.array([], pa.float64()),
+            "partial_r": pa.array([], pa.float64()),
+        }
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        x = pc.utf8_length(pc.fill_null(t[TEXT], "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tsv = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = (tsv - np.repeat(tsv[starts], lens)) // 1_000_000
+        z = np.arange(len(x), dtype=np.int64) - np.repeat(starts, lens)
+        nn = lens.astype(np.int64)
+
+        def rsum(a):
+            return np.add.reduceat(a, starts)
+
+        sx, sy, sz = rsum(x), rsum(y), rsum(z)
+        sxx, syy, szz = rsum(x * x), rsum(y * y), rsum(z * z)
+        sxy, sxz, szy = rsum(x * y), rsum(x * z), rsum(z * y)
+        ok = nn >= 3
+        # exact-int Cauchy–Schwarz strictness for the two controlled
+        # denominators (big-int loop — bucket-bounded conv count)
+        for i in np.flatnonzero(ok):
+            n_, a, b, c = int(nn[i]), int(sx[i]), int(sz[i]), int(sy[i])
+            vxx = n_ * int(sxx[i]) - a * a
+            vzz = n_ * int(szz[i]) - b * b
+            vyy = n_ * int(syy[i]) - c * c
+            cxz = n_ * int(sxz[i]) - a * b
+            czy = n_ * int(szy[i]) - b * c
+            if (
+                vxx <= 0
+                or vyy <= 0
+                or vzz <= 0
+                or vxx * vzz - cxz * cxz <= 0
+                or vzz * vyy - czy * czy <= 0
+            ):
+                ok[i] = False
+        if not ok.any():
+            return empty
+        idx = np.flatnonzero(ok)
+        nf = nn[idx].astype(np.float64)
+        fx, fy, fz = (
+            sx[idx].astype(np.float64),
+            sy[idx].astype(np.float64),
+            sz[idx].astype(np.float64),
+        )
+        fxx, fyy, fzz = (
+            sxx[idx].astype(np.float64),
+            syy[idx].astype(np.float64),
+            szz[idx].astype(np.float64),
+        )
+        fxy, fxz, fzy = (
+            sxy[idx].astype(np.float64),
+            sxz[idx].astype(np.float64),
+            szy[idx].astype(np.float64),
+        )
+        rxy = (nf * fxy - fx * fy) / np.sqrt(
+            (nf * fxx - fx * fx) * (nf * fyy - fy * fy)
+        )
+        rxz = (nf * fxz - fx * fz) / np.sqrt(
+            (nf * fxx - fx * fx) * (nf * fzz - fz * fz)
+        )
+        rzy = (nf * fzy - fz * fy) / np.sqrt(
+            (nf * fzz - fz * fz) * (nf * fyy - fy * fy)
+        )
+        part = (rxy - rxz * rzy) / np.sqrt(
+            (1.0 - rxz * rxz) * (1.0 - rzy * rzy)
+        )
+        cid = t[CONV_ID]
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": cid.take(pa.array(starts[idx])),
+                "n": pa.array(nn[idx], pa.int64()),
+                "r_xy": pa.array(_duckdb_round(rxy) + 0.0, pa.float64()),
+                "partial_r": pa.array(
+                    _duckdb_round(part) + 0.0, pa.float64()
+                ),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_partial_corr"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS x,
+         (epoch_us(ts) - epoch_us(min(ts) OVER (PARTITION BY conv_id)))
+           // 1000000 AS y,
+         CAST(row_number() OVER ({W}) - 1 AS BIGINT) AS z
+  FROM transcripts
+),
+m AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(z * z) AS BIGINT) AS szz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(z * y) AS BIGINT) AS szy
+  FROM v GROUP BY 1
+),
+f AS (
+  SELECT conv_id, n, sx, sy, sz, sxx, syy, szz, sxy, sxz, szy,
+         CAST(n * sxx - sx * sx AS HUGEINT) AS vxx,
+         CAST(n * syy - sy * sy AS HUGEINT) AS vyy,
+         CAST(n * szz - sz * sz AS HUGEINT) AS vzz,
+         CAST(n * sxz - sx * sz AS HUGEINT) AS cxz,
+         CAST(n * szy - sz * sy AS HUGEINT) AS czy
+  FROM m WHERE n >= 3
+),
+g AS (
+  SELECT *,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+         (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+         (CAST(n AS DOUBLE) * CAST(szy AS DOUBLE)
+          - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rzy
+  FROM f
+  WHERE vxx > 0 AND vyy > 0 AND vzz > 0
+    AND vxx * vzz - cxz * cxz > 0
+    AND vzz * vyy - czy * czy > 0
+)
+SELECT conv_id, n, round(rxy, 6) + 0.0 AS r_xy,
+       round((rxy - rxz * rzy)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 6) + 0.0
+         AS partial_r
+FROM g
+"""
+QUERIES["q_partial_corr"] = q_partial_corr
+
+
+def q_cochran_q(sf_dir):
+    """Cochran's Q test across four tool "treatments" (is a
+    conversation equally likely to invoke tool-0..tool-3?). Blocks are
+    conversations; the per-conv presence BITMASK catalog (≤16 cells)
+    comes off ONE conv exchange, so column totals C_j, ΣR and ΣR² are
+    exact ints and Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR²) is ONE
+    division (NULL when every block is all-or-nothing)."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    roles = ["tool-0", "tool-1", "tool-2", "tool-3"]
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "mask": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        mask = np.zeros(t.num_rows, np.int64)
+        tool = pc.fill_null(t[TOOL], "")
+        for j, r in enumerate(roles):
+            has = pc.equal(tool, r).to_numpy(zero_copy_only=False)
+            mask |= has.astype(np.int64) << j
+        per = np.bitwise_or.reduceat(mask, starts)
+        u, c = np.unique(per, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("mask", as_index=False)["n"]
+        .sum()
+    )
+    k = 4
+    masks = cat["mask"].to_numpy(np.int64)
+    cnts = cat["n"].to_numpy(np.int64)
+    cj = [int(cnts[(masks >> j) & 1 == 1].sum()) for j in range(k)]
+    r_per_mask = np.array(
+        [bin(int(m_)).count("1") for m_ in masks], np.int64
+    )
+    sr = int((r_per_mask * cnts).sum())
+    sr2 = int((r_per_mask * r_per_mask * cnts).sum())
+    sc2 = sum(c * c for c in cj)
+    if k * sr - sr2 == 0:  # every block all-roles or no-roles: undefined
+        q_stat = None
+    else:
+        q_stat = float(
+            _duckdb_round(
+                np.array(
+                    [
+                        float((k - 1) * (k * sc2 - sr * sr))
+                        / float(k * sr - sr2)
+                    ]
+                )
+            )[0]
+        ) + 0.0
+    return pa.table(
+        {
+            "n_convs": pa.array([int(cnts.sum())], pa.int64()),
+            "c_tool0": pa.array([cj[0]], pa.int64()),
+            "c_tool1": pa.array([cj[1]], pa.int64()),
+            "c_tool2": pa.array([cj[2]], pa.int64()),
+            "c_tool3": pa.array([cj[3]], pa.int64()),
+            "q_stat": pa.array([q_stat], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_cochran_q"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         CAST(max(CASE WHEN tool = 'tool-0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS u,
+         CAST(max(CASE WHEN tool = 'tool-1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(max(CASE WHEN tool = 'tool-2' THEN 1 ELSE 0 END) AS BIGINT)
+           AS t,
+         CAST(max(CASE WHEN tool = 'tool-3' THEN 1 ELSE 0 END) AS BIGINT)
+           AS sy
+  FROM transcripts GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(u) AS BIGINT) AS c1, CAST(sum(a) AS BIGINT) AS c2,
+         CAST(sum(t) AS BIGINT) AS c3, CAST(sum(sy) AS BIGINT) AS c4,
+         CAST(sum(u + a + t + sy) AS BIGINT) AS sr,
+         CAST(sum((u + a + t + sy) * (u + a + t + sy)) AS BIGINT) AS sr2
+  FROM per
+)
+SELECT nb AS n_convs, c1 AS c_tool0, c2 AS c_tool1, c3 AS c_tool2,
+       c4 AS c_tool3,
+       CASE WHEN 4 * sr - sr2 = 0 THEN NULL
+            ELSE round(CAST(3 * (4 * (c1 * c1 + c2 * c2 + c3 * c3
+                                      + c4 * c4)
+                                 - sr * sr) AS DOUBLE)
+                       / CAST(4 * sr - sr2 AS DOUBLE), 6) + 0.0
+       END AS q_stat
+FROM s
+"""
+QUERIES["q_cochran_q"] = q_cochran_q
+
+
+def q_gains_table(sf_dir):
+    """Decile gains / lift table for the length score against the
+    lang='en' label: value-boundary deciles (quantile_disc k/10, exact
+    ints — tie-stable, no row ntile jitter), per-decile n and
+    positives off the (value → n, n_pos) histogram partials, and the
+    cumulative capture rate walking from the TOP decile down — each a
+    fixed-order division of exact ints."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(v, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        npos = np.zeros(len(uniq), np.int64)
+        np.add.at(npos, inv, y)
+        return pa.table(
+            {
+                "v": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "np_": pa.array(npos, pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("v", as_index=False)
+        .agg(n=("n", "sum"), np_=("np_", "sum"))
+        .sort_values("v")
+    )
+    v = cat["v"].to_numpy(np.int64)
+    n = cat["n"].to_numpy(np.int64)
+    npos = cat["np_"].to_numpy(np.int64)
+    ntot = int(n.sum())
+    cum = np.cumsum(n)
+    bounds = [
+        int(v[np.searchsorted(cum, (k * ntot + 9) // 10)]) for k in range(1, 10)
+    ]
+    dec = np.ones(len(v), np.int64)
+    for b in bounds:
+        dec += (v > b).astype(np.int64)
+    g = pd.DataFrame({"decile": dec, "n": n, "npos": npos}).groupby(
+        "decile", as_index=False
+    ).sum().sort_values("decile", ascending=False)
+    cpos = np.cumsum(g["npos"].to_numpy(np.int64))
+    ptot = int(npos.sum())
+    capture = _duckdb_round(
+        cpos.astype(np.float64) / float(ptot)
+    ) + 0.0
+    rate = _duckdb_round(
+        g["npos"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "decile": pa.array(g["decile"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "n_pos": pa.array(g["npos"].to_numpy(np.int64), pa.int64()),
+            "pos_rate": pa.array(rate, pa.float64()),
+            "cum_capture": pa.array(capture, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_gains_table"] = """
+WITH b AS (
+  SELECT CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS b1,
+         CAST(quantile_disc(n_chars, 0.2) AS BIGINT) AS b2,
+         CAST(quantile_disc(n_chars, 0.3) AS BIGINT) AS b3,
+         CAST(quantile_disc(n_chars, 0.4) AS BIGINT) AS b4,
+         CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS b5,
+         CAST(quantile_disc(n_chars, 0.6) AS BIGINT) AS b6,
+         CAST(quantile_disc(n_chars, 0.7) AS BIGINT) AS b7,
+         CAST(quantile_disc(n_chars, 0.8) AS BIGINT) AS b8,
+         CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS b9
+  FROM documents
+),
+s AS (
+  SELECT 1 + (CASE WHEN n_chars > b.b1 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b3 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b4 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b5 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b6 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b7 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b8 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b9 THEN 1 ELSE 0 END) AS decile,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents, b
+),
+g AS (
+  SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM s GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS ptot FROM g)
+SELECT g.decile, g.n, g.n_pos,
+       round(CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE), 6) + 0.0
+         AS pos_rate,
+       round(CAST(sum(g.n_pos) OVER (ORDER BY g.decile DESC) AS DOUBLE)
+             / CAST(t.ptot AS DOUBLE), 6) + 0.0 AS cum_capture
+FROM g, t ORDER BY g.decile DESC
+"""
+QUERIES["q_gains_table"] = q_gains_table
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

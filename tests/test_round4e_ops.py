@@ -376,3 +376,82 @@ def test_rfm_segments(ray_session):
     for _, row in out.iterrows():
         e = exp.loc[(row["r_score"], row["f_score"], row["m_score"])]
         assert row["n_customers"] == e["n"] and row["sum_m_cents"] == e["sm"]
+
+
+def test_partial_corr_per_conv(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_partial_corr"](SF).to_pandas().set_index("conv_id")
+    tr = _transcripts_pdf()
+    checked = 0
+    for conv, g in tr.groupby("conv_id", sort=False):
+        if len(g) < 3:
+            assert conv not in out.index
+            continue
+        x = g["text"].fillna("").str.len().to_numpy(np.float64)
+        ts = g["ts"].astype("datetime64[ns]").astype(np.int64)
+        y = ((ts - ts.iloc[0]) // 10**9).to_numpy(np.float64)
+        z = np.arange(len(g), dtype=np.float64)
+        if x.std() == 0 or y.std() == 0:
+            continue
+        rxy = np.corrcoef(x, y)[0, 1]
+        rxz = np.corrcoef(x, z)[0, 1]
+        rzy = np.corrcoef(z, y)[0, 1]
+        if abs(rxz) >= 1 - 1e-12 or abs(rzy) >= 1 - 1e-12:
+            continue
+        part = (rxy - rxz * rzy) / np.sqrt((1 - rxz**2) * (1 - rzy**2))
+        assert conv in out.index
+        assert abs(out.loc[conv, "r_xy"] - rxy) < 1e-5
+        assert abs(out.loc[conv, "partial_r"] - part) < 1e-5
+        checked += 1
+    assert checked > 0
+
+
+def test_cochran_q_tools(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cochran_q"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    rows = []
+    for _, g in tr.groupby("conv_id", sort=False):
+        tools = set(g["tool"].dropna())
+        rows.append([int(f"tool-{j}" in tools) for j in range(4)])
+    x = np.array(rows, np.int64)
+    cj = x.sum(axis=0)
+    ri = x.sum(axis=1)
+    k = 4
+    denom = k * ri.sum() - (ri**2).sum()
+    assert out["n_convs"].iloc[0] == len(rows)
+    for j in range(4):
+        assert out[f"c_tool{j}"].iloc[0] == cj[j]
+    if denom == 0:
+        assert np.isnan(out["q_stat"].iloc[0])
+    else:
+        q = (k - 1) * (k * (cj**2).sum() - ri.sum() ** 2) / denom
+        assert abs(out["q_stat"].iloc[0] - q) < 1e-6
+
+
+def test_gains_table_deciles(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gains_table"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    v = docs["n_chars"].to_numpy(np.int64)
+    y = (docs["lang"] == "en").to_numpy(np.int64)
+    xs = np.sort(v)
+    n = len(xs)
+    bounds = [xs[int(np.ceil(k * n / 10)) - 1] for k in range(1, 10)]
+    dec = 1 + sum((v > b).astype(np.int64) for b in bounds)
+    assert out["n"].sum() == n
+    assert out["n_pos"].sum() == y.sum()
+    exp = pd.DataFrame({"d": dec, "y": y}).groupby("d").agg(
+        n=("y", "size"), p=("y", "sum")
+    )
+    cum = 0
+    for _, r in out.sort_values("decile", ascending=False).iterrows():
+        e = exp.loc[r["decile"]]
+        assert r["n"] == e["n"] and r["n_pos"] == e["p"]
+        cum += e["p"]
+        assert abs(r["cum_capture"] - cum / y.sum()) < 1e-6
