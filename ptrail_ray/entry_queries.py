@@ -17571,6 +17571,241 @@ FROM g, t ORDER BY g.decile DESC
 QUERIES["q_gains_table"] = q_gains_table
 
 
+def q_role_signature(sf_dir):
+    """Ordered string aggregation: the conversation's role-initial
+    signature (DuckDB string_agg(substr(role,1,1), '' ORDER BY …)
+    semantics) — the classic per-entity sequence-fingerprint op.
+    Initials come from ONE dictionary-encode (4-entry code table, no
+    per-row string slicing); per-run byte-buffer slices assemble each
+    signature inside the conv exchange. Output is row-per-conv with
+    the signature and its distinct-role count."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "sig": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_roles": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        enc = role.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        table = np.frombuffer(
+            "".join(s[0] for s in enc.dictionary.to_pylist()).encode(),
+            np.uint8,
+        )
+        initials = table[codes]
+        buf = initials.tobytes()
+        ends = (starts + lens).tolist()
+        sigs = [
+            buf[s:e].decode() for s, e in zip(starts.tolist(), ends)
+        ]
+        nroles = [
+            int(len(np.unique(codes[s:e])))
+            for s, e in zip(starts.tolist(), ends)
+        ]
+        cid = t[CONV_ID]
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": cid.take(pa.array(starts)),
+                "sig": pa.array(sigs, pa.string()),
+                "n_turns": pa.array(lens.astype(np.int64), pa.int64()),
+                "n_roles": pa.array(nroles, pa.int64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_role_signature"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id,
+       string_agg(substr(role, 1, 1), '' ORDER BY turn_idx, ts) AS sig,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+FROM transcripts GROUP BY 1
+"""
+QUERIES["q_role_signature"] = q_role_signature
+
+
+def q_nth_value(sf_dir):
+    """nth_value / last_value window gathers: per conversation the
+    first, second, last and second-to-last text lengths (NULL when the
+    conversation is shorter than the offset — exact SQL nth_value
+    semantics). Pure index arithmetic on run starts/ends inside the
+    conv exchange; zero scans beyond the one pass."""
+    from ptrail_ray.schema import CONV_ID, TEXT
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "m1_first": pa.array([], pa.int64()),
+                "m1_second": pa.array([], pa.int64()),
+                "m1_penult": pa.array([], pa.int64()),
+                "m1_last": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        m1 = pc.utf8_length(pc.fill_null(t[TEXT], "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ends = starts + lens - 1
+        has2 = lens >= 2
+        second = np.where(has2, m1[np.minimum(starts + 1, ends)], 0)
+        penult = np.where(has2, m1[np.maximum(ends - 1, starts)], 0)
+        cid = t[CONV_ID]
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        return pa.table(
+            {
+                "conv_id": cid.take(pa.array(starts)),
+                "m1_first": pa.array(m1[starts], pa.int64()),
+                "m1_second": pa.array(
+                    second, pa.int64(), mask=~has2
+                ),
+                "m1_penult": pa.array(
+                    penult, pa.int64(), mask=~has2
+                ),
+                "m1_last": pa.array(m1[ends], pa.int64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_nth_value"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1,
+         row_number() OVER ({W}) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM transcripts
+)
+SELECT conv_id,
+       max(CASE WHEN rn = 1 THEN m1 END) AS m1_first,
+       max(CASE WHEN rn = 2 THEN m1 END) AS m1_second,
+       max(CASE WHEN rn = cnt - 1 AND cnt >= 2 THEN m1 END) AS m1_penult,
+       max(CASE WHEN rn = cnt THEN m1 END) AS m1_last
+FROM v GROUP BY 1
+"""
+QUERIES["q_nth_value"] = q_nth_value
+
+
+def q_theil_u(sf_dir):
+    """Theil's U2 accuracy of the naive lag-1 forecast on the
+    zero-filled daily count grid, per event type:
+    U2 = √(Σ(y_t−y_{t−1})² / Σy_{t−1}²) — both sums exact ints off the
+    q_durbin_watson partials (no shuffle), ONE sqrt-of-ratio float.
+    U2 < 1 ⇔ the naive forecast beats predicting zero."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        num = int((np.diff(y) ** 2).sum())
+        den = int((y[:-1] ** 2).sum())
+        u2 = float(
+            _duckdb_round(np.array([np.sqrt(float(num) / float(den))]))[0]
+        )
+        rows.append((et, num, den, u2 + 0.0))
+    out = pd.DataFrame(rows, columns=["event_type", "num", "den", "u2"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "num": pa.array(out["num"].to_numpy(np.int64), pa.int64()),
+            "den": pa.array(out["den"].to_numpy(np.int64), pa.int64()),
+            "u2": pa.array(out["u2"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_theil_u"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type, grid.d, coalesce(cnt.x, 0) AS y
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+dd AS (
+  SELECT event_type, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY d) AS py
+  FROM ser
+),
+s AS (
+  SELECT event_type,
+         CAST(sum((y - py) * (y - py)) AS BIGINT) AS num,
+         CAST(sum(py * py) AS BIGINT) AS den
+  FROM dd WHERE py IS NOT NULL GROUP BY 1
+)
+SELECT event_type, num, den,
+       round(sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6) + 0.0 AS u2
+FROM s ORDER BY 1
+"""
+QUERIES["q_theil_u"] = q_theil_u
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -455,3 +455,48 @@ def test_gains_table_deciles(ray_session):
         assert r["n"] == e["n"] and r["n_pos"] == e["p"]
         cum += e["p"]
         assert abs(r["cum_capture"] - cum / y.sum()) < 1e-6
+
+
+def test_role_signature_strings(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_role_signature"](SF).to_pandas().set_index("conv_id")
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id", sort=False):
+        sig = "".join(r[0] for r in g["role"])
+        assert out.loc[conv, "sig"] == sig
+        assert out.loc[conv, "n_turns"] == len(g)
+        assert out.loc[conv, "n_roles"] == g["role"].nunique()
+
+
+def test_nth_value_gathers(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_nth_value"](SF).to_pandas().set_index("conv_id")
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id", sort=False):
+        m1 = g["text"].fillna("").str.len().tolist()
+        r = out.loc[conv]
+        assert r["m1_first"] == m1[0] and r["m1_last"] == m1[-1]
+        if len(m1) >= 2:
+            assert r["m1_second"] == m1[1] and r["m1_penult"] == m1[-2]
+        else:
+            assert pd.isna(r["m1_second"]) and pd.isna(r["m1_penult"])
+
+
+def test_theil_u2_naive_forecast(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_theil_u"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    dmin, dmax = ev["d"].min(), ev["d"].max()
+    n = dmax - dmin + 1
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.float64)
+        u, c = np.unique(g["d"].to_numpy(), return_counts=True)
+        y[u - dmin] = c
+        u2 = np.sqrt((np.diff(y) ** 2).sum() / (y[:-1] ** 2).sum())
+        assert abs(out.loc[et, "u2"] - u2) < 1e-6
