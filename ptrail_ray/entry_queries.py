@@ -17806,6 +17806,274 @@ FROM s ORDER BY 1
 QUERIES["q_theil_u"] = q_theil_u
 
 
+SEQ_PATTERNS = [
+    ("tool_sandwich", "u[t]+a"),  # user → tool call(s) → assistant
+    ("double_user", "uu"),  # consecutive user turns
+    ("system_open", "^s"),  # system-opened conversation
+    ("assistant_close", "a$"),  # assistant has the last word
+]
+
+
+def q_seq_match(sf_dir):
+    """MATCH_RECOGNIZE-lite: count conversations whose role-initial
+    signature matches each of four RE2 sequence patterns (tool
+    sandwich, double-user, system-open, assistant-close). Signatures
+    are built once per bucket (q_role_signature kernel); each pattern
+    is ONE vectorized pc.match_substring_regex over the per-conv
+    signature column — Arrow and DuckDB both run RE2, so the oracle
+    replays identical semantics. Output is the 4-row pattern catalog."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pattern": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_convs": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        enc = role.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        table = np.frombuffer(
+            "".join(s[0] for s in enc.dictionary.to_pylist()).encode(),
+            np.uint8,
+        )
+        buf = table[codes].tobytes()
+        sigs = pa.array(
+            [buf[s : s + l].decode() for s, l in zip(starts, lens)],
+            pa.string(),
+        )
+        names, counts = [], []
+        for name, pat in SEQ_PATTERNS:
+            m = pc.match_substring_regex(sigs, pat)
+            names.append(name)
+            counts.append(int(pc.sum(m).as_py() or 0))
+        return pa.table(
+            {
+                "pattern": pa.array(names, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "n_convs": pa.array([len(sigs)] * len(names), pa.int64()),
+            }
+        )
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    g = parts.groupby("pattern", as_index=False).agg(
+        n=("n", "sum"), n_convs=("n_convs", "sum")
+    )
+    return pa.table(
+        {
+            "pattern": pa.array(g["pattern"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "n_convs": pa.array(g["n_convs"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_seq_match"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+sig AS (
+  SELECT conv_id,
+         string_agg(substr(role, 1, 1), '' ORDER BY turn_idx, ts) AS s
+  FROM transcripts GROUP BY 1
+),
+pat(pattern, re) AS (VALUES
+  ('tool_sandwich', 'u[t]+a'), ('double_user', 'uu'),
+  ('system_open', '^s'), ('assistant_close', 'a$')
+)
+SELECT pat.pattern,
+       CAST(sum(CASE WHEN regexp_matches(sig.s, pat.re)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM pat CROSS JOIN sig
+GROUP BY 1
+"""
+QUERIES["q_seq_match"] = q_seq_match
+
+
+def q_time_to_k_tools(sf_dir):
+    """Time (seconds) from conversation start until the k-th DISTINCT
+    tool is first invoked (k = 3) — a funnel-depth latency. Inside the
+    conv exchange, first-appearance ranks come from one pandas
+    drop-duplicates over (conv, tool) in turn order; output is
+    row-per-conv that reaches depth 3, with the exact integer latency
+    (µs floor-div) — so the whole result is int/string, ZERO floats."""
+    from ptrail_ray.schema import CONV_ID, TOOL, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    K = 3
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "k_tool": pa.array([], pa.string()),
+                "latency_s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t0 = np.repeat(ts[starts], lens)
+        cid = t[CONV_ID].to_pandas()
+        tool = t[TOOL].to_pandas()
+        df = pd.DataFrame(
+            {"conv_id": cid, "tool": tool, "lat": (ts - t0) // 1_000_000}
+        )
+        df = df[df["tool"].notna()]
+        firsts = df.drop_duplicates(["conv_id", "tool"], keep="first")
+        kth = firsts.groupby("conv_id", sort=False).nth(K - 1)
+        if len(kth) == 0:
+            return empty
+        return pa.table(
+            {
+                "conv_id": pa.array(kth["conv_id"].tolist(), pa.string()),
+                "k_tool": pa.array(kth["tool"].tolist(), pa.string()),
+                "latency_s": pa.array(
+                    kth["lat"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_time_to_k_tools"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+t0 AS (SELECT conv_id, min(ts) AS t0 FROM transcripts GROUP BY 1),
+tt AS (
+  SELECT conv_id, tool, ts,
+         row_number() OVER ({W}) AS rn0,
+         row_number() OVER (PARTITION BY conv_id, tool
+                            ORDER BY turn_idx, ts) AS occ
+  FROM transcripts WHERE tool IS NOT NULL
+),
+firsts AS (
+  SELECT conv_id, tool, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY rn0) AS k
+  FROM tt WHERE occ = 1
+)
+SELECT f.conv_id, f.tool AS k_tool,
+       (epoch_us(f.ts) - epoch_us(t0.t0)) // 1000000 AS latency_s
+FROM firsts f JOIN t0 ON f.conv_id = t0.conv_id
+WHERE f.k = 3
+"""
+QUERIES["q_time_to_k_tools"] = q_time_to_k_tools
+
+
+def q_tool_gap_stats(sf_dir):
+    """Per-tool latency profile of consecutive tool invocations inside
+    a conversation, grouped by the LATER turn's tool: n, min, max, and
+    the discrete median gap (quantile_disc semantics). Gap extraction
+    is the q_reach_hops consecutive-tool-pair scan; the (tool × gap)
+    count catalog makes the median a cumsum/searchsorted pick — the
+    whole result is int/string, ZERO floats."""
+    from ptrail_ray.schema import CONV_ID, TOOL, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tool": pa.array([], pa.string()),
+                "gap": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        idx = np.flatnonzero(valid)
+        if len(idx) < 2:
+            return empty
+        a_i, b_i = idx[:-1], idx[1:]
+        same = rid[a_i] == rid[b_i]
+        a_i, b_i = a_i[same], b_i[same]
+        if len(a_i) == 0:
+            return empty
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        gap = (ts[b_i] - ts[a_i]) // 1_000_000
+        tool = t[TOOL].to_pandas()
+        g = pd.DataFrame(
+            {"tool": tool.iloc[b_i].to_numpy(), "gap": gap}
+        ).groupby(["tool", "gap"], as_index=False).size()
+        return pa.table(
+            {
+                "tool": pa.array(g["tool"].tolist(), pa.string()),
+                "gap": pa.array(g["gap"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["tool", "gap"], as_index=False)["n"]
+        .sum()
+        .sort_values(["tool", "gap"])
+    )
+    rows = []
+    for tool, g in cat.groupby("tool", sort=True):
+        v = g["gap"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        rows.append((tool, n, int(v[0]), int(v[-1]), med))
+    out = pd.DataFrame(
+        rows, columns=["tool", "n", "gap_min", "gap_max", "gap_med"]
+    )
+    return pa.table(
+        {
+            "tool": pa.array(out["tool"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "gap_min": pa.array(out["gap_min"].to_numpy(np.int64), pa.int64()),
+            "gap_max": pa.array(out["gap_max"].to_numpy(np.int64), pa.int64()),
+            "gap_med": pa.array(out["gap_med"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tool_gap_stats"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+tt AS (
+  SELECT conv_id, tool, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+p AS (
+  SELECT b.tool,
+         (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap
+  FROM tt a JOIN tt b
+    ON a.conv_id = b.conv_id AND b.rn = a.rn + 1
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(gap) AS BIGINT) AS gap_min,
+       CAST(max(gap) AS BIGINT) AS gap_max,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS gap_med
+FROM p GROUP BY 1
+"""
+QUERIES["q_tool_gap_stats"] = q_tool_gap_stats
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

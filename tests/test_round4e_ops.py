@@ -500,3 +500,63 @@ def test_theil_u2_naive_forecast(ray_session):
         y[u - dmin] = c
         u2 = np.sqrt((np.diff(y) ** 2).sum() / (y[:-1] ** 2).sum())
         assert abs(out.loc[et, "u2"] - u2) < 1e-6
+
+
+def test_seq_match_patterns(ray_session):
+    import re
+
+    from ptrail_ray.entry_queries import QUERIES, SEQ_PATTERNS
+
+    out = QUERIES["q_seq_match"](SF).to_pandas().set_index("pattern")
+    tr = _transcripts_pdf()
+    sigs = [
+        "".join(r[0] for r in g["role"])
+        for _, g in tr.groupby("conv_id", sort=False)
+    ]
+    for name, pat in SEQ_PATTERNS:
+        exp = sum(1 for s in sigs if re.search(pat, s))
+        assert out.loc[name, "n"] == exp
+        assert out.loc[name, "n_convs"] == len(sigs)
+
+
+def test_time_to_k_tools(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_time_to_k_tools"](SF).to_pandas().set_index("conv_id")
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id", sort=False):
+        t0 = g["ts"].iloc[0]
+        seen, kth = [], None
+        for _, row in g.iterrows():
+            if pd.notna(row["tool"]) and row["tool"] not in seen:
+                seen.append(row["tool"])
+                if len(seen) == 3:
+                    kth = row
+                    break
+        if kth is None:
+            assert conv not in out.index
+        else:
+            assert out.loc[conv, "k_tool"] == kth["tool"]
+            lat = int((kth["ts"] - t0).value // 10**9)
+            assert out.loc[conv, "latency_s"] == lat
+
+
+def test_tool_gap_stats(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_gap_stats"](SF).to_pandas().set_index("tool")
+    tr = _transcripts_pdf()
+    gaps: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        tg = g[g["tool"].notna()]
+        for (_, a), (_, b) in zip(tg.iterrows(), tg.iloc[1:].iterrows()):
+            gaps.setdefault(b["tool"], []).append(
+                int((b["ts"] - a["ts"]).value // 10**9)
+            )
+    for tool, gs in gaps.items():
+        gs = sorted(gs)
+        r = out.loc[tool]
+        assert r["n"] == len(gs)
+        assert r["gap_min"] == gs[0] and r["gap_max"] == gs[-1]
+        assert r["gap_med"] == gs[int(np.ceil(len(gs) / 2)) - 1]
+    assert set(out.index) == set(gaps)
