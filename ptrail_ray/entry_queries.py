@@ -18074,6 +18074,293 @@ FROM p GROUP BY 1
 QUERIES["q_tool_gap_stats"] = q_tool_gap_stats
 
 
+BOOT_B = 20
+# Poisson(1) CDF ladder for inverse-transform sampling (w capped at 5)
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def q_poisson_bootstrap(sf_dir):
+    """Deterministic Poisson bootstrap of the mean doc length — THE
+    distributed bootstrap (each row's replicate weight is
+    Poisson(1)-distributed, drawn by inverse-CDF from the SAME
+    md5(doc_id|b) u60 hash construction as sample_by_hash, so every
+    engine/layout reproduces the identical resamples). Per-replicate
+    (Σw, Σw·x) are exact-int partials (zero shuffle, B=20 rows per
+    batch); replicate means are 1e12-quantized so the bootstrap SE is
+    computed from two exact big-int moments (HUGEINT on the SQL side)
+    in ONE fixed-order expression."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.dedup import _md5_u60
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    scale = float(1 << 60)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bs, sws, swxs = [], [], []
+        for b in range(1, BOOT_B + 1):
+            u = (
+                np.fromiter(
+                    (_md5_u60(f"{i}|{b}") for i in ids),
+                    dtype=np.uint64,
+                    count=len(ids),
+                ).astype(np.float64)
+                / scale
+            )
+            w = np.searchsorted(np.array(_POIS_CDF), u, side="right").astype(
+                np.int64
+            )
+            bs.append(b)
+            sws.append(int(w.sum()))
+            swxs.append(int((w * x).sum()))
+        return pa.table(
+            {
+                "b": pa.array(bs, pa.int64()),
+                "sw": pa.array(sws, pa.int64()),
+                "swx": pa.array(swxs, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+    )
+    q = np.round(
+        1e12
+        * (
+            parts["swx"].to_numpy(np.int64).astype(np.float64)
+            / parts["sw"].to_numpy(np.int64).astype(np.float64)
+        )
+    ).astype(np.int64)
+    sq = int(q.sum())
+    sq2 = sum(int(v) * int(v) for v in q)  # big-int (q² > int64)
+    bb = BOOT_B
+    boot_mean = float(
+        _duckdb_round(np.array([float(sq) / (float(bb) * 1e12)]))[0]
+    )
+    boot_se = float(
+        _duckdb_round(
+            np.array(
+                [
+                    np.sqrt(
+                        float(bb * sq2 - sq * sq)
+                        / (float(bb) * (float(bb) - 1.0))
+                    )
+                    / 1e12
+                ]
+            )
+        )[0]
+    )
+    return pa.table(
+        {
+            "n_reps": pa.array([bb], pa.int64()),
+            "boot_mean": pa.array([boot_mean + 0.0], pa.float64()),
+            "boot_se": pa.array([boot_se + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_poisson_bootstrap"] = f"""
+WITH reps AS (
+  SELECT unnest(generate_series(1, {BOOT_B})) AS b
+),
+w AS (
+  SELECT r.b,
+         CASE
+           WHEN u < {_POIS_CDF[0]!r} THEN 0
+           WHEN u < {_POIS_CDF[1]!r} THEN 1
+           WHEN u < {_POIS_CDF[2]!r} THEN 2
+           WHEN u < {_POIS_CDF[3]!r} THEN 3
+           WHEN u < {_POIS_CDF[4]!r} THEN 4
+           ELSE 5
+         END AS w,
+         d.n_chars AS x
+  FROM reps r CROSS JOIN (
+    SELECT doc_id, n_chars FROM documents
+  ) d,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|'
+                                    || CAST(r.b AS VARCHAR)), 1, 15))
+                AS UBIGINT) AS h
+  ) hh,
+  LATERAL (
+    SELECT CAST(hh.h AS DOUBLE) / 1152921504606846976.0 AS u
+  ) uu
+),
+m AS (
+  SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * x) AS BIGINT) AS swx
+  FROM w GROUP BY 1
+),
+qv AS (
+  SELECT b, CAST(round(1000000000000.0 *
+             (CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE))) AS BIGINT) AS q
+  FROM m
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS bb,
+         CAST(sum(q) AS HUGEINT) AS sq,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq2
+  FROM qv
+)
+SELECT bb AS n_reps,
+       round(CAST(sq AS DOUBLE) / (CAST(bb AS DOUBLE)
+             * 1000000000000.0), 6) + 0.0 AS boot_mean,
+       round(sqrt(CAST(bb * sq2 - sq * sq AS DOUBLE)
+                  / (CAST(bb AS DOUBLE) * (CAST(bb AS DOUBLE) - 1.0)))
+             / 1000000000000.0, 6) + 0.0 AS boot_se
+FROM s
+"""
+QUERIES["q_poisson_bootstrap"] = q_poisson_bootstrap
+
+
+def q_late_events(sf_dir):
+    """Watermark / out-of-order census: an event is LATE when its ts
+    precedes the running max ts of earlier events (by event_id) of the
+    same user — the streaming-ingestion health check. ONE user-keyed
+    exchange (grouped_agg_by_bucket) sorts each user by event_id and
+    takes a shifted cumulative-max; output is the per-event-type
+    (n, n_late) census — all exact ints."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"])
+        ts = df["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()
+        uid = df["user_id"].to_numpy()
+        newu = np.ones(len(df), bool)
+        newu[1:] = uid[1:] != uid[:-1]
+        run = np.cumsum(newu) - 1
+        # segmented running max, shifted by one (first event never late)
+        segmax = pd.Series(ts).groupby(run).cummax().to_numpy(np.int64)
+        prev = np.empty(len(ts), np.int64)
+        prev[1:] = segmax[:-1]
+        prev[newu] = np.iinfo(np.int64).min
+        late = ts < prev
+        return pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "late": late}
+        ).groupby("event_type", as_index=False).agg(
+            n=("late", "size"), n_late=("late", "sum")
+        )
+
+    parts = grouped_agg_by_bucket(
+        ds, "user_id", per_user, num_buckets=32
+    ).to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum().sort_values(
+        "event_type"
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "n_late": pa.array(g["n_late"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_late_events"] = """
+WITH v AS (
+  SELECT event_type, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mx
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ts < mx THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM v GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_late_events"] = q_late_events
+
+
+def q_dow_hour_heatmap(sf_dir):
+    """Traffic heatmap census: event counts per (ISO weekday × hour of
+    day) with each cell's share of the total — the 168-cell calendar
+    profile every ops dashboard starts from. Pure zero-shuffle count
+    partials (catalog bounded at 168); shares are one division each."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // 86_400_000_000
+        dow = ((day % 7) + 3) % 7 + 1
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        key = dow * 24 + hour
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("key", as_index=False)["n"]
+        .sum()
+        .sort_values("key")
+    )
+    key = cat["key"].to_numpy(np.int64)
+    n = cat["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    share = _duckdb_round(n.astype(np.float64) / float(total)) + 0.0
+    return pa.table(
+        {
+            "isodow": pa.array(key // 24, pa.int64()),
+            "hour": pa.array(key % 24, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_dow_hour_heatmap"] = """
+WITH c AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT c.isodow, c.hour, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM c, t ORDER BY 1, 2
+"""
+QUERIES["q_dow_hour_heatmap"] = q_dow_hour_heatmap
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

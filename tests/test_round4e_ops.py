@@ -560,3 +560,67 @@ def test_tool_gap_stats(ray_session):
         assert r["gap_min"] == gs[0] and r["gap_max"] == gs[-1]
         assert r["gap_med"] == gs[int(np.ceil(len(gs) / 2)) - 1]
     assert set(out.index) == set(gaps)
+
+
+def test_poisson_bootstrap_deterministic(ray_session):
+    from ptrail_ray.entry_queries import (
+        _POIS_CDF,
+        BOOT_B,
+        QUERIES,
+    )
+    from ptrail_ray.functions.dedup import _md5_u60
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_poisson_bootstrap"](SF).to_pandas()
+    out2 = QUERIES["q_poisson_bootstrap"](SF).to_pandas()
+    assert out.equals(out2)  # byte-deterministic across runs
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    x = docs["n_chars"].to_numpy(np.float64)
+    means = []
+    for b in range(1, BOOT_B + 1):
+        u = np.array(
+            [_md5_u60(f"{i}|{b}") / float(1 << 60) for i in docs["doc_id"]]
+        )
+        w = np.searchsorted(np.array(_POIS_CDF), u, side="right")
+        means.append((w * x).sum() / w.sum())
+    means = np.array(means)
+    assert abs(out["boot_mean"].iloc[0] - means.mean()) < 1e-5
+    assert abs(out["boot_se"].iloc[0] - means.std(ddof=1)) < 1e-5
+    # sanity: SE of the mean should be near s/sqrt(n)
+    approx = x.std(ddof=1) / np.sqrt(len(x))
+    assert 0.2 * approx < out["boot_se"].iloc[0] < 5 * approx
+
+
+def test_late_events_watermark(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_late_events"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf().sort_values(["user_id", "event_id"])
+    late_by_type: dict = {}
+    n_by_type: dict = {}
+    for _, g in ev.groupby("user_id"):
+        mx = None
+        for _, r in g.iterrows():
+            n_by_type[r["event_type"]] = n_by_type.get(r["event_type"], 0) + 1
+            if mx is not None and r["ts"] < mx:
+                late_by_type[r["event_type"]] = (
+                    late_by_type.get(r["event_type"], 0) + 1
+                )
+            mx = r["ts"] if mx is None else max(mx, r["ts"])
+    for et in n_by_type:
+        assert out.loc[et, "n"] == n_by_type[et]
+        assert out.loc[et, "n_late"] == late_by_type.get(et, 0)
+
+
+def test_dow_hour_heatmap(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dow_hour_heatmap"](SF).to_pandas()
+    ev = _events_pdf()
+    dow = ev["ts"].dt.dayofweek + 1  # pandas Monday=0 → ISO Monday=1
+    hour = ev["ts"].dt.hour
+    exp = pd.DataFrame({"d": dow, "h": hour}).groupby(["d", "h"]).size()
+    assert out["n"].sum() == len(ev)
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    for _, r in out.iterrows():
+        assert exp.loc[(r["isodow"], r["hour"])] == r["n"]
