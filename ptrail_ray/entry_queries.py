@@ -18361,6 +18361,228 @@ FROM c, t ORDER BY 1, 2
 QUERIES["q_dow_hour_heatmap"] = q_dow_hour_heatmap
 
 
+def q_avg_precision(sf_dir):
+    """Average precision of assistant turns per conversation (ranked
+    retrieval AP with assistant = relevant): at each hit position,
+    precision = cum_hits/rank; AP is their mean. Segmented cumsum +
+    rank arithmetic run vectorized inside the ONE conv exchange; each
+    precision term is ONE division quantized at 1e12, so per-conv sums
+    are exact ints and AP is one final division. Row-per-conv output
+    (convs with ≥1 assistant turn)."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_hits": pa.array([], pa.int64()),
+            "ap": pa.array([], pa.float64()),
+        }
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        hit = pc.equal(t[ROLE], "assistant").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rn = (
+            np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        )
+        c = np.cumsum(hit)
+        offset = np.repeat(c[starts] - hit[starts], lens)
+        cum = c - offset
+        at = np.flatnonzero(hit == 1)
+        if len(at) == 0:
+            return empty
+        q = np.round(
+            1e12 * (cum[at].astype(np.float64) / rn[at].astype(np.float64))
+        ).astype(np.int64)
+        cid = t[CONV_ID].to_pandas()
+        g = pd.DataFrame(
+            {"conv_id": cid.iloc[at].to_numpy(), "q": q}
+        ).groupby("conv_id", as_index=False).agg(
+            n_hits=("q", "size"), s=("q", "sum")
+        )
+        ap = _duckdb_round(
+            g["s"].to_numpy(np.float64)
+            / 1e12
+            / g["n_hits"].to_numpy(np.float64)
+        ) + 0.0
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+                "n_hits": pa.array(g["n_hits"].to_numpy(np.int64), pa.int64()),
+                "ap": pa.array(ap, pa.float64()),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_avg_precision"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS hit,
+         row_number() OVER ({W}) AS rn,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+           OVER ({WF}) AS cum
+  FROM transcripts
+),
+h AS (
+  SELECT conv_id,
+         CAST(round(1000000000000.0
+              * (CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE))) AS BIGINT) AS q
+  FROM v WHERE hit = 1
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_hits,
+       round(CAST(sum(q) AS DOUBLE) / 1000000000000.0
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS ap
+FROM h GROUP BY 1
+"""
+QUERIES["q_avg_precision"] = q_avg_precision
+
+
+def q_mad_by_source(sf_dir):
+    """Per-source median absolute deviation with DISCRETE medians
+    (quantile_disc ceil(n/2)−1 convention at both levels) — the robust
+    scale estimate with ZERO float arithmetic end to end. Both the
+    median and the MAD come off the same (source × value) count
+    catalog: the deviation catalog is a relabel+merge of the value
+    catalog, no second data pass."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["source", "v"])
+    )
+    rows = []
+    for src, g in cat.groupby("source", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        dev = pd.DataFrame({"z": np.abs(v - med), "c": c}).groupby(
+            "z", as_index=False
+        )["c"].sum().sort_values("z")
+        zc = np.cumsum(dev["c"].to_numpy(np.int64))
+        mad = int(dev["z"].to_numpy(np.int64)[np.searchsorted(zc, (n + 1) // 2)])
+        rows.append((src, n, med, mad))
+    out = pd.DataFrame(rows, columns=["source", "n", "med", "mad"])
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "med": pa.array(out["med"].to_numpy(np.int64), pa.int64()),
+            "mad": pa.array(out["mad"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_mad_by_source"] = """
+WITH med AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+  FROM documents GROUP BY 1
+)
+SELECT d.source, any_value(m.n) AS n, any_value(m.med) AS med,
+       CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad
+FROM documents d JOIN med m ON d.source = m.source
+GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_mad_by_source"] = q_mad_by_source
+
+
+def q_locf(sf_dir):
+    """Last-observation-carried-forward fill of the sparse tool column
+    within each conversation (SQL last_value(tool IGNORE NULLS)
+    semantics) — the canonical sparse-state forward-fill. A segmented
+    cummax over observed positions inside the conv exchange resolves
+    every row's most recent non-null index in one vectorized pass;
+    rows before a conversation's first tool stay NULL. Row-level
+    output (turn grain)."""
+    from ptrail_ray.schema import CONV_ID, TOOL, TURN_IDX
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "tool_filled": pa.array([], pa.string()),
+                }
+            )
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        obs = np.where(valid, pos, np.int64(-1))
+        run = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        f = pd.Series(obs).groupby(run).cummax().to_numpy(np.int64)
+        tool = t[TOOL]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        filled = tool.take(pa.array(np.maximum(f, 0)))
+        filled = pa.array(
+            np.where(f >= 0, filled.to_pandas().to_numpy(object), None),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "conv_id": t[CONV_ID],
+                "turn_idx": t[TURN_IDX],
+                "tool_filled": filled,
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_locf"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       last_value(tool IGNORE NULLS) OVER ({WF}) AS tool_filled
+FROM transcripts
+"""
+QUERIES["q_locf"] = q_locf
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

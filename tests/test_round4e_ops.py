@@ -624,3 +624,51 @@ def test_dow_hour_heatmap(ray_session):
     assert abs(out["share"].sum() - 1.0) < 1e-4
     for _, r in out.iterrows():
         assert exp.loc[(r["isodow"], r["hour"])] == r["n"]
+
+
+def test_avg_precision_per_conv(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_avg_precision"](SF).to_pandas().set_index("conv_id")
+    tr = _transcripts_pdf()
+    for conv, g in tr.groupby("conv_id", sort=False):
+        hits = (g["role"] == "assistant").to_numpy()
+        if not hits.any():
+            assert conv not in out.index
+            continue
+        cum = np.cumsum(hits)
+        terms = cum[hits] / (np.flatnonzero(hits) + 1)
+        ap = terms.mean()
+        assert out.loc[conv, "n_hits"] == hits.sum()
+        assert abs(out.loc[conv, "ap"] - ap) < 1e-6
+        assert 0.0 < out.loc[conv, "ap"] <= 1.0
+
+
+def test_mad_by_source_all_int(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mad_by_source"](SF).to_pandas().set_index("source")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        x = np.sort(g["n_chars"].to_numpy(np.int64))
+        med = x[int(np.ceil(len(x) / 2)) - 1]
+        z = np.sort(np.abs(g["n_chars"].to_numpy(np.int64) - med))
+        mad = z[int(np.ceil(len(z) / 2)) - 1]
+        assert out.loc[src, "med"] == med and out.loc[src, "mad"] == mad
+
+
+def test_locf_forward_fill(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_locf"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    exp = tr.groupby("conv_id", sort=False)["tool"].ffill()
+    merged = tr[["conv_id", "turn_idx"]].assign(exp=exp.to_numpy()).merge(
+        out, on=["conv_id", "turn_idx"]
+    )
+    assert len(merged) == len(tr)
+    a = merged["exp"].fillna("<null>")
+    b = merged["tool_filled"].fillna("<null>")
+    assert (a == b).all()
