@@ -18583,6 +18583,315 @@ FROM transcripts
 QUERIES["q_locf"] = q_locf
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_audience_overlap(sf_dir):
+    """Audience-overlap matrix: user-set Jaccard for every unordered
+    pair of event types (do clickers also purchase?). Per-user type
+    BITMASKS fold to a ≤32-cell catalog inside ONE user-keyed exchange
+    (grouped_agg_by_bucket — the driver never sees per-user rows);
+    |A|, |B| and |A∩B| are exact-int mask sums and each Jaccard is ONE
+    division."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    tindex = {t: j for j, t in enumerate(EVENT_TYPES)}
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        bits = df["event_type"].map(tindex).to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"u": df["user_id"].to_numpy(), "m": np.int64(1) << bits}
+        ).groupby("u")["m"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        u, c = np.unique(g.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"mask": u, "n": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("mask", as_index=False)["n"]
+        .sum()
+    )
+    masks = cat["mask"].to_numpy(np.int64)
+    cnts = cat["n"].to_numpy(np.int64)
+    rows = []
+    for i in range(len(EVENT_TYPES)):
+        for j in range(i + 1, len(EVENT_TYPES)):
+            na = int(cnts[(masks >> i) & 1 == 1].sum())
+            nb = int(cnts[(masks >> j) & 1 == 1].sum())
+            inter = int(
+                cnts[((masks >> i) & 1 == 1) & ((masks >> j) & 1 == 1)].sum()
+            )
+            union = na + nb - inter
+            jac = float(
+                _duckdb_round(np.array([float(inter) / float(union)]))[0]
+            )
+            rows.append(
+                (EVENT_TYPES[i], EVENT_TYPES[j], na, nb, inter, jac + 0.0)
+            )
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_a", "n_b", "n_both", "jaccard"]
+    )
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"].tolist(), pa.string()),
+            "type_b": pa.array(out["type_b"].tolist(), pa.string()),
+            "n_a": pa.array(out["n_a"].to_numpy(np.int64), pa.int64()),
+            "n_b": pa.array(out["n_b"].to_numpy(np.int64), pa.int64()),
+            "n_both": pa.array(out["n_both"].to_numpy(np.int64), pa.int64()),
+            "jaccard": pa.array(
+                out["jaccard"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def _audience_overlap_sql() -> str:
+    flags = ",\n         ".join(
+        f"CAST(max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS f{j}"
+        for j, t in enumerate(EVENT_TYPES)
+    )
+    selects = []
+    for i in range(len(EVENT_TYPES)):
+        for j in range(i + 1, len(EVENT_TYPES)):
+            selects.append(
+                f"""SELECT '{EVENT_TYPES[i]}' AS type_a,
+       '{EVENT_TYPES[j]}' AS type_b,
+       CAST(sum(f{i}) AS BIGINT) AS n_a,
+       CAST(sum(f{j}) AS BIGINT) AS n_b,
+       CAST(sum(f{i} * f{j}) AS BIGINT) AS n_both,
+       round(CAST(sum(f{i} * f{j}) AS DOUBLE)
+             / CAST(sum(f{i}) + sum(f{j}) - sum(f{i} * f{j}) AS DOUBLE),
+             6) + 0.0 AS jaccard
+FROM u"""
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""WITH u AS (
+  SELECT user_id,
+         {flags}
+  FROM events GROUP BY 1
+)
+{body}
+"""
+
+
+ORACLE_SQL["q_audience_overlap"] = _audience_overlap_sql()
+QUERIES["q_audience_overlap"] = q_audience_overlap
+
+
+ACF_MAX_LAG = 7
+
+
+def q_acf_table(sf_dir):
+    """Autocorrelation function of total daily traffic at lags 1..7 —
+    the weekly-memory profile. Uses the q_jarque_bera shift trick:
+    a_t = y_t − μ0 around the integer floor-mean keeps every lagged
+    product Σa_t·a_{t+k}, head/tail sums and Σa² exact ints; each r_k
+    is one operand-mirrored IEEE expression. Daily counts are
+    zero-filled exact-int partials (no shuffle)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "y": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["y"]
+        .sum()
+    )
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.int64)
+    y[cnt["d"].to_numpy(np.int64) - dmin] = cnt["y"].to_numpy(np.int64)
+    s = int(y.sum())
+    mu0 = s // n
+    a = y - mu0
+    e = s - n * mu0
+    qsum = int((a * a).sum())
+    nf, ef = float(n), float(e)
+    den = float(qsum) - nf * (ef / nf) * (ef / nf)
+    rows = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        p = int((a[:-k] * a[k:]).sum())
+        h = int(a[:-k].sum())
+        tl = int(a[k:].sum())
+        num = (
+            float(p)
+            - (ef / nf) * (float(h) + float(tl))
+            + (nf - float(k)) * (ef / nf) * (ef / nf)
+        )
+        rows.append((k, p, float(_duckdb_round(np.array([num / den]))[0])))
+    out = pd.DataFrame(rows, columns=["lag", "p", "r"])
+    return pa.table(
+        {
+            "lag": pa.array(out["lag"].to_numpy(np.int64), pa.int64()),
+            "p": pa.array(out["p"].to_numpy(np.int64), pa.int64()),
+            "r": pa.array(out["r"].to_numpy(np.float64) + 0.0, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_acf_table"] = (
+    """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                (SELECT dmax FROM lim))) AS d
+),
+cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM b GROUP BY 1),
+ser0 AS (
+  SELECT grid.d, coalesce(cnt.y, 0) AS y
+  FROM grid LEFT JOIN cnt USING (d)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM ser0
+),
+ser AS (
+  SELECT d, y - (SELECT s // n FROM tot) AS a FROM ser0
+),
+base AS (
+  SELECT (SELECT n FROM tot) AS n,
+         (SELECT s - n * (s // n) FROM tot) AS e,
+         CAST(sum(a * a) AS BIGINT) AS qsum
+  FROM ser
+),
+lagged AS (
+  SELECT d, a, """
+    + ", ".join(
+        f"lag(a, {k}) OVER (ORDER BY d) AS a{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    + """
+  FROM ser
+),
+per AS (
+"""
+    + "\nUNION ALL\n".join(
+        f"""  SELECT {k} AS lag,
+         CAST(sum(a{k} * a) AS BIGINT) AS p,
+         CAST(sum(a{k}) AS BIGINT) AS h,
+         CAST(sum(CASE WHEN a{k} IS NOT NULL THEN a END) AS BIGINT) AS tl
+  FROM lagged"""
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    + """
+)
+SELECT per.lag, per.p,
+       round((CAST(per.p AS DOUBLE)
+              - (CAST(base.e AS DOUBLE) / CAST(base.n AS DOUBLE))
+                * (CAST(per.h AS DOUBLE) + CAST(per.tl AS DOUBLE))
+              + (CAST(base.n AS DOUBLE) - CAST(per.lag AS DOUBLE))
+                * (CAST(base.e AS DOUBLE) / CAST(base.n AS DOUBLE))
+                * (CAST(base.e AS DOUBLE) / CAST(base.n AS DOUBLE)))
+             / (CAST(base.qsum AS DOUBLE)
+                - CAST(base.n AS DOUBLE)
+                  * (CAST(base.e AS DOUBLE) / CAST(base.n AS DOUBLE))
+                  * (CAST(base.e AS DOUBLE) / CAST(base.n AS DOUBLE))),
+             6) + 0.0 AS r
+FROM per, base ORDER BY per.lag
+"""
+)
+QUERIES["q_acf_table"] = q_acf_table
+
+
+def q_monthly_pivot(sf_dir):
+    """Calendar pivot: one row per calendar month, one wide count
+    column per event type plus the total — the month × type matrix as
+    a WIDE table (manual PIVOT). (month-index × type) count partials
+    are catalog-bounded (no shuffle); the pivot itself touches only
+    the bounded catalog. Month index = (year−1970)·12 + month−1 on
+    both engines (numpy datetime64[M] == the SQL expression)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        mi = us.astype("datetime64[M]").astype(np.int64)
+        g = pd.DataFrame(
+            {"mi": mi, "event_type": t["event_type"].to_pandas()}
+        ).groupby(["mi", "event_type"], as_index=False).size()
+        return pa.table(
+            {
+                "mi": pa.array(g["mi"].to_numpy(np.int64), pa.int64()),
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["mi", "event_type"], as_index=False)["n"]
+        .sum()
+    )
+    wide = cat.pivot_table(
+        index="mi", columns="event_type", values="n", aggfunc="sum",
+        fill_value=0,
+    ).reindex(columns=EVENT_TYPES, fill_value=0).sort_index()
+    mi = wide.index.to_numpy(np.int64)
+    cols = {
+        "year": pa.array(1970 + mi // 12, pa.int64()),
+        "month": pa.array(mi % 12 + 1, pa.int64()),
+    }
+    total = np.zeros(len(wide), np.int64)
+    for t in EVENT_TYPES:
+        v = wide[t].to_numpy(np.int64)
+        cols[f"n_{t}"] = pa.array(v, pa.int64())
+        total += v
+    cols["n_total"] = pa.array(total, pa.int64())
+    return pa.table(cols)
+
+
+ORACLE_SQL["q_monthly_pivot"] = (
+    """
+SELECT CAST(year(ts) AS BIGINT) AS year,
+       CAST(month(ts) AS BIGINT) AS month,
+"""
+    + ",\n".join(
+        f"       CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + """,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+QUERIES["q_monthly_pivot"] = q_monthly_pivot
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -672,3 +672,56 @@ def test_locf_forward_fill(ray_session):
     a = merged["exp"].fillna("<null>")
     b = merged["tool_filled"].fillna("<null>")
     assert (a == b).all()
+
+
+def test_audience_overlap_jaccard(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_audience_overlap"](SF).to_pandas()
+    ev = _events_pdf()
+    sets = {
+        t: set(ev.loc[ev["event_type"] == t, "user_id"])
+        for t in ev["event_type"].unique()
+    }
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_both"] == len(a & b)
+        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_acf_table_lags(ray_session):
+    from ptrail_ray.entry_queries import ACF_MAX_LAG, QUERIES
+
+    out = QUERIES["q_acf_table"](SF).to_pandas().set_index("lag")
+    ev = _events_pdf()
+    d = (ev["ts"].astype("datetime64[ns]").astype("int64")
+         // (86_400 * 10**9)).to_numpy()
+    dmin, dmax = d.min(), d.max()
+    y = np.zeros(dmax - dmin + 1, np.float64)
+    u, c = np.unique(d, return_counts=True)
+    y[u - dmin] = c
+    e = y - y.mean()
+    den = (e**2).sum()
+    for k in range(1, ACF_MAX_LAG + 1):
+        r = (e[:-k] * e[k:]).sum() / den
+        assert abs(out.loc[k, "r"] - r) < 1e-6
+
+
+def test_monthly_pivot_wide(ray_session):
+    from ptrail_ray.entry_queries import EVENT_TYPES, QUERIES
+
+    out = QUERIES["q_monthly_pivot"](SF).to_pandas()
+    ev = _events_pdf()
+    exp = ev.groupby(
+        [ev["ts"].dt.year, ev["ts"].dt.month, "event_type"]
+    ).size()
+    assert out["n_total"].sum() == len(ev)
+    for _, r in out.iterrows():
+        tot = 0
+        for t in EVENT_TYPES:
+            n = exp.get((r["year"], r["month"], t), 0)
+            assert r[f"n_{t}"] == n
+            tot += n
+        assert r["n_total"] == tot
