@@ -18892,6 +18892,310 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["q_monthly_pivot"] = q_monthly_pivot
 
 
+def q_seasonal_strength(sf_dir):
+    """Strength of weekly seasonality (STL F_s): the η² of ISO weekday
+    on the MA-7 detrended daily series — SSB/SST of the ANOVA of d7 on
+    dow, where d7 = 7·y − Σ₋₃..₊₃y is the ×7-scaled exact-int detrended
+    value (q_seasonal_idx machinery). Group terms are micro-quantized
+    after ONE identical division (q_anova_f pattern); strength is one
+    exact-micro-int ratio. Zero shuffle."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "y": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["y"]
+        .sum()
+    )
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    assert dmin >= 0, "daily grid assumes post-epoch timestamps"
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.int64)
+    y[cnt["d"].to_numpy(np.int64) - dmin] = cnt["y"].to_numpy(np.int64)
+    s7 = np.convolve(y, np.ones(7, np.int64), mode="valid")
+    core = y[3 : n - 3]
+    d7 = 7 * core - s7
+    dow = ((np.arange(3, n - 3, dtype=np.int64) + dmin) % 7 + 3) % 7 + 1
+    g = pd.DataFrame({"dow": dow, "d7": d7}).groupby("dow").agg(
+        n=("d7", "size"), s=("d7", "sum")
+    )
+    nn = int(len(d7))
+    ss = int(d7.sum())
+    qq = int((d7.astype(np.int64) ** 2).sum())
+    a = 0
+    for ni, si in zip(g["n"].tolist(), g["s"].tolist()):
+        a += int(np.floor(float(si * si) / float(ni) * 1e6 + 0.5))
+    bterm = int(np.floor(float(ss * ss) / float(nn) * 1e6 + 0.5))
+    ssb = a - bterm
+    sst = qq * 1_000_000 - bterm
+    strength = float(
+        _duckdb_round(np.array([float(ssb) / float(sst)]))[0]
+    )
+    return pa.table(
+        {
+            "n_days": pa.array([nn], pa.int64()),
+            "ssb_micro": pa.array([ssb], pa.int64()),
+            "sst_micro": pa.array([sst], pa.int64()),
+            "strength": pa.array([strength + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_seasonal_strength"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                (SELECT dmax FROM lim))) AS d
+),
+cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM b GROUP BY 1),
+ser AS (
+  SELECT grid.d, coalesce(cnt.y, 0) AS y
+  FROM grid LEFT JOIN cnt USING (d)
+),
+ma AS (
+  SELECT d, y,
+         CAST(sum(y) OVER (ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         CAST(count(*) OVER (ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w
+  FROM ser
+),
+det AS (
+  SELECT CAST(((d % 7) + 3) % 7 + 1 AS BIGINT) AS dow, 7 * y - s7 AS d7
+  FROM ma WHERE w = 7
+),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(d7) AS BIGINT) AS s
+  FROM det GROUP BY 1
+),
+t AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM det) AS nn,
+         (SELECT CAST(sum(d7) AS BIGINT) FROM det) AS ss,
+         (SELECT CAST(sum(d7 * d7) AS BIGINT) FROM det) AS qq,
+         CAST(sum(CAST(round(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS a
+  FROM g
+),
+f AS (
+  SELECT nn,
+         a - CAST(round(CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS ssb,
+         qq * 1000000
+           - CAST(round(CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS sst
+  FROM t
+)
+SELECT nn AS n_days, ssb AS ssb_micro, sst AS sst_micro,
+       round(CAST(ssb AS DOUBLE) / CAST(sst AS DOUBLE), 6) + 0.0
+         AS strength
+FROM f
+"""
+QUERIES["q_seasonal_strength"] = q_seasonal_strength
+
+
+def q_ks_matrix(sf_dir):
+    """Pairwise two-sample Kolmogorov–Smirnov distances between ALL
+    source pairs' doc-length distributions — the drift matrix a corpus
+    monitor scans. ECDF differences stay EXACT: over the union value
+    catalog, D_ab = max|c_a·n_b − c_b·n_a| / (n_a·n_b) — the max is an
+    integer comparison, ONE division per pair. The (source × value)
+    count partials are catalog-bounded (zero shuffle); the pair sweep
+    is one vectorized cumsum-matrix broadcast."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+    )
+    sources = sorted(cat["source"].unique())
+    values = np.sort(cat["v"].unique())
+    sidx = {s: i for i, s in enumerate(sources)}
+    vidx = {v: j for j, v in enumerate(values)}
+    mat = np.zeros((len(sources), len(values)), np.int64)
+    mat[
+        cat["source"].map(sidx).to_numpy(np.int64),
+        cat["v"].map(vidx).to_numpy(np.int64),
+    ] = cat["c"].to_numpy(np.int64)
+    cum = np.cumsum(mat, axis=1)
+    n = cum[:, -1]
+    rows = []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            dint = int(
+                np.abs(cum[i] * n[j] - cum[j] * n[i]).max()
+            )
+            d = float(
+                _duckdb_round(
+                    np.array([float(dint) / float(int(n[i]) * int(n[j]))])
+                )[0]
+            )
+            rows.append((sources[i], sources[j], dint, d + 0.0))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "d_int", "d"])
+    return pa.table(
+        {
+            "source_a": pa.array(out["source_a"].tolist(), pa.string()),
+            "source_b": pa.array(out["source_b"].tolist(), pa.string()),
+            "d_int": pa.array(out["d_int"].to_numpy(np.int64), pa.int64()),
+            "d": pa.array(out["d"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_ks_matrix"] = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, g.v
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN (SELECT DISTINCT v FROM c) g
+),
+e AS (
+  SELECT grid.source, grid.v,
+         CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY grid.source
+                ORDER BY grid.v) AS BIGINT) AS cum
+  FROM grid LEFT JOIN c USING (source, v)
+),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(max(abs(a.cum * nb.n - b.cum * na.n)) AS BIGINT) AS d_int,
+         any_value(na.n) AS na, any_value(nb.n) AS nb
+  FROM e a
+  JOIN e b ON a.v = b.v AND a.source < b.source
+  JOIN n na ON na.source = a.source
+  JOIN n nb ON nb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, d_int,
+       round(CAST(d_int AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) + 0.0 AS d
+FROM p
+"""
+QUERIES["q_ks_matrix"] = q_ks_matrix
+
+
+def q_lang_purity(sf_dir):
+    """Language purity per source: the majority language (deterministic
+    (count desc, lang asc) tie order — never arg_max) and its share —
+    the mixture health check before per-language routing. Catalog-
+    bounded (source × lang) count partials, one share division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "lang": t["lang"].to_pandas(),
+            }
+        ).groupby(["source", "lang"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)["n"]
+        .sum()
+    )
+    cat = cat.sort_values(
+        ["source", "n", "lang"], ascending=[True, False, True]
+    )
+    top = cat.groupby("source", as_index=False).first()
+    tot = cat.groupby("source", as_index=False)["n"].sum().rename(
+        columns={"n": "total"}
+    )
+    out = top.merge(tot, on="source").sort_values("source")
+    share = _duckdb_round(
+        out["n"].to_numpy(np.float64) / out["total"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "major_lang": pa.array(out["lang"].tolist(), pa.string()),
+            "n_major": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "n_total": pa.array(out["total"].to_numpy(np.int64), pa.int64()),
+            "purity": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_lang_purity"] = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang ASC) AS rk,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM c
+)
+SELECT source, lang AS major_lang, n AS n_major, total AS n_total,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0 AS purity
+FROM r WHERE rk = 1 ORDER BY source
+"""
+QUERIES["q_lang_purity"] = q_lang_purity
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -725,3 +725,65 @@ def test_monthly_pivot_wide(ray_session):
             assert r[f"n_{t}"] == n
             tot += n
         assert r["n_total"] == tot
+
+
+def test_seasonal_strength_eta_sq(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_seasonal_strength"](SF).to_pandas()
+    ev = _events_pdf()
+    d = (ev["ts"].astype("datetime64[ns]").astype("int64")
+         // (86_400 * 10**9)).to_numpy()
+    dmin, dmax = d.min(), d.max()
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.float64)
+    u, c = np.unique(d, return_counts=True)
+    y[u - dmin] = c
+    s7 = np.convolve(y, np.ones(7), mode="valid")
+    d7 = 7 * y[3 : n - 3] - s7
+    dow = ((np.arange(3, n - 3) + dmin) % 7 + 3) % 7 + 1
+    df = pd.DataFrame({"dow": dow, "d7": d7})
+    sst = ((d7 - d7.mean()) ** 2).sum()
+    ssw = sum(
+        ((g - g.mean()) ** 2).sum() for _, g in df.groupby("dow")["d7"]
+    )
+    eta = (sst - ssw) / sst
+    assert out["n_days"].iloc[0] == len(d7)
+    assert abs(out["strength"].iloc[0] - eta) < 1e-5
+    assert 0.0 <= out["strength"].iloc[0] <= 1.0
+
+
+def test_ks_matrix_pairs(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ks_matrix"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    groups = {s: np.sort(g["n_chars"].to_numpy()) for s, g in docs.groupby("source")}
+    assert len(out) == len(groups) * (len(groups) - 1) // 2
+    allv = np.sort(docs["n_chars"].unique())
+    for _, r in out.iterrows():
+        a, b = groups[r["source_a"]], groups[r["source_b"]]
+        fa = np.searchsorted(a, allv, side="right") / len(a)
+        fb = np.searchsorted(b, allv, side="right") / len(b)
+        d = np.abs(fa - fb).max()
+        assert abs(r["d"] - d) < 1e-6
+
+
+def test_lang_purity_majority(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lang_purity"](SF).to_pandas().set_index("source")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        counts = g["lang"].value_counts()
+        best = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        assert out.loc[src, "major_lang"] == best[0]
+        assert out.loc[src, "n_major"] == best[1]
+        assert out.loc[src, "n_total"] == len(g)
+        assert abs(out.loc[src, "purity"] - best[1] / len(g)) < 1e-6
