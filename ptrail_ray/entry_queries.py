@@ -19196,6 +19196,281 @@ FROM r WHERE rk = 1 ORDER BY source
 QUERIES["q_lang_purity"] = q_lang_purity
 
 
+def q_char_classes(sf_dir):
+    """Character-class profile per language: alpha / digit / punct-or-
+    symbol / whitespace byte counts and shares over the document text.
+    Classification is ONE 256-entry lookup over the batch's
+    concatenated Arrow data buffer with per-row language attribution
+    via np.repeat — zero per-row Python, zero shuffle (the corpus is
+    ASCII, so byte==char; the jaccard/hamming precedent). The oracle
+    replays it with RE2 strip-and-measure counts."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    lut = np.full(256, 2, np.int64)  # default: punct/symbol
+    for c in range(256):
+        ch = chr(c)
+        if ch.isascii() and ch.isalpha():
+            lut[c] = 0
+        elif ch.isdigit():
+            lut[c] = 1
+        elif ch in " \t\n\r\x0b\x0c":
+            lut[c] = 3
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+        odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        off = np.frombuffer(col.buffers()[1], odt)[
+            col.offset : col.offset + n + 1
+        ]
+        dbuf = col.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, np.uint8)
+            if dbuf is not None
+            else np.empty(0, np.uint8)
+        )
+        lens = np.diff(off).astype(np.int64)
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(codes, lens)
+        cls = lut[data[off[0] : off[-1]]]
+        nlang = len(enc.dictionary)
+        counts = np.bincount(rows * 4 + cls, minlength=nlang * 4).reshape(
+            nlang, 4
+        )
+        return pa.table(
+            {
+                "lang": pa.array(enc.dictionary.to_pylist(), pa.string()),
+                "alpha": pa.array(counts[:, 0], pa.int64()),
+                "digit": pa.array(counts[:, 1], pa.int64()),
+                "punct": pa.array(counts[:, 2], pa.int64()),
+                "space": pa.array(counts[:, 3], pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang")
+    )
+    tot = (
+        g["alpha"] + g["digit"] + g["punct"] + g["space"]
+    ).to_numpy(np.int64)
+    share = _duckdb_round(
+        g["alpha"].to_numpy(np.float64) / tot.astype(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "alpha": pa.array(g["alpha"].to_numpy(np.int64), pa.int64()),
+            "digit": pa.array(g["digit"].to_numpy(np.int64), pa.int64()),
+            "punct": pa.array(g["punct"].to_numpy(np.int64), pa.int64()),
+            "space": pa.array(g["space"].to_numpy(np.int64), pa.int64()),
+            "alpha_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_char_classes"] = """
+WITH c AS (
+  SELECT lang,
+         CAST(sum(length(coalesce(text, ''))
+                  - length(regexp_replace(coalesce(text, ''),
+                                          '[A-Za-z]', '', 'g')))
+              AS BIGINT) AS alpha,
+         CAST(sum(length(coalesce(text, ''))
+                  - length(regexp_replace(coalesce(text, ''),
+                                          '[0-9]', '', 'g')))
+              AS BIGINT) AS digit,
+         CAST(sum(length(coalesce(text, ''))
+                  - length(regexp_replace(coalesce(text, ''),
+                                          '[ \\t\\n\\r\\x0b\\x0c]', '',
+                                          'g')))
+              AS BIGINT) AS space,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total
+  FROM documents GROUP BY 1
+)
+SELECT lang, alpha, digit, total - alpha - digit - space AS punct, space,
+       round(CAST(alpha AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
+         AS alpha_share
+FROM c ORDER BY 1
+"""
+QUERIES["q_char_classes"] = q_char_classes
+
+
+def q_gen_means(sf_dir):
+    """Generalized means of doc length per source — arithmetic,
+    geometric and harmonic, with the AM ≥ GM ≥ HM pythagorean-means
+    check built into the output. Because ln(v) and 1/v are evaluated
+    ONCE PER DISTINCT VALUE on the (source × value) count catalog
+    (1e12-quantized → exact-int weighted sums), the catalogs are the
+    whole cost: zero shuffle, no per-row transcendentals."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+    )
+    v = cat["v"].to_numpy(np.int64).astype(np.float64)
+    qln = np.round(1e12 * np.log(v)).astype(np.int64)
+    qinv = np.round(1e12 / v).astype(np.int64)
+    cat = cat.assign(qln=qln, qinv=qinv, sv=cat["c"] * cat["v"])
+    cat["wln"] = cat["c"] * cat["qln"]
+    cat["winv"] = cat["c"] * cat["qinv"]
+    g = cat.groupby("source", as_index=False).agg(
+        n=("c", "sum"), sv=("sv", "sum"), wln=("wln", "sum"),
+        winv=("winv", "sum"),
+    ).sort_values("source")
+    nf = g["n"].to_numpy(np.int64).astype(np.float64)
+    am = g["sv"].to_numpy(np.int64).astype(np.float64) / nf
+    gm = np.exp(
+        g["wln"].to_numpy(np.int64).astype(np.float64) / 1e12 / nf
+    )
+    hm = nf / (g["winv"].to_numpy(np.int64).astype(np.float64) / 1e12)
+    return pa.table(
+        {
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "am": pa.array(_duckdb_round(am) + 0.0, pa.float64()),
+            "gm": pa.array(_duckdb_round(gm) + 0.0, pa.float64()),
+            "hm": pa.array(_duckdb_round(hm) + 0.0, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_gen_means"] = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+q AS (
+  SELECT source, c, v,
+         CAST(round(1000000000000.0 * ln(CAST(v AS DOUBLE))) AS BIGINT)
+           AS qln,
+         CAST(round(1000000000000.0 / CAST(v AS DOUBLE)) AS BIGINT) AS qinv
+  FROM c
+),
+g AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * v) AS BIGINT) AS sv,
+         CAST(sum(c * qln) AS BIGINT) AS wln,
+         CAST(sum(c * qinv) AS BIGINT) AS winv
+  FROM q GROUP BY 1
+)
+SELECT source, n,
+       round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS am,
+       round(exp(CAST(wln AS DOUBLE) / 1000000000000.0
+                 / CAST(n AS DOUBLE)), 6) + 0.0 AS gm,
+       round(CAST(n AS DOUBLE)
+             / (CAST(winv AS DOUBLE) / 1000000000000.0), 6) + 0.0 AS hm
+FROM g ORDER BY 1
+"""
+QUERIES["q_gen_means"] = q_gen_means
+
+
+def q_active_days_hist(sf_dir):
+    """Engagement-depth census: the histogram of distinct active days
+    per user. ONE user-keyed exchange folds each user to a single
+    distinct-day count (the driver sees only the bounded count
+    catalog); shares are one division per row."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        nd = pd.DataFrame({"u": df["user_id"], "d": day}).drop_duplicates()
+        cnt = nd.groupby("u").size().to_numpy(np.int64)
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"days": u, "n_users": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("days", as_index=False)["n_users"]
+        .sum()
+        .sort_values("days")
+    )
+    total = int(cat["n_users"].sum())
+    share = _duckdb_round(
+        cat["n_users"].to_numpy(np.float64) / float(total)
+    ) + 0.0
+    return pa.table(
+        {
+            "days": pa.array(cat["days"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(
+                cat["n_users"].to_numpy(np.int64), pa.int64()
+            ),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_active_days_hist"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+  FROM events GROUP BY 1
+),
+c AS (SELECT days, CAST(count(*) AS BIGINT) AS n_users FROM per GROUP BY 1),
+t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM c)
+SELECT c.days, c.n_users,
+       round(CAST(c.n_users AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM c, t ORDER BY c.days
+"""
+QUERIES["q_active_days_hist"] = q_active_days_hist
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -787,3 +787,54 @@ def test_lang_purity_majority(ray_session):
         assert out.loc[src, "n_major"] == best[1]
         assert out.loc[src, "n_total"] == len(g)
         assert abs(out.loc[src, "purity"] - best[1] / len(g)) < 1e-6
+
+
+def test_char_classes_profile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_char_classes"](SF).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for lang, g in docs.groupby("lang"):
+        text = "".join(g["text"].fillna(""))
+        alpha = sum(c.isascii() and c.isalpha() for c in text)
+        digit = sum(c.isdigit() for c in text)
+        space = sum(c in " \t\n\r\x0b\x0c" for c in text)
+        punct = len(text) - alpha - digit - space
+        assert out.loc[lang, "alpha"] == alpha
+        assert out.loc[lang, "digit"] == digit
+        assert out.loc[lang, "punct"] == punct
+        assert out.loc[lang, "space"] == space
+        assert abs(out.loc[lang, "alpha_share"] - alpha / len(text)) < 1e-6
+
+
+def test_gen_means_pythagorean(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_gen_means"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.float64)
+        am, gm = x.mean(), np.exp(np.log(x).mean())
+        hm = len(x) / (1.0 / x).sum()
+        assert abs(out.loc[src, "am"] - am) < 1e-5
+        assert abs(out.loc[src, "gm"] - gm) < 1e-4
+        assert abs(out.loc[src, "hm"] - hm) < 1e-4
+        # AM >= GM >= HM (strict unless degenerate)
+        r = out.loc[src]
+        assert r["am"] >= r["gm"] - 1e-9 >= r["hm"] - 2e-9
+
+
+def test_active_days_histogram(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_active_days_hist"](SF).to_pandas()
+    ev = _events_pdf()
+    per = ev.groupby("user_id").apply(
+        lambda g: g["ts"].dt.date.nunique(), include_groups=False
+    )
+    exp = per.value_counts().sort_index()
+    assert out["n_users"].sum() == per.size
+    for _, r in out.iterrows():
+        assert exp.loc[r["days"]] == r["n_users"]
