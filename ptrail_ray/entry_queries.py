@@ -19471,6 +19471,219 @@ FROM c, t ORDER BY c.days
 QUERIES["q_active_days_hist"] = q_active_days_hist
 
 
+def q_top_signatures(sf_dir):
+    """Top-10 most common conversation role signatures (deterministic
+    (count desc, sig asc) tie order — never arg_max): the shape census
+    that tells you what flows dominate the corpus. Signatures are the
+    q_role_signature byte-slice kernel; per-bucket partial counts keep
+    the driver combine bounded by DISTINCT signatures."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sig": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        enc = role.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        table = np.frombuffer(
+            "".join(s[0] for s in enc.dictionary.to_pylist()).encode(),
+            np.uint8,
+        )
+        buf = table[codes].tobytes()
+        sigs = [buf[s : s + l].decode() for s, l in zip(starts, lens)]
+        g = pd.Series(sigs).value_counts()
+        return pa.table(
+            {
+                "sig": pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("sig", as_index=False)["n"]
+        .sum()
+        .sort_values(["n", "sig"], ascending=[False, True])
+        .head(10)
+    )
+    return pa.table(
+        {
+            "sig": pa.array(cat["sig"].tolist(), pa.string()),
+            "n": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_top_signatures"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+sig AS (
+  SELECT conv_id,
+         string_agg(substr(role, 1, 1), '' ORDER BY turn_idx, ts) AS s
+  FROM transcripts GROUP BY 1
+)
+SELECT s AS sig, CAST(count(*) AS BIGINT) AS n
+FROM sig GROUP BY 1
+ORDER BY n DESC, sig ASC LIMIT 10
+"""
+QUERIES["q_top_signatures"] = q_top_signatures
+
+
+def q_user_count_tail(sf_dir):
+    """Tail percentiles of events-per-user (p50/p90/p99/max, discrete
+    quantile semantics) — the skew audit run before choosing partition
+    counts. ONE user exchange folds users to a count CATALOG; the
+    percentile picks are cumsum/searchsorted — all integers, ZERO
+    floats."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("user_id").size().to_numpy(np.int64)
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v")
+    )
+    v = cat["v"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def pick(q_num: int, q_den: int) -> int:
+        return int(v[np.searchsorted(cum, (q_num * n + q_den - 1) // q_den)])
+
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "p50": pa.array([pick(1, 2)], pa.int64()),
+            "p90": pa.array([pick(9, 10)], pa.int64()),
+            "p99": pa.array([pick(99, 100)], pa.int64()),
+            "vmax": pa.array([int(v[-1])], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_user_count_tail"] = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(c, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90,
+       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99,
+       CAST(max(c) AS BIGINT) AS vmax
+FROM per
+"""
+QUERIES["q_user_count_tail"] = q_user_count_tail
+
+
+def q_new_vs_returning(sf_dir):
+    """New-vs-returning daily active users: per calendar day, DAU,
+    first-time users (whose first-ever event lands that day) and the
+    returning share — the growth-accounting split. ONE user exchange
+    emits per-day (dau, new) partials keyed on the bounded day
+    catalog (each user's (day-set, first-day) folds inside its
+    bucket); shares are one division per day."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        nd = pd.DataFrame({"u": df["user_id"], "d": day}).drop_duplicates()
+        first = nd.groupby("u")["d"].min()
+        dau = nd.groupby("d").size()
+        new = first.value_counts()
+        out = pd.DataFrame({"dau": dau}).join(
+            pd.DataFrame({"new": new}), how="left"
+        ).fillna(0)
+        return pd.DataFrame(
+            {
+                "d": out.index.to_numpy(np.int64),
+                "dau": out["dau"].to_numpy(np.int64),
+                "new": out["new"].to_numpy(np.int64),
+            }
+        )
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("d", as_index=False)
+        .sum()
+        .sort_values("d")
+    )
+    dau = cat["dau"].to_numpy(np.int64)
+    new = cat["new"].to_numpy(np.int64)
+    share = _duckdb_round(
+        (dau - new).astype(np.float64) / dau.astype(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "day": pa.array(cat["d"].to_numpy(np.int64), pa.int64()),
+            "dau": pa.array(dau, pa.int64()),
+            "new_users": pa.array(new, pa.int64()),
+            "returning_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_new_vs_returning"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+first AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY 1),
+per AS (
+  SELECT ud.d, CAST(count(*) AS BIGINT) AS dau,
+         CAST(sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users
+  FROM ud JOIN first f ON ud.user_id = f.user_id
+  GROUP BY 1
+)
+SELECT d AS day, dau, new_users,
+       round(CAST(dau - new_users AS DOUBLE) / CAST(dau AS DOUBLE), 6)
+         + 0.0 AS returning_share
+FROM per ORDER BY 1
+"""
+QUERIES["q_new_vs_returning"] = q_new_vs_returning
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -838,3 +838,55 @@ def test_active_days_histogram(ray_session):
     assert out["n_users"].sum() == per.size
     for _, r in out.iterrows():
         assert exp.loc[r["days"]] == r["n_users"]
+
+
+def test_top_signatures(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_top_signatures"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    sigs = pd.Series(
+        [
+            "".join(r[0] for r in g["role"])
+            for _, g in tr.groupby("conv_id", sort=False)
+        ]
+    ).value_counts()
+    exp = sorted(sigs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(out["sig"]) == [s for s, _ in exp]
+    assert list(out["n"]) == [n for _, n in exp]
+
+
+def test_user_count_tail(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_user_count_tail"](SF).to_pandas()
+    ev = _events_pdf()
+    cnt = np.sort(ev.groupby("user_id").size().to_numpy(np.int64))
+    n = len(cnt)
+
+    def pick(q):
+        return cnt[int(np.ceil(q * n)) - 1]
+
+    assert out["n_users"].iloc[0] == n
+    assert out["p50"].iloc[0] == pick(0.5)
+    assert out["p90"].iloc[0] == pick(0.9)
+    assert out["p99"].iloc[0] == pick(0.99)
+    assert out["vmax"].iloc[0] == cnt[-1]
+
+
+def test_new_vs_returning_dau(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_new_vs_returning"](SF).to_pandas().set_index("day")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    first = ud.groupby("user_id")["d"].min()
+    for d, g in ud.groupby("d"):
+        new = int((first.loc[g["user_id"]] == d).sum())
+        assert out.loc[d, "dau"] == len(g)
+        assert out.loc[d, "new_users"] == new
+    # every user is new exactly once
+    assert out["new_users"].sum() == ev["user_id"].nunique()
