@@ -19684,6 +19684,278 @@ FROM per ORDER BY 1
 QUERIES["q_new_vs_returning"] = q_new_vs_returning
 
 
+def q_asof_nearest(sf_dir):
+    """NEAREST-version temporal join (stages/asof.NearestAsofJoiner):
+    each turn takes its user's closest SCD version by |Δt|, ties to
+    the earlier version — the bidirectional cousin of the backward
+    as-of backfill, for enrichments where the freshest nearby snapshot
+    beats strict point-in-time. Broadcast side, actor pool, one
+    searchsorted per batch; emits the integer distance too."""
+    from ptrail_ray.stages.asof import nearest_asof_join
+
+    ds = derive_from_events(sf_dir)
+    side = side_scd_from_events(sf_dir)
+    out = nearest_asof_join(ds, side, concurrency=2)
+    return finalize(
+        out.select_columns(
+            ["conv_id", "turn_idx", "attr_num", "attr_cat", "asof_dist_s"]
+        )
+    )
+
+
+ORACLE_SQL["q_asof_nearest"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+side AS ({SIDE_SCD_SQL}),
+cand AS (
+  SELECT t.conv_id, t.turn_idx, s.attr_num, s.attr_cat,
+         abs(epoch_us(t.ts) - epoch_us(s.effective_ts)) AS dist_us,
+         s.effective_ts,
+         row_number() OVER (
+           PARTITION BY t.conv_id, t.turn_idx
+           ORDER BY abs(epoch_us(t.ts) - epoch_us(s.effective_ts)),
+                    s.effective_ts
+         ) AS rk
+  FROM transcripts t JOIN side s ON s.key = t.conv_id
+)
+SELECT t.conv_id, t.turn_idx, c.attr_num, c.attr_cat,
+       c.dist_us // 1000000 AS asof_dist_s
+FROM transcripts t
+LEFT JOIN cand c
+  ON c.conv_id = t.conv_id AND c.turn_idx = t.turn_idx AND c.rk = 1
+"""
+QUERIES["q_asof_nearest"] = q_asof_nearest
+
+
+def q_order_integrity(sf_dir):
+    """Referential-integrity audit: does each order's o_totalprice
+    equal Σ l_extendedprice·(1−disc)·(1+tax) over its lineitems?
+    Per-order lineitem cents fold on ONE orderkey exchange
+    (grouped_agg_by_bucket); the audit join is the distributed
+    hash_join (how='left' keeps lineitem-less orders visible). Money
+    stays integer cents; the verdict is exact-int comparison — the
+    output is the 4-number data-quality scorecard."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+    from ptrail_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def ord_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "ocents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    oc = orders.map_batches(
+        ord_cents, batch_format="pyarrow", batch_size=1 << 20
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def li_sum(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * (1.0 + df["l_tax"].to_numpy(np.float64))
+            * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"], "lcents": cents}
+        ).groupby("o_orderkey", as_index=False)["lcents"].sum()
+        return g
+
+    ls = grouped_agg_by_bucket(li, "l_orderkey", li_sum, num_buckets=32)
+    joined = hash_join(oc, ls, on="o_orderkey", how="left")
+
+    def audit(t: pa.Table) -> pa.Table:
+        o = t["ocents"].to_numpy(zero_copy_only=False)
+        lc = t["lcents"]
+        has = pc.is_valid(lc).to_numpy(zero_copy_only=False)
+        lv = pc.fill_null(lc, 0).to_numpy(zero_copy_only=False)
+        diff = np.abs(o - lv)
+        return pa.table(
+            {
+                "n_orders": pa.array([t.num_rows], pa.int64()),
+                "n_missing": pa.array([int((~has).sum())], pa.int64()),
+                "n_exact": pa.array(
+                    [int((has & (diff == 0)).sum())], pa.int64()
+                ),
+                "max_diff": pa.array(
+                    [int(diff[has].max()) if has.any() else 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = joined.map_batches(
+        audit, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return pa.table(
+        {
+            "n_orders": pa.array([int(parts["n_orders"].sum())], pa.int64()),
+            "n_missing": pa.array([int(parts["n_missing"].sum())], pa.int64()),
+            "n_exact": pa.array([int(parts["n_exact"].sum())], pa.int64()),
+            "max_diff_cents": pa.array(
+                [int(parts["max_diff"].max())], pa.int64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_order_integrity"] = """
+WITH ls AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax) * 100.0) AS BIGINT))
+              AS BIGINT) AS lcents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS ocents,
+         ls.lcents
+  FROM orders o LEFT JOIN ls USING (o_orderkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN lcents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(sum(CASE WHEN lcents IS NOT NULL AND ocents = lcents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(coalesce(max(CASE WHEN lcents IS NOT NULL
+                              THEN abs(ocents - lcents) END), 0) AS BIGINT)
+         AS max_diff_cents
+FROM j
+"""
+QUERIES["q_order_integrity"] = q_order_integrity
+
+
+def q_ship_delay(sf_dir):
+    """Fulfilment latency profile: days from order date to each
+    lineitem's ship date, per order priority — n, min, discrete
+    median, p90, max. The order side ships ONLY (orderkey → priority,
+    day) through the ONE orderkey exchange; the day-delay catalog per
+    priority makes every statistic a cumsum pick — all integers."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+    from ptrail_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "oday": pa.array(d, pa.int64()),
+                "prio": t["o_orderpriority"],
+            }
+        )
+
+    oc = orders.map_batches(o_proj, batch_format="pyarrow", batch_size=1 << 20)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def l_proj(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "sday": pa.array(d, pa.int64()),
+            }
+        )
+
+    lc = li.map_batches(l_proj, batch_format="pyarrow", batch_size=1 << 20)
+    joined = hash_join(lc, oc, on="o_orderkey", how="inner")
+
+    def delay_cat(t: pa.Table) -> pa.Table:
+        delay = (
+            t["sday"].to_numpy(zero_copy_only=False)
+            - t["oday"].to_numpy(zero_copy_only=False)
+        )
+        g = pd.DataFrame(
+            {"prio": t["prio"].to_pandas(), "delay": delay}
+        ).groupby(["prio", "delay"], as_index=False).size()
+        return pa.table(
+            {
+                "prio": pa.array(g["prio"].tolist(), pa.string()),
+                "delay": pa.array(g["delay"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        joined.map_batches(delay_cat, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["prio", "delay"], as_index=False)["c"]
+        .sum()
+        .sort_values(["prio", "delay"])
+    )
+    rows = []
+    for prio, g in cat.groupby("prio", sort=True):
+        v = g["delay"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        p90 = int(v[np.searchsorted(cum, (9 * n + 9) // 10)])
+        rows.append((prio, n, int(v[0]), med, p90, int(v[-1])))
+    out = pd.DataFrame(
+        rows, columns=["prio", "n", "dmin", "dmed", "dp90", "dmax"]
+    )
+    return pa.table(
+        {
+            "prio": pa.array(out["prio"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "dmin": pa.array(out["dmin"].to_numpy(np.int64), pa.int64()),
+            "dmed": pa.array(out["dmed"].to_numpy(np.int64), pa.int64()),
+            "dp90": pa.array(out["dp90"].to_numpy(np.int64), pa.int64()),
+            "dmax": pa.array(out["dmax"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_ship_delay"] = """
+WITH d AS (
+  SELECT o.o_orderpriority AS prio,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(delay) AS BIGINT) AS dmin,
+       CAST(quantile_disc(delay, 0.5) AS BIGINT) AS dmed,
+       CAST(quantile_disc(delay, 0.9) AS BIGINT) AS dp90,
+       CAST(max(delay) AS BIGINT) AS dmax
+FROM d GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_ship_delay"] = q_ship_delay
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

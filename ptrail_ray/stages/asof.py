@@ -147,3 +147,103 @@ def asof_join(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+class NearestAsofJoiner(AsofJoiner):
+    """Actor-pool NEAREST-neighbor temporal join: instead of the
+    backward-only point-in-time match, each probe takes whichever of
+    its key's (last version ≤ ts, first version > ts) is closer in
+    absolute time, ties going to the EARLIER version. Same broadcast
+    composite-key index as AsofJoiner; the forward candidate is just
+    idx_back + 1 under the (key, ts) sort, so the probe stays one
+    searchsorted per batch. Appends the side attrs plus
+    ``asof_dist_s`` (integer seconds to the matched version).
+    Extends the reference's as-of lookup family
+    (ptrail/features/contextual_features.py:304-379 analog)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(self.side_comp) == 0:
+            for c in self.attr_cols:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, self.attrs[c].type)
+                )
+            return batch.append_column(
+                "asof_dist_s", pa.nulls(batch.num_rows, pa.int64())
+            )
+
+        ts_col = batch[self.ts_col]
+        if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit != "us":
+            ts_col = pc.cast(ts_col, pa.timestamp("us"))
+        ts = ts_col.to_numpy(zero_copy_only=False).view("int64")
+        kid_arr = pc.index_in(batch[self.key_col], value_set=self.keys_arr)
+        kid = (
+            pc.fill_null(kid_arr, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rel = ts - self.ts_min
+        rel_u = np.clip(rel, 0, int(self.ts_max_rel)).astype(np.uint64)
+        comp = (np.maximum(kid, 0).astype(np.uint64) << self.ts_bits) | rel_u
+        back = np.searchsorted(self.side_comp, comp, side="right") - 1
+        fwd = back + 1
+        n_side = len(self.side_comp)
+        side_ts = (
+            self.side_comp & self.ts_max_rel
+        ).astype(np.int64) + self.ts_min
+        bvalid = (
+            (back >= 0)
+            & (kid >= 0)
+            & (self.side_key_id[np.maximum(back, 0)] == kid)
+        )
+        fvalid = (
+            (fwd < n_side)
+            & (kid >= 0)
+            & (self.side_key_id[np.minimum(fwd, n_side - 1)] == kid)
+        )
+        bdist = np.where(
+            bvalid, np.abs(ts - side_ts[np.maximum(back, 0)]), np.int64(2**62)
+        )
+        fdist = np.where(
+            fvalid,
+            np.abs(side_ts[np.minimum(fwd, n_side - 1)] - ts),
+            np.int64(2**62),
+        )
+        # nearer wins; exact ties go to the earlier (backward) version
+        use_fwd = fdist < bdist
+        idx = np.where(use_fwd, fwd, back)
+        valid = bvalid | fvalid
+        dist = np.where(use_fwd, fdist, bdist) // 1_000_000
+        idx_arr = pa.array(
+            np.where(valid, idx, 0).astype(np.int64), mask=~valid
+        )
+        for c in self.attr_cols:
+            batch = batch.append_column(c, pc.take(self.attrs[c], idx_arr))
+        return batch.append_column(
+            "asof_dist_s",
+            pa.array(np.where(valid, dist, 0), pa.int64(), mask=~valid),
+        )
+
+
+def nearest_asof_join(
+    ds,
+    side: "pa.Table | pd.DataFrame",
+    *,
+    key_col: str = "conv_id",
+    concurrency: "int | tuple" = (1, 8),
+    batch_size: "int | None" = 65536,
+    num_cpus: float = 0.5,
+):
+    """Dataset-level nearest-version temporal join (see
+    NearestAsofJoiner). Same broadcast/actor-pool/no-fusion plan as
+    asof_join."""
+    side_ref = put_side_table(side)
+    return ds.map_batches(
+        NearestAsofJoiner,
+        fn_constructor_kwargs={"side_ref": side_ref, "key_col": key_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

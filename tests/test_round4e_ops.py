@@ -890,3 +890,82 @@ def test_new_vs_returning_dau(ray_session):
         assert out.loc[d, "new_users"] == new
     # every user is new exactly once
     assert out["new_users"].sum() == ev["user_id"].nunique()
+
+
+def test_asof_nearest_semantics(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.sources.transcripts import side_scd_from_events
+
+    out = (
+        QUERIES["q_asof_nearest"](SF)
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    tr = _transcripts_pdf()
+    side = side_scd_from_events(SF)
+    if not isinstance(side, pd.DataFrame):
+        side = side.to_pandas()
+    byk = {k: g.sort_values("effective_ts") for k, g in side.groupby("key")}
+    checked = 0
+    for _, r in tr.iterrows():
+        row = out.loc[(r["conv_id"], r["turn_idx"])]
+        g = byk.get(r["conv_id"])
+        if g is None or len(g) == 0:
+            assert pd.isna(row["attr_num"]) or row["attr_num"] is None
+            continue
+        d = (g["effective_ts"] - r["ts"]).abs()
+        best = g.loc[
+            d.eq(d.min()).to_numpy()
+        ].sort_values("effective_ts").iloc[0]
+        assert row["attr_cat"] == best["attr_cat"]
+        assert abs(row["attr_num"] - best["attr_num"]) < 1e-9
+        assert row["asof_dist_s"] == int(
+            abs((best["effective_ts"] - r["ts"]).value) // 10**9
+        )
+        checked += 1
+    assert checked > 0
+
+
+def test_order_integrity_scorecard(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_order_integrity"](SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["cents"] = np.round(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * (1 + li["l_tax"]) * 100
+    ).astype(np.int64)
+    ls = li.groupby("l_orderkey")["cents"].sum()
+    oc = np.round(orders["o_totalprice"] * 100).astype(np.int64)
+    has = orders["o_orderkey"].isin(ls.index)
+    assert out["n_orders"].iloc[0] == len(orders)
+    assert out["n_missing"].iloc[0] == int((~has).sum())
+    matched = orders.loc[has]
+    diffs = np.abs(
+        np.round(matched["o_totalprice"] * 100).astype(np.int64).to_numpy()
+        - ls.loc[matched["o_orderkey"]].to_numpy()
+    )
+    assert out["n_exact"].iloc[0] == int((diffs == 0).sum())
+    assert out["max_diff_cents"].iloc[0] == int(diffs.max()) if len(diffs) else 0
+
+
+def test_ship_delay_quantiles(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_ship_delay"](SF).to_pandas().set_index("prio")
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["delay"] = (
+        j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize()
+    ).dt.days
+    for prio, g in j.groupby("o_orderpriority"):
+        d = np.sort(g["delay"].to_numpy(np.int64))
+        r = out.loc[prio]
+        assert r["n"] == len(d)
+        assert r["dmin"] == d[0] and r["dmax"] == d[-1]
+        assert r["dmed"] == d[int(np.ceil(len(d) / 2)) - 1]
+        assert r["dp90"] == d[int(np.ceil(0.9 * len(d))) - 1]
