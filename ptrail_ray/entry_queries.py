@@ -19956,6 +19956,249 @@ FROM d GROUP BY 1 ORDER BY 1
 QUERIES["q_ship_delay"] = q_ship_delay
 
 
+PREFIX_DEDUP_K = 64
+
+
+def q_dedup_prefix(sf_dir):
+    """Prefix-fingerprint dedup (CCNet-style cheap pass): documents
+    sharing their first 64 chars collapse to the smallest doc_id.
+    The prefix slice is one Arrow utf8_slice_codeunits; the dedup is
+    the library exact_dedup (Arrow-level fingerprints, one hash
+    exchange, keep-min per bucket). Output: survivors per source —
+    the shrink report."""
+    import ray.data as rd  # noqa: F401  (dataset helpers)
+
+    from ptrail_ray.functions.dedup import exact_dedup
+
+    ds = _docs(sf_dir)
+
+    def prefix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "text": pc.utf8_slice_codeunits(
+                    pc.fill_null(t["text"], ""), 0, PREFIX_DEDUP_K
+                ),
+            }
+        )
+
+    pre = ds.map_batches(prefix, batch_format="pyarrow", batch_size=None)
+    kept = exact_dedup(pre, text_col="text", id_col="doc_id")
+
+    def per_source(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"source": t["source"].to_pandas()}).groupby(
+            "source", as_index=False
+        ).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        kept.map_batches(per_source, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("source", as_index=False)["n"]
+        .sum()
+        .sort_values("source")
+    )
+    return pa.table(
+        {
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_kept": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_dedup_prefix"] = f"""
+WITH kept AS (
+  SELECT doc_id, source
+  FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY substr(coalesce(text, ''), 1, {PREFIX_DEDUP_K})
+    ORDER BY doc_id
+  ) = 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_dedup_prefix"] = q_dedup_prefix
+
+
+def q_log2_hist(sf_dir):
+    """Power-of-two histogram of doc length (the log-scale size census
+    storage planners use): bin k holds 2^k ≤ v < 2^(k+1). The engine
+    bin is EXACT integer bit-length arithmetic; the oracle stays exact
+    by joining a generated powers TABLE instead of float log2 (which
+    is 1-ulp-wrong exactly at the bin edges). Catalog-bounded
+    partials, one share division per bin."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (v >= 1).all(), "log2 histogram needs positive lengths"
+        bin_ = np.floor(np.log2(v)).astype(np.int64)
+        # exact integer correction at edges (np.log2 can be 1 ulp off)
+        too_hi = (np.int64(1) << bin_) > v
+        bin_[too_hi] -= 1
+        too_lo = (np.int64(1) << (bin_ + 1)) <= v
+        bin_[too_lo] += 1
+        u, c = np.unique(bin_, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("bin", as_index=False)["n"]
+        .sum()
+        .sort_values("bin")
+    )
+    n = cat["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    b = cat["bin"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "lo": pa.array(np.int64(1) << b, pa.int64()),
+            "hi": pa.array((np.int64(1) << (b + 1)) - 1, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "share": pa.array(
+                _duckdb_round(n.astype(np.float64) / float(total)) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_log2_hist"] = """
+WITH pw AS (
+  SELECT k AS bin, CAST(2 ** k AS BIGINT) AS lo,
+         CAST(2 ** (k + 1) AS BIGINT) - 1 AS hi
+  FROM (SELECT unnest(generate_series(0, 40)) AS k)
+),
+c AS (
+  SELECT pw.bin, any_value(pw.lo) AS lo, any_value(pw.hi) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pw
+    ON d.n_chars >= pw.lo AND d.n_chars <= pw.hi
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT c.bin, c.lo, c.hi, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM c, t ORDER BY c.bin
+"""
+QUERIES["q_log2_hist"] = q_log2_hist
+
+
+def q_sax_quartile(sf_dir):
+    """SAX-style symbolization of total daily traffic with QUARTILE
+    breakpoints (rank-based, so boundaries are exact integers — no
+    Gaussian-breakpoint float ties): each day becomes a/b/c/d by
+    which quartile its count falls in; output is the ordered symbolic
+    string plus per-letter counts. Daily counts are exact-int
+    partials; quantile_disc boundaries come off the count catalog."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "y": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["y"]
+        .sum()
+        .sort_values("d")
+    )
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.int64)
+    y[cnt["d"].to_numpy(np.int64) - dmin] = cnt["y"].to_numpy(np.int64)
+    xs = np.sort(y)
+    bounds = [int(xs[(k * n + 3) // 4 - 1]) for k in (1, 2, 3)]
+    letter = np.zeros(n, np.int64)
+    for b in bounds:
+        letter += (y > b).astype(np.int64)
+    sym = "".join("abcd"[int(v)] for v in letter)
+    counts = np.bincount(letter, minlength=4).astype(np.int64)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "sax": pa.array([sym], pa.string()),
+            "n_a": pa.array([int(counts[0])], pa.int64()),
+            "n_b": pa.array([int(counts[1])], pa.int64()),
+            "n_c": pa.array([int(counts[2])], pa.int64()),
+            "n_d": pa.array([int(counts[3])], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_sax_quartile"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                (SELECT dmax FROM lim))) AS d
+),
+cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM b GROUP BY 1),
+ser AS (
+  SELECT grid.d, coalesce(cnt.y, 0) AS y
+  FROM grid LEFT JOIN cnt USING (d)
+),
+q AS (
+  SELECT CAST(quantile_disc(y, 0.25) AS BIGINT) AS b1,
+         CAST(quantile_disc(y, 0.50) AS BIGINT) AS b2,
+         CAST(quantile_disc(y, 0.75) AS BIGINT) AS b3
+  FROM ser
+),
+lt AS (
+  SELECT s.d,
+         (CASE WHEN s.y > q.b1 THEN 1 ELSE 0 END)
+         + (CASE WHEN s.y > q.b2 THEN 1 ELSE 0 END)
+         + (CASE WHEN s.y > q.b3 THEN 1 ELSE 0 END) AS l
+  FROM ser s, q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       string_agg(substr('abcd', l + 1, 1), '' ORDER BY d) AS sax,
+       CAST(sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN l = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       CAST(sum(CASE WHEN l = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+FROM lt
+"""
+QUERIES["q_sax_quartile"] = q_sax_quartile
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -969,3 +969,54 @@ def test_ship_delay_quantiles(ray_session):
         assert r["dmin"] == d[0] and r["dmax"] == d[-1]
         assert r["dmed"] == d[int(np.ceil(len(d) / 2)) - 1]
         assert r["dp90"] == d[int(np.ceil(0.9 * len(d))) - 1]
+
+
+def test_dedup_prefix_survivors(ray_session):
+    from ptrail_ray.entry_queries import PREFIX_DEDUP_K, QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_dedup_prefix"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs["pfx"] = docs["text"].fillna("").str[:PREFIX_DEDUP_K]
+    kept = docs.sort_values("doc_id").drop_duplicates("pfx", keep="first")
+    exp = kept.groupby("source").size()
+    assert out["n_kept"].sum() == len(kept)
+    for src, n in exp.items():
+        assert out.loc[src, "n_kept"] == n
+
+
+def test_log2_hist_bins(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_log2_hist"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    v = docs["n_chars"].to_numpy(np.int64)
+    assert out["n"].sum() == len(v)
+    for _, r in out.iterrows():
+        assert r["lo"] == 2 ** r["bin"] and r["hi"] == 2 ** (r["bin"] + 1) - 1
+        assert r["n"] == int(((v >= r["lo"]) & (v <= r["hi"])).sum())
+
+
+def test_sax_quartile_symbols(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_sax_quartile"](SF).to_pandas()
+    ev = _events_pdf()
+    d = (ev["ts"].astype("datetime64[ns]").astype("int64")
+         // (86_400 * 10**9)).to_numpy()
+    dmin, dmax = d.min(), d.max()
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.int64)
+    u, c = np.unique(d, return_counts=True)
+    y[u - dmin] = c
+    xs = np.sort(y)
+    bounds = [xs[int(np.ceil(k * n / 4)) - 1] for k in (1, 2, 3)]
+    letters = "".join(
+        "abcd"[int(sum(v > b for b in bounds))] for v in y
+    )
+    assert out["sax"].iloc[0] == letters
+    assert out["n_days"].iloc[0] == n
+    assert (
+        out[["n_a", "n_b", "n_c", "n_d"]].iloc[0].sum() == n
+    )
