@@ -20199,6 +20199,309 @@ FROM lt
 QUERIES["q_sax_quartile"] = q_sax_quartile
 
 
+def q_ols_daily(sf_dir):
+    """OLS trend of daily counts vs day index per event type: slope,
+    intercept and R². All five regression moments are exact ints on
+    the zero-filled grid (x = 0..n−1 so Σx, Σx² are closed forms);
+    slope/intercept/R² are fixed-order expressions with the
+    cross-multiplied n·Σxy − Σx·Σy form — no intermediate means."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        x = np.arange(n, dtype=np.int64)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        nf = float(n)
+        vx = nf * float(sxx) - float(sx) * float(sx)
+        vy = nf * float(syy) - float(sy) * float(sy)
+        cxy = nf * float(sxy) - float(sx) * float(sy)
+        slope = cxy / vx
+        intercept = (float(sy) - slope * float(sx)) / nf
+        r2 = (cxy * cxy) / (vx * vy)
+        rows.append(
+            (
+                et,
+                n,
+                float(_duckdb_round(np.array([slope]))[0]) + 0.0,
+                float(_duckdb_round(np.array([intercept]))[0]) + 0.0,
+                float(_duckdb_round(np.array([r2]))[0]) + 0.0,
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_days", "slope", "intercept", "r2"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64), pa.int64()),
+            "slope": pa.array(out["slope"].to_numpy(np.float64), pa.float64()),
+            "intercept": pa.array(
+                out["intercept"].to_numpy(np.float64), pa.float64()
+            ),
+            "r2": pa.array(out["r2"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_ols_daily"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type,
+         grid.d - (SELECT dmin FROM lim) AS x,
+         coalesce(cnt.x, 0) AS y
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ser GROUP BY 1
+),
+f AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+         sx, sy
+  FROM m
+)
+SELECT event_type, n AS n_days,
+       round(cxy / vx, 6) + 0.0 AS slope,
+       round((CAST(sy AS DOUBLE) - (cxy / vx) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+       round((cxy * cxy) / (vx * vy), 6) + 0.0 AS r2
+FROM f ORDER BY 1
+"""
+QUERIES["q_ols_daily"] = q_ols_daily
+
+
+def q_winsorized_mean(sf_dir):
+    """5/95-winsorized mean of doc length per source: values below the
+    p5 (or above the p95) DISCRETE bound are clamped to it, then
+    averaged. Off the (source × value) count catalog the clamped sum
+    is Σ_mid c·v + n_lo·b_lo + n_hi·b_hi — exact ints, ONE division —
+    so the robust mean costs no second data pass and ZERO per-row
+    floats."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["source", "v"])
+    )
+    rows = []
+    for src, g in cat.groupby("source", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        blo = int(v[np.searchsorted(cum, (5 * n + 99) // 100)])
+        bhi = int(v[np.searchsorted(cum, (95 * n + 99) // 100)])
+        clamped = np.clip(v, blo, bhi)
+        s = int((c * clamped).sum())
+        wm = float(_duckdb_round(np.array([float(s) / float(n)]))[0])
+        rows.append((src, n, blo, bhi, wm + 0.0))
+    out = pd.DataFrame(
+        rows, columns=["source", "n", "b_lo", "b_hi", "wins_mean"]
+    )
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "b_lo": pa.array(out["b_lo"].to_numpy(np.int64), pa.int64()),
+            "b_hi": pa.array(out["b_hi"].to_numpy(np.int64), pa.int64()),
+            "wins_mean": pa.array(
+                out["wins_mean"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_winsorized_mean"] = """
+WITH b AS (
+  SELECT source,
+         CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS blo,
+         CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS bhi
+  FROM documents GROUP BY 1
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+       any_value(b.blo) AS b_lo, any_value(b.bhi) AS b_hi,
+       round(CAST(sum(least(greatest(d.n_chars, b.blo), b.bhi)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS wins_mean
+FROM documents d JOIN b ON d.source = b.source
+GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_winsorized_mean"] = q_winsorized_mean
+
+
+def q_dormancy(sf_dir):
+    """Dormancy distribution: each user's LONGEST inactive gap between
+    consecutive active days, summarized as discrete p50/p90/max plus
+    the share of users with any gap ≥ 7 days. ONE user exchange folds
+    each user's day set to its max gap; the driver sees only the gap
+    catalog — all integers except the one share division."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        nd = pd.DataFrame(
+            {"u": df["user_id"], "d": day}
+        ).drop_duplicates().sort_values(["u", "d"])
+        u = nd["u"].to_numpy()
+        d = nd["d"].to_numpy(np.int64)
+        gap = np.zeros(len(d), np.int64)
+        if len(d) > 1:
+            same = u[1:] == u[:-1]
+            gap[1:] = np.where(same, d[1:] - d[:-1], 0)
+        mg = pd.DataFrame({"u": u, "g": gap}).groupby("u")["g"].max()
+        vv, cc = np.unique(mg.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"g": vv, "c": cc.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("g", as_index=False)["c"]
+        .sum()
+        .sort_values("g")
+    )
+    v = cat["g"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    p50 = int(v[np.searchsorted(cum, (n + 1) // 2)])
+    p90 = int(v[np.searchsorted(cum, (9 * n + 9) // 10)])
+    n7 = int(c[v >= 7].sum())
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "gap_p50": pa.array([p50], pa.int64()),
+            "gap_p90": pa.array([p90], pa.int64()),
+            "gap_max": pa.array([int(v[-1])], pa.int64()),
+            "share_gap7": pa.array(
+                [
+                    float(
+                        _duckdb_round(np.array([float(n7) / float(n)]))[0]
+                    )
+                    + 0.0
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_dormancy"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         coalesce(d - lag(d) OVER (PARTITION BY user_id ORDER BY d), 0)
+           AS gap
+  FROM ud
+),
+mg AS (SELECT user_id, CAST(max(gap) AS BIGINT) AS g FROM g GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(g, 0.5) AS BIGINT) AS gap_p50,
+       CAST(quantile_disc(g, 0.9) AS BIGINT) AS gap_p90,
+       CAST(max(g) AS BIGINT) AS gap_max,
+       round(CAST(sum(CASE WHEN g >= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS share_gap7
+FROM mg
+"""
+QUERIES["q_dormancy"] = q_dormancy
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

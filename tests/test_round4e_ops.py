@@ -1020,3 +1020,64 @@ def test_sax_quartile_symbols(ray_session):
     assert (
         out[["n_a", "n_b", "n_c", "n_d"]].iloc[0].sum() == n
     )
+
+
+def test_ols_daily_regression(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ols_daily"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    dmin, dmax = ev["d"].min(), ev["d"].max()
+    n = dmax - dmin + 1
+    x = np.arange(n, dtype=np.float64)
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.float64)
+        u, c = np.unique(g["d"].to_numpy(), return_counts=True)
+        y[u - dmin] = c
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(out.loc[et, "slope"] - slope) < 1e-6
+        assert abs(out.loc[et, "intercept"] - intercept) < 1e-5
+        assert abs(out.loc[et, "r2"] - r2) < 1e-6
+
+
+def test_winsorized_mean(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_winsorized_mean"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        v = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(v)
+        blo = v[int(np.ceil(0.05 * n)) - 1]
+        bhi = v[int(np.ceil(0.95 * n)) - 1]
+        wm = np.clip(g["n_chars"].to_numpy(np.int64), blo, bhi).mean()
+        assert out.loc[src, "b_lo"] == blo and out.loc[src, "b_hi"] == bhi
+        assert abs(out.loc[src, "wins_mean"] - wm) < 1e-6
+        # winsorized mean sits inside the clamp bounds
+        assert blo <= out.loc[src, "wins_mean"] <= bhi
+
+
+def test_dormancy_gaps(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dormancy"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    gaps = []
+    for _, g in ev[["user_id", "d"]].drop_duplicates().groupby("user_id"):
+        d = np.sort(g["d"].to_numpy(np.int64))
+        gaps.append(int(np.diff(d).max()) if len(d) > 1 else 0)
+    gaps = np.sort(np.array(gaps, np.int64))
+    n = len(gaps)
+    assert out["n_users"].iloc[0] == n
+    assert out["gap_p50"].iloc[0] == gaps[int(np.ceil(0.5 * n)) - 1]
+    assert out["gap_p90"].iloc[0] == gaps[int(np.ceil(0.9 * n)) - 1]
+    assert out["gap_max"].iloc[0] == gaps[-1]
+    assert abs(out["share_gap7"].iloc[0] - (gaps >= 7).mean()) < 1e-6
