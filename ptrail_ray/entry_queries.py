@@ -20502,6 +20502,311 @@ FROM mg
 QUERIES["q_dormancy"] = q_dormancy
 
 
+def q_role_lift(sf_dir):
+    """Observed/expected lift of consecutive role transitions:
+    lift(a→b) = n_ab·T / (r_a·c_b) — which hand-offs happen more than
+    independence predicts. Reuses the q_entropy_rate pair kernel (ONE
+    conv exchange, role²-bounded combine); every margin is an exact
+    int and each lift is ONE division."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        df = pd.DataFrame(
+            {
+                "a": role.slice(0, n - 1).to_pandas(),
+                "b": role.slice(1).to_pandas(),
+            }
+        )[keep[1:]]
+        if df.empty:
+            return empty
+        g = df.groupby(["a", "b"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "a": pa.array(g["a"].tolist(), pa.string()),
+                "b": pa.array(g["b"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    ct = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)["n"]
+        .sum()
+        .sort_values(["a", "b"])
+    )
+    r = ct.groupby("a")["n"].sum()
+    c = ct.groupby("b")["n"].sum()
+    t_total = int(ct["n"].sum())
+    nv = ct["n"].to_numpy(np.int64)
+    rv = r.loc[ct["a"]].to_numpy(np.int64)
+    cv = c.loc[ct["b"]].to_numpy(np.int64)
+    lift = _duckdb_round(
+        (nv.astype(np.float64) * float(t_total))
+        / (rv.astype(np.float64) * cv.astype(np.float64))
+    ) + 0.0
+    return pa.table(
+        {
+            "a": pa.array(ct["a"].tolist(), pa.string()),
+            "b": pa.array(ct["b"].tolist(), pa.string()),
+            "n": pa.array(nv, pa.int64()),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_role_lift"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT lag(role) OVER ({W}) AS a, role AS b,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+),
+ct AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+       FROM p WHERE rn > 1 GROUP BY 1, 2),
+r AS (SELECT a, CAST(sum(n) AS BIGINT) AS rn_ FROM ct GROUP BY 1),
+c AS (SELECT b, CAST(sum(n) AS BIGINT) AS cn FROM ct GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ct)
+SELECT ct.a, ct.b, ct.n,
+       round((CAST(ct.n AS DOUBLE) * CAST(tt.t AS DOUBLE))
+             / (CAST(r.rn_ AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) + 0.0
+         AS lift
+FROM ct JOIN r USING (a) JOIN c USING (b) CROSS JOIN tt
+ORDER BY ct.a, ct.b
+"""
+QUERIES["q_role_lift"] = q_role_lift
+
+
+def q_robust_outliers(sf_dir):
+    """Robust-z outlier census per source: |x − med| > 3.5·MAD with
+    DISCRETE median/MAD — the modified-z-score gate, decided by the
+    exact-int comparison 2·|x−med| > 7·MAD (the 3.5 never becomes a
+    float). Counts come off the same (source × value) catalog that
+    produced the median and MAD: ZERO floats anywhere except the one
+    share division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["source", "v"])
+    )
+    rows = []
+    for src, g in cat.groupby("source", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        dev = pd.DataFrame({"z": np.abs(v - med), "c": c}).groupby(
+            "z", as_index=False
+        )["c"].sum().sort_values("z")
+        zc = np.cumsum(dev["c"].to_numpy(np.int64))
+        mad = int(
+            dev["z"].to_numpy(np.int64)[np.searchsorted(zc, (n + 1) // 2)]
+        )
+        n_out = int(c[2 * np.abs(v - med) > 7 * mad].sum())
+        share = float(
+            _duckdb_round(np.array([float(n_out) / float(n)]))[0]
+        )
+        rows.append((src, n, mad, n_out, share + 0.0))
+    out = pd.DataFrame(
+        rows, columns=["source", "n", "mad", "n_out", "out_share"]
+    )
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "mad": pa.array(out["mad"].to_numpy(np.int64), pa.int64()),
+            "n_out": pa.array(out["n_out"].to_numpy(np.int64), pa.int64()),
+            "out_share": pa.array(
+                out["out_share"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_robust_outliers"] = """
+WITH med AS (
+  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+  FROM documents GROUP BY 1
+),
+mad AS (
+  SELECT d.source,
+         CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad,
+         any_value(m.med) AS med
+  FROM documents d JOIN med m ON d.source = m.source
+  GROUP BY 1
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n, any_value(a.mad) AS mad,
+       CAST(sum(CASE WHEN 2 * abs(d.n_chars - a.med) > 7 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+       round(CAST(sum(CASE WHEN 2 * abs(d.n_chars - a.med) > 7 * a.mad
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS out_share
+FROM documents d JOIN mad a ON d.source = a.source
+GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_robust_outliers"] = q_robust_outliers
+
+
+def q_tool_effect(sf_dir):
+    """Does a tool turn change the time to the NEXT turn? Welch z of
+    the following-gap (seconds) after tool turns vs after non-tool
+    turns, inside the ONE conv exchange: six exact-int partials
+    (n, Σg, Σg² per cohort), variance in n·Q−S² cross-multiplied form,
+    z as one fixed-order expression — the quick-look causal probe
+    before any heavier analysis."""
+    from ptrail_ray.schema import CONV_ID, TOOL, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = ["n1", "s1", "q1", "n2", "s2", "q2"]
+        if n == 0:
+            return pa.table(
+                {k: pa.array([], pa.int64()) for k in cols}
+            )
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ends = np.zeros(n, bool)
+        ends[starts + lens - 1] = True
+        cur = ~ends  # rows that HAVE a following turn in the same conv
+        gap = np.zeros(n, np.int64)
+        gap[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        is_tool = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        out = {}
+        for tag, m in (("1", cur & is_tool), ("2", cur & ~is_tool)):
+            g = gap[m]
+            out[f"n{tag}"] = int(m.sum())
+            out[f"s{tag}"] = int(g.sum())
+            out[f"q{tag}"] = int((g * g).sum())
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    n1, s1, q1, n2, s2, q2 = (
+        int(parts[k].sum()) for k in ("n1", "s1", "q1", "n2", "s2", "q2")
+    )
+    n1f, s1f, q1f = float(n1), float(s1), float(q1)
+    n2f, s2f, q2f = float(n2), float(s2), float(q2)
+    v1 = (n1f * q1f - s1f * s1f) / (n1f * (n1f - 1.0))
+    v2 = (n2f * q2f - s2f * s2f) / (n2f * (n2f - 1.0))
+    z = (s1f / n1f - s2f / n2f) / np.sqrt(v1 / n1f + v2 / n2f)
+    return pa.table(
+        {
+            "n_after_tool": pa.array([n1], pa.int64()),
+            "n_after_other": pa.array([n2], pa.int64()),
+            "mean_gap_tool": pa.array(
+                [float(_duckdb_round(np.array([s1f / n1f]))[0]) + 0.0],
+                pa.float64(),
+            ),
+            "mean_gap_other": pa.array(
+                [float(_duckdb_round(np.array([s2f / n2f]))[0]) + 0.0],
+                pa.float64(),
+            ),
+            "welch_z": pa.array(
+                [float(_duckdb_round(np.array([z]))[0]) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_tool_effect"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id,
+         CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS is_tool,
+         (epoch_us(lead(ts) OVER ({W})) - epoch_us(ts)) // 1000000 AS gap
+  FROM transcripts
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN is_tool = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN is_tool = 1 THEN gap ELSE 0 END) AS BIGINT)
+           AS s1,
+         CAST(sum(CASE WHEN is_tool = 1 THEN gap * gap ELSE 0 END)
+              AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN is_tool = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2,
+         CAST(sum(CASE WHEN is_tool = 0 THEN gap ELSE 0 END) AS BIGINT)
+           AS s2,
+         CAST(sum(CASE WHEN is_tool = 0 THEN gap * gap ELSE 0 END)
+              AS BIGINT) AS q2
+  FROM v WHERE gap IS NOT NULL
+),
+w AS (
+  SELECT n1, n2, s1, s2,
+         (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+         (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+         / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+  FROM g
+)
+SELECT n1 AS n_after_tool, n2 AS n_after_other,
+       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + 0.0
+         AS mean_gap_tool,
+       round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + 0.0
+         AS mean_gap_other,
+       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)),
+             6) + 0.0 AS welch_z
+FROM w
+"""
+QUERIES["q_tool_effect"] = q_tool_effect
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

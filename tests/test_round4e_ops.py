@@ -1081,3 +1081,66 @@ def test_dormancy_gaps(ray_session):
     assert out["gap_p90"].iloc[0] == gaps[int(np.ceil(0.9 * n)) - 1]
     assert out["gap_max"].iloc[0] == gaps[-1]
     assert abs(out["share_gap7"].iloc[0] - (gaps >= 7).mean()) < 1e-6
+
+
+def test_role_lift_independence(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_role_lift"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    pairs: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        roles = g["role"].tolist()
+        for a, b in zip(roles, roles[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    t = sum(pairs.values())
+    ra: dict = {}
+    cb: dict = {}
+    for (a, b), n in pairs.items():
+        ra[a] = ra.get(a, 0) + n
+        cb[b] = cb.get(b, 0) + n
+    assert out["n"].sum() == t
+    for _, r in out.iterrows():
+        key = (r["a"], r["b"])
+        assert r["n"] == pairs[key]
+        exp = r["n"] * t / (ra[r["a"]] * cb[r["b"]])
+        assert abs(r["lift"] - exp) < 1e-6
+
+
+def test_robust_outliers_zero_float(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_robust_outliers"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.int64)
+        xs = np.sort(x)
+        med = xs[int(np.ceil(len(xs) / 2)) - 1]
+        z = np.sort(np.abs(x - med))
+        mad = z[int(np.ceil(len(z) / 2)) - 1]
+        n_out = int((2 * np.abs(x - med) > 7 * mad).sum())
+        assert out.loc[src, "mad"] == mad
+        assert out.loc[src, "n_out"] == n_out
+
+
+def test_tool_effect_welch(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_effect"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    g1, g2 = [], []
+    for _, g in tr.groupby("conv_id", sort=False):
+        ts = g["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()
+        gaps = (ts[1:] - ts[:-1]) // 10**9
+        tool = g["tool"].notna().to_numpy()[:-1]
+        g1.extend(gaps[tool])
+        g2.extend(gaps[~tool])
+    g1, g2 = np.array(g1, np.float64), np.array(g2, np.float64)
+    z = (g1.mean() - g2.mean()) / np.sqrt(
+        g1.var(ddof=1) / len(g1) + g2.var(ddof=1) / len(g2)
+    )
+    assert out["n_after_tool"].iloc[0] == len(g1)
+    assert out["n_after_other"].iloc[0] == len(g2)
+    assert abs(out["mean_gap_tool"].iloc[0] - g1.mean()) < 1e-5
+    assert abs(out["welch_z"].iloc[0] - z) < 1e-5
