@@ -20807,6 +20807,248 @@ FROM w
 QUERIES["q_tool_effect"] = q_tool_effect
 
 
+def q_user_temporal_entropy(sf_dir):
+    """Temporal-regularity score: entropy of each user's hour-of-day
+    activity distribution (0 = always the same hour, ln 24 = uniform).
+    ONE user exchange folds (user × hour ≤ 24 cells) to per-user
+    quantized-term entropy (each −(c/n)ln(c/n) rounded at 1e12 →
+    exact-int sums). Row-per-user output."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[ns]").astype(np.int64) // 1000
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        g = pd.DataFrame(
+            {"u": df["user_id"], "h": hour}
+        ).groupby(["u", "h"]).size().rename("c").reset_index()
+        n = g.groupby("u")["c"].transform("sum").to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        q = np.round(-1e12 * (c / n) * np.log(c / n)).astype(np.int64)
+        agg = pd.DataFrame({"u": g["u"], "q": q, "c": g["c"]}).groupby(
+            "u", as_index=False
+        ).agg(qsum=("q", "sum"), n=("c", "sum"))
+        ent = _duckdb_round(
+            agg["qsum"].to_numpy(np.float64) / 1e12
+        ) + 0.0
+        return pd.DataFrame(
+            {
+                "user_id": agg["u"].to_numpy(np.int64),
+                "n": agg["n"].to_numpy(np.int64),
+                "entropy": ent,
+            }
+        )
+
+    out = grouped_agg_by_bucket(
+        ds, "user_id", per_user, num_buckets=32
+    )
+    return finalize(out)
+
+
+ORACLE_SQL["q_user_temporal_entropy"] = """
+WITH uh AS (
+  SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, c,
+         CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM uh
+),
+q AS (
+  SELECT user_id, n,
+         CAST(round(-1000000000000.0
+              * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS q
+  FROM t
+)
+SELECT user_id, any_value(n) AS n,
+       round(CAST(sum(q) AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS entropy
+FROM q GROUP BY 1
+"""
+QUERIES["q_user_temporal_entropy"] = q_user_temporal_entropy
+
+
+def q_stopword_kl(sf_dir):
+    """KL divergence of each source's STOPWORD-profile from the
+    corpus profile — the cheap language-drift fingerprint over a FIXED
+    10-term catalog (ptrail_ray.functions.textstats.STOPWORDS). Occur-
+    rence counts are one vectorized RE2 kernel per term (DuckDB's
+    regexp engine is RE2 too); each p_s·ln(p_s/p_c) term is quantized
+    at 1e12 and int-summed. Zero-count terms contribute exactly 0."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        src = t["source"].to_pandas()
+        outs = []
+        for w in STOPWORDS:
+            cnt = pc.count_substring_regex(
+                txt, rf"\b{w}\b"
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            g = pd.DataFrame({"source": src, "c": cnt}).groupby(
+                "source", as_index=False
+            )["c"].sum()
+            outs.append(
+                pa.table(
+                    {
+                        "source": pa.array(g["source"].tolist(), pa.string()),
+                        "term": pa.array([w] * len(g), pa.string()),
+                        "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["source", "term"], as_index=False)["c"]
+        .sum()
+    )
+    corpus = cat.groupby("term")["c"].sum()
+    nc = int(corpus.sum())
+    rows = []
+    for src, g in cat.groupby("source", sort=True):
+        ns = int(g["c"].sum())
+        qsum = 0
+        for _, r in g.iterrows():
+            cs = int(r["c"])
+            if cs == 0:
+                continue
+            ccorp = int(corpus.loc[r["term"]])
+            ps = float(cs) / float(ns)
+            pc_ = float(ccorp) / float(nc)
+            qsum += int(np.round(1e12 * (ps * np.log(ps / pc_))))
+        kl = float(_duckdb_round(np.array([float(qsum) / 1e12]))[0])
+        rows.append((src, ns, kl + 0.0))
+    out = pd.DataFrame(rows, columns=["source", "n_hits", "kl"])
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n_hits": pa.array(out["n_hits"].to_numpy(np.int64), pa.int64()),
+            "kl": pa.array(out["kl"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+def _stopword_kl_sql() -> str:
+    terms = ", ".join(f"('{w}')" for w in STOPWORDS)
+    return f"""
+WITH terms(w) AS (VALUES {terms}),
+c AS (
+  SELECT d.source, t.w,
+         CAST(sum(len(regexp_extract_all(coalesce(d.text, ''),
+                                         '\\b' || t.w || '\\b')))
+              AS BIGINT) AS c
+  FROM documents d CROSS JOIN terms t
+  GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
+corp AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM c GROUP BY 1),
+nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corp),
+q AS (
+  SELECT c.source,
+         CASE WHEN c.c = 0 THEN 0 ELSE
+           CAST(round(1000000000000.0 *
+                ((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+                 * ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+                      / (CAST(corp.cc AS DOUBLE)
+                         / CAST(nc.nc AS DOUBLE))))) AS BIGINT)
+         END AS q
+  FROM c JOIN ns USING (source) JOIN corp USING (w) CROSS JOIN nc
+)
+SELECT q.source, any_value(ns.ns) AS n_hits,
+       round(CAST(sum(q.q) AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS kl
+FROM q JOIN ns USING (source)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_SQL["q_stopword_kl"] = _stopword_kl_sql()
+QUERIES["q_stopword_kl"] = q_stopword_kl
+
+
+def q_minmax_norm(sf_dir):
+    """Per-conversation min-max normalization of text length to [0,1]
+    (the scaler family's third member next to group_zscore and
+    robust_scale): (m1 − min)/(max − min), NULL for constant
+    conversations — row-level output, one reduceat pair inside the
+    conv exchange."""
+    from ptrail_ray.schema import CONV_ID, TEXT, TURN_IDX
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "mm": pa.array([], pa.float64()),
+                }
+            )
+        starts, lens = conv_runs(t[CONV_ID])
+        m1 = pc.utf8_length(pc.fill_null(t[TEXT], "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        mn = np.repeat(np.minimum.reduceat(m1, starts), lens)
+        mx = np.repeat(np.maximum.reduceat(m1, starts), lens)
+        rng = mx - mn
+        ok = rng > 0
+        mm = np.zeros(n, np.float64)
+        mm[ok] = (m1[ok] - mn[ok]).astype(np.float64) / rng[ok].astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "conv_id": t[CONV_ID],
+                "turn_idx": t[TURN_IDX],
+                "mm": pa.array(
+                    _duckdb_round(mm) + 0.0, pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    return finalize(map_conv_buckets(ds, kern, num_buckets=16))
+
+
+ORACLE_SQL["q_minmax_norm"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id, turn_idx,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS m1,
+         CAST(min(length(coalesce(text, '')))
+              OVER (PARTITION BY conv_id) AS BIGINT) AS mn,
+         CAST(max(length(coalesce(text, '')))
+              OVER (PARTITION BY conv_id) AS BIGINT) AS mx
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN mx > mn THEN
+         round(CAST(m1 - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6) + 0.0
+       END AS mm
+FROM v
+"""
+QUERIES["q_minmax_norm"] = q_minmax_norm
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1144,3 +1144,63 @@ def test_tool_effect_welch(ray_session):
     assert out["n_after_other"].iloc[0] == len(g2)
     assert abs(out["mean_gap_tool"].iloc[0] - g1.mean()) < 1e-5
     assert abs(out["welch_z"].iloc[0] - z) < 1e-5
+
+
+def test_user_temporal_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_user_temporal_entropy"](SF)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    for u, g in ev.groupby("user_id"):
+        p = g["h"].value_counts(normalize=True).to_numpy()
+        ent = float(-(p * np.log(p)).sum())
+        assert out.loc[u, "n"] == len(g)
+        assert abs(out.loc[u, "entropy"] - ent) < 1e-6
+        assert -1e-9 <= out.loc[u, "entropy"] <= np.log(24) + 1e-9
+
+
+def test_stopword_kl(ray_session):
+    import re
+
+    from ptrail_ray.entry_queries import QUERIES, STOPWORDS
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_stopword_kl"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    cnt: dict = {}
+    for src, g in docs.groupby("source"):
+        text = " | ".join(g["text"].fillna(""))
+        cnt[src] = np.array(
+            [len(re.findall(rf"\b{w}\b", text)) for w in STOPWORDS],
+            np.float64,
+        )
+    corpus = sum(cnt.values())
+    pcorp = corpus / corpus.sum()
+    for src, cs in cnt.items():
+        ps = cs / cs.sum()
+        mask = ps > 0
+        kl = float((ps[mask] * np.log(ps[mask] / pcorp[mask])).sum())
+        assert out.loc[src, "n_hits"] == int(cs.sum())
+        assert abs(out.loc[src, "kl"] - kl) < 1e-6
+        assert out.loc[src, "kl"] >= -1e-9  # KL is non-negative
+
+
+def test_minmax_norm_rows(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_minmax_norm"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    merged = tr.merge(out, on=["conv_id", "turn_idx"])
+    assert len(merged) == len(tr)
+    for _, g in merged.groupby("conv_id", sort=False):
+        m1 = g["text"].fillna("").str.len().to_numpy(np.float64)
+        if m1.max() == m1.min():
+            assert g["mm"].isna().all()
+        else:
+            exp = (m1 - m1.min()) / (m1.max() - m1.min())
+            assert np.allclose(g["mm"].to_numpy(), exp, atol=1e-6)
