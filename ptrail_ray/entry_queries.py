@@ -21049,6 +21049,249 @@ FROM v
 QUERIES["q_minmax_norm"] = q_minmax_norm
 
 
+def q_skyline(sf_dir):
+    """Skyline / Pareto frontier of orders on (totalprice MAX, orderdate
+    MIN): an order survives iff no other order has cents ≥ AND day ≤
+    with one strict. Distributed via the skyline-algebra identity
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)): each batch
+    reduces to its local frontier (one sort + two running mins,
+    vectorized), the driver merges the tiny frontiers. Money is exact
+    integer cents, dates are day ints — ZERO floats."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def local_skyline(cents, day, okey):
+        # scan cents-descending groups: a row survives iff its day is
+        # (a) strictly below every strictly-richer row's day (equality
+        # there means domination — cents is already strictly greater)
+        # and (b) equal to its own cents-group's minimum day (same
+        # cents + strictly smaller day dominates; exact (cents, day)
+        # ties all survive — no strict coordinate).
+        order = np.lexsort((okey, day, -cents))
+        c, d, k = cents[order], day[order], okey[order]
+        n = len(c)
+        keep = np.ones(n, bool)
+        best_prev = np.int64(1 << 62)  # min day among strictly richer rows
+        i = 0
+        while i < n:
+            j = i
+            while j < n and c[j] == c[i]:
+                j += 1
+            grp = d[i:j]  # ascending (sorted within group)
+            keep[i:j] = (grp < best_prev) & (grp == grp[0])
+            best_prev = min(best_prev, int(grp[0]))
+            i = j
+        return k[keep], c[keep], d[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        day = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False) // 86_400_000_000
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c, d = local_skyline(cents, day, okey)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    k, c, d = local_skyline(
+        cand["cents"].to_numpy(np.int64),
+        cand["day"].to_numpy(np.int64),
+        cand["o_orderkey"].to_numpy(np.int64),
+    )
+    order = np.argsort(k)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(k[order], pa.int64()),
+            "cents": pa.array(c[order], pa.int64()),
+            "day": pa.array(d[order], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_skyline"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders
+)
+SELECT a.o_orderkey, a.cents, a.day
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.cents >= a.cents AND b.day <= a.day
+    AND (b.cents > a.cents OR b.day < a.day)
+)
+ORDER BY a.o_orderkey
+"""
+QUERIES["q_skyline"] = q_skyline
+
+
+def q_cum_revenue(sf_dir):
+    """Cumulative monthly revenue per order status — the running-total
+    board chart. (month × status) cents partials are catalog-bounded;
+    the running sum is an exact-int cumsum over the tiny grid and the
+    only float is the final dollars division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        mi = us.astype("datetime64[M]").astype(np.int64)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "mi": mi,
+                "status": t["o_orderstatus"].to_pandas(),
+                "cents": cents,
+            }
+        ).groupby(["mi", "status"], as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["mi", "status"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["status", "mi"])
+    )
+    cat["cum"] = cat.groupby("status")["cents"].cumsum()
+    mi = cat["mi"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "year": pa.array(1970 + mi // 12, pa.int64()),
+            "month": pa.array(mi % 12 + 1, pa.int64()),
+            "status": pa.array(cat["status"].tolist(), pa.string()),
+            "rev_cents": pa.array(cat["cents"].to_numpy(np.int64), pa.int64()),
+            "cum_rev": pa.array(
+                _duckdb_round(cat["cum"].to_numpy(np.float64) / 100.0) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_cum_revenue"] = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(month(o_orderdate) AS BIGINT) AS month,
+         o_orderstatus AS status,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT year, month, status, rev_cents,
+       round(CAST(sum(rev_cents) OVER (PARTITION BY status
+                ORDER BY year, month) AS DOUBLE) / 100.0, 6) + 0.0
+         AS cum_rev
+FROM m ORDER BY status, year, month
+"""
+QUERIES["q_cum_revenue"] = q_cum_revenue
+
+
+def q_bounce_rate(sf_dir):
+    """Bounce census: per calendar day (by conversation start), how
+    many conversations began and what share never got a second turn —
+    the engagement health line. Per-conv (start day, is_single) folds
+    inside the conv exchange to a day-catalog partial; one division
+    per day."""
+    from ptrail_ray.schema import CONV_ID, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n1": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts[starts] // 86_400_000_000
+        single = (lens == 1).astype(np.int64)
+        g = pd.DataFrame({"day": day, "one": 1, "n1": single}).groupby(
+            "day", as_index=False
+        ).agg(n=("one", "sum"), n1=("n1", "sum"))
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "n1": pa.array(g["n1"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .sum()
+        .sort_values("day")
+    )
+    rate = _duckdb_round(
+        cat["n1"].to_numpy(np.float64) / cat["n"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "day": pa.array(cat["day"].to_numpy(np.int64), pa.int64()),
+            "n_convs": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "n_single": pa.array(cat["n1"].to_numpy(np.int64), pa.int64()),
+            "bounce_rate": pa.array(rate, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_bounce_rate"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         datediff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS turns
+  FROM transcripts GROUP BY 1
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN turns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single,
+       round(CAST(sum(CASE WHEN turns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS bounce_rate
+FROM per GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_bounce_rate"] = q_bounce_rate
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1204,3 +1204,70 @@ def test_minmax_norm_rows(ray_session):
         else:
             exp = (m1 - m1.min()) / (m1.max() - m1.min())
             assert np.allclose(g["mm"].to_numpy(), exp, atol=1e-6)
+
+
+def test_skyline_pareto(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_skyline"](SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cents = np.round(orders["o_totalprice"] * 100).astype(np.int64).to_numpy()
+    day = (
+        orders["o_orderdate"].astype("datetime64[ns]").astype(np.int64)
+        // (86_400 * 10**9)
+    ).to_numpy()
+    keys = orders["o_orderkey"].to_numpy()
+    exp = []
+    for i in range(len(keys)):
+        dom = (
+            (cents >= cents[i])
+            & (day <= day[i])
+            & ((cents > cents[i]) | (day < day[i]))
+        )
+        if not dom.any():
+            exp.append(keys[i])
+    assert sorted(out["o_orderkey"]) == sorted(exp)
+    # on a (max cents, min day) frontier, richer points must be
+    # strictly later — otherwise they would dominate the poorer ones
+    f = out.sort_values("cents")
+    dd = f.drop_duplicates("cents", keep="first")["day"].to_numpy()
+    assert (np.diff(dd) > 0).all()
+
+
+def test_cum_revenue_running(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_cum_revenue"](SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype(np.int64)
+    orders["ym"] = (
+        orders["o_orderdate"].dt.year * 100 + orders["o_orderdate"].dt.month
+    )
+    for status, g in out.groupby("status"):
+        g = g.sort_values(["year", "month"])
+        o = orders[orders["o_orderstatus"] == status]
+        run = 0
+        for _, r in g.iterrows():
+            ym = r["year"] * 100 + r["month"]
+            month_cents = int(o.loc[o["ym"] == ym, "cents"].sum())
+            assert r["rev_cents"] == month_cents
+            run += month_cents
+            assert abs(r["cum_rev"] - run / 100.0) < 1e-6
+
+
+def test_bounce_rate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bounce_rate"](SF).to_pandas().set_index("day")
+    tr = _transcripts_pdf()
+    per = tr.groupby("conv_id").agg(
+        start=("ts", "min"), n=("ts", "size")
+    )
+    per["day"] = per["start"].astype("datetime64[ns]").astype(np.int64) // (
+        86_400 * 10**9
+    )
+    for d, g in per.groupby("day"):
+        assert out.loc[d, "n_convs"] == len(g)
+        assert out.loc[d, "n_single"] == int((g["n"] == 1).sum())
