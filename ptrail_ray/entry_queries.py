@@ -21292,6 +21292,364 @@ FROM per GROUP BY 1 ORDER BY 1
 QUERIES["q_bounce_rate"] = q_bounce_rate
 
 
+def q_psi(sf_dir):
+    """Population stability index between the even- and odd-doc_id
+    halves of the corpus over global decile bins of doc length — the
+    drift gauge model monitors alarm on (PSI > 0.2 = shifted). Decile
+    edges are DISCRETE global quantiles (exact ints); per-bin cohort
+    counts come off the (value, parity) histogram partials; each
+    (p_a − p_b)·ln(p_a/p_b) term is 1e12-quantized (bins empty on
+    either side contribute exactly 0, stated in the contract)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        par = (
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        )
+        g = pd.DataFrame({"v": v, "p": par, "one": 1}).groupby(
+            ["v", "p"], as_index=False
+        )["one"].sum()
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "p": pa.array(g["p"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["one"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["v", "p"], as_index=False)["c"]
+        .sum()
+    )
+    tot = cat.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    v = tot["v"].to_numpy(np.int64)
+    c = tot["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    bounds = [
+        int(v[np.searchsorted(cum, (k * n + 9) // 10)]) for k in range(1, 10)
+    ]
+    binid = np.ones(len(v), np.int64)
+    for b in bounds:
+        binid += (v > b).astype(np.int64)
+    bmap = pd.Series(binid, index=v)
+    cat["bin"] = bmap.loc[cat["v"]].to_numpy(np.int64)
+    byb = cat.pivot_table(
+        index="bin", columns="p", values="c", aggfunc="sum", fill_value=0
+    ).reindex(columns=[0, 1], fill_value=0).sort_index()
+    na, nb = int(byb[0].sum()), int(byb[1].sum())
+    qsum = 0
+    for _, r in byb.iterrows():
+        ca, cb = int(r[0]), int(r[1])
+        if ca == 0 or cb == 0:
+            continue
+        pa_ = float(ca) / float(na)
+        pb_ = float(cb) / float(nb)
+        qsum += int(np.round(1e12 * ((pa_ - pb_) * np.log(pa_ / pb_))))
+    psi = float(_duckdb_round(np.array([float(qsum) / 1e12]))[0])
+    return pa.table(
+        {
+            "n_even": pa.array([na], pa.int64()),
+            "n_odd": pa.array([nb], pa.int64()),
+            "n_bins": pa.array([len(byb)], pa.int64()),
+            "psi": pa.array([psi + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_psi"] = """
+WITH b AS (
+  SELECT CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS b1,
+         CAST(quantile_disc(n_chars, 0.2) AS BIGINT) AS b2,
+         CAST(quantile_disc(n_chars, 0.3) AS BIGINT) AS b3,
+         CAST(quantile_disc(n_chars, 0.4) AS BIGINT) AS b4,
+         CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS b5,
+         CAST(quantile_disc(n_chars, 0.6) AS BIGINT) AS b6,
+         CAST(quantile_disc(n_chars, 0.7) AS BIGINT) AS b7,
+         CAST(quantile_disc(n_chars, 0.8) AS BIGINT) AS b8,
+         CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS b9
+  FROM documents
+),
+s AS (
+  SELECT 1 + (CASE WHEN n_chars > b.b1 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b3 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b4 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b5 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b6 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b7 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b8 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars > b.b9 THEN 1 ELSE 0 END) AS bin,
+         doc_id % 2 AS p
+  FROM documents, b
+),
+g AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM s GROUP BY 1
+),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM g),
+q AS (
+  SELECT CASE WHEN g.ca = 0 OR g.cb = 0 THEN 0 ELSE
+    CAST(round(1000000000000.0 *
+         ((CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+           - CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+          * ln((CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+               / (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))))
+         AS BIGINT)
+  END AS q
+  FROM g, t
+)
+SELECT (SELECT na FROM t) AS n_even, (SELECT nb FROM t) AS n_odd,
+       CAST((SELECT count(*) FROM g) AS BIGINT) AS n_bins,
+       round(CAST(sum(q) AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS psi
+FROM q
+"""
+QUERIES["q_psi"] = q_psi
+
+
+def q_tool_centrality(sf_dir):
+    """Harmonic centrality of every tool in the directed transition
+    graph: C(u) = Σ_{v≠u} 1/d(u,v) over BFS hop distances
+    (unreachable ⇒ 0). Distinct edges come off ONE conv exchange
+    (q_reach_hops kernel); the all-pairs closure runs on the bounded
+    tool catalog and is checked against a DuckDB WITH RECURSIVE
+    all-sources shortest-path oracle. 1/d is quantized at 1e12 once
+    per distance value."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        idx = np.flatnonzero(valid)
+        if len(idx) < 2:
+            return empty
+        a_i, b_i = idx[:-1], idx[1:]
+        same = rid[a_i] == rid[b_i]
+        a_i, b_i = a_i[same], b_i[same]
+        if len(a_i) == 0:
+            return empty
+        tool = t[TOOL]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        src = tool.take(pa.array(a_i))
+        dst = tool.take(pa.array(b_i))
+        keep = pc.not_equal(src, dst).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"src": src.to_pandas()[keep], "dst": dst.to_pandas()[keep]}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "src": pa.array(df["src"].tolist(), pa.string()),
+                "dst": pa.array(df["dst"].tolist(), pa.string()),
+            }
+        )
+
+    edges = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .drop_duplicates()
+    )
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    adj: dict[str, list[str]] = {}
+    for s_, d_ in zip(edges["src"], edges["dst"]):
+        adj.setdefault(s_, []).append(d_)
+    rows = []
+    for u in nodes:
+        dist = {u: 0}
+        frontier = [u]
+        hops = 0
+        while frontier and hops < 10:
+            hops += 1
+            nxt = []
+            for a in frontier:
+                for b in adj.get(a, ()):
+                    if b not in dist:
+                        dist[b] = hops
+                        nxt.append(b)
+            frontier = nxt
+        qsum = sum(
+            int(np.round(1e12 / float(d_)))
+            for v_, d_ in dist.items()
+            if v_ != u
+        )
+        rows.append(
+            (
+                u,
+                len(dist) - 1,
+                float(_duckdb_round(np.array([float(qsum) / 1e12]))[0])
+                + 0.0,
+            )
+        )
+    out = pd.DataFrame(rows, columns=["tool", "n_reach", "centrality"])
+    return pa.table(
+        {
+            "tool": pa.array(out["tool"].tolist(), pa.string()),
+            "n_reach": pa.array(out["n_reach"].to_numpy(np.int64), pa.int64()),
+            "centrality": pa.array(
+                out["centrality"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_tool_centrality"] = f"""
+WITH RECURSIVE transcripts AS ({TRANSCRIPTS_SQL}),
+tt AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.tool AS src, b.tool AS dst
+  FROM tt a JOIN tt b
+    ON a.conv_id = b.conv_id AND b.rn = a.rn + 1 AND a.tool <> b.tool
+),
+nodes AS (SELECT DISTINCT src AS t FROM e
+          UNION SELECT DISTINCT dst FROM e),
+reach(src, dst, hops) AS (
+  SELECT t, t, 0 FROM nodes
+  UNION
+  SELECT r.src, e.dst, r.hops + 1
+  FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.hops < 10
+),
+sp AS (SELECT src, dst, CAST(min(hops) AS BIGINT) AS d
+       FROM reach GROUP BY 1, 2)
+SELECT src AS tool,
+       CAST(sum(CASE WHEN dst <> src THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reach,
+       round(CAST(sum(CASE WHEN dst <> src THEN
+                CAST(round(1000000000000.0 / CAST(d AS DOUBLE)) AS BIGINT)
+              ELSE 0 END) AS DOUBLE) / 1000000000000.0, 6) + 0.0
+         AS centrality
+FROM sp GROUP BY 1
+"""
+QUERIES["q_tool_centrality"] = q_tool_centrality
+
+
+def q_dod_overlap(sf_dir):
+    """Day-over-day audience overlap: Jaccard of consecutive days'
+    active-user sets — the short-horizon churn pulse. Each user's
+    day-set folds inside the ONE user exchange into per-day
+    (active, also-active-tomorrow) partials, so the driver sees only
+    the day catalog; each Jaccard is one division of exact ints."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        nd = pd.DataFrame(
+            {"u": df["user_id"], "d": day}
+        ).drop_duplicates().sort_values(["u", "d"])
+        u = nd["u"].to_numpy()
+        d = nd["d"].to_numpy(np.int64)
+        both = np.zeros(len(d), bool)
+        if len(d) > 1:
+            both[:-1] = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        g = pd.DataFrame({"d": d, "one": 1, "b": both.astype(np.int64)})
+        return g.groupby("d", as_index=False).agg(
+            dau=("one", "sum"), inter=("b", "sum")
+        )
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("d", as_index=False)
+        .sum()
+        .sort_values("d")
+    )
+    d = cat["d"].to_numpy(np.int64)
+    dau = cat["dau"].to_numpy(np.int64)
+    inter = cat["inter"].to_numpy(np.int64)
+    # pair day t with day t+1 when contiguous in the catalog
+    nxt = dict(zip(d, dau))
+    rows = []
+    for i in range(len(d)):
+        if d[i] + 1 not in nxt:
+            continue
+        a, b, x = int(dau[i]), int(nxt[d[i] + 1]), int(inter[i])
+        jac = float(
+            _duckdb_round(np.array([float(x) / float(a + b - x)]))[0]
+        )
+        rows.append((int(d[i]), a, b, x, jac + 0.0))
+    out = pd.DataFrame(
+        rows, columns=["day", "dau", "dau_next", "inter", "jaccard"]
+    )
+    return pa.table(
+        {
+            "day": pa.array(out["day"].to_numpy(np.int64), pa.int64()),
+            "dau": pa.array(out["dau"].to_numpy(np.int64), pa.int64()),
+            "dau_next": pa.array(
+                out["dau_next"].to_numpy(np.int64), pa.int64()
+            ),
+            "inter": pa.array(out["inter"].to_numpy(np.int64), pa.int64()),
+            "jaccard": pa.array(
+                out["jaccard"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_dod_overlap"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+inter AS (
+  SELECT a.d, CAST(count(*) AS BIGINT) AS inter
+  FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.d = a.d + 1
+  GROUP BY 1
+)
+SELECT a.d AS day, a.dau, b.dau AS dau_next,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+             / CAST(a.dau + b.dau - coalesce(i.inter, 0) AS DOUBLE),
+             6) + 0.0 AS jaccard
+FROM dau a JOIN dau b ON b.d = a.d + 1
+LEFT JOIN inter i ON i.d = a.d
+ORDER BY a.d
+"""
+QUERIES["q_dod_overlap"] = q_dod_overlap
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1271,3 +1271,79 @@ def test_bounce_rate(ray_session):
     for d, g in per.groupby("day"):
         assert out.loc[d, "n_convs"] == len(g)
         assert out.loc[d, "n_single"] == int((g["n"] == 1).sum())
+
+
+def test_psi_halves(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_psi"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    v = docs["n_chars"].to_numpy(np.int64)
+    par = (docs["doc_id"] % 2).to_numpy(np.int64)
+    xs = np.sort(v)
+    n = len(xs)
+    bounds = [xs[int(np.ceil(k * n / 10)) - 1] for k in range(1, 10)]
+    binid = 1 + sum((v > b).astype(np.int64) for b in bounds)
+    psi = 0.0
+    na, nb = int((par == 0).sum()), int((par == 1).sum())
+    for b in np.unique(binid):
+        ca = int(((binid == b) & (par == 0)).sum())
+        cb = int(((binid == b) & (par == 1)).sum())
+        if ca and cb:
+            pa_, pb_ = ca / na, cb / nb
+            psi += (pa_ - pb_) * np.log(pa_ / pb_)
+    assert out["n_even"].iloc[0] == na and out["n_odd"].iloc[0] == nb
+    assert abs(out["psi"].iloc[0] - psi) < 1e-6
+    assert out["psi"].iloc[0] >= -1e-9  # PSI is non-negative
+
+
+def test_tool_centrality_harmonic(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_centrality"](SF).to_pandas().set_index("tool")
+    tr = _transcripts_pdf()
+    edges = set()
+    for _, g in tr.groupby("conv_id", sort=False):
+        tools = g.loc[g["tool"].notna(), "tool"].tolist()
+        for a, b in zip(tools, tools[1:]):
+            if a != b:
+                edges.add((a, b))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    for u in nodes:
+        dist = {u: 0}
+        frontier = [u]
+        while frontier:
+            nxt = []
+            for a in frontier:
+                for x, y in edges:
+                    if x == a and y not in dist:
+                        dist[y] = dist[a] + 1
+                        nxt.append(y)
+            frontier = nxt
+        cent = sum(1.0 / d for v_, d in dist.items() if v_ != u)
+        assert out.loc[u, "n_reach"] == len(dist) - 1
+        assert abs(out.loc[u, "centrality"] - cent) < 1e-6
+
+
+def test_dod_overlap_jaccard(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dod_overlap"](SF).to_pandas().set_index("day")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    bysets = {
+        d: set(g["user_id"]) for d, g in ev[["user_id", "d"]].groupby("d")
+    }
+    days = sorted(bysets)
+    for d in days:
+        if d + 1 not in bysets:
+            assert d not in out.index
+            continue
+        a, b = bysets[d], bysets[d + 1]
+        assert out.loc[d, "dau"] == len(a)
+        assert out.loc[d, "dau_next"] == len(b)
+        assert out.loc[d, "inter"] == len(a & b)
+        assert abs(out.loc[d, "jaccard"] - len(a & b) / len(a | b)) < 1e-6
