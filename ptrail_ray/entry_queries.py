@@ -21650,6 +21650,297 @@ ORDER BY a.d
 QUERIES["q_dod_overlap"] = q_dod_overlap
 
 
+def q_chisq_uniform(sf_dir):
+    """χ² goodness-of-fit of daily counts against the uniform rate,
+    per event type. The algebra collapses to ONE exact-int ratio:
+    χ² = (n·Σy² − N²)/N on the zero-filled grid — no expected-count
+    float ever materializes. Daily partials, zero shuffle."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        y = np.zeros(n, np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        total = int(y.sum())
+        sq = int((y * y).sum())
+        chi = float(
+            _duckdb_round(
+                np.array([float(n * sq - total * total) / float(total)])
+            )[0]
+        )
+        rows.append((et, n, total, chi + 0.0))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "total", "chi2"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64), pa.int64()),
+            "total": pa.array(out["total"].to_numpy(np.int64), pa.int64()),
+            "chi2": pa.array(out["chi2"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_chisq_uniform"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+ser AS (
+  SELECT grid.event_type, coalesce(cnt.x, 0) AS y
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS total,
+         CAST(sum(y * y) AS BIGINT) AS sq
+  FROM ser GROUP BY 1
+)
+SELECT event_type, n AS n_days, total,
+       round(CAST(n * sq - total * total AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) + 0.0 AS chi2
+FROM s ORDER BY 1
+"""
+QUERIES["q_chisq_uniform"] = q_chisq_uniform
+
+
+def q_weekend_effect(sf_dir):
+    """Weekend lift per event type: mean weekend-day traffic over mean
+    weekday traffic, on the zero-filled grid. Four exact-int partials
+    per type; the ratio is ONE division via cross-multiplication
+    (Σ_we·n_wd)/(Σ_wd·n_we) — no intermediate means."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": d}
+        ).groupby(["event_type", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    cnt = parts.groupby(["event_type", "d"], as_index=False)["x"].sum()
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    days = np.arange(dmin, dmax + 1, dtype=np.int64)
+    isodow = ((days % 7) + 3) % 7 + 1
+    we_mask = isodow >= 6
+    n_we, n_wd = int(we_mask.sum()), int((~we_mask).sum())
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        y = np.zeros(len(days), np.int64)
+        y[g["d"].to_numpy(np.int64) - dmin] = g["x"].to_numpy(np.int64)
+        s_we = int(y[we_mask].sum())
+        s_wd = int(y[~we_mask].sum())
+        lift = float(
+            _duckdb_round(
+                np.array([float(s_we * n_wd) / float(s_wd * n_we)])
+            )[0]
+        )
+        rows.append((et, s_we, s_wd, lift + 0.0))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "weekend_n", "weekday_n", "lift"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "weekend_n": pa.array(
+                out["weekend_n"].to_numpy(np.int64), pa.int64()
+            ),
+            "weekday_n": pa.array(
+                out["weekday_n"].to_numpy(np.int64), pa.int64()
+            ),
+            "lift": pa.array(out["lift"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_weekend_effect"] = """
+WITH b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT t.event_type, g.d,
+         CASE WHEN ((g.d % 7) + 3) % 7 + 1 >= 6 THEN 1 ELSE 0 END AS we
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                  (SELECT dmax FROM lim))) AS d
+  ) g
+),
+cnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+        FROM b GROUP BY 1, 2),
+s AS (
+  SELECT grid.event_type,
+         CAST(sum(CASE WHEN grid.we = 1 THEN coalesce(cnt.x, 0)
+                       ELSE 0 END) AS BIGINT) AS s_we,
+         CAST(sum(CASE WHEN grid.we = 0 THEN coalesce(cnt.x, 0)
+                       ELSE 0 END) AS BIGINT) AS s_wd,
+         CAST(sum(grid.we) AS BIGINT) AS n_we,
+         CAST(sum(1 - grid.we) AS BIGINT) AS n_wd
+  FROM grid LEFT JOIN cnt USING (event_type, d)
+  GROUP BY 1
+)
+SELECT event_type, s_we AS weekend_n, s_wd AS weekday_n,
+       round(CAST(s_we * n_wd AS DOUBLE)
+             / CAST(s_wd * n_we AS DOUBLE), 6) + 0.0 AS lift
+FROM s ORDER BY 1
+"""
+QUERIES["q_weekend_effect"] = q_weekend_effect
+
+
+def q_hour_profile_cosine(sf_dir):
+    """Cosine similarity of hour-of-day traffic profiles for every
+    event-type pair — do purchases follow clicks around the clock?
+    24-dim integer profiles from zero-shuffle (type × hour) partials;
+    dot products and norms are exact ints and each cosine is ONE
+    fixed-order expression."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "h": hour}
+        ).groupby(["event_type", "h"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["event_type", "h"], as_index=False)["c"]
+        .sum()
+    )
+    types = sorted(cat["event_type"].unique())
+    prof = {
+        et: np.zeros(24, np.int64) for et in types
+    }
+    for _, r in cat.iterrows():
+        prof[r["event_type"]][int(r["h"])] = int(r["c"])
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = prof[types[i]], prof[types[j]]
+            dot = int((a * b).sum())
+            na, nb = int((a * a).sum()), int((b * b).sum())
+            cos = float(
+                _duckdb_round(
+                    np.array(
+                        [float(dot) / np.sqrt(float(na) * float(nb))]
+                    )
+                )[0]
+            )
+            rows.append((types[i], types[j], dot, cos + 0.0))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "dot", "cosine"])
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"].tolist(), pa.string()),
+            "type_b": pa.array(out["type_b"].tolist(), pa.string()),
+            "dot": pa.array(out["dot"].to_numpy(np.int64), pa.int64()),
+            "cosine": pa.array(
+                out["cosine"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_hour_profile_cosine"] = """
+WITH c AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM c a JOIN c b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, CAST(sum(c * c) AS BIGINT) AS nn
+  FROM c GROUP BY 1
+)
+SELECT p.type_a, p.type_b, p.dot,
+       round(CAST(p.dot AS DOUBLE)
+             / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)),
+             6) + 0.0 AS cosine
+FROM p JOIN n na ON na.event_type = p.type_a
+JOIN n nb ON nb.event_type = p.type_b
+ORDER BY 1, 2
+"""
+QUERIES["q_hour_profile_cosine"] = q_hour_profile_cosine
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

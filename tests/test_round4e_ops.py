@@ -1347,3 +1347,61 @@ def test_dod_overlap_jaccard(ray_session):
         assert out.loc[d, "dau_next"] == len(b)
         assert out.loc[d, "inter"] == len(a & b)
         assert abs(out.loc[d, "jaccard"] - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_chisq_uniform(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_chisq_uniform"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    dmin, dmax = ev["d"].min(), ev["d"].max()
+    n = dmax - dmin + 1
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(n, np.float64)
+        u, c = np.unique(g["d"].to_numpy(), return_counts=True)
+        y[u - dmin] = c
+        e = y.sum() / n
+        chi = float(((y - e) ** 2 / e).sum())
+        assert out.loc[et, "n_days"] == n
+        assert abs(out.loc[et, "chi2"] - chi) < 1e-5
+
+
+def test_weekend_effect(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_weekend_effect"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    dmin, dmax = ev["d"].min(), ev["d"].max()
+    days = np.arange(dmin, dmax + 1)
+    we = (((days % 7) + 3) % 7 + 1) >= 6
+    for et, g in ev.groupby("event_type"):
+        y = np.zeros(len(days), np.float64)
+        u, c = np.unique(g["d"].to_numpy(), return_counts=True)
+        y[u - dmin] = c
+        lift = (y[we].mean()) / (y[~we].mean())
+        assert out.loc[et, "weekend_n"] == int(y[we].sum())
+        assert abs(out.loc[et, "lift"] - lift) < 1e-6
+
+
+def test_hour_profile_cosine(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hour_profile_cosine"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    prof = {
+        et: np.bincount(g["h"].to_numpy(), minlength=24).astype(np.float64)
+        for et, g in ev.groupby("event_type")
+    }
+    assert len(out) == len(prof) * (len(prof) - 1) // 2
+    for _, r in out.iterrows():
+        a, b = prof[r["type_a"]], prof[r["type_b"]]
+        cos = (a @ b) / np.sqrt((a @ a) * (b @ b))
+        assert abs(r["cosine"] - cos) < 1e-6
+        assert 0.0 <= r["cosine"] <= 1.0 + 1e-9
