@@ -21941,6 +21941,299 @@ ORDER BY 1, 2
 QUERIES["q_hour_profile_cosine"] = q_hour_profile_cosine
 
 
+HW_A, HW_IA = 0.4, 0.6  # alpha, 1-alpha as LITERALS (never computed)
+HW_B, HW_IB = 0.2, 0.8
+HW_G, HW_IG = 0.3, 0.7
+HW_M = 7
+
+
+def q_holt_winters(sf_dir):
+    """Holt–Winters ADDITIVE triple exponential smoothing (period 7)
+    of total daily traffic — level, trend and the 7-slot seasonal
+    state. The recurrence runs in IEEE doubles in the SAME literal
+    operand order as a recursive-CTE oracle that carries the seasonal
+    ring as a LIST column (sl[1] = s_{t−7}; update = sl[2:7] ∥ [new]),
+    so every step is bit-equal; 1−α/β/γ are decimal LITERALS on both
+    sides, never computed. Init: l = mean of week one, b = 0,
+    s_j = y_j − mean. Daily counts are exact-int partials."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "y": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["y"]
+        .sum()
+        .sort_values("d")
+    )
+    dmin, dmax = int(cnt["d"].min()), int(cnt["d"].max())
+    n = dmax - dmin + 1
+    assert n >= 2 * HW_M, "Holt-Winters needs at least two periods"
+    y = np.zeros(n, np.int64)
+    y[cnt["d"].to_numpy(np.int64) - dmin] = cnt["y"].to_numpy(np.int64)
+    mean0 = float(int(y[:HW_M].sum())) / float(HW_M)
+    lvl, b = mean0, 0.0
+    s = [float(y[j]) - mean0 for j in range(HW_M)]
+    for t in range(HW_M, n):
+        yf = float(y[t])
+        l_new = HW_A * (yf - s[0]) + HW_IA * (lvl + b)
+        b = HW_B * (l_new - lvl) + HW_IB * b
+        s = s[1:] + [HW_G * (yf - l_new) + HW_IG * s[0]]
+        lvl = l_new
+    forecast = lvl + b + s[0]
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "level": pa.array(
+                [float(_duckdb_round(np.array([lvl]))[0]) + 0.0], pa.float64()
+            ),
+            "trend": pa.array(
+                [float(_duckdb_round(np.array([b]))[0]) + 0.0], pa.float64()
+            ),
+            "forecast": pa.array(
+                [float(_duckdb_round(np.array([forecast]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_holt_winters"] = f"""
+WITH RECURSIVE b AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+lim AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT dmin FROM lim),
+                                (SELECT dmax FROM lim))) AS d
+),
+cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM b GROUP BY 1),
+ser AS MATERIALIZED (
+  SELECT grid.d - (SELECT dmin FROM lim) AS idx, coalesce(cnt.y, 0) AS y
+  FROM grid LEFT JOIN cnt USING (d)
+),
+init AS (
+  SELECT CAST(sum(y) AS DOUBLE) / {HW_M}.0 AS mean0,
+         list(CAST(y AS DOUBLE) ORDER BY idx) AS ys
+  FROM ser WHERE idx < {HW_M}
+),
+h(idx, l, bb, sl) AS (
+  SELECT {HW_M} - 1, mean0, CAST(0 AS DOUBLE),
+         [ys[1] - mean0, ys[2] - mean0, ys[3] - mean0, ys[4] - mean0,
+          ys[5] - mean0, ys[6] - mean0, ys[7] - mean0]
+  FROM init
+  UNION ALL
+  SELECT s.idx,
+         {HW_A} * (CAST(s.y AS DOUBLE) - h.sl[1])
+           + {HW_IA} * (h.l + h.bb),
+         {HW_B} * (({HW_A} * (CAST(s.y AS DOUBLE) - h.sl[1])
+                    + {HW_IA} * (h.l + h.bb)) - h.l)
+           + {HW_IB} * h.bb,
+         h.sl[2:{HW_M}]
+           || [{HW_G} * (CAST(s.y AS DOUBLE)
+                         - ({HW_A} * (CAST(s.y AS DOUBLE) - h.sl[1])
+                            + {HW_IA} * (h.l + h.bb)))
+               + {HW_IG} * h.sl[1]]
+  FROM ser s JOIN h ON s.idx = h.idx + 1
+)
+SELECT (SELECT CAST(max(idx) + 1 AS BIGINT) FROM ser) AS n_days,
+       round(l, 6) + 0.0 AS level,
+       round(bb, 6) + 0.0 AS trend,
+       round(l + bb + sl[1], 6) + 0.0 AS forecast
+FROM h WHERE idx = (SELECT max(idx) FROM ser)
+"""
+QUERIES["q_holt_winters"] = q_holt_winters
+
+
+def q_gap_autocorr(sf_dir):
+    """Pooled lag-1 autocorrelation of consecutive within-conversation
+    turn gaps — is a long wait followed by another long wait? Gap
+    pairs never leave their conv bucket; the six Pearson moments are
+    exact ints (gaps in floor seconds) and r is ONE fixed-order
+    expression."""
+    from ptrail_ray.schema import CONV_ID, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = t.num_rows
+        gap = np.zeros(n, np.int64)
+        gap[1:] = (ts[1:] - ts[:-1]) // 1_000_000
+        isgap = np.ones(n, bool)
+        isgap[starts] = False  # row i holds gap (i-1 → i)
+        # pair (x=gap_i, y=gap_{i+1}) valid when both are gaps of the
+        # same conv: positions i, i+1 both flagged
+        xi = np.flatnonzero(isgap[:-1] & isgap[1:])
+        x = gap[xi]
+        yv = gap[xi + 1]
+        return pa.table(
+            {
+                "n": pa.array([len(xi)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(yv.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((yv * yv).sum())], pa.int64()),
+                "sxy": pa.array([int((x * yv).sum())], pa.int64()),
+            }
+        )
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    n, sx, sy, sxx, syy, sxy = (int(parts[k].sum()) for k in cols)
+    nf = float(n)
+    r = (nf * float(sxy) - float(sx) * float(sy)) / np.sqrt(
+        (nf * float(sxx) - float(sx) * float(sx))
+        * (nf * float(syy) - float(sy) * float(sy))
+    )
+    return pa.table(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "r": pa.array(
+                [float(_duckdb_round(np.array([r]))[0]) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_gap_autocorr"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER ({W}))) // 1000000 AS gap,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+),
+p AS (
+  SELECT gap AS x, lead(gap) OVER ({W.replace("turn_idx, ts", "rn")}) AS y
+  FROM v WHERE rn > 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p WHERE y IS NOT NULL
+)
+SELECT n AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) + 0.0 AS r
+FROM s
+"""
+QUERIES["q_gap_autocorr"] = q_gap_autocorr
+
+
+def q_duration_by_dow(sf_dir):
+    """Conversation duration (seconds, exact int) profiled by the ISO
+    weekday the conversation STARTED: n, discrete median, p90 — do
+    weekend conversations run longer? Per-conv (dow, duration) folds
+    in the conv exchange to a bounded catalog; quantile picks are
+    cumsum/searchsorted — ZERO floats."""
+    from ptrail_ray.schema import CONV_ID, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dow": pa.array([], pa.int64()),
+                "dur": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ends = starts + lens - 1
+        dur = (ts[ends] - ts[starts]) // 1_000_000
+        day = ts[starts] // 86_400_000_000
+        dow = ((day % 7) + 3) % 7 + 1
+        g = pd.DataFrame({"dow": dow, "dur": dur}).groupby(
+            ["dow", "dur"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "dow": pa.array(g["dow"].to_numpy(np.int64), pa.int64()),
+                "dur": pa.array(g["dur"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["dow", "dur"], as_index=False)["n"]
+        .sum()
+        .sort_values(["dow", "dur"])
+    )
+    rows = []
+    for dow, g in cat.groupby("dow", sort=True):
+        v = g["dur"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        p90 = int(v[np.searchsorted(cum, (9 * n + 9) // 10)])
+        rows.append((int(dow), n, med, p90))
+    out = pd.DataFrame(rows, columns=["dow", "n_convs", "dur_med", "dur_p90"])
+    return pa.table(
+        {
+            "dow": pa.array(out["dow"].to_numpy(np.int64), pa.int64()),
+            "n_convs": pa.array(out["n_convs"].to_numpy(np.int64), pa.int64()),
+            "dur_med": pa.array(out["dur_med"].to_numpy(np.int64), pa.int64()),
+            "dur_p90": pa.array(out["dur_p90"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_duration_by_dow"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         CAST(isodow(min(ts)) AS BIGINT) AS dow,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur
+  FROM transcripts GROUP BY 1
+)
+SELECT dow, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(quantile_disc(dur, 0.5) AS BIGINT) AS dur_med,
+       CAST(quantile_disc(dur, 0.9) AS BIGINT) AS dur_p90
+FROM per GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_duration_by_dow"] = q_duration_by_dow
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1405,3 +1405,70 @@ def test_hour_profile_cosine(ray_session):
         cos = (a @ b) / np.sqrt((a @ a) * (b @ b))
         assert abs(r["cosine"] - cos) < 1e-6
         assert 0.0 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_holt_winters_additive(ray_session):
+    from ptrail_ray.entry_queries import (
+        HW_A,
+        HW_B,
+        HW_G,
+        HW_M,
+        QUERIES,
+    )
+
+    out = QUERIES["q_holt_winters"](SF).to_pandas()
+    ev = _events_pdf()
+    d = (ev["ts"].astype("datetime64[ns]").astype("int64")
+         // (86_400 * 10**9)).to_numpy()
+    dmin, dmax = d.min(), d.max()
+    n = dmax - dmin + 1
+    y = np.zeros(n, np.float64)
+    u, c = np.unique(d, return_counts=True)
+    y[u - dmin] = c
+    mean0 = y[:HW_M].mean()
+    lvl, b = mean0, 0.0
+    s = list(y[:HW_M] - mean0)
+    for t in range(HW_M, n):
+        l_new = HW_A * (y[t] - s[0]) + (1 - HW_A) * (lvl + b)
+        b = HW_B * (l_new - lvl) + (1 - HW_B) * b
+        s = s[1:] + [HW_G * (y[t] - l_new) + (1 - HW_G) * s[0]]
+        lvl = l_new
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["level"].iloc[0] - lvl) < 1e-5
+    assert abs(out["trend"].iloc[0] - b) < 1e-5
+    assert abs(out["forecast"].iloc[0] - (lvl + b + s[0])) < 1e-5
+
+
+def test_gap_autocorr_pooled(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gap_autocorr"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    xs, ys = [], []
+    for _, g in tr.groupby("conv_id", sort=False):
+        ts = g["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()
+        gaps = (ts[1:] - ts[:-1]) // 10**9
+        xs.extend(gaps[:-1])
+        ys.extend(gaps[1:])
+    x, yv = np.array(xs, np.float64), np.array(ys, np.float64)
+    r = np.corrcoef(x, yv)[0, 1]
+    assert out["n_pairs"].iloc[0] == len(x)
+    assert abs(out["r"].iloc[0] - r) < 1e-6
+
+
+def test_duration_by_dow(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_duration_by_dow"](SF).to_pandas().set_index("dow")
+    tr = _transcripts_pdf()
+    per = tr.groupby("conv_id").agg(start=("ts", "min"), end=("ts", "max"))
+    per["dow"] = per["start"].dt.dayofweek + 1
+    per["dur"] = (
+        per["end"].astype("datetime64[ns]").astype(np.int64)
+        - per["start"].astype("datetime64[ns]").astype(np.int64)
+    ) // 10**9
+    for dow, g in per.groupby("dow"):
+        d = np.sort(g["dur"].to_numpy(np.int64))
+        assert out.loc[dow, "n_convs"] == len(d)
+        assert out.loc[dow, "dur_med"] == d[int(np.ceil(len(d) / 2)) - 1]
+        assert out.loc[dow, "dur_p90"] == d[int(np.ceil(0.9 * len(d))) - 1]
