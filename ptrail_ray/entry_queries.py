@@ -22234,6 +22234,244 @@ FROM per GROUP BY 1 ORDER BY 1
 QUERIES["q_duration_by_dow"] = q_duration_by_dow
 
 
+def q_purchase_penetration(sf_dir):
+    """Penetration curve: share of users with ≥ k purchase events for
+    k = 1..5 — the depth-of-monetization ladder. Per-user purchase
+    counts fold to a count catalog in ONE user exchange; each share is
+    one division of exact suffix-sum ints."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            df.assign(p=(df["event_type"] == "purchase").astype(np.int64))
+            .groupby("user_id")["p"]
+            .sum()
+            .to_numpy(np.int64)
+        )
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v")
+    )
+    v = cat["v"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    rows = []
+    for k in range(1, 6):
+        nk = int(c[v >= k].sum())
+        share = float(
+            _duckdb_round(np.array([float(nk) / float(n)]))[0]
+        )
+        rows.append((k, nk, share + 0.0))
+    out = pd.DataFrame(rows, columns=["k", "n_users", "share"])
+    return pa.table(
+        {
+            "k": pa.array(out["k"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(out["n_users"].to_numpy(np.int64), pa.int64()),
+            "share": pa.array(out["share"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_purchase_penetration"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+k AS (SELECT unnest(generate_series(1, 5)) AS k)
+SELECT CAST(k.k AS BIGINT) AS k,
+       CAST(sum(CASE WHEN per.p >= k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users,
+       round(CAST(sum(CASE WHEN per.p >= k.k THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(t.n AS DOUBLE), 6) + 0.0 AS share
+FROM k CROSS JOIN per CROSS JOIN t
+GROUP BY k.k, t.n ORDER BY k.k
+"""
+QUERIES["q_purchase_penetration"] = q_purchase_penetration
+
+
+def q_role_latency_matrix(sf_dir):
+    """Hand-off latency matrix: mean seconds between consecutive turns
+    per (from-role → to-role) cell — who keeps whom waiting. Pair
+    extraction is the q_entropy_rate kernel plus the exact-int gap;
+    role²-bounded (n, Σgap) partials, one division per cell."""
+    from ptrail_ray.schema import CONV_ID, ROLE, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        gap = np.zeros(n, np.int64)
+        gap[1:] = (ts[1:] - ts[:-1]) // 1_000_000
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        df = pd.DataFrame(
+            {
+                "a": role.slice(0, n - 1).to_pandas(),
+                "b": role.slice(1).to_pandas(),
+                "g": gap[1:],
+            }
+        )[keep[1:]]
+        if df.empty:
+            return empty
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            n=("g", "size"), s=("g", "sum")
+        )
+        return pa.table(
+            {
+                "a": pa.array(g["a"].tolist(), pa.string()),
+                "b": pa.array(g["b"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    ct = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)
+        .sum()
+        .sort_values(["a", "b"])
+    )
+    mean = _duckdb_round(
+        ct["s"].to_numpy(np.float64) / ct["n"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "a": pa.array(ct["a"].tolist(), pa.string()),
+            "b": pa.array(ct["b"].tolist(), pa.string()),
+            "n": pa.array(ct["n"].to_numpy(np.int64), pa.int64()),
+            "mean_gap": pa.array(mean, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_role_latency_matrix"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT lag(role) OVER ({W}) AS a, role AS b,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER ({W}))) // 1000000 AS g,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+         AS mean_gap
+FROM p WHERE rn > 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q_role_latency_matrix"] = q_role_latency_matrix
+
+
+def q_len_quantiles_by_role(sf_dir):
+    """Discrete text-length quantiles (p25/p50/p75/p95) per role — the
+    who-writes-long profile. (role × length) count partials are
+    catalog-bounded (zero shuffle beyond the derive); all picks are
+    cumsum/searchsorted integers."""
+    from ptrail_ray.schema import ROLE, TEXT
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m1 = pc.utf8_length(pc.fill_null(t[TEXT], "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"role": t[ROLE].to_pandas(), "v": m1}
+        ).groupby(["role", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "role": pa.array(g["role"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["role", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["role", "v"])
+    )
+    rows = []
+    for role, g in cat.groupby("role", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def pick(num, den):
+            return int(v[np.searchsorted(cum, (num * n + den - 1) // den)])
+
+        rows.append(
+            (role, n, pick(1, 4), pick(1, 2), pick(3, 4), pick(19, 20))
+        )
+    out = pd.DataFrame(
+        rows, columns=["role", "n", "p25", "p50", "p75", "p95"]
+    )
+    return pa.table(
+        {
+            "role": pa.array(out["role"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "p25": pa.array(out["p25"].to_numpy(np.int64), pa.int64()),
+            "p50": pa.array(out["p50"].to_numpy(np.int64), pa.int64()),
+            "p75": pa.array(out["p75"].to_numpy(np.int64), pa.int64()),
+            "p95": pa.array(out["p95"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_len_quantiles_by_role"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT role, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(length(coalesce(text, '')), 0.25) AS BIGINT)
+         AS p25,
+       CAST(quantile_disc(length(coalesce(text, '')), 0.50) AS BIGINT)
+         AS p50,
+       CAST(quantile_disc(length(coalesce(text, '')), 0.75) AS BIGINT)
+         AS p75,
+       CAST(quantile_disc(length(coalesce(text, '')), 0.95) AS BIGINT)
+         AS p95
+FROM transcripts GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_len_quantiles_by_role"] = q_len_quantiles_by_role
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1472,3 +1472,62 @@ def test_duration_by_dow(ray_session):
         assert out.loc[dow, "n_convs"] == len(d)
         assert out.loc[dow, "dur_med"] == d[int(np.ceil(len(d) / 2)) - 1]
         assert out.loc[dow, "dur_p90"] == d[int(np.ceil(0.9 * len(d))) - 1]
+
+
+def test_purchase_penetration(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_purchase_penetration"](SF).to_pandas().set_index("k")
+    ev = _events_pdf()
+    per = (
+        ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .sum()
+    )
+    for k in range(1, 6):
+        nk = int((per >= k).sum())
+        assert out.loc[k, "n_users"] == nk
+        assert abs(out.loc[k, "share"] - nk / len(per)) < 1e-6
+    # penetration is non-increasing in k
+    assert (np.diff(out.sort_index()["n_users"].to_numpy()) <= 0).all()
+
+
+def test_role_latency_matrix(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_role_latency_matrix"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    cells: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        ts = g["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()
+        roles = g["role"].tolist()
+        for i in range(1, len(roles)):
+            key = (roles[i - 1], roles[i])
+            gp = int((ts[i] - ts[i - 1]) // 10**9)
+            n, s = cells.get(key, (0, 0))
+            cells[key] = (n + 1, s + gp)
+    assert len(out) == len(cells)
+    for _, r in out.iterrows():
+        n, s = cells[(r["a"], r["b"])]
+        assert r["n"] == n
+        assert abs(r["mean_gap"] - s / n) < 1e-6
+
+
+def test_len_quantiles_by_role(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_len_quantiles_by_role"](SF).to_pandas().set_index("role")
+    tr = _transcripts_pdf()
+    tr["m1"] = tr["text"].fillna("").str.len()
+    for role, g in tr.groupby("role"):
+        v = np.sort(g["m1"].to_numpy(np.int64))
+        n = len(v)
+
+        def pick(q):
+            return v[int(np.ceil(q * n)) - 1]
+
+        assert out.loc[role, "n"] == n
+        assert out.loc[role, "p25"] == pick(0.25)
+        assert out.loc[role, "p50"] == pick(0.5)
+        assert out.loc[role, "p75"] == pick(0.75)
+        assert out.loc[role, "p95"] == pick(0.95)
