@@ -22472,6 +22472,311 @@ FROM transcripts GROUP BY 1 ORDER BY 1
 QUERIES["q_len_quantiles_by_role"] = q_len_quantiles_by_role
 
 
+ENTROPY_POS_K = 20
+
+
+def q_role_entropy_by_pos(sf_dir):
+    """Does conversation structure crystallize with depth? Entropy of
+    the role distribution at each turn POSITION (0..19): high early
+    entropy → any role can open; decaying entropy → the flow becomes
+    scripted. (position × role) counts are catalog-bounded partials
+    (zero shuffle beyond the derive); per-position entropy terms are
+    1e12-quantized exact-int sums."""
+    from ptrail_ray.schema import ROLE, TURN_IDX
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pos = t[TURN_IDX].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pos < ENTROPY_POS_K
+        g = pd.DataFrame(
+            {
+                "pos": pos[keep],
+                "role": t[ROLE].to_pandas()[keep],
+            }
+        ).groupby(["pos", "role"], as_index=False).size()
+        return pa.table(
+            {
+                "pos": pa.array(g["pos"].to_numpy(np.int64), pa.int64()),
+                "role": pa.array(g["role"].tolist(), pa.string()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["pos", "role"], as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for pos, g in cat.groupby("pos", sort=True):
+        n = int(g["c"].sum())
+        c = g["c"].to_numpy(np.int64).astype(np.float64)
+        q = np.round(
+            -1e12 * (c / float(n)) * np.log(c / float(n))
+        ).astype(np.int64)
+        ent = float(_duckdb_round(np.array([float(int(q.sum())) / 1e12]))[0])
+        rows.append((int(pos), n, len(g), ent + 0.0))
+    out = pd.DataFrame(rows, columns=["pos", "n", "n_roles", "entropy"])
+    return pa.table(
+        {
+            "pos": pa.array(out["pos"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "n_roles": pa.array(out["n_roles"].to_numpy(np.int64), pa.int64()),
+            "entropy": pa.array(
+                out["entropy"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_role_entropy_by_pos"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+c AS (
+  SELECT CAST(turn_idx AS BIGINT) AS pos, role,
+         CAST(count(*) AS BIGINT) AS c
+  FROM transcripts WHERE turn_idx < {ENTROPY_POS_K}
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT pos, c,
+         CAST(sum(c) OVER (PARTITION BY pos) AS BIGINT) AS n
+  FROM c
+),
+q AS (
+  SELECT pos, n,
+         CAST(round(-1000000000000.0
+              * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS q
+  FROM t
+)
+SELECT pos, any_value(n) AS n, CAST(count(*) AS BIGINT) AS n_roles,
+       round(CAST(sum(q) AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS entropy
+FROM q GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_role_entropy_by_pos"] = q_role_entropy_by_pos
+
+
+def q_size_tool_chi2(sf_dir):
+    """Contingency χ² of conversation-size quartile × tool-use flag —
+    do long conversations call tools disproportionately? Sizes and
+    flags fold per conv in the ONE conv exchange; quartile edges are
+    discrete global quantiles of the size catalog; the 4×2 χ² uses
+    exact-int n·O−E cross-multiplication per cell, quantized at 1e6
+    (q_cramers_v machinery)."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    # NB: pandas .size() names its count column "size", which would
+    # clash with a "size" key — the kernel uses "sz" and renames.
+    def kern2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sz": pa.array([], pa.int64()),
+                "has": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        anyt = np.zeros(len(starts), np.int64)
+        np.maximum.at(
+            anyt,
+            np.repeat(np.arange(len(starts), dtype=np.int64), lens),
+            valid.astype(np.int64),
+        )
+        g = pd.DataFrame({"sz": lens.astype(np.int64), "has": anyt}).groupby(
+            ["sz", "has"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.table(
+            {
+                "sz": pa.array(g["sz"].to_numpy(np.int64), pa.int64()),
+                "has": pa.array(g["has"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern2, num_buckets=16)
+        .to_pandas()
+        .groupby(["sz", "has"], as_index=False)["n"]
+        .sum()
+    )
+    tot = cat.groupby("sz", as_index=False)["n"].sum().sort_values("sz")
+    v = tot["sz"].to_numpy(np.int64)
+    c = tot["n"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    bounds = [int(v[np.searchsorted(cum, (k * n + 3) // 4)]) for k in (1, 2, 3)]
+    qid = np.ones(len(v), np.int64)
+    for b in bounds:
+        qid += (v > b).astype(np.int64)
+    qmap = pd.Series(qid, index=v)
+    cat["q"] = qmap.loc[cat["sz"]].to_numpy(np.int64)
+    cell = cat.groupby(["q", "has"], as_index=False)["n"].sum()
+    rtot = cell.groupby("q")["n"].sum()
+    ctot = cell.groupby("has")["n"].sum()
+    chi_q = 0
+    for _, r in cell.iterrows():
+        o = int(r["n"])
+        ri, cj = int(rtot.loc[r["q"]]), int(ctot.loc[r["has"]])
+        num = n * o - ri * cj  # exact int
+        term = (float(num) / float(n)) * (float(num) / float(n)) / float(
+            ri * cj
+        ) * float(n)
+        chi_q += int(np.floor(term * 1e6 + 0.5))
+    chi2 = float(_duckdb_round(np.array([float(chi_q) / 1e6]))[0])
+    return pa.table(
+        {
+            "n_convs": pa.array([n], pa.int64()),
+            "chi2_micro": pa.array([chi_q], pa.int64()),
+            "chi2": pa.array([chi2 + 0.0], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_size_tool_chi2"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS sz,
+         CAST(max(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS has
+  FROM transcripts GROUP BY 1
+),
+b AS (
+  SELECT CAST(quantile_disc(sz, 0.25) AS BIGINT) AS b1,
+         CAST(quantile_disc(sz, 0.50) AS BIGINT) AS b2,
+         CAST(quantile_disc(sz, 0.75) AS BIGINT) AS b3
+  FROM per
+),
+s AS (
+  SELECT 1 + (CASE WHEN sz > b.b1 THEN 1 ELSE 0 END)
+           + (CASE WHEN sz > b.b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN sz > b.b3 THEN 1 ELSE 0 END) AS q,
+         has
+  FROM per, b
+),
+cell AS (SELECT q, has, CAST(count(*) AS BIGINT) AS o FROM s GROUP BY 1, 2),
+rt AS (SELECT q, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+ct AS (SELECT has, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+term AS (
+  SELECT CAST(round(
+           (CAST(t.n * cell.o - rt.r * ct.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (CAST(t.n * cell.o - rt.r * ct.c AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+           / CAST(rt.r * ct.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS q_
+  FROM cell JOIN rt USING (q) JOIN ct USING (has) CROSS JOIN t
+)
+SELECT (SELECT n FROM t) AS n_convs,
+       CAST(sum(q_) AS BIGINT) AS chi2_micro,
+       round(CAST(sum(q_) AS DOUBLE) / 1000000.0, 6) + 0.0 AS chi2
+FROM term
+"""
+QUERIES["q_size_tool_chi2"] = q_size_tool_chi2
+
+
+def q_customers_no_orders(sf_dir):
+    """Dormant-account census: customers with NO orders, per nation —
+    the LEFT-join-null anti pattern on two LARGE sides (neither side
+    broadcasts: both ship through the distributed hash_join's ONE
+    custkey exchange). Output is the bounded per-nation scorecard."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+    from ptrail_ray.stages.join import hash_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def c_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["c_custkey"].cast(pa.int64()),
+                "nation": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    left = cust.map_batches(c_proj, batch_format="pyarrow", batch_size=None)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def o_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size().rename(
+            columns={"o_custkey": "k", "size": "n_orders"}
+        )
+        return g
+
+    right = grouped_agg_by_bucket(orders, "o_custkey", o_cnt, num_buckets=32)
+    joined = hash_join(left, right, on="k", how="left")
+
+    def census(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t["n_orders"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                "nation": t["nation"].to_numpy(zero_copy_only=False),
+                "no": (~has).astype(np.int64),
+            }
+        ).groupby("nation", as_index=False).agg(
+            n_customers=("no", "size"), n_dormant=("no", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cat = (
+        joined.map_batches(census, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("nation", as_index=False)
+        .sum()
+        .sort_values("nation")
+    )
+    share = _duckdb_round(
+        cat["n_dormant"].to_numpy(np.float64)
+        / cat["n_customers"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "nation": pa.array(cat["nation"].to_numpy(np.int64), pa.int64()),
+            "n_customers": pa.array(
+                cat["n_customers"].to_numpy(np.int64), pa.int64()
+            ),
+            "n_dormant": pa.array(
+                cat["n_dormant"].to_numpy(np.int64), pa.int64()
+            ),
+            "dormant_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_customers_no_orders"] = """
+WITH j AS (
+  SELECT c.c_nationkey AS nation,
+         CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END AS dormant
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(dormant) AS BIGINT) AS n_dormant,
+       round(CAST(sum(dormant) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         + 0.0 AS dormant_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_customers_no_orders"] = q_customers_no_orders
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

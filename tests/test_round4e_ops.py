@@ -1531,3 +1531,57 @@ def test_len_quantiles_by_role(ray_session):
         assert out.loc[role, "p50"] == pick(0.5)
         assert out.loc[role, "p75"] == pick(0.75)
         assert out.loc[role, "p95"] == pick(0.95)
+
+
+def test_role_entropy_by_pos(ray_session):
+    from ptrail_ray.entry_queries import ENTROPY_POS_K, QUERIES
+
+    out = QUERIES["q_role_entropy_by_pos"](SF).to_pandas().set_index("pos")
+    tr = _transcripts_pdf()
+    tr = tr[tr["turn_idx"] < ENTROPY_POS_K]
+    for pos, g in tr.groupby("turn_idx"):
+        p = g["role"].value_counts(normalize=True).to_numpy()
+        ent = float(-(p * np.log(p)).sum())
+        assert out.loc[pos, "n"] == len(g)
+        assert out.loc[pos, "n_roles"] == g["role"].nunique()
+        assert abs(out.loc[pos, "entropy"] - ent) < 1e-6
+
+
+def test_size_tool_chi2(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_size_tool_chi2"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    per = tr.groupby("conv_id").agg(
+        sz=("turn_idx", "size"), has=("tool", lambda s: int(s.notna().any()))
+    )
+    v = np.sort(per["sz"].to_numpy(np.int64))
+    n = len(v)
+    bounds = [v[int(np.ceil(k * n / 4)) - 1] for k in (1, 2, 3)]
+    per["q"] = 1 + sum(
+        (per["sz"].to_numpy(np.int64) > b).astype(int) for b in bounds
+    )
+    obs = per.groupby(["q", "has"]).size()
+    rt = per.groupby("q").size()
+    ct = per.groupby("has").size()
+    chi = 0.0
+    for (qq, hh), o in obs.items():
+        e = rt.loc[qq] * ct.loc[hh] / n
+        chi += (o - e) ** 2 / e
+    assert out["n_convs"].iloc[0] == n
+    assert abs(out["chi2"].iloc[0] - chi) < 1e-4
+
+
+def test_customers_no_orders(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_customers_no_orders"](SF).to_pandas().set_index("nation")
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    active = set(orders["o_custkey"])
+    cust["dormant"] = (~cust["c_custkey"].isin(active)).astype(int)
+    for nat, g in cust.groupby("c_nationkey"):
+        assert out.loc[nat, "n_customers"] == len(g)
+        assert out.loc[nat, "n_dormant"] == g["dormant"].sum()
+    assert out["n_customers"].sum() == len(cust)
