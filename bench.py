@@ -243,6 +243,11 @@ BENCH_QUERIES = [
     "q_entropy_rate",
     "q_seasonal_idx",
     "q_logrank",
+    # round-4 session-5 representatives (multi-stage pipelines)
+    "q_asof_nearest",
+    "q_rfm",
+    "q_order_integrity",
+    "q_ks_matrix",
 ]
 
 
