@@ -22777,6 +22777,269 @@ FROM j GROUP BY 1 ORDER BY 1
 QUERIES["q_customers_no_orders"] = q_customers_no_orders
 
 
+def q_d7_retention(sf_dir):
+    """D7 retention: for each calendar day, the share of its active
+    users who return within the next 7 days — the canonical growth
+    KPI. Each user's sorted day-set yields (day, returned-within-7)
+    flags inside the ONE user exchange; the driver sees only the day
+    catalog and each rate is one division of exact ints."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        nd = pd.DataFrame(
+            {"u": df["user_id"], "d": day}
+        ).drop_duplicates().sort_values(["u", "d"])
+        u = nd["u"].to_numpy()
+        d = nd["d"].to_numpy(np.int64)
+        ret = np.zeros(len(d), np.int64)
+        if len(d) > 1:
+            same = u[1:] == u[:-1]
+            ret[:-1] = (same & (d[1:] - d[:-1] <= 7)).astype(np.int64)
+        g = pd.DataFrame({"d": d, "one": 1, "r": ret})
+        return g.groupby("d", as_index=False).agg(
+            dau=("one", "sum"), retained=("r", "sum")
+        )
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("d", as_index=False)
+        .sum()
+        .sort_values("d")
+    )
+    rate = _duckdb_round(
+        cat["retained"].to_numpy(np.float64) / cat["dau"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "day": pa.array(cat["d"].to_numpy(np.int64), pa.int64()),
+            "dau": pa.array(cat["dau"].to_numpy(np.int64), pa.int64()),
+            "retained": pa.array(
+                cat["retained"].to_numpy(np.int64), pa.int64()
+            ),
+            "d7_rate": pa.array(rate, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_d7_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+v AS (
+  SELECT d,
+         CASE WHEN lead(d) OVER (PARTITION BY user_id ORDER BY d) - d <= 7
+              THEN 1 ELSE 0 END AS r
+  FROM ud
+)
+SELECT d AS day, CAST(count(*) AS BIGINT) AS dau,
+       CAST(sum(r) AS BIGINT) AS retained,
+       round(CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+         AS d7_rate
+FROM v GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_d7_retention"] = q_d7_retention
+
+
+def q_conversion_lag(sf_dir):
+    """Click→purchase conversion: the share of users who ever convert
+    and the discrete quantiles (p50/p90) of the lag seconds from first
+    click to first purchase AFTER it. Per-user firsts fold in the ONE
+    user exchange; the lag catalog makes the quantiles integer
+    cumsum picks."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[ns]").astype(np.int64) // 1000
+        d = pd.DataFrame(
+            {"u": df["user_id"], "us": us, "t": df["event_type"]}
+        )
+        fc = d[d["t"] == "click"].groupby("u")["us"].min()
+        base = pd.DataFrame({"fc": fc})
+        pu = d[d["t"] == "purchase"].merge(
+            base, left_on="u", right_index=True
+        )
+        pu = pu[pu["us"] >= pu["fc"]]
+        fp = pu.groupby("u")["us"].min()
+        lag = ((fp - base.loc[fp.index, "fc"]) // 1_000_000).astype(np.int64)
+        u_l, c_l = np.unique(lag.to_numpy(np.int64), return_counts=True)
+        out = pd.DataFrame({"lag": u_l, "c": c_l.astype(np.int64)})
+        out["n_clickers"] = 0
+        head = pd.DataFrame(
+            {"lag": [-1], "c": [0], "n_clickers": [len(fc)]}
+        )
+        return pd.concat([head, out], ignore_index=True)
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("lag", as_index=False)
+        .sum()
+        .sort_values("lag")
+    )
+    n_clickers = int(cat["n_clickers"].sum())
+    lags = cat[cat["lag"] >= 0]
+    v = lags["lag"].to_numpy(np.int64)
+    c = lags["c"].to_numpy(np.int64)
+    n_conv = int(c.sum())
+    cum = np.cumsum(c)
+    p50 = int(v[np.searchsorted(cum, (n_conv + 1) // 2)])
+    p90 = int(v[np.searchsorted(cum, (9 * n_conv + 9) // 10)])
+    rate = float(
+        _duckdb_round(np.array([float(n_conv) / float(n_clickers)]))[0]
+    )
+    return pa.table(
+        {
+            "n_clickers": pa.array([n_clickers], pa.int64()),
+            "n_converted": pa.array([n_conv], pa.int64()),
+            "conv_rate": pa.array([rate + 0.0], pa.float64()),
+            "lag_p50": pa.array([p50], pa.int64()),
+            "lag_p90": pa.array([p90], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_conversion_lag"] = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS fc
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS fp, any_value(fc.fc) AS fc
+  FROM events e JOIN fc ON fc.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+  GROUP BY 1
+),
+lag_ AS (
+  SELECT (epoch_us(fp) - epoch_us(fc)) // 1000000 AS lag FROM fp
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM fc) AS n_clickers,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6) + 0.0
+         AS conv_rate,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS lag_p50,
+       CAST(quantile_disc(lag, 0.9) AS BIGINT) AS lag_p90
+FROM lag_
+"""
+QUERIES["q_conversion_lag"] = q_conversion_lag
+
+
+def q_tool_retry(sf_dir):
+    """Retry-rate per tool: among consecutive tool-turn pairs inside a
+    conversation, the share where the SAME tool fires twice in a row —
+    the thrash indicator. The q_reach_hops pair scan keeps self-pairs
+    this time; (tool × is_retry) counts are catalog-bounded and each
+    rate is one division."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tool": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_retry": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        idx = np.flatnonzero(valid)
+        if len(idx) < 2:
+            return empty
+        a_i, b_i = idx[:-1], idx[1:]
+        same = rid[a_i] == rid[b_i]
+        a_i, b_i = a_i[same], b_i[same]
+        if len(a_i) == 0:
+            return empty
+        tool = t[TOOL].to_pandas()
+        a = tool.iloc[a_i].to_numpy()
+        b = tool.iloc[b_i].to_numpy()
+        g = pd.DataFrame(
+            {"tool": a, "one": 1, "r": (a == b).astype(np.int64)}
+        ).groupby("tool", as_index=False).agg(
+            n=("one", "sum"), n_retry=("r", "sum")
+        )
+        return pa.table(
+            {
+                "tool": pa.array(g["tool"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "n_retry": pa.array(
+                    g["n_retry"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("tool", as_index=False)
+        .sum()
+        .sort_values("tool")
+    )
+    rate = _duckdb_round(
+        cat["n_retry"].to_numpy(np.float64) / cat["n"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "tool": pa.array(cat["tool"].tolist(), pa.string()),
+            "n": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "n_retry": pa.array(cat["n_retry"].to_numpy(np.int64), pa.int64()),
+            "retry_rate": pa.array(rate, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tool_retry"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+tt AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+p AS (
+  SELECT a.tool AS tool,
+         CASE WHEN a.tool = b.tool THEN 1 ELSE 0 END AS r
+  FROM tt a JOIN tt b ON a.conv_id = b.conv_id AND b.rn = a.rn + 1
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(r) AS BIGINT) AS n_retry,
+       round(CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+         AS retry_rate
+FROM p GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_tool_retry"] = q_tool_retry
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

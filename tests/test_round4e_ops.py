@@ -1585,3 +1585,65 @@ def test_customers_no_orders(ray_session):
         assert out.loc[nat, "n_customers"] == len(g)
         assert out.loc[nat, "n_dormant"] == g["dormant"].sum()
     assert out["n_customers"].sum() == len(cust)
+
+
+def test_d7_retention(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_d7_retention"](SF).to_pandas().set_index("day")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    bysets = {d: set(g["user_id"]) for d, g in ud.groupby("d")}
+    for d in sorted(bysets):
+        future = set()
+        for k in range(1, 8):
+            future |= bysets.get(d + k, set())
+        ret = len(bysets[d] & future)
+        assert out.loc[d, "dau"] == len(bysets[d])
+        assert out.loc[d, "retained"] == ret
+        assert abs(out.loc[d, "d7_rate"] - ret / len(bysets[d])) < 1e-6
+
+
+def test_conversion_lag(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_conversion_lag"](SF).to_pandas()
+    ev = _events_pdf()
+    lags = []
+    n_click = 0
+    for _, g in ev.groupby("user_id"):
+        clicks = g.loc[g["event_type"] == "click", "ts"]
+        if clicks.empty:
+            continue
+        n_click += 1
+        fc = clicks.min()
+        pur = g.loc[(g["event_type"] == "purchase") & (g["ts"] >= fc), "ts"]
+        if pur.empty:
+            continue
+        lags.append(int((pur.min() - fc).value // 10**9))
+    lags = np.sort(np.array(lags, np.int64))
+    assert out["n_clickers"].iloc[0] == n_click
+    assert out["n_converted"].iloc[0] == len(lags)
+    assert abs(out["conv_rate"].iloc[0] - len(lags) / n_click) < 1e-6
+    assert out["lag_p50"].iloc[0] == lags[int(np.ceil(0.5 * len(lags))) - 1]
+    assert out["lag_p90"].iloc[0] == lags[int(np.ceil(0.9 * len(lags))) - 1]
+
+
+def test_tool_retry_rate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_retry"](SF).to_pandas().set_index("tool")
+    tr = _transcripts_pdf()
+    cells: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        tools = g.loc[g["tool"].notna(), "tool"].tolist()
+        for a, b in zip(tools, tools[1:]):
+            n, r = cells.get(a, (0, 0))
+            cells[a] = (n + 1, r + (a == b))
+    for tool, (n, r) in cells.items():
+        assert out.loc[tool, "n"] == n
+        assert out.loc[tool, "n_retry"] == r
+        assert abs(out.loc[tool, "retry_rate"] - r / n) < 1e-6
