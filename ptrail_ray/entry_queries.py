@@ -19767,11 +19767,14 @@ def q_order_integrity(sf_dir):
     )
 
     def li_sum(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(
+        # floor(x+0.5) = DuckDB round() for positive x (np.round is
+        # banker's and diverges on exact-.5 products of 2dp decimals)
+        cents = np.floor(
             df["l_extendedprice"].to_numpy(np.float64)
             * (1.0 - df["l_discount"].to_numpy(np.float64))
             * (1.0 + df["l_tax"].to_numpy(np.float64))
             * 100.0
+            + 0.5
         ).astype(np.int64)
         g = pd.DataFrame(
             {"o_orderkey": df["l_orderkey"], "lcents": cents}
@@ -23038,6 +23041,254 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n,
 FROM p GROUP BY 1 ORDER BY 1
 """
 QUERIES["q_tool_retry"] = q_tool_retry
+
+
+def q_conv_day_span(sf_dir):
+    """Histogram of calendar days spanned per conversation (1 = opens
+    and closes the same day) — the long-haul census. Per-conv spans
+    fold in the conv exchange to a bounded span catalog; one share
+    division per row."""
+    from ptrail_ray.schema import CONV_ID, TS
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "span": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, lens = conv_runs(t[CONV_ID])
+        ts = t[TS].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ends = starts + lens - 1
+        span = (
+            ts[ends] // 86_400_000_000 - ts[starts] // 86_400_000_000 + 1
+        )
+        u, c = np.unique(span, return_counts=True)
+        return pa.table(
+            {
+                "span": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("span", as_index=False)["n"]
+        .sum()
+        .sort_values("span")
+    )
+    total = int(cat["n"].sum())
+    share = _duckdb_round(
+        cat["n"].to_numpy(np.float64) / float(total)
+    ) + 0.0
+    return pa.table(
+        {
+            "span_days": pa.array(cat["span"].to_numpy(np.int64), pa.int64()),
+            "n_convs": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_conv_day_span"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS span
+  FROM transcripts GROUP BY 1
+),
+c AS (SELECT span, CAST(count(*) AS BIGINT) AS n FROM per GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT CAST(c.span AS BIGINT) AS span_days, c.n AS n_convs,
+       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM c, t ORDER BY 1
+"""
+QUERIES["q_conv_day_span"] = q_conv_day_span
+
+
+def q_discount_profile(sf_dir):
+    """Discount-band demand profile: per distinct discount level, the
+    lineitem count, mean quantity and mean net revenue — the Q6-style
+    what-if input. The discount catalog is tiny by construction;
+    quantities and quantized revenue cents are exact-int sums, one
+    division per statistic."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # DuckDB round() is half-away-from-zero; np.round is banker's —
+        # positive inputs make floor(x + 0.5) the exact replica
+        disc = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        qty = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        rev = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"disc": disc, "one": 1, "q": qty, "r": rev}
+        ).groupby("disc", as_index=False).agg(
+            n=("one", "sum"), sq=("q", "sum"), sr=("r", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("disc", as_index=False)
+        .sum()
+        .sort_values("disc")
+    )
+    nf = cat["n"].to_numpy(np.int64).astype(np.float64)
+    mq = _duckdb_round(cat["sq"].to_numpy(np.int64) / nf) + 0.0
+    mr = _duckdb_round(
+        cat["sr"].to_numpy(np.int64).astype(np.float64) / (nf * 100.0)
+    ) + 0.0
+    return pa.table(
+        {
+            "discount_pct": pa.array(
+                cat["disc"].to_numpy(np.int64), pa.int64()
+            ),
+            "n": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "mean_qty": pa.array(mq, pa.float64()),
+            "mean_revenue": pa.array(mr, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_discount_profile"] = """
+WITH c AS (
+  SELECT CAST(round(l_discount * 100.0) AS BIGINT) AS discount_pct,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS sr
+  FROM lineitem GROUP BY 1
+)
+SELECT discount_pct, n,
+       round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS mean_qty,
+       round(CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) + 0.0
+         AS mean_revenue
+FROM c ORDER BY 1
+"""
+QUERIES["q_discount_profile"] = q_discount_profile
+
+
+def q_word_len_hist(sf_dir):
+    """Corpus word-length histogram: tokenize the document text at
+    Arrow-buffer level (space positions + doc boundaries → one
+    np.diff; no Python per row, no string materialization) and count
+    words per length. The catalog is bounded by the longest word; the
+    oracle replays with unnest(string_split). Zero-length tokens from
+    adjacent/leading/trailing spaces count on BOTH sides; EMPTY docs
+    would diverge (split yields one empty token) and trip a loud
+    assert instead."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+        odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        off = np.frombuffer(col.buffers()[1], odt)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        dbuf = col.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, np.uint8)
+            if dbuf is not None
+            else np.empty(0, np.uint8)
+        )
+        # empty docs would split-mismatch (string_split('') yields one
+        # empty token; an empty doc contributes no gap here) — refuse
+        # loudly rather than drift
+        assert (np.diff(off) > 0).all(), "q_word_len_hist: empty doc"
+        lo, hi = int(off[0]), int(off[-1])
+        spaces = np.flatnonzero(data[lo:hi] == 32) + lo
+        # breakpoints = doc offsets ∪ space positions. Every gap
+        # between consecutive breakpoints is exactly one token (doc
+        # boundaries are shared offsets, so gaps never span docs);
+        # token length = gap − 1 when the LEFT boundary is a space.
+        bp = np.unique(np.concatenate([off, spaces]))
+        gaps = np.diff(bp)
+        starts_ = bp[:-1]
+        sset = np.zeros(hi - lo + 1, bool)
+        sset[spaces - lo] = True
+        is_space_left = np.zeros(len(gaps), bool)
+        inb = (starts_ >= lo) & (starts_ < hi)
+        is_space_left[inb] = sset[starts_[inb] - lo]
+        wl = gaps - is_space_left.astype(np.int64)
+        u, c = np.unique(wl, return_counts=True)
+        return pa.table(
+            {
+                "wlen": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("wlen", as_index=False)["n"]
+        .sum()
+        .sort_values("wlen")
+    )
+    total = int(cat["n"].sum())
+    share = _duckdb_round(
+        cat["n"].to_numpy(np.float64) / float(total)
+    ) + 0.0
+    return pa.table(
+        {
+            "wlen": pa.array(cat["wlen"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_word_len_hist"] = """
+WITH w AS (
+  SELECT length(unnest(string_split(coalesce(text, ''), ' '))) AS wlen
+  FROM documents
+),
+c AS (SELECT CAST(wlen AS BIGINT) AS wlen, CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT c.wlen, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM c, t ORDER BY 1
+"""
+QUERIES["q_word_len_hist"] = q_word_len_hist
 
 
 # ---------------------------------------------------------------------------

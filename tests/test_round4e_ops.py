@@ -934,8 +934,9 @@ def test_order_integrity_scorecard(ray_session):
     out = QUERIES["q_order_integrity"](SF).to_pandas()
     orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
     li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
-    li["cents"] = np.round(
+    li["cents"] = np.floor(
         li["l_extendedprice"] * (1 - li["l_discount"]) * (1 + li["l_tax"]) * 100
+        + 0.5
     ).astype(np.int64)
     ls = li.groupby("l_orderkey")["cents"].sum()
     oc = np.round(orders["o_totalprice"] * 100).astype(np.int64)
@@ -1647,3 +1648,53 @@ def test_tool_retry_rate(ray_session):
         assert out.loc[tool, "n"] == n
         assert out.loc[tool, "n_retry"] == r
         assert abs(out.loc[tool, "retry_rate"] - r / n) < 1e-6
+
+
+def test_conv_day_span(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_conv_day_span"](SF).to_pandas().set_index("span_days")
+    tr = _transcripts_pdf()
+    per = tr.groupby("conv_id")["ts"].agg(["min", "max"])
+    span = (
+        per["max"].dt.normalize() - per["min"].dt.normalize()
+    ).dt.days + 1
+    exp = span.value_counts().sort_index()
+    assert out["n_convs"].sum() == len(per)
+    for s, n in exp.items():
+        assert out.loc[s, "n_convs"] == n
+
+
+def test_discount_profile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = (
+        QUERIES["q_discount_profile"](SF)
+        .to_pandas()
+        .set_index("discount_pct")
+    )
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["pct"] = np.floor(li["l_discount"] * 100 + 0.5).astype(np.int64)
+    for pct, g in li.groupby("pct"):
+        assert out.loc[pct, "n"] == len(g)
+        assert abs(out.loc[pct, "mean_qty"] - g["l_quantity"].mean()) < 1e-6
+        rev = (g["l_extendedprice"] * (1 - g["l_discount"])).mean()
+        assert abs(out.loc[pct, "mean_revenue"] - rev) < 1e-2
+
+
+def test_word_len_hist(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_word_len_hist"](SF).to_pandas().set_index("wlen")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    cnt: dict = {}
+    total = 0
+    for text in docs["text"].fillna(""):
+        for w in text.split(" "):
+            cnt[len(w)] = cnt.get(len(w), 0) + 1
+            total += 1
+    assert out["n"].sum() == total
+    for L, n in cnt.items():
+        assert out.loc[L, "n"] == n
