@@ -23291,6 +23291,265 @@ FROM c, t ORDER BY 1
 QUERIES["q_word_len_hist"] = q_word_len_hist
 
 
+def q_part_size_price_corr(sf_dir):
+    """Pearson correlation of part size vs retail price (cents) —
+    does bigger cost more? Five exact-int moment partials over the
+    part table (zero shuffle; price quantized to integer cents with
+    the half-away floor(x+0.5) replica), r is ONE fixed-order float."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_size", "p_retailprice"],
+    )
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    n, sx, sy, sxx, syy, sxy = (int(parts[k].sum()) for k in cols)
+    nf = float(n)
+    r = (nf * float(sxy) - float(sx) * float(sy)) / np.sqrt(
+        (nf * float(sxx) - float(sx) * float(sx))
+        * (nf * float(syy) - float(sy) * float(sy))
+    )
+    return pa.table(
+        {
+            "n_parts": pa.array([n], pa.int64()),
+            "r": pa.array(
+                [float(_duckdb_round(np.array([r]))[0]) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_part_size_price_corr"] = """
+WITH v AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(round(p_retailprice * 100.0) AS BIGINT) AS y
+  FROM part
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM v
+)
+SELECT n AS n_parts,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) + 0.0 AS r
+FROM s
+"""
+QUERIES["q_part_size_price_corr"] = q_part_size_price_corr
+
+
+def q_supplier_balance(sf_dir):
+    """Supplier account-balance describe per nation: n, mean, sample
+    SD (n·Q−S² cross-multiplied), min, max — balances quantized to
+    integer cents (half-away replica; balances can be NEGATIVE, where
+    floor(x+0.5) still equals DuckDB round for .5-free doubles and the
+    engine asserts no exact-.5 ties). Zero shuffle."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_nationkey", "s_acctbal"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        # DuckDB round() is half AWAY FROM ZERO — for negatives that is
+        # ceil(x−0.5); use sign-split to replicate exactly
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "nation": t["s_nationkey"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+                "c": cents,
+            }
+        ).groupby("nation")["c"].agg(["size", "sum", "min", "max"])
+        g2 = pd.DataFrame(
+            {
+                "nation": t["s_nationkey"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+                "c2": cents * cents,
+            }
+        ).groupby("nation")["c2"].sum()
+        return pa.table(
+            {
+                "nation": pa.array(
+                    g.index.to_numpy(np.int64), pa.int64()
+                ),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+                "mn": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+                "mx": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+                "q": pa.array(g2.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("nation")
+        .agg(
+            n=("n", "sum"), s=("s", "sum"), q=("q", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+        )
+        .sort_index()
+    )
+    nf = g["n"].to_numpy(np.int64).astype(np.float64)
+    sf_ = g["s"].to_numpy(np.int64).astype(np.float64)
+    qf = g["q"].to_numpy(np.int64).astype(np.float64)
+    mean = _duckdb_round(sf_ / (nf * 100.0)) + 0.0
+    sd = _duckdb_round(
+        np.sqrt((nf * qf - sf_ * sf_) / (nf * (nf - 1.0))) / 100.0
+    ) + 0.0
+    return pa.table(
+        {
+            "nation": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "mean_bal": pa.array(mean, pa.float64()),
+            "sd_bal": pa.array(sd, pa.float64()),
+            "min_cents": pa.array(g["mn"].to_numpy(np.int64), pa.int64()),
+            "max_cents": pa.array(g["mx"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_supplier_balance"] = """
+WITH v AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nation,
+         CAST(round(s_acctbal * 100.0) AS BIGINT) AS c
+  FROM supplier
+),
+g AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q,
+         CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+  FROM v GROUP BY 1
+)
+SELECT nation, n,
+       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) + 0.0
+         AS mean_bal,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / 100.0, 6) + 0.0 AS sd_bal,
+       mn AS min_cents, mx AS max_cents
+FROM g ORDER BY 1
+"""
+QUERIES["q_supplier_balance"] = q_supplier_balance
+
+
+def q_customers_per_region(sf_dir):
+    """Customers per REGION: the nation→region map (≤25 rows) is the
+    textbook BROADCAST decorate — read once, shipped to every task;
+    the fact side never shuffles. Output is the 5-row region census
+    with shares."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    nmap = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    ).set_index("n_nationkey")["r_name"]
+    nmap_ref = ray.put(dict(nmap))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(nmap_ref) if not isinstance(nmap_ref, dict) else nmap_ref
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reg = pd.Series(nk).map(m)
+        g = reg.value_counts()
+        return pa.table(
+            {
+                "region": pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("region", as_index=False)["n"]
+        .sum()
+        .sort_values("region")
+    )
+    total = int(cat["n"].sum())
+    share = _duckdb_round(
+        cat["n"].to_numpy(np.float64) / float(total)
+    ) + 0.0
+    return pa.table(
+        {
+            "region": pa.array(cat["region"].tolist(), pa.string()),
+            "n_customers": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_customers_per_region"] = """
+WITH j AS (
+  SELECT r.r_name AS region
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+g AS (SELECT region, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT g.region, g.n AS n_customers,
+       round(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM g, t ORDER BY g.region
+"""
+QUERIES["q_customers_per_region"] = q_customers_per_region
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1698,3 +1698,53 @@ def test_word_len_hist(ray_session):
     assert out["n"].sum() == total
     for L, n in cnt.items():
         assert out.loc[L, "n"] == n
+
+
+def test_part_size_price_corr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_part_size_price_corr"](SF).to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    x = part["p_size"].to_numpy(np.float64)
+    y = np.floor(part["p_retailprice"].to_numpy() * 100 + 0.5)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n_parts"].iloc[0] == len(part)
+    assert abs(out["r"].iloc[0] - r) < 1e-6
+
+
+def test_supplier_balance(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_supplier_balance"](SF).to_pandas().set_index("nation")
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    raw = sup["s_acctbal"].to_numpy() * 100
+    sup["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    for nat, g in sup.groupby("s_nationkey"):
+        c = g["c"].to_numpy(np.float64)
+        assert out.loc[nat, "n"] == len(c)
+        assert abs(out.loc[nat, "mean_bal"] - c.mean() / 100) < 1e-6
+        if len(c) > 1:
+            assert abs(out.loc[nat, "sd_bal"] - c.std(ddof=1) / 100) < 1e-4
+        assert out.loc[nat, "min_cents"] == int(c.min())
+        assert out.loc[nat, "max_cents"] == int(c.max())
+
+
+def test_customers_per_region(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_customers_per_region"](SF).to_pandas().set_index("region")
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    m = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    ).set_index("n_nationkey")["r_name"]
+    exp = cust["c_nationkey"].map(m).value_counts()
+    assert out["n_customers"].sum() == len(cust)
+    for reg, n in exp.items():
+        assert out.loc[reg, "n_customers"] == n
