@@ -23550,6 +23550,232 @@ FROM g, t ORDER BY g.region
 QUERIES["q_customers_per_region"] = q_customers_per_region
 
 
+def q_embed_norms(sf_dir):
+    """Per-vector L2 norms of the embedding column — the first sanity
+    scan of any vector corpus. Each x² is quantized at 1e12 BEFORE
+    summing, so the per-vector sum is an exact int and immune to
+    fp-summation-order differences between numpy (pairwise) and SQL
+    (sequential); the norm is one fixed-order sqrt. Row-level output
+    (vec_id, norm2_q, norm)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(1e12 * flat * flat).astype(np.int64)
+        sums = np.add.reduceat(q, offs[:-1])
+        sums[np.diff(offs) == 0] = 0
+        norm = _duckdb_round(
+            np.sqrt(sums.astype(np.float64) / 1e12)
+        ) + 0.0
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "norm2_q": pa.array(sums, pa.int64()),
+                "norm": pa.array(norm, pa.float64()),
+            }
+        )
+
+    return finalize(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLE_SQL["q_embed_norms"] = """
+WITH u AS (
+  SELECT vec_id, unnest(embedding) AS x FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         CAST(sum(CAST(round(1000000000000.0
+                * (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS norm2_q
+  FROM u GROUP BY 1
+)
+SELECT vec_id, norm2_q,
+       round(sqrt(CAST(norm2_q AS DOUBLE) / 1000000000000.0), 6) + 0.0
+         AS norm
+FROM s
+"""
+QUERIES["q_embed_norms"] = q_embed_norms
+
+
+def q_first_tool_share(sf_dir):
+    """First-tool market share: which tool opens the tool phase of a
+    conversation, with counts and shares — the entry-point census.
+    First-tool extraction is one minimum.reduceat inside the conv
+    exchange; the driver sees the ≤|tools| catalog."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tool": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        valid = pc.is_valid(t[TOOL]).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        big = np.int64(n)
+        idx = np.where(valid, np.arange(n, dtype=np.int64), big)
+        first = np.minimum.reduceat(idx, starts)
+        first = first[first < big]
+        if len(first) == 0:
+            return empty
+        tool = t[TOOL]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        g = pd.Series(
+            tool.take(pa.array(first)).to_pandas()
+        ).value_counts()
+        return pa.table(
+            {
+                "tool": pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("tool", as_index=False)["n"]
+        .sum()
+        .sort_values("tool")
+    )
+    total = int(cat["n"].sum())
+    share = _duckdb_round(
+        cat["n"].to_numpy(np.float64) / float(total)
+    ) + 0.0
+    return pa.table(
+        {
+            "tool": pa.array(cat["tool"].tolist(), pa.string()),
+            "n_convs": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_first_tool_share"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+tt AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+           AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+f AS (SELECT conv_id, tool FROM tt WHERE rn = 1),
+g AS (SELECT tool, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT g.tool, g.n AS n_convs,
+       round(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0.0
+         AS share
+FROM g, t ORDER BY g.tool
+"""
+QUERIES["q_first_tool_share"] = q_first_tool_share
+
+
+def q_role_run_hist(sf_dir):
+    """Census of same-role RUN lengths inside conversations (the
+    gaps-and-islands op): how long does one speaker hold the floor?
+    Run-length encoding is one vectorized boundary scan inside the
+    conv exchange; output is the (role × run length) catalog —
+    all integers."""
+    from ptrail_ray.schema import CONV_ID, ROLE
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "role": pa.array([], pa.string()),
+                "run_len": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        role = t[ROLE]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        codes = role.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        newconv = np.zeros(n, bool)
+        newconv[starts] = True
+        brk = newconv.copy()
+        brk[1:] |= codes[1:] != codes[:-1]
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(run_starts, n))
+        g = pd.DataFrame(
+            {
+                "role": role.take(pa.array(run_starts)).to_pandas(),
+                "run_len": run_lens.astype(np.int64),
+            }
+        ).groupby(["role", "run_len"], as_index=False).size()
+        return pa.table(
+            {
+                "role": pa.array(g["role"].tolist(), pa.string()),
+                "run_len": pa.array(
+                    g["run_len"].to_numpy(np.int64), pa.int64()
+                ),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["role", "run_len"], as_index=False)["n"]
+        .sum()
+        .sort_values(["role", "run_len"])
+    )
+    return pa.table(
+        {
+            "role": pa.array(cat["role"].tolist(), pa.string()),
+            "run_len": pa.array(cat["run_len"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_role_run_hist"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id, role,
+         row_number() OVER ({W}) AS rn,
+         row_number() OVER (PARTITION BY conv_id, role
+                            ORDER BY turn_idx, ts) AS rr
+  FROM transcripts
+),
+runs AS (
+  SELECT conv_id, role, rn - rr AS grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT role, run_len, CAST(count(*) AS BIGINT) AS n
+FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q_role_run_hist"] = q_role_run_hist
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1748,3 +1748,56 @@ def test_customers_per_region(ray_session):
     assert out["n_customers"].sum() == len(cust)
     for reg, n in exp.items():
         assert out.loc[reg, "n_customers"] == n
+
+
+def test_embed_norms(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_embed_norms"](SF).to_pandas().set_index("vec_id")
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    for _, r in emb.iterrows():
+        v = np.asarray(r["embedding"], np.float64)
+        assert abs(out.loc[r["vec_id"], "norm"] - np.linalg.norm(v)) < 1e-5
+
+
+def test_first_tool_share(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_first_tool_share"](SF).to_pandas().set_index("tool")
+    tr = _transcripts_pdf()
+    firsts: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        tools = g.loc[g["tool"].notna(), "tool"]
+        if len(tools):
+            firsts[tools.iloc[0]] = firsts.get(tools.iloc[0], 0) + 1
+    total = sum(firsts.values())
+    for tool, n in firsts.items():
+        assert out.loc[tool, "n_convs"] == n
+        assert abs(out.loc[tool, "share"] - n / total) < 1e-6
+    assert out["n_convs"].sum() == total
+
+
+def test_role_run_hist(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_role_run_hist"](SF)
+        .to_pandas()
+        .set_index(["role", "run_len"])
+    )
+    tr = _transcripts_pdf()
+    runs: dict = {}
+    for _, g in tr.groupby("conv_id", sort=False):
+        roles = g["role"].tolist()
+        cur, ln = roles[0], 1
+        for r in roles[1:]:
+            if r == cur:
+                ln += 1
+            else:
+                runs[(cur, ln)] = runs.get((cur, ln), 0) + 1
+                cur, ln = r, 1
+        runs[(cur, ln)] = runs.get((cur, ln), 0) + 1
+    assert len(out) == len(runs)
+    for key, n in runs.items():
+        assert out.loc[key, "n"] == n
