@@ -23776,6 +23776,328 @@ FROM runs GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["q_role_run_hist"] = q_role_run_hist
 
 
+def q_norms_by_label(sf_dir):
+    """Discrete quantiles (p25/50/75) of embedding L2 norms per label —
+    the per-class vector-health profile. Norms reuse the q_embed_norms
+    order-free quantization; the (label × norm2_q) catalog makes every
+    pick an integer cumsum; only the final sqrt floats."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(1e12 * flat * flat).astype(np.int64)
+        sums = np.add.reduceat(q, offs[:-1])
+        sums[np.diff(offs) == 0] = 0
+        g = pd.DataFrame(
+            {
+                "label": t["label"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "v": sums,
+            }
+        ).groupby(["label", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "label": pa.array(g["label"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["label", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["label", "v"])
+    )
+    rows = []
+    for label, g in cat.groupby("label", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def pick(num, den):
+            q2 = int(v[np.searchsorted(cum, (num * n + den - 1) // den)])
+            return float(
+                _duckdb_round(np.array([np.sqrt(float(q2) / 1e12)]))[0]
+            )
+
+        rows.append(
+            (int(label), n, pick(1, 4) + 0.0, pick(1, 2) + 0.0,
+             pick(3, 4) + 0.0)
+        )
+    out = pd.DataFrame(rows, columns=["label", "n", "p25", "p50", "p75"])
+    return pa.table(
+        {
+            "label": pa.array(out["label"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "p25": pa.array(out["p25"].to_numpy(np.float64), pa.float64()),
+            "p50": pa.array(out["p50"].to_numpy(np.float64), pa.float64()),
+            "p75": pa.array(out["p75"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_norms_by_label"] = """
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, any_value(label) AS label,
+         CAST(sum(CAST(round(1000000000000.0
+                * (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS v
+  FROM u GROUP BY 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(sqrt(CAST(quantile_disc(v, 0.25) AS DOUBLE)
+                  / 1000000000000.0), 6) + 0.0 AS p25,
+       round(sqrt(CAST(quantile_disc(v, 0.50) AS DOUBLE)
+                  / 1000000000000.0), 6) + 0.0 AS p50,
+       round(sqrt(CAST(quantile_disc(v, 0.75) AS DOUBLE)
+                  / 1000000000000.0), 6) + 0.0 AS p75
+FROM s GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_norms_by_label"] = q_norms_by_label
+
+
+def q_purchase_by_hour(sf_dir):
+    """Conversion micro-profile: per hour of day, events, purchases
+    and the purchase share — when does the corpus monetize?
+    24-cell zero-shuffle partials, one division per hour."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        pur = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = pd.DataFrame({"h": hour, "one": 1, "p": pur}).groupby(
+            "h", as_index=False
+        ).agg(n=("one", "sum"), np_=("p", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("h", as_index=False)
+        .sum()
+        .sort_values("h")
+    )
+    share = _duckdb_round(
+        cat["np_"].to_numpy(np.float64) / cat["n"].to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "hour": pa.array(cat["h"].to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "n_purchases": pa.array(
+                cat["np_"].to_numpy(np.int64), pa.int64()
+            ),
+            "purchase_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_purchase_by_hour"] = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+         AS purchase_share
+FROM events GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_purchase_by_hour"] = q_purchase_by_hour
+
+
+def q_bootstrap_diff(sf_dir):
+    """Deterministic Poisson-bootstrap difference of means (en minus
+    rest doc length): replicate weights reuse the md5(doc_id|b)
+    inverse-CDF draw; per replicate BOTH cohort (Σw, Σwx) pairs are
+    exact ints, the diff is two divisions, and the bootstrap SE plus
+    the ±2·SE interval come from two quantized HUGEINT moments —
+    the uncertainty the plain q_cohens_d point estimate lacks."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.dedup import _md5_u60
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    scale = float(1 << 60)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        rows = {
+            "b": [], "sw1": [], "swx1": [], "sw2": [], "swx2": []
+        }
+        for b in range(1, BOOT_B + 1):
+            u = (
+                np.fromiter(
+                    (_md5_u60(f"{i}|{b}") for i in ids),
+                    dtype=np.uint64,
+                    count=len(ids),
+                ).astype(np.float64)
+                / scale
+            )
+            w = np.searchsorted(np.array(_POIS_CDF), u, side="right").astype(
+                np.int64
+            )
+            rows["b"].append(b)
+            rows["sw1"].append(int(w[en].sum()))
+            rows["swx1"].append(int((w[en] * x[en]).sum()))
+            rows["sw2"].append(int(w[~en].sum()))
+            rows["swx2"].append(int((w[~en] * x[~en]).sum()))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+    )
+    d = (
+        parts["swx1"].to_numpy(np.int64).astype(np.float64)
+        / parts["sw1"].to_numpy(np.int64).astype(np.float64)
+        - parts["swx2"].to_numpy(np.int64).astype(np.float64)
+        / parts["sw2"].to_numpy(np.int64).astype(np.float64)
+    )
+    q = np.round(1e12 * d).astype(np.int64)
+    sq = int(q.sum())
+    sq2 = sum(int(v) * int(v) for v in q)
+    bb = BOOT_B
+    mean = float(sq) / (float(bb) * 1e12)
+    se = (
+        np.sqrt(
+            float(bb * sq2 - sq * sq) / (float(bb) * (float(bb) - 1.0))
+        )
+        / 1e12
+    )
+    return pa.table(
+        {
+            "n_reps": pa.array([bb], pa.int64()),
+            "diff_mean": pa.array(
+                [float(_duckdb_round(np.array([mean]))[0]) + 0.0],
+                pa.float64(),
+            ),
+            "diff_se": pa.array(
+                [float(_duckdb_round(np.array([se]))[0]) + 0.0], pa.float64()
+            ),
+            "ci_lo": pa.array(
+                [float(_duckdb_round(np.array([mean - 2.0 * se]))[0]) + 0.0],
+                pa.float64(),
+            ),
+            "ci_hi": pa.array(
+                [float(_duckdb_round(np.array([mean + 2.0 * se]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_bootstrap_diff"] = f"""
+WITH reps AS (
+  SELECT unnest(generate_series(1, {BOOT_B})) AS b
+),
+w AS (
+  SELECT r.b,
+         CASE
+           WHEN u < {_POIS_CDF[0]!r} THEN 0
+           WHEN u < {_POIS_CDF[1]!r} THEN 1
+           WHEN u < {_POIS_CDF[2]!r} THEN 2
+           WHEN u < {_POIS_CDF[3]!r} THEN 3
+           WHEN u < {_POIS_CDF[4]!r} THEN 4
+           ELSE 5
+         END AS w,
+         d.n_chars AS x,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM reps r CROSS JOIN (
+    SELECT doc_id, lang, n_chars FROM documents
+  ) d,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|'
+                                    || CAST(r.b AS VARCHAR)), 1, 15))
+                AS UBIGINT) AS h
+  ) hh,
+  LATERAL (
+    SELECT CAST(hh.h AS DOUBLE) / 1152921504606846976.0 AS u
+  ) uu
+),
+m AS (
+  SELECT b,
+         CAST(sum(CASE WHEN en = 1 THEN w ELSE 0 END) AS BIGINT) AS sw1,
+         CAST(sum(CASE WHEN en = 1 THEN w * x ELSE 0 END) AS BIGINT)
+           AS swx1,
+         CAST(sum(CASE WHEN en = 0 THEN w ELSE 0 END) AS BIGINT) AS sw2,
+         CAST(sum(CASE WHEN en = 0 THEN w * x ELSE 0 END) AS BIGINT)
+           AS swx2
+  FROM w GROUP BY 1
+),
+qv AS (
+  SELECT b, CAST(round(1000000000000.0 *
+             (CAST(swx1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
+              - CAST(swx2 AS DOUBLE) / CAST(sw2 AS DOUBLE))) AS BIGINT) AS q
+  FROM m
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS bb,
+         CAST(sum(q) AS HUGEINT) AS sq,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq2
+  FROM qv
+),
+f AS (
+  SELECT bb,
+         CAST(sq AS DOUBLE) / (CAST(bb AS DOUBLE) * 1000000000000.0)
+           AS mean,
+         sqrt(CAST(bb * sq2 - sq * sq AS DOUBLE)
+              / (CAST(bb AS DOUBLE) * (CAST(bb AS DOUBLE) - 1.0)))
+           / 1000000000000.0 AS se
+  FROM s
+)
+SELECT bb AS n_reps,
+       round(mean, 6) + 0.0 AS diff_mean,
+       round(se, 6) + 0.0 AS diff_se,
+       round(mean - 2.0 * se, 6) + 0.0 AS ci_lo,
+       round(mean + 2.0 * se, 6) + 0.0 AS ci_hi
+FROM f
+"""
+QUERIES["q_bootstrap_diff"] = q_bootstrap_diff
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

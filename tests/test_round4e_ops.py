@@ -1801,3 +1801,52 @@ def test_role_run_hist(ray_session):
     assert len(out) == len(runs)
     for key, n in runs.items():
         assert out.loc[key, "n"] == n
+
+
+def test_norms_by_label(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_norms_by_label"](SF).to_pandas().set_index("label")
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    emb["norm"] = emb["embedding"].apply(
+        lambda v: np.linalg.norm(np.asarray(v, np.float64))
+    )
+    for label, g in emb.groupby("label"):
+        v = np.sort(g["norm"].to_numpy())
+        n = len(v)
+        assert out.loc[label, "n"] == n
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            exp = v[int(np.ceil(q * n)) - 1]
+            assert abs(out.loc[label, col] - exp) < 1e-5
+
+
+def test_purchase_by_hour(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_purchase_by_hour"](SF).to_pandas().set_index("hour")
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    for h, g in ev.groupby("h"):
+        npur = int((g["event_type"] == "purchase").sum())
+        assert out.loc[h, "n_events"] == len(g)
+        assert out.loc[h, "n_purchases"] == npur
+        assert abs(out.loc[h, "purchase_share"] - npur / len(g)) < 1e-6
+
+
+def test_bootstrap_diff_ci(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_bootstrap_diff"](SF).to_pandas()
+    # deterministic across runs
+    out2 = QUERIES["q_bootstrap_diff"](SF).to_pandas()
+    assert out.equals(out2)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = docs.loc[docs["lang"] == "en", "n_chars"].mean()
+    b = docs.loc[docs["lang"] != "en", "n_chars"].mean()
+    point = a - b
+    r = out.iloc[0]
+    assert r["ci_lo"] <= r["diff_mean"] <= r["ci_hi"]
+    # bootstrap mean should bracket the point estimate within ~4 SE
+    assert abs(r["diff_mean"] - point) < 4 * max(r["diff_se"], 1.0)
