@@ -24098,6 +24098,283 @@ FROM f
 QUERIES["q_bootstrap_diff"] = q_bootstrap_diff
 
 
+def q_priority_region_crosstab(sf_dir):
+    """Star-join crosstab: order counts per (order priority × customer
+    region). The fact (orders) rides ONE custkey exchange against the
+    customer side; nation→region is a ≤25-row broadcast decorate —
+    the fact-dim-dim snowflake pattern at its smallest. Output is the
+    bounded priority×region matrix with row shares."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+    from ptrail_ray.stages.join import hash_join
+
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    nmap = dict(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .set_index("n_nationkey")["r_name"]
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def c_proj(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reg = pd.Series(nk).map(nmap)
+        return pa.table(
+            {
+                "k": t["c_custkey"].cast(pa.int64()),
+                "region": pa.array(reg.tolist(), pa.string()),
+            }
+        )
+
+    left = cust.map_batches(c_proj, batch_format="pyarrow", batch_size=None)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def o_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["o_custkey", "o_orderpriority"], as_index=False
+        ).size().rename(columns={"o_custkey": "k", "size": "n"})
+        return g
+
+    right = grouped_agg_by_bucket(orders, "o_custkey", o_cnt, num_buckets=32)
+    joined = hash_join(right, left, on="k", how="inner")
+
+    def cell(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "prio": t["o_orderpriority"].to_pandas(),
+                "region": t["region"].to_pandas(),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["prio", "region"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cat = (
+        joined.map_batches(cell, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby(["prio", "region"], as_index=False)["n"]
+        .sum()
+        .sort_values(["prio", "region"])
+    )
+    rtot = cat.groupby("prio")["n"].transform("sum")
+    share = _duckdb_round(
+        cat["n"].to_numpy(np.float64) / rtot.to_numpy(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "prio": pa.array(cat["prio"].tolist(), pa.string()),
+            "region": pa.array(cat["region"].tolist(), pa.string()),
+            "n_orders": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "row_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_priority_region_crosstab"] = """
+WITH j AS (
+  SELECT o.o_orderpriority AS prio, r.r_name AS region
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+g AS (
+  SELECT prio, region, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+)
+SELECT prio, region, n AS n_orders,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prio) AS DOUBLE), 6) + 0.0
+         AS row_share
+FROM g ORDER BY 1, 2
+"""
+QUERIES["q_priority_region_crosstab"] = q_priority_region_crosstab
+
+
+def q_repeat_interval(sf_dir):
+    """Repeat-behavior cadence: per event type, the discrete median
+    and p90 of DAYS between a user's consecutive same-type events.
+    Per-(user,type) sorted day gaps fold in the ONE user exchange to a
+    (type × gap) catalog — all integers."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 86_400_000_000_000
+        )
+        d = pd.DataFrame(
+            {"u": df["user_id"], "t": df["event_type"], "d": day}
+        ).sort_values(["u", "t", "d"])
+        u = d["u"].to_numpy()
+        t_ = d["t"].to_numpy()
+        dd = d["d"].to_numpy(np.int64)
+        same = np.zeros(len(d), bool)
+        if len(d) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (t_[1:] == t_[:-1])
+        gap = np.zeros(len(d), np.int64)
+        gap[1:] = dd[1:] - dd[:-1]
+        g = pd.DataFrame(
+            {"t": t_[same], "gap": gap[same]}
+        ).groupby(["t", "gap"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby(["t", "gap"], as_index=False)["n"]
+        .sum()
+        .sort_values(["t", "gap"])
+    )
+    rows = []
+    for t_, g in cat.groupby("t", sort=True):
+        v = g["gap"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        p90 = int(v[np.searchsorted(cum, (9 * n + 9) // 10)])
+        rows.append((t_, n, med, p90))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_gaps", "gap_med", "gap_p90"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_gaps": pa.array(out["n_gaps"].to_numpy(np.int64), pa.int64()),
+            "gap_med": pa.array(out["gap_med"].to_numpy(np.int64), pa.int64()),
+            "gap_p90": pa.array(out["gap_p90"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_repeat_interval"] = """
+WITH v AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           - lag(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+             OVER (PARTITION BY user_id, event_type
+                   ORDER BY datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE))) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS gap_med,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS gap_p90
+FROM v WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_repeat_interval"] = q_repeat_interval
+
+
+def q_pointbiserial(sf_dir):
+    """Point-biserial correlation between invoking tool-0 (binary per
+    conversation — EVERY conv touches some tool, so bare tool presence
+    is degenerate) and conversation length. Per-conv (flag, size)
+    folds in the conv exchange; r is plain Pearson with a binary x, so
+    all five moments are exact ints and r is ONE fixed-order float."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    cols = ["n", "sx", "sy", "syy", "sxy"]
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        starts, lens = conv_runs(t[CONV_ID])
+        valid = pc.equal(
+            pc.fill_null(t[TOOL], ""), "tool-0"
+        ).to_numpy(zero_copy_only=False)
+        has = np.zeros(len(starts), np.int64)
+        np.maximum.at(
+            has,
+            np.repeat(np.arange(len(starts), dtype=np.int64), lens),
+            valid.astype(np.int64),
+        )
+        y = lens.astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(y)], pa.int64()),
+                "sx": pa.array([int(has.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((has * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    n, sx, sy, syy, sxy = (int(parts[k].sum()) for k in cols)
+    nf = float(n)
+    # for binary x: Σx² = Σx
+    r = (nf * float(sxy) - float(sx) * float(sy)) / np.sqrt(
+        (nf * float(sx) - float(sx) * float(sx))
+        * (nf * float(syy) - float(sy) * float(sy))
+    )
+    return pa.table(
+        {
+            "n_convs": pa.array([n], pa.int64()),
+            "n_with_tool": pa.array([sx], pa.int64()),
+            "r_pb": pa.array(
+                [float(_duckdb_round(np.array([r]))[0]) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_pointbiserial"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id,
+         CAST(max(CASE WHEN tool = 'tool-0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM transcripts GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM per
+)
+SELECT n AS n_convs, sx AS n_with_tool,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) + 0.0 AS r_pb
+FROM s
+"""
+QUERIES["q_pointbiserial"] = q_pointbiserial
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

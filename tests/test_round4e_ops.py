@@ -1850,3 +1850,62 @@ def test_bootstrap_diff_ci(ray_session):
     assert r["ci_lo"] <= r["diff_mean"] <= r["ci_hi"]
     # bootstrap mean should bracket the point estimate within ~4 SE
     assert abs(r["diff_mean"] - point) < 4 * max(r["diff_se"], 1.0)
+
+
+def test_priority_region_crosstab(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = (
+        QUERIES["q_priority_region_crosstab"](SF)
+        .to_pandas()
+        .set_index(["prio", "region"])
+    )
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    j = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    exp = j.groupby(["o_orderpriority", "r_name"]).size()
+    assert out["n_orders"].sum() == len(orders)
+    for (p, r), n in exp.items():
+        assert out.loc[(p, r), "n_orders"] == n
+
+
+def test_repeat_interval(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_repeat_interval"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        86_400 * 10**9
+    )
+    gaps: dict = {}
+    for (_, t), g in ev.groupby(["user_id", "event_type"]):
+        d = np.sort(g["d"].to_numpy(np.int64))
+        if len(d) > 1:
+            gaps.setdefault(t, []).extend(np.diff(d).tolist())
+    for t, gs in gaps.items():
+        gs = np.sort(np.array(gs, np.int64))
+        assert out.loc[t, "n_gaps"] == len(gs)
+        assert out.loc[t, "gap_med"] == gs[int(np.ceil(0.5 * len(gs))) - 1]
+        assert out.loc[t, "gap_p90"] == gs[int(np.ceil(0.9 * len(gs))) - 1]
+
+
+def test_pointbiserial(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_pointbiserial"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    per = tr.groupby("conv_id").agg(
+        x=("tool", lambda s: float((s == "tool-0").any())),
+        y=("turn_idx", "size"),
+    )
+    r = np.corrcoef(per["x"], per["y"])[0, 1]
+    assert out["n_convs"].iloc[0] == len(per)
+    assert out["n_with_tool"].iloc[0] == int(per["x"].sum())
+    assert abs(out["r_pb"].iloc[0] - r) < 1e-6
