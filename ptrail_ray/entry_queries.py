@@ -24375,6 +24375,264 @@ FROM s
 QUERIES["q_pointbiserial"] = q_pointbiserial
 
 
+def q_value_quantiles_by_type(sf_dir):
+    """Discrete quantiles (p25/50/75/95) of the event `value` field per
+    event type, in exact integer cents (half-away replica) — the
+    monetary distribution profile. (type × cents) count catalog, all
+    picks integer cumsum; the only floats are the final /100 displays."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"t": t["event_type"].to_pandas(), "v": cents}
+        ).groupby(["t", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["t", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["t", "v"])
+    )
+    rows = []
+    for t_, g in cat.groupby("t", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def pick(num, den):
+            cents = int(v[np.searchsorted(cum, (num * n + den - 1) // den)])
+            return float(
+                _duckdb_round(np.array([float(cents) / 100.0]))[0]
+            )
+
+        rows.append(
+            (t_, n, pick(1, 4) + 0.0, pick(1, 2) + 0.0, pick(3, 4) + 0.0,
+             pick(19, 20) + 0.0)
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n", "p25", "p50", "p75", "p95"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "p25": pa.array(out["p25"].to_numpy(np.float64), pa.float64()),
+            "p50": pa.array(out["p50"].to_numpy(np.float64), pa.float64()),
+            "p75": pa.array(out["p75"].to_numpy(np.float64), pa.float64()),
+            "p95": pa.array(out["p95"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_value_quantiles_by_type"] = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(quantile_disc(c, 0.25) AS DOUBLE) / 100.0, 6) + 0.0
+         AS p25,
+       round(CAST(quantile_disc(c, 0.50) AS DOUBLE) / 100.0, 6) + 0.0
+         AS p50,
+       round(CAST(quantile_disc(c, 0.75) AS DOUBLE) / 100.0, 6) + 0.0
+         AS p75,
+       round(CAST(quantile_disc(c, 0.95) AS DOUBLE) / 100.0, 6) + 0.0
+         AS p95
+FROM v GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_value_quantiles_by_type"] = q_value_quantiles_by_type
+
+
+def q_value_top_decile(sf_dir):
+    """Value concentration per event type: the share of total `value`
+    carried by the top 10% of events (Lorenz point on the monetary
+    axis). The cents catalog makes the decile boundary and the
+    partial sums exact: ceil(n/10) top events = full buckets above
+    the boundary value plus an exact remainder AT the boundary —
+    no per-event driver state; ONE division per type."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"t": t["event_type"].to_pandas(), "v": cents}
+        ).groupby(["t", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["t", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["t", "v"], ascending=[True, False])
+    )
+    rows = []
+    for t_, g in cat.groupby("t", sort=True):
+        v = g["v"].to_numpy(np.int64)  # descending
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = (n + 9) // 10  # ceil(n/10) top events
+        cum = np.cumsum(c)
+        total = int((v * c).sum())
+        j = int(np.searchsorted(cum, k))  # first bucket reaching k
+        above = int((v[:j] * c[:j]).sum())
+        rem = k - (int(cum[j - 1]) if j > 0 else 0)
+        top = above + rem * int(v[j])
+        share = float(
+            _duckdb_round(np.array([float(top) / float(total)]))[0]
+        )
+        rows.append((t_, n, k, share + 0.0))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n", "k_top", "top_decile_share"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "k_top": pa.array(out["k_top"].to_numpy(np.int64), pa.int64()),
+            "top_decile_share": pa.array(
+                out["top_decile_share"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_value_top_decile"] = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value * 100.0) DESC) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+)
+SELECT event_type, any_value(n) AS n,
+       CAST((any_value(n) + 9) // 10 AS BIGINT) AS k_top,
+       round(CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN c ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS top_decile_share
+FROM v GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_value_top_decile"] = q_value_top_decile
+
+
+def q_embed_dim_stats(sf_dir):
+    """Per-dimension embedding statistics (min/max/mean over the
+    corpus) — the coordinate-drift audit before any quantization.
+    Values are 1e9-quantized ints (float32 inputs widen exactly), so
+    per-dim sums are order-free exact ints over d-bounded partials;
+    the oracle indexes list elements by a generated subscript."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        d = int(lens[0]) if len(lens) else 0
+        assert (lens == d).all(), "ragged embedding dims"
+        raw = 1e9 * flat
+        q = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        m = q.reshape(-1, d)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, m.shape[0], np.int64), pa.int64()),
+                "s": pa.array(m.sum(axis=0).astype(np.int64), pa.int64()),
+                "mn": pa.array(m.min(axis=0).astype(np.int64), pa.int64()),
+                "mx": pa.array(m.max(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("dim")
+        .agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .sort_index()
+    )
+    mean = _duckdb_round(
+        g["s"].to_numpy(np.int64).astype(np.float64)
+        / 1e9
+        / g["n"].to_numpy(np.int64).astype(np.float64)
+    ) + 0.0
+    return pa.table(
+        {
+            "dim": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "min_q": pa.array(g["mn"].to_numpy(np.int64), pa.int64()),
+            "max_q": pa.array(g["mx"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_embed_dim_stats"] = """
+WITH u AS (
+  SELECT i.i AS dim, embedding[i.i] AS x
+  FROM embeddings,
+  LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i
+  ) i
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(1000000000.0 * CAST(x AS DOUBLE))
+                           AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean,
+       CAST(min(CAST(round(1000000000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS min_q,
+       CAST(max(CAST(round(1000000000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS max_q
+FROM u GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_embed_dim_stats"] = q_embed_dim_stats
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1909,3 +1909,61 @@ def test_pointbiserial(ray_session):
     assert out["n_convs"].iloc[0] == len(per)
     assert out["n_with_tool"].iloc[0] == int(per["x"].sum())
     assert abs(out["r_pb"].iloc[0] - r) < 1e-6
+
+
+def test_value_quantiles_by_type(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_value_quantiles_by_type"](SF)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    for t, g in ev.groupby("event_type"):
+        v = np.sort(g["c"].to_numpy(np.int64))
+        n = len(v)
+        assert out.loc[t, "n"] == n
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+            exp = v[int(np.ceil(q * n)) - 1] / 100.0
+            assert abs(out.loc[t, col] - exp) < 1e-6
+
+
+def test_value_top_decile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_value_top_decile"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    for t, g in ev.groupby("event_type"):
+        v = np.sort(g["c"].to_numpy(np.int64))[::-1]
+        k = (len(v) + 9) // 10
+        share = v[:k].sum() / v.sum()
+        assert out.loc[t, "k_top"] == k
+        assert abs(out.loc[t, "top_decile_share"] - share) < 1e-6
+        assert out.loc[t, "top_decile_share"] >= 0.1 - 1e-9
+
+
+def test_embed_dim_stats(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_embed_dim_stats"](SF).to_pandas().set_index("dim")
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(
+        [np.asarray(v, np.float64) for v in emb["embedding"]]
+    )
+    assert len(out) == m.shape[1]
+    for d in range(m.shape[1]):
+        col = m[:, d]
+        assert out.loc[d + 1, "n"] == len(col)
+        assert abs(out.loc[d + 1, "mean"] - col.mean()) < 1e-6
+        assert abs(out.loc[d + 1, "min_q"] / 1e9 - col.min()) < 1e-8
+        assert abs(out.loc[d + 1, "max_q"] / 1e9 - col.max()) < 1e-8
