@@ -24633,6 +24633,293 @@ FROM u GROUP BY 1 ORDER BY 1
 QUERIES["q_embed_dim_stats"] = q_embed_dim_stats
 
 
+def q_cliffs_delta(sf_dir):
+    """Cliff's delta effect size (ordinal dominance) of document length
+    between lang='en' and the rest — the nonparametric complement to
+    q_bootstrap_diff's mean gap. Per-batch (is_en × n_chars) count
+    catalogs fold to a bounded driver merge; gt/lt pair counts come
+    from one cumsum against the sorted value union, so everything up
+    to the final delta division is exact integers."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {"e": en.astype(np.int64),
+             "v": t["n_chars"].to_numpy(zero_copy_only=False)}
+        ).groupby(["e", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "e": pa.array(g["e"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["e", "v"], as_index=False)["c"]
+        .sum()
+    )
+    a = cat[cat["e"] == 1].sort_values("v")
+    b = cat[cat["e"] == 0].sort_values("v")
+    va, ca = a["v"].to_numpy(np.int64), a["c"].to_numpy(np.int64)
+    vb, cb = b["v"].to_numpy(np.int64), b["c"].to_numpy(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    cumb = np.cumsum(cb)
+    # #B strictly below va / strictly above va, per distinct A value
+    below = np.where(
+        np.searchsorted(vb, va, side="left") > 0,
+        cumb[np.searchsorted(vb, va, side="left") - 1],
+        0,
+    )
+    above = nb - np.where(
+        np.searchsorted(vb, va, side="right") > 0,
+        cumb[np.searchsorted(vb, va, side="right") - 1],
+        0,
+    )
+    gt = int((ca * below).sum())
+    lt = int((ca * above).sum())
+    delta = (float(gt) - float(lt)) / (float(na) * float(nb))
+    return pa.table(
+        {
+            "n_en": pa.array([na], pa.int64()),
+            "n_rest": pa.array([nb], pa.int64()),
+            "gt_pairs": pa.array([gt], pa.int64()),
+            "lt_pairs": pa.array([lt], pa.int64()),
+            "cliffs_delta": pa.array(
+                [float(_duckdb_round(np.array([delta]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_cliffs_delta"] = """
+WITH a AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+b AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE lang <> 'en' GROUP BY 1
+),
+s AS (
+  SELECT
+    (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+       FROM a, b WHERE a.v > b.v) AS gt,
+    (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+       FROM a, b WHERE a.v < b.v) AS lt,
+    (SELECT CAST(sum(c) AS BIGINT) FROM a) AS na,
+    (SELECT CAST(sum(c) AS BIGINT) FROM b) AS nb
+)
+SELECT na AS n_en, nb AS n_rest, gt AS gt_pairs, lt AS lt_pairs,
+       round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) + 0.0
+         AS cliffs_delta
+FROM s
+"""
+QUERIES["q_cliffs_delta"] = q_cliffs_delta
+
+
+def q_theil_user(sf_dir):
+    """Theil T inequality index of per-user event activity — the
+    engagement-concentration audit (0 = uniform, ln n = one user owns
+    everything). ONE user exchange folds to a count-of-counts catalog;
+    Σ x·ln x uses the 1e12-quantized-ln int-sum contract on DISTINCT
+    counts only, so the index is order- and split-independent."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("user_id").size().to_numpy(np.int64)
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+    )
+    v = cat["v"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    # half-away 1e12 quantized ln(v) per DISTINCT count (v >= 1)
+    y = 1e12 * np.log(v.astype(np.float64))
+    f = np.floor(y)
+    qln = (f + (y - f >= 0.5)).astype(np.int64)
+    n = int(c.sum())
+    s = int((c * v).sum())
+    q = sum(int(ci) * int(vi) * int(qi) for ci, vi, qi in zip(c, v, qln))
+    nf, sf_, qf = float(n), float(s), float(q)
+    t = (qf / 1e12) / sf_ - np.log(sf_ / nf)
+    tn = ((qf / 1e12) / sf_ - np.log(sf_ / nf)) / np.log(nf)
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "total_events": pa.array([s], pa.int64()),
+            "theil_t": pa.array(
+                [float(_duckdb_round(np.array([t]))[0]) + 0.0], pa.float64()
+            ),
+            "theil_norm": pa.array(
+                [float(_duckdb_round(np.array([tn]))[0]) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_theil_user"] = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+cat AS (
+  SELECT c AS v, CAST(count(*) AS BIGINT) AS k FROM per GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n,
+         CAST(sum(k * v) AS BIGINT) AS s,
+         sum(CAST(k AS HUGEINT) * CAST(v AS HUGEINT)
+             * CAST(round(1e12 * ln(CAST(v AS DOUBLE))) AS HUGEINT)) AS q
+  FROM cat
+)
+SELECT n AS n_users, s AS total_events,
+       round((CAST(q AS DOUBLE) / 1e12) / CAST(s AS DOUBLE)
+             - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+         AS theil_t,
+       round(((CAST(q AS DOUBLE) / 1e12) / CAST(s AS DOUBLE)
+              - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ln(CAST(n AS DOUBLE)), 6) + 0.0 AS theil_norm
+FROM s
+"""
+QUERIES["q_theil_user"] = q_theil_user
+
+
+def q_bowley_value(sf_dir):
+    """Bowley quantile skewness + quartile coefficient of dispersion of
+    the monetary `value` per event type — the robust shape profile that
+    q_value_quantiles_by_type's raw quartiles feed. Same (type × cents)
+    catalog, discrete integer picks; each shape stat is ONE integer
+    ratio division (guarded to NULL when the denominator is zero)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"t": t["event_type"].to_pandas(), "v": cents}
+        ).groupby(["t", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].tolist(), pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["t", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["t", "v"])
+    )
+    rows = []
+    for t_, g in cat.groupby("t", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def pick(num, den):
+            return int(v[np.searchsorted(cum, (num * n + den - 1) // den)])
+
+        q1, q2, q3 = pick(1, 4), pick(1, 2), pick(3, 4)
+        bowley = (
+            float(
+                _duckdb_round(
+                    np.array(
+                        [float(q3 + q1 - 2 * q2) / float(q3 - q1)]
+                    )
+                )[0]
+            )
+            + 0.0
+            if q3 > q1
+            else None
+        )
+        qcd = (
+            float(
+                _duckdb_round(
+                    np.array([float(q3 - q1) / float(q3 + q1)])
+                )[0]
+            )
+            + 0.0
+            if q3 + q1 != 0
+            else None
+        )
+        rows.append((t_, q1, q2, q3, bowley, qcd))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "q1", "q2", "q3", "bowley", "qcd"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "q1": pa.array(out["q1"].to_numpy(np.int64), pa.int64()),
+            "q2": pa.array(out["q2"].to_numpy(np.int64), pa.int64()),
+            "q3": pa.array(out["q3"].to_numpy(np.int64), pa.int64()),
+            "bowley": pa.array(out["bowley"].tolist(), pa.float64()),
+            "qcd": pa.array(out["qcd"].tolist(), pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_bowley_value"] = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS c
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(c, 0.50) AS BIGINT) AS q2,
+         CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3
+  FROM v GROUP BY 1
+)
+SELECT event_type, q1, q2, q3,
+       CASE WHEN q3 > q1
+            THEN round(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                       / CAST(q3 - q1 AS DOUBLE), 6) + 0.0
+       END AS bowley,
+       CASE WHEN q3 + q1 <> 0
+            THEN round(CAST(q3 - q1 AS DOUBLE)
+                       / CAST(q3 + q1 AS DOUBLE), 6) + 0.0
+       END AS qcd
+FROM q ORDER BY 1
+"""
+QUERIES["q_bowley_value"] = q_bowley_value
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -1967,3 +1967,59 @@ def test_embed_dim_stats(ray_session):
         assert abs(out.loc[d + 1, "mean"] - col.mean()) < 1e-6
         assert abs(out.loc[d + 1, "min_q"] / 1e9 - col.min()) < 1e-8
         assert abs(out.loc[d + 1, "max_q"] / 1e9 - col.max()) < 1e-8
+
+
+def test_cliffs_delta(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_cliffs_delta"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = docs.loc[docs["lang"] == "en", "n_chars"].to_numpy(np.int64)
+    b = docs.loc[docs["lang"] != "en", "n_chars"].to_numpy(np.int64)
+    gt = int((a[:, None] > b[None, :]).sum())
+    lt = int((a[:, None] < b[None, :]).sum())
+    assert out["n_en"].iloc[0] == len(a)
+    assert out["n_rest"].iloc[0] == len(b)
+    assert out["gt_pairs"].iloc[0] == gt
+    assert out["lt_pairs"].iloc[0] == lt
+    exp = (gt - lt) / (len(a) * len(b))
+    assert abs(out["cliffs_delta"].iloc[0] - exp) < 1e-6
+    assert -1.0 <= out["cliffs_delta"].iloc[0] <= 1.0
+
+
+def test_theil_user(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_theil_user"](SF).to_pandas()
+    ev = _events_pdf()
+    x = ev.groupby("user_id").size().to_numpy(np.float64)
+    mu = x.mean()
+    exp = float(np.mean((x / mu) * np.log(x / mu)))
+    assert out["n_users"].iloc[0] == len(x)
+    assert out["total_events"].iloc[0] == int(x.sum())
+    assert abs(out["theil_t"].iloc[0] - exp) < 1e-5
+    assert abs(out["theil_norm"].iloc[0] - exp / np.log(len(x))) < 1e-5
+    assert 0.0 <= out["theil_t"].iloc[0] <= np.log(len(x))
+
+
+def test_bowley_value(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bowley_value"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    for t, g in ev.groupby("event_type"):
+        v = np.sort(g["c"].to_numpy(np.int64))
+        n = len(v)
+        q1, q2, q3 = (v[int(np.ceil(q * n)) - 1] for q in (0.25, 0.5, 0.75))
+        assert out.loc[t, "q1"] == q1
+        assert out.loc[t, "q2"] == q2
+        assert out.loc[t, "q3"] == q3
+        if q3 > q1:
+            assert abs(out.loc[t, "bowley"] - (q3 + q1 - 2 * q2) / (q3 - q1)) < 1e-6
+        if q3 + q1 != 0:
+            assert abs(out.loc[t, "qcd"] - (q3 - q1) / (q3 + q1)) < 1e-6
