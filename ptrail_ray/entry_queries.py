@@ -24920,6 +24920,274 @@ FROM q ORDER BY 1
 QUERIES["q_bowley_value"] = q_bowley_value
 
 
+def q_drawdown(sf_dir):
+    """Maximum drawdown of the cumulative daily net `value` stream —
+    the worst peak-to-trough slide of the running monetary balance.
+    Day-level cents partials fold to a ≤~750-row catalog; cumsum /
+    running-max / argmax on the driver are ALL exact integers (cents),
+    zero floats anywhere."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        raw = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        g = pd.DataFrame({"d": day, "s": cents}).groupby(
+            "d", as_index=False
+        )["s"].sum()
+        return pa.table(
+            {
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["s"]
+        .sum()
+        .sort_values("d")
+    )
+    d = cat["d"].to_numpy(np.int64)
+    cum = np.cumsum(cat["s"].to_numpy(np.int64))
+    runmax = np.maximum.accumulate(cum)
+    dd = runmax - cum
+    i = int(np.argmax(dd))  # first day hitting the max drawdown
+    return pa.table(
+        {
+            "n_days": pa.array([len(d)], pa.int64()),
+            "peak_cum": pa.array([int(cum.max())], pa.int64()),
+            "final_cum": pa.array([int(cum[-1])], pa.int64()),
+            "max_drawdown": pa.array([int(dd[i])], pa.int64()),
+            "dd_day": pa.array([int(d[i])], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_drawdown"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+),
+c AS (SELECT day, CAST(sum(s) OVER (ORDER BY day) AS BIGINT) AS cum FROM d),
+r AS (
+  SELECT day, cum,
+         CAST(max(cum) OVER (ORDER BY day) AS BIGINT) AS runmax
+  FROM c
+),
+x AS (SELECT day, cum, runmax - cum AS dd FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(cum) AS BIGINT) AS peak_cum,
+       CAST(max_by(cum, day) AS BIGINT) AS final_cum,
+       CAST(max(dd) AS BIGINT) AS max_drawdown,
+       CAST(min(CASE WHEN dd = (SELECT max(dd) FROM x) THEN day END)
+            AS BIGINT) AS dd_day
+FROM x
+"""
+QUERIES["q_drawdown"] = q_drawdown
+
+
+def q_record_days(sf_dir):
+    """Record-breaking-day census per event type: days whose daily
+    count strictly exceeds every earlier day (the first day is a
+    record). (type × day) count partials fold to a bounded catalog;
+    the running-max scan is pure integers — the growth-novelty signal
+    of the activity series."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        g = pd.DataFrame(
+            {"t": t["event_type"].to_pandas(), "d": day}
+        ).groupby(["t", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].tolist(), pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["t", "d"], as_index=False)["c"]
+        .sum()
+        .sort_values(["t", "d"])
+    )
+    rows = []
+    for t_, g in cat.groupby("t", sort=True):
+        d = g["d"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        runmax = np.maximum.accumulate(c)
+        is_rec = np.empty(len(c), bool)
+        is_rec[0] = True
+        is_rec[1:] = c[1:] > runmax[:-1]
+        rows.append(
+            (t_, len(d), int(is_rec.sum()), int(d[is_rec][-1]))
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_days", "n_records", "last_record_day"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64), pa.int64()),
+            "n_records": pa.array(
+                out["n_records"].to_numpy(np.int64), pa.int64()
+            ),
+            "last_record_day": pa.array(
+                out["last_record_day"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_record_days"] = """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, c,
+         max(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN pmax IS NULL OR c > pmax THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN pmax IS NULL OR c > pmax THEN day END)
+            AS BIGINT) AS last_record_day
+FROM w GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_record_days"] = q_record_days
+
+
+def q_moving_range(sf_dir):
+    """XmR (individuals / moving-range) control chart over the daily
+    total event count — Shewhart process-behaviour limits X̄ ± 2.66·MR̄
+    and the out-of-control day count. Day partials fold to a bounded
+    catalog; Σx and Σ|Δx| are exact ints, the limits are fixed-order
+    floats with the 2.66 constant as a literal on both sides."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["c"]
+        .sum()
+        .sort_values("d")
+    )
+    c = cat["c"].to_numpy(np.int64)
+    n = len(c)
+    sx = int(c.sum())
+    smr = int(np.abs(np.diff(c)).sum())
+    nf, sxf, smrf = float(n), float(sx), float(smr)
+    xbar = sxf / nf
+    mrbar = smrf / float(n - 1)
+    ucl = sxf / nf + 2.66 * (smrf / float(n - 1))
+    lcl = sxf / nf - 2.66 * (smrf / float(n - 1))
+    n_ooc = int(
+        ((c.astype(np.float64) > ucl) | (c.astype(np.float64) < lcl)).sum()
+    )
+    r6 = lambda x: float(_duckdb_round(np.array([x]))[0]) + 0.0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "xbar": pa.array([r6(xbar)], pa.float64()),
+            "mrbar": pa.array([r6(mrbar)], pa.float64()),
+            "ucl": pa.array([r6(ucl)], pa.float64()),
+            "lcl": pa.array([r6(lcl)], pa.float64()),
+            "n_ooc": pa.array([n_ooc], pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["q_moving_range"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT day, c, abs(c - lag(c) OVER (ORDER BY day)) AS mr FROM d
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sx,
+         CAST(sum(mr) AS BIGINT) AS smr
+  FROM m
+)
+SELECT n AS n_days,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS xbar,
+       round(CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) + 0.0 AS mrbar,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+             + CAST(2.66 AS DOUBLE)
+               * (CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6) + 0.0
+         AS ucl,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(2.66 AS DOUBLE)
+               * (CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6) + 0.0
+         AS lcl,
+       (SELECT CAST(count(*) AS BIGINT) FROM m, s
+        WHERE CAST(c AS DOUBLE)
+                > CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST(2.66 AS DOUBLE)
+                    * (CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+           OR CAST(c AS DOUBLE)
+                < CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(2.66 AS DOUBLE)
+                    * (CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE)))
+         AS n_ooc
+FROM s
+"""
+QUERIES["q_moving_range"] = q_moving_range
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

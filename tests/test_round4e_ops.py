@@ -2023,3 +2023,61 @@ def test_bowley_value(ray_session):
             assert abs(out.loc[t, "bowley"] - (q3 + q1 - 2 * q2) / (q3 - q1)) < 1e-6
         if q3 + q1 != 0:
             assert abs(out.loc[t, "qcd"] - (q3 - q1) / (q3 + q1)) < 1e-6
+
+
+def test_drawdown(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_drawdown"](SF).to_pandas()
+    ev = _events_pdf()
+    day = ev["ts"].values.astype("datetime64[D]")
+    raw = ev["value"].to_numpy() * 100
+    cents = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    daily = pd.DataFrame({"d": day, "s": cents}).groupby("d")["s"].sum()
+    cum = daily.cumsum().to_numpy(np.int64)
+    dd = np.maximum.accumulate(cum) - cum
+    assert out["n_days"].iloc[0] == len(daily)
+    assert out["peak_cum"].iloc[0] == cum.max()
+    assert out["final_cum"].iloc[0] == cum[-1]
+    assert out["max_drawdown"].iloc[0] == dd.max()
+    exp_day = daily.index.to_numpy()[int(np.argmax(dd))]
+    assert out["dd_day"].iloc[0] == exp_day.astype("datetime64[D]").astype(int)
+
+
+def test_record_days(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_record_days"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]")
+    for t, g in ev.groupby("event_type"):
+        daily = g.groupby("d").size()
+        c = daily.to_numpy(np.int64)
+        rec = np.r_[True, c[1:] > np.maximum.accumulate(c)[:-1]]
+        assert out.loc[t, "n_days"] == len(c)
+        assert out.loc[t, "n_records"] == rec.sum()
+        last = daily.index.to_numpy()[np.where(rec)[0][-1]]
+        assert (
+            out.loc[t, "last_record_day"]
+            == last.astype("datetime64[D]").astype(int)
+        )
+
+
+def test_moving_range(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_moving_range"](SF).to_pandas()
+    ev = _events_pdf()
+    daily = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size()
+    c = daily.to_numpy(np.float64)
+    xbar = c.mean()
+    mrbar = np.abs(np.diff(c)).mean()
+    assert out["n_days"].iloc[0] == len(c)
+    assert abs(out["xbar"].iloc[0] - xbar) < 1e-6
+    assert abs(out["mrbar"].iloc[0] - mrbar) < 1e-6
+    assert abs(out["ucl"].iloc[0] - (xbar + 2.66 * mrbar)) < 1e-5
+    assert abs(out["lcl"].iloc[0] - (xbar - 2.66 * mrbar)) < 1e-5
+    exp_ooc = ((c > xbar + 2.66 * mrbar) | (c < xbar - 2.66 * mrbar)).sum()
+    assert out["n_ooc"].iloc[0] == exp_ooc
