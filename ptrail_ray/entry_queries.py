@@ -25188,6 +25188,307 @@ FROM s
 QUERIES["q_moving_range"] = q_moving_range
 
 
+def _quant12_vec(t: np.ndarray) -> np.ndarray:
+    """Elementwise CAST(round(1e12·t) AS BIGINT), half away from zero —
+    the vector form of _quant12_sum's rounding contract."""
+    y = 1e12 * t
+    f = np.floor(y)
+    d = y - f
+    r = np.where(d > 0.5, f + 1.0, f)
+    r = np.where(d == 0.5, np.where(y >= 0, f + 1.0, f), r)
+    return r.astype(np.int64)
+
+
+# 24-entry quantized sin/cos table for hour-of-day angles (shared with
+# the SQL oracle as literal VALUES rows, so NO transcendental is ever
+# recomputed across engines)
+_HOUR_QSIN = _quant12_vec(np.sin(2.0 * np.pi * np.arange(24) / 24.0))
+_HOUR_QCOS = _quant12_vec(np.cos(2.0 * np.pi * np.arange(24) / 24.0))
+_PI_LIT = "3.141592653589793"
+
+
+def q_circular_hours(sf_dir):
+    """Circular statistics of event timing per type: mean hour-of-day
+    (circular mean via atan2) and mean resultant length R̄ (0 = uniform
+    around the clock, 1 = a single spike). The (type × hour) catalog is
+    ≤ 5×24; sin/cos enter as a SHARED 1e12-quantized literal table so
+    the weighted sums are exact ints and only atan2/sqrt are floats."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        ) % 24
+        g = pd.DataFrame(
+            {"t": t["event_type"].to_pandas(), "h": hour}
+        ).groupby(["t", "h"], as_index=False).size()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].tolist(), pa.string()),
+                "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["t", "h"], as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for t_, g in cat.groupby("t", sort=True):
+        h = g["h"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        s = sum(int(ci) * int(_HOUR_QSIN[hi]) for ci, hi in zip(c, h))
+        co = sum(int(ci) * int(_HOUR_QCOS[hi]) for ci, hi in zip(c, h))
+        sf_, cf = float(s), float(co)
+        rbar = np.sqrt(sf_ * sf_ + cf * cf) / 1e12 / float(n)
+        mh = (np.arctan2(sf_, cf) * 12.0) / float(_PI_LIT)
+        if mh < 0.0:
+            mh = mh + 24.0
+        rows.append((t_, n, mh, rbar))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "mean_hour", "rbar"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "mean_hour": pa.array(
+                _duckdb_round(out["mean_hour"].to_numpy(np.float64)) + 0.0,
+                pa.float64(),
+            ),
+            "rbar": pa.array(
+                _duckdb_round(out["rbar"].to_numpy(np.float64)) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+_HOUR_TRIG_VALUES = ", ".join(
+    f"({i}, {int(_HOUR_QSIN[i])}, {int(_HOUR_QCOS[i])})" for i in range(24)
+)
+ORACLE_SQL["q_circular_hours"] = f"""
+WITH trig(h, qs, qc) AS (VALUES {_HOUR_TRIG_VALUES}),
+e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(sum(e.c) AS BIGINT) AS n,
+         sum(CAST(e.c AS HUGEINT) * CAST(t.qs AS HUGEINT)) AS s,
+         sum(CAST(e.c AS HUGEINT) * CAST(t.qc AS HUGEINT)) AS co
+  FROM e JOIN trig t ON e.h = t.h GROUP BY 1
+)
+SELECT event_type, n,
+       round(CASE WHEN (atan2(CAST(s AS DOUBLE), CAST(co AS DOUBLE))
+                        * 12.0) / {_PI_LIT} < 0.0
+                  THEN (atan2(CAST(s AS DOUBLE), CAST(co AS DOUBLE))
+                        * 12.0) / {_PI_LIT} + 24.0
+                  ELSE (atan2(CAST(s AS DOUBLE), CAST(co AS DOUBLE))
+                        * 12.0) / {_PI_LIT}
+             END, 6) + 0.0 AS mean_hour,
+       round(sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  + CAST(co AS DOUBLE) * CAST(co AS DOUBLE))
+             / 1e12 / CAST(n AS DOUBLE), 6) + 0.0 AS rbar
+FROM s ORDER BY 1
+"""
+QUERIES["q_circular_hours"] = q_circular_hours
+
+
+def q_perm_entropy(sf_dir):
+    """Permutation entropy of the daily event-count series (order-3,
+    tie-aware comparison coding) — the model-free complexity gauge of
+    the activity signal (low = trending/regular, ln 6 ≈ white noise).
+    Day partials → bounded catalog; each consecutive triple maps to a
+    3-bit comparison code, the ≤8-cell entropy uses the 1e12-quantized
+    per-cell term contract."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["c"]
+        .sum()
+        .sort_values("d")
+    )
+    c = cat["c"].to_numpy(np.int64)
+    a, b, cc = c[:-2], c[1:-1], c[2:]
+    pat = 4 * (a < b).astype(np.int64) + 2 * (b < cc) + (a < cc)
+    _, k = np.unique(pat, return_counts=True)
+    n = int(k.sum())
+    q = 0
+    for ki in k:
+        p = float(ki) / float(n)
+        q += int(_quant12_vec(np.array([-(p) * np.log(p)]))[0])
+    qf, nf = float(q), float(n)
+    h = qf / 1e12
+    hn = (qf / 1e12) / np.log(6.0)
+    r6 = lambda x: float(_duckdb_round(np.array([x]))[0]) + 0.0
+    return pa.table(
+        {
+            "n_triples": pa.array([n], pa.int64()),
+            "n_patterns": pa.array([len(k)], pa.int64()),
+            "h_perm": pa.array([r6(h)], pa.float64()),
+            "h_norm": pa.array([r6(hn)], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_perm_entropy"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT c AS a, lead(c, 1) OVER (ORDER BY day) AS b,
+         lead(c, 2) OVER (ORDER BY day) AS cc
+  FROM d
+),
+t AS (
+  SELECT 4 * (CASE WHEN a < b THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN b < cc THEN 1 ELSE 0 END)
+         + (CASE WHEN a < cc THEN 1 ELSE 0 END) AS pat
+  FROM w WHERE b IS NOT NULL AND cc IS NOT NULL
+),
+g AS (SELECT pat, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY 1),
+s AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(round(
+           -1e12 * (CAST(k AS DOUBLE)
+                    / CAST((SELECT sum(k) FROM g) AS DOUBLE))
+                 * ln(CAST(k AS DOUBLE)
+                      / CAST((SELECT sum(k) FROM g) AS DOUBLE))
+         ) AS BIGINT)) AS BIGINT) AS q
+  FROM g
+)
+SELECT n AS n_triples, m AS n_patterns,
+       round(CAST(q AS DOUBLE) / 1e12, 6) + 0.0 AS h_perm,
+       round((CAST(q AS DOUBLE) / 1e12) / ln(6.0), 6) + 0.0 AS h_norm
+FROM s
+"""
+QUERIES["q_perm_entropy"] = q_perm_entropy
+
+
+def q_xi_corr(sf_dir):
+    """Chatterjee's ξ rank correlation (2020) between daily event
+    volume and daily purchase volume — detects ANY functional
+    dependence, not just monotone trends. Day partials carry both
+    counts in one pass; ranks via searchsorted on the bounded daily
+    catalog, Σ|Δrank| exact int, ξ is ONE fixed-order float. X-ties
+    are broken deterministically by day on both sides."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        g = pd.DataFrame(
+            {"d": day, "c": 1, "p": is_p.astype(np.int64)}
+        ).groupby("d", as_index=False).sum()
+        return pa.table(
+            {
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                "p": pa.array(g["p"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)[["c", "p"]]
+        .sum()
+    )
+    d = cat["d"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    p = cat["p"].to_numpy(np.int64)
+    n = len(d)
+    # rank r_i = #{j : p_j <= p_i}
+    sp = np.sort(p)
+    rk = np.searchsorted(sp, p, side="right").astype(np.int64)
+    order = np.lexsort((d, c))
+    t = int(np.abs(np.diff(rk[order])).sum())
+    nf, tf = float(n), float(t)
+    xi = 1.0 - (3.0 * tf) / (nf * nf - 1.0)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "sum_absdiff": pa.array([t], pa.int64()),
+            "xi": pa.array(
+                [float(_duckdb_round(np.array([xi]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_xi_corr"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT day, c, p, CAST(count(*) OVER (ORDER BY p) AS BIGINT) AS rk
+  FROM d
+),
+o AS (SELECT rk, row_number() OVER (ORDER BY c, day) AS i FROM r),
+l AS (SELECT abs(rk - lag(rk) OVER (ORDER BY i)) AS ad FROM o),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ad) AS BIGINT) AS t
+  FROM l
+)
+SELECT n AS n_days, t AS sum_absdiff,
+       round(1.0 - (3.0 * CAST(t AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0), 6)
+         + 0.0 AS xi
+FROM s
+"""
+QUERIES["q_xi_corr"] = q_xi_corr
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -2081,3 +2081,62 @@ def test_moving_range(ray_session):
     assert abs(out["lcl"].iloc[0] - (xbar - 2.66 * mrbar)) < 1e-5
     exp_ooc = ((c > xbar + 2.66 * mrbar) | (c < xbar - 2.66 * mrbar)).sum()
     assert out["n_ooc"].iloc[0] == exp_ooc
+
+
+def test_circular_hours(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_circular_hours"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    for t, g in ev.groupby("event_type"):
+        th = 2 * np.pi * g["h"].to_numpy(np.float64) / 24.0
+        s, c = np.sin(th).sum(), np.cos(th).sum()
+        n = len(g)
+        rbar = np.hypot(s, c) / n
+        mh = np.arctan2(s, c) * 12 / np.pi % 24
+        assert out.loc[t, "n"] == n
+        assert abs(out.loc[t, "rbar"] - rbar) < 1e-6
+        assert abs(out.loc[t, "mean_hour"] - mh) < 1e-5
+        assert 0.0 <= out.loc[t, "rbar"] <= 1.0
+        assert 0.0 <= out.loc[t, "mean_hour"] < 24.0
+
+
+def test_perm_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_perm_entropy"](SF).to_pandas()
+    ev = _events_pdf()
+    c = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size().to_numpy(
+        np.int64
+    )
+    a, b, cc = c[:-2], c[1:-1], c[2:]
+    pat = 4 * (a < b).astype(int) + 2 * (b < cc) + (a < cc)
+    _, k = np.unique(pat, return_counts=True)
+    p = k / k.sum()
+    h = float(-(p * np.log(p)).sum())
+    assert out["n_triples"].iloc[0] == len(pat)
+    assert out["n_patterns"].iloc[0] == len(k)
+    assert abs(out["h_perm"].iloc[0] - h) < 1e-6
+    assert abs(out["h_norm"].iloc[0] - h / np.log(6)) < 1e-6
+
+
+def test_xi_corr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_xi_corr"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]")
+    daily = ev.groupby("d").agg(
+        c=("event_id", "size"),
+        p=("event_type", lambda s: int((s == "purchase").sum())),
+    ).reset_index()
+    n = len(daily)
+    p = daily["p"].to_numpy(np.int64)
+    rk = np.searchsorted(np.sort(p), p, side="right")
+    order = np.lexsort((daily["d"].to_numpy(), daily["c"].to_numpy()))
+    t = int(np.abs(np.diff(rk[order])).sum())
+    xi = 1 - 3 * t / (n * n - 1)
+    assert out["n_days"].iloc[0] == n
+    assert out["sum_absdiff"].iloc[0] == t
+    assert abs(out["xi"].iloc[0] - xi) < 1e-6
