@@ -25489,6 +25489,321 @@ FROM s
 QUERIES["q_xi_corr"] = q_xi_corr
 
 
+def q_basket_lift(sf_dir):
+    """Market-basket brand-affinity lift within orders: for every brand
+    pair co-purchased in one order, lift = N·n_ab/(n_a·n_b). Part is a
+    broadcast partkey→brand lookup (never shuffled); ONE orderkey
+    exchange makes baskets whole; the ≤C(25,2) pair catalog merges on
+    the driver — exact integer counts, one float division per pair."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brands = sorted(part["p_brand"].unique())
+    bid_of = {b: i for i, b in enumerate(brands)}
+    lut = np.zeros(int(part["p_partkey"].max()) + 1, np.int32)
+    lut[part["p_partkey"].to_numpy(np.int64)] = part["p_brand"].map(
+        bid_of
+    ).to_numpy(np.int32)
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ob = pd.DataFrame(
+            {
+                "o": df["l_orderkey"].to_numpy(np.int64),
+                "b": lut[df["l_partkey"].to_numpy(np.int64)],
+            }
+        ).drop_duplicates()
+        singles = ob.groupby("b", as_index=False).size().rename(
+            columns={"b": "ba", "size": "c"}
+        )
+        singles["bb"] = -1
+        m = ob.merge(ob, on="o")
+        m = m[m["b_x"] < m["b_y"]]
+        pairs = m.groupby(["b_x", "b_y"], as_index=False).size().rename(
+            columns={"b_x": "ba", "b_y": "bb", "size": "c"}
+        )
+        tot = pd.DataFrame(
+            {"ba": [-1], "bb": [-1], "c": [ob["o"].nunique()]}
+        )
+        out = pd.concat(
+            [pairs[["ba", "bb", "c"]], singles[["ba", "bb", "c"]], tot],
+            ignore_index=True,
+        )
+        return out.astype({"ba": np.int64, "bb": np.int64, "c": np.int64})
+
+    cat = (
+        grouped_agg_by_bucket(line, "l_orderkey", per_bucket, num_buckets=32)
+        .to_pandas()
+        .groupby(["ba", "bb"], as_index=False)["c"]
+        .sum()
+    )
+    nn = int(cat.loc[(cat["ba"] == -1) & (cat["bb"] == -1), "c"].iloc[0])
+    singles = cat[(cat["ba"] >= 0) & (cat["bb"] == -1)].set_index("ba")["c"]
+    pairs = cat[(cat["ba"] >= 0) & (cat["bb"] >= 0)].sort_values(["ba", "bb"])
+    na = singles.loc[pairs["ba"]].to_numpy(np.int64)
+    nb = singles.loc[pairs["bb"]].to_numpy(np.int64)
+    c = pairs["c"].to_numpy(np.int64)
+    lift = (float(nn) * c.astype(np.float64)) / (
+        na.astype(np.float64) * nb.astype(np.float64)
+    )
+    return pa.table(
+        {
+            "brand_a": pa.array(
+                [brands[i] for i in pairs["ba"]], pa.string()
+            ),
+            "brand_b": pa.array(
+                [brands[i] for i in pairs["bb"]], pa.string()
+            ),
+            "n_pair": pa.array(c, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "lift": pa.array(_duckdb_round(lift) + 0.0, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_basket_lift"] = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nn FROM ob),
+ba AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1),
+pr AS (
+  SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT) AS c
+  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b GROUP BY 1, 2
+)
+SELECT pr.b1 AS brand_a, pr.b2 AS brand_b, pr.c AS n_pair,
+       a.c AS n_a, b2.c AS n_b,
+       round((CAST(n.nn AS DOUBLE) * CAST(pr.c AS DOUBLE))
+             / (CAST(a.c AS DOUBLE) * CAST(b2.c AS DOUBLE)), 6) + 0.0
+         AS lift
+FROM pr CROSS JOIN n
+JOIN ba a ON a.b = pr.b1
+JOIN ba b2 ON b2.b = pr.b2
+ORDER BY 1, 2
+"""
+QUERIES["q_basket_lift"] = q_basket_lift
+
+
+def q_tail_dependence(sf_dir):
+    """Empirical upper-tail dependence λ_U(0.9) between daily event
+    volume and daily net monetary value — do extreme-traffic days and
+    extreme-revenue days coincide? Discrete p90 thresholds from the
+    bounded day catalog, joint/conditional counts exact ints, λ_U one
+    division."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        raw = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        g = pd.DataFrame({"d": day, "c": 1, "s": cents}).groupby(
+            "d", as_index=False
+        ).sum()
+        return pa.table(
+            {
+                "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)[["c", "s"]]
+        .sum()
+    )
+    c = cat["c"].to_numpy(np.int64)
+    s = cat["s"].to_numpy(np.int64)
+    n = len(c)
+
+    def qdisc(v: np.ndarray) -> int:
+        sv = np.sort(v)
+        return int(sv[(9 * n + 9) // 10 - 1])
+
+    xq, yq = qdisc(c), qdisc(s)
+    n_cond = int((s >= yq).sum())
+    n_joint = int(((c >= xq) & (s >= yq)).sum())
+    lam = float(n_joint) / float(n_cond)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "x_q90": pa.array([xq], pa.int64()),
+            "y_q90": pa.array([yq], pa.int64()),
+            "n_joint": pa.array([n_joint], pa.int64()),
+            "n_cond": pa.array([n_cond], pa.int64()),
+            "lambda_u": pa.array(
+                [float(_duckdb_round(np.array([lam]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_tail_dependence"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+),
+q AS (
+  SELECT CAST(quantile_disc(c, 0.9) AS BIGINT) AS xq,
+         CAST(quantile_disc(s, 0.9) AS BIGINT) AS yq
+  FROM d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       q.xq AS x_q90, q.yq AS y_q90,
+       (SELECT CAST(count(*) AS BIGINT) FROM d
+        WHERE c >= q.xq AND s >= q.yq) AS n_joint,
+       (SELECT CAST(count(*) AS BIGINT) FROM d WHERE s >= q.yq) AS n_cond,
+       round(CAST((SELECT count(*) FROM d WHERE c >= q.xq AND s >= q.yq)
+                  AS DOUBLE)
+             / CAST((SELECT count(*) FROM d WHERE s >= q.yq) AS DOUBLE),
+             6) + 0.0 AS lambda_u
+FROM q
+"""
+QUERIES["q_tail_dependence"] = q_tail_dependence
+
+
+def q_simpson_check(sf_dir):
+    """Simpson's-paradox audit of the discount→quantity relation:
+    regression slope per returnflag stratum AND pooled, with the
+    covariance SIGN taken from exact integers so a flip is never a
+    float artifact. Five int64 moments per batch (discount in cents,
+    quantity integral), bounded driver fold, one float slope each."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        x = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        y = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "f": t["l_returnflag"].to_pandas(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        ).groupby("f", as_index=False).sum()
+        return pa.table(
+            {
+                "f": pa.array(g["f"].tolist(), pa.string()),
+                **{
+                    k: pa.array(g[k].to_numpy(np.int64), pa.int64())
+                    for k in ("n", "sx", "sy", "sxy", "sxx")
+                },
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("f", as_index=False)[["n", "sx", "sy", "sxy", "sxx"]]
+        .sum()
+    )
+    allrow = cat[["n", "sx", "sy", "sxy", "sxx"]].sum()
+    rows = [("ALL", *(int(allrow[k]) for k in ("n", "sx", "sy", "sxy", "sxx")))]
+    for _, r in cat.iterrows():
+        rows.append(
+            (r["f"], *(int(r[k]) for k in ("n", "sx", "sy", "sxy", "sxx")))
+        )
+    rows.sort(key=lambda r: r[0])
+    out = []
+    for scope, n, sx, sy, sxy, sxx in rows:
+        num = n * sxy - sx * sy  # exact Python int
+        sign = 1 if num > 0 else (-1 if num < 0 else 0)
+        nf = float(n)
+        slope = (nf * float(sxy) - float(sx) * float(sy)) / (
+            nf * float(sxx) - float(sx) * float(sx)
+        )
+        out.append((scope, n, sign, slope))
+    return pa.table(
+        {
+            "scope": pa.array([r[0] for r in out], pa.string()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "cov_sign": pa.array([r[2] for r in out], pa.int64()),
+            "slope": pa.array(
+                _duckdb_round(np.array([r[3] for r in out])) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_simpson_check"] = """
+WITH b AS (
+  SELECT l_returnflag AS f, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT)
+           AS sx,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)
+                  * CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT)
+           AS sxx
+  FROM lineitem GROUP BY 1
+),
+u AS (
+  SELECT f AS scope, n, sx, sy, sxy, sxx FROM b
+  UNION ALL
+  SELECT 'ALL', CAST(sum(n) AS BIGINT), CAST(sum(sx) AS BIGINT),
+         CAST(sum(sy) AS BIGINT), CAST(sum(sxy) AS BIGINT),
+         CAST(sum(sxx) AS BIGINT)
+  FROM b
+)
+SELECT scope, n,
+       CAST(CASE WHEN CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                      - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) > 0
+                 THEN 1
+                 WHEN CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                      - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) < 0
+                 THEN -1 ELSE 0 END AS BIGINT) AS cov_sign,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+         AS slope
+FROM u ORDER BY 1
+"""
+QUERIES["q_simpson_check"] = q_simpson_check
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -2140,3 +2140,79 @@ def test_xi_corr(ray_session):
     assert out["n_days"].iloc[0] == n
     assert out["sum_absdiff"].iloc[0] == t
     assert abs(out["xi"].iloc[0] - xi) < 1e-6
+
+
+def test_basket_lift(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_basket_lift"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    pt = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    ob = li.merge(pt, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    nn = ob["l_orderkey"].nunique()
+    singles = ob.groupby("p_brand").size()
+    m = ob.merge(ob, on="l_orderkey")
+    m = m[m["p_brand_x"] < m["p_brand_y"]]
+    pairs = m.groupby(["p_brand_x", "p_brand_y"]).size()
+    assert len(out) == len(pairs)
+    for _, r in out.head(20).iterrows():
+        exp = pairs.loc[(r["brand_a"], r["brand_b"])]
+        assert r["n_pair"] == exp
+        assert r["n_a"] == singles.loc[r["brand_a"]]
+        assert r["n_b"] == singles.loc[r["brand_b"]]
+        assert abs(r["lift"] - nn * exp / (r["n_a"] * r["n_b"])) < 1e-6
+
+
+def test_tail_dependence(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tail_dependence"](SF).to_pandas()
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["cent"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    daily = ev.groupby(ev["ts"].values.astype("datetime64[D]")).agg(
+        c=("event_id", "size"), s=("cent", "sum")
+    )
+    n = len(daily)
+    xq = np.sort(daily["c"].to_numpy())[int(np.ceil(0.9 * n)) - 1]
+    yq = np.sort(daily["s"].to_numpy())[int(np.ceil(0.9 * n)) - 1]
+    cond = daily["s"] >= yq
+    joint = (daily["c"] >= xq) & cond
+    assert out["n_days"].iloc[0] == n
+    assert out["x_q90"].iloc[0] == xq
+    assert out["y_q90"].iloc[0] == yq
+    assert out["n_joint"].iloc[0] == joint.sum()
+    assert out["n_cond"].iloc[0] == cond.sum()
+    assert abs(out["lambda_u"].iloc[0] - joint.sum() / cond.sum()) < 1e-6
+
+
+def test_simpson_check(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_simpson_check"](SF).to_pandas().set_index("scope")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    ).to_pandas()
+    li["x"] = np.round(li["l_discount"] * 100).astype(np.int64)
+    li["y"] = li["l_quantity"].astype(np.int64)
+    groups = {f: g for f, g in li.groupby("l_returnflag")}
+    groups["ALL"] = li
+    assert len(out) == len(groups)
+    for scope, g in groups.items():
+        x, y = g["x"].to_numpy(np.float64), g["y"].to_numpy(np.float64)
+        slope = np.polyfit(x, y, 1)[0]
+        assert out.loc[scope, "n"] == len(g)
+        assert abs(out.loc[scope, "slope"] - slope) < 1e-4
+        cov = np.cov(x, y)[0, 1]
+        assert out.loc[scope, "cov_sign"] == np.sign(cov)
