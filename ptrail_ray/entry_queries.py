@@ -25804,6 +25804,318 @@ FROM u ORDER BY 1
 QUERIES["q_simpson_check"] = q_simpson_check
 
 
+def q_ljung_box(sf_dir):
+    """Ljung-Box portmanteau whiteness test on the daily event-count
+    series, lags 1–7: per-lag autocorrelation and the cumulative Q
+    statistic. Centering uses z_i = n·x_i − Σx (exact ints), so every
+    ρ_k is ONE integer ratio; the Q accumulation runs through
+    1e12-quantized per-lag terms so the running sum is fixed-order on
+    both engines."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby("d", as_index=False)["c"]
+        .sum()
+        .sort_values("d")
+    )
+    c = cat["c"].to_numpy(np.int64)
+    n = len(c)
+    s = int(c.sum())
+    z = n * c - s  # exact ints
+    d0 = sum(int(v) * int(v) for v in z)
+    nf = float(n)
+    rows, qc = [], 0
+    for lag in range(1, 8):
+        nk = sum(int(a) * int(b) for a, b in zip(z[:-lag], z[lag:]))
+        rho = float(nk) / float(d0)
+        qt = int(
+            _quant12_vec(np.array([(rho * rho) / float(n - lag)]))[0]
+        )
+        qc += qt
+        qlb = nf * (nf + 2.0) * (float(qc) / 1e12)
+        rows.append((lag, rho, qlb))
+    return pa.table(
+        {
+            "lag": pa.array([r[0] for r in rows], pa.int64()),
+            "rho": pa.array(
+                _duckdb_round(np.array([r[1] for r in rows])) + 0.0,
+                pa.float64(),
+            ),
+            "q_lb": pa.array(
+                _duckdb_round(np.array([r[2] for r in rows])) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_ljung_box"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT row_number() OVER (ORDER BY day) AS rn, c FROM d),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc
+  FROM o
+),
+z AS (SELECT rn, CAST(s.n * c - s.sc AS BIGINT) AS z FROM o, s),
+den AS (
+  SELECT sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS d0 FROM z
+),
+k(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+num AS (
+  SELECT k.lag,
+         sum(CAST(a.z AS HUGEINT) * CAST(b.z AS HUGEINT)) AS nk
+  FROM k JOIN z a ON TRUE JOIN z b ON b.rn = a.rn + k.lag
+  GROUP BY 1
+),
+r AS (
+  SELECT lag,
+         CAST(nk AS DOUBLE) / CAST(den.d0 AS DOUBLE) AS rho
+  FROM num, den
+),
+t AS (
+  SELECT lag, rho,
+         CAST(round(1e12 * ((rho * rho)
+              / CAST((SELECT n FROM s) - lag AS DOUBLE))) AS BIGINT) AS qt
+  FROM r
+),
+f AS (SELECT lag, rho, sum(qt) OVER (ORDER BY lag) AS qc FROM t)
+SELECT lag, round(rho, 6) + 0.0 AS rho,
+       round(CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 2.0)
+             * (CAST(qc AS DOUBLE) / 1e12), 6) + 0.0 AS q_lb
+FROM f, s ORDER BY lag
+"""
+QUERIES["q_ljung_box"] = q_ljung_box
+
+
+def q_mcc_gate(sf_dir):
+    """Matthews correlation, balanced accuracy and Youden's J of the
+    binary en/not-en language gate (same stopword-ratio predictor as
+    q_prf1, collapsed to 2×2). The 4 confusion cells fold as bounded
+    int partials; MCC's numerator sign is an exact integer product and
+    the denominator is ONE sqrt of an exact integer product."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.functions.textstats import add_lang_id
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    pred = add_lang_id(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        act = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        prd = pc.equal(t["lang_pred"], "en").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tp": pa.array([int((act & prd).sum())], pa.int64()),
+                "fp": pa.array([int((~act & prd).sum())], pa.int64()),
+                "fn": pa.array([int((act & ~prd).sum())], pa.int64()),
+                "tn": pa.array([int((~act & ~prd).sum())], pa.int64()),
+            }
+        )
+
+    agg = pred.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    tp, fp, fn, tn = (int(agg[k].sum()) for k in ("tp", "fp", "fn", "tn"))
+    num = tp * tn - fp * fn
+    prod = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc = float(num) / np.sqrt(float(prod))
+    tpr = float(tp) / float(tp + fn)
+    tnr = float(tn) / float(tn + fp)
+    ba = (tpr + tnr) / 2.0
+    j = tpr + tnr - 1.0
+    r6 = lambda x: float(_duckdb_round(np.array([x]))[0]) + 0.0
+    return pa.table(
+        {
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+            "mcc": pa.array([r6(mcc)], pa.float64()),
+            "bal_acc": pa.array([r6(ba)], pa.float64()),
+            "youden_j": pa.array([r6(j)], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_mcc_gate"] = f"""
+WITH d AS (
+  SELECT lang, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS act,
+         CASE WHEN len(toks) > 0 AND
+              CAST(len(list_filter(toks,
+                   x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                / len(toks) > 0.05
+              THEN 1 ELSE 0 END AS prd
+  FROM d
+),
+m AS (
+  SELECT CAST(sum(act * prd) AS BIGINT) AS tp,
+         CAST(sum((1 - act) * prd) AS BIGINT) AS fp,
+         CAST(sum(act * (1 - prd)) AS BIGINT) AS fn,
+         CAST(sum((1 - act) * (1 - prd)) AS BIGINT) AS tn
+  FROM p
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+                  - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+             / sqrt(CAST(CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT)
+                         * CAST(tn + fp AS HUGEINT)
+                         * CAST(tn + fn AS HUGEINT) AS DOUBLE)), 6) + 0.0
+         AS mcc,
+       round((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+              + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0, 6)
+         + 0.0 AS bal_acc,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0, 6) + 0.0
+         AS youden_j
+FROM m
+"""
+QUERIES["q_mcc_gate"] = q_mcc_gate
+
+
+def q_heaps_law(sf_dir):
+    """Heaps-law vocabulary scaling fit: log V = log k + β·log N over
+    per-document (tokens, types) points — the corpus-growth exponent a
+    training-data curator uses to extrapolate vocabulary size. The
+    (N, V) pair catalog is bounded; shared 1e12-quantized logs on
+    DISTINCT pairs feed exact big-int OLS moments; β and log k are two
+    fixed-order floats."""
+    from ptrail_ray.functions.tokenize import encoded_tokens
+
+    def stat(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        codes, _vocab, idx = encoded_tokens(t["text"])
+        n_tok = np.bincount(idx, minlength=n).astype(np.int64)
+        if len(codes):
+            pair = np.unique(np.stack([idx, codes], axis=1), axis=0)
+            n_typ = np.bincount(pair[:, 0], minlength=n).astype(np.int64)
+        else:
+            n_typ = np.zeros(n, np.int64)
+        keep = n_tok > 0
+        g = pd.DataFrame(
+            {"a": n_tok[keep], "b": n_typ[keep]}
+        ).groupby(["a", "b"], as_index=False).size()
+        return pa.table(
+            {
+                "a": pa.array(g["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                "k": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(stat, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)["k"]
+        .sum()
+    )
+    qx = _quant12_vec(np.log(cat["a"].to_numpy(np.float64)))
+    qy = _quant12_vec(np.log(cat["b"].to_numpy(np.float64)))
+    k = cat["k"].to_numpy(np.int64)
+    n = int(k.sum())
+    sx = sum(int(ki) * int(x) for ki, x in zip(k, qx))
+    sy = sum(int(ki) * int(y) for ki, y in zip(k, qy))
+    sxy = sum(int(ki) * int(x) * int(y) for ki, x, y in zip(k, qx, qy))
+    sxx = sum(int(ki) * int(x) * int(x) for ki, x in zip(k, qx))
+    nf = float(n)
+    beta = (nf * float(sxy) - float(sx) * float(sy)) / (
+        nf * float(sxx) - float(sx) * float(sx)
+    )
+    logk = (float(sy) - beta * float(sx)) / nf / 1e12
+    r6 = lambda x: float(_duckdb_round(np.array([x]))[0]) + 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "beta": pa.array([r6(beta)], pa.float64()),
+            "log_k": pa.array([r6(logk)], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_heaps_law"] = r"""
+WITH d AS (
+  SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT CAST(len(toks) AS BIGINT) AS a,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS b
+  FROM d WHERE len(toks) > 0
+),
+c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS k FROM p GROUP BY 1, 2),
+q AS (
+  SELECT k,
+         CAST(round(1e12 * ln(CAST(a AS DOUBLE))) AS HUGEINT) AS qx,
+         CAST(round(1e12 * ln(CAST(b AS DOUBLE))) AS HUGEINT) AS qy
+  FROM c
+),
+s AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n,
+         sum(CAST(k AS HUGEINT) * qx) AS sx,
+         sum(CAST(k AS HUGEINT) * qy) AS sy,
+         sum(CAST(k AS HUGEINT) * qx * qy) AS sxy,
+         sum(CAST(k AS HUGEINT) * qx * qx) AS sxx
+  FROM q
+),
+f AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+  FROM s
+)
+SELECT n AS n_docs, round(beta, 6) + 0.0 AS beta,
+       round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1e12, 6) + 0.0 AS log_k
+FROM f
+"""
+QUERIES["q_heaps_law"] = q_heaps_law
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -2216,3 +2216,62 @@ def test_simpson_check(ray_session):
         assert abs(out.loc[scope, "slope"] - slope) < 1e-4
         cov = np.cov(x, y)[0, 1]
         assert out.loc[scope, "cov_sign"] == np.sign(cov)
+
+
+def test_ljung_box(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ljung_box"](SF).to_pandas().set_index("lag")
+    ev = _events_pdf()
+    c = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size().to_numpy(
+        np.float64
+    )
+    n = len(c)
+    z = c - c.mean()
+    d0 = (z * z).sum()
+    qacc = 0.0
+    for lag in range(1, 8):
+        rho = (z[:-lag] * z[lag:]).sum() / d0
+        qacc += rho * rho / (n - lag)
+        assert abs(out.loc[lag, "rho"] - rho) < 1e-6
+        assert abs(out.loc[lag, "q_lb"] - n * (n + 2) * qacc) < 1e-4
+
+
+def test_mcc_gate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mcc_gate"](SF).to_pandas()
+    tp, fp, fn, tn = (int(out[k].iloc[0]) for k in ("tp", "fp", "fn", "tn"))
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert tp + fp + fn + tn == n_docs
+    mcc = (tp * tn - fp * fn) / np.sqrt(
+        float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    )
+    tpr, tnr = tp / (tp + fn), tn / (tn + fp)
+    assert abs(out["mcc"].iloc[0] - mcc) < 1e-6
+    assert abs(out["bal_acc"].iloc[0] - (tpr + tnr) / 2) < 1e-6
+    assert abs(out["youden_j"].iloc[0] - (tpr + tnr - 1)) < 1e-6
+    assert -1.0 <= out["mcc"].iloc[0] <= 1.0
+
+
+def test_heaps_law(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+
+    out = QUERIES["q_heaps_law"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    pts = []
+    for txt in docs["text"].fillna(""):
+        toks = re.findall(r"\S+", txt)
+        if toks:
+            pts.append((len(toks), len(set(toks))))
+    x = np.log([p[0] for p in pts])
+    y = np.log([p[1] for p in pts])
+    beta, logk = np.polyfit(x, y, 1)
+    assert out["n_docs"].iloc[0] == len(pts)
+    assert abs(out["beta"].iloc[0] - beta) < 1e-4
+    assert abs(out["log_k"].iloc[0] - logk) < 1e-4
+    assert 0.0 < out["beta"].iloc[0] <= 1.0 + 1e-9
