@@ -26116,6 +26116,310 @@ FROM f
 QUERIES["q_heaps_law"] = q_heaps_law
 
 
+def q_kendall_w(sf_dir):
+    """Kendall's W concordance: do the five event types agree on which
+    hours of the day are busy? Each type ranks the 24 hours by count
+    (ties broken by hour); W = 12(n·ΣR² − (ΣR)²)/(n·m²(n³−n)) — the
+    5×24 grid is a bounded catalog and EVERYTHING except the single
+    final division is exact integers."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        ) % 24
+        g = pd.DataFrame(
+            {"t": t["event_type"].to_pandas(), "h": hour}
+        ).groupby(["t", "h"], as_index=False).size()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].tolist(), pa.string()),
+                "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["t", "h"], as_index=False)["c"]
+        .sum()
+    )
+    types = sorted(cat["t"].unique())
+    m, n = len(types), 24
+    rsum = np.zeros(n, np.int64)
+    for t_ in types:
+        g = cat[cat["t"] == t_].set_index("h")["c"]
+        counts = np.array([int(g.get(h, 0)) for h in range(n)], np.int64)
+        order = np.lexsort((np.arange(n), counts))  # rank by (count, hour)
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(1, n + 1)
+        rsum += ranks
+    sr = int(rsum.sum())
+    sr2 = int((rsum * rsum).sum())
+    num = 12 * (n * sr2 - sr * sr)
+    den = n * (m * m) * (n ** 3 - n)
+    w = float(num) / float(den)
+    return pa.table(
+        {
+            "n_items": pa.array([n], pa.int64()),
+            "m_rankers": pa.array([m], pa.int64()),
+            "sum_r2": pa.array([sr2], pa.int64()),
+            "kendall_w": pa.array(
+                [float(_duckdb_round(np.array([w]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_kendall_w"] = """
+WITH grid AS (
+  SELECT t.event_type, h.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(24)) AS h) h
+),
+c AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+full_ AS (
+  SELECT g.event_type, g.h, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+),
+r AS (
+  SELECT h, CAST(row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c, h) AS BIGINT) AS rk
+  FROM full_
+),
+rs AS (SELECT h, CAST(sum(rk) AS BIGINT) AS r FROM r GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(r * r) AS BIGINT) AS sr2,
+         (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+           AS m
+  FROM rs
+)
+SELECT n AS n_items, m AS m_rankers, sr2 AS sum_r2,
+       round(CAST(12 * (n * sr2 - sr * sr) AS DOUBLE)
+             / CAST(n * (m * m) * (n * n * n - n) AS DOUBLE), 6) + 0.0
+         AS kendall_w
+FROM s
+"""
+QUERIES["q_kendall_w"] = q_kendall_w
+
+
+def q_cohort_ltv(sf_dir):
+    """Cumulative lifetime value curve per signup cohort: users are
+    cohorted by the epoch-week of their FIRST event; each (cohort,
+    age-week) cell carries the cohort's cumulative net cents and the
+    per-user LTV. ONE user exchange computes first-weeks and folds
+    (cohort, age) cents partials in the same pass — the bounded
+    week×age grid merges on the driver, cents stay exact ints."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].values.astype("datetime64[D]").astype(np.int64)
+        week = day // 7
+        raw = df["value"].to_numpy(np.float64) * 100.0
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        d = pd.DataFrame(
+            {"u": df["user_id"].to_numpy(np.int64), "w": week, "c": cents}
+        )
+        first = d.groupby("u")["w"].min().rename("cw")
+        d = d.join(first, on="u")
+        d["age"] = d["w"] - d["cw"]
+        cells = d.groupby(["cw", "age"], as_index=False)["c"].sum().rename(
+            columns={"cw": "cm", "c": "s"}
+        )
+        sizes = first.value_counts().sort_index().rename_axis("cm").reset_index(
+            name="s"
+        )
+        sizes["age"] = -1
+        out = pd.concat(
+            [cells[["cm", "age", "s"]], sizes[["cm", "age", "s"]]],
+            ignore_index=True,
+        )
+        return out.astype({"cm": np.int64, "age": np.int64, "s": np.int64})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_bucket, num_buckets=32)
+        .to_pandas()
+        .groupby(["cm", "age"], as_index=False)["s"]
+        .sum()
+    )
+    sizes = cat[cat["age"] == -1].set_index("cm")["s"]
+    cells = cat[cat["age"] >= 0].sort_values(["cm", "age"])
+    rows = []
+    for cm, g in cells.groupby("cm", sort=True):
+        cum = 0
+        nu = int(sizes.loc[cm])
+        for _, r in g.iterrows():
+            cum += int(r["s"])
+            rows.append(
+                (int(cm), int(r["age"]), nu, cum, float(cum) / float(nu))
+            )
+    return pa.table(
+        {
+            "cohort_week": pa.array([r[0] for r in rows], pa.int64()),
+            "age_week": pa.array([r[1] for r in rows], pa.int64()),
+            "n_users": pa.array([r[2] for r in rows], pa.int64()),
+            "cum_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "ltv_cents": pa.array(
+                _duckdb_round(np.array([r[4] for r in rows])) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_cohort_ltv"] = """
+WITH f AS (
+  SELECT user_id,
+         min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)
+           AS cw
+  FROM events GROUP BY 1
+),
+e AS (
+  SELECT f.cw,
+         datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7 - f.cw
+           AS age,
+         CAST(round(e.value * 100.0) AS BIGINT) AS c
+  FROM events e JOIN f ON e.user_id = f.user_id
+),
+cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS nu FROM f GROUP BY 1),
+a AS (SELECT cw, age, CAST(sum(c) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+c2 AS (
+  SELECT cw, age,
+         CAST(sum(s) OVER (PARTITION BY cw ORDER BY age) AS BIGINT) AS cum
+  FROM a
+)
+SELECT CAST(c2.cw AS BIGINT) AS cohort_week, CAST(c2.age AS BIGINT)
+         AS age_week,
+       cs.nu AS n_users, c2.cum AS cum_cents,
+       round(CAST(c2.cum AS DOUBLE) / CAST(cs.nu AS DOUBLE), 6) + 0.0
+         AS ltv_cents
+FROM c2 JOIN cs ON cs.cw = c2.cw
+ORDER BY 1, 2
+"""
+QUERIES["q_cohort_ltv"] = q_cohort_ltv
+
+
+def q_post_stratified(sf_dir):
+    """Post-stratified mean document length per source, reweighted to
+    the GLOBAL language mix (the survey-sampling estimator that removes
+    language-composition bias when comparing sources). Missing
+    (source, lang) cells renormalize the weight mass over present
+    langs. Per-cell terms are 1e6-quantized fixed-order floats summed
+    as ints; everything else is exact integer counts."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "s": t["source"].to_pandas(),
+                "l": t["lang"].to_pandas(),
+                "n": 1,
+                "ch": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["s", "l"], as_index=False).sum()
+        return pa.table(
+            {
+                "s": pa.array(g["s"].tolist(), pa.string()),
+                "l": pa.array(g["l"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "ch": pa.array(g["ch"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["s", "l"], as_index=False)[["n", "ch"]]
+        .sum()
+    )
+    nl = cat.groupby("l")["n"].sum()  # global lang counts
+    rows = []
+    for s_, g in cat.groupby("s", sort=True):
+        n_s = int(g["n"].sum())
+        ch_s = int(g["ch"].sum())
+        raw = float(ch_s) / float(n_s)
+        qsum, wsum = 0, 0
+        for _, r in g.sort_values("l").iterrows():
+            w = int(nl.loc[r["l"]])
+            term = (float(w) * float(int(r["ch"]))) / float(int(r["n"]))
+            y = 1e6 * term
+            f_ = np.floor(y)
+            qsum += int(f_ + (y - f_ >= 0.5))  # half-away, term >= 0
+            wsum += w
+        post = (float(qsum) / 1e6) / float(wsum)
+        rows.append((s_, n_s, raw, post))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "raw_mean": pa.array(
+                _duckdb_round(np.array([r[2] for r in rows])) + 0.0,
+                pa.float64(),
+            ),
+            "post_mean": pa.array(
+                _duckdb_round(np.array([r[3] for r in rows])) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_post_stratified"] = """
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS ch
+  FROM documents GROUP BY 1, 2
+),
+gl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS w FROM cell GROUP BY 1),
+t AS (
+  SELECT c.source,
+         CAST(round(1e6 * ((CAST(gl.w AS DOUBLE) * CAST(c.ch AS DOUBLE))
+                           / CAST(c.n AS DOUBLE))) AS BIGINT) AS qt,
+         gl.w, c.n, c.ch
+  FROM cell c JOIN gl ON gl.lang = c.lang
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n,
+       round(CAST(sum(ch) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) + 0.0
+         AS raw_mean,
+       round((CAST(sum(qt) AS DOUBLE) / 1e6)
+             / CAST(sum(w) AS DOUBLE), 6) + 0.0 AS post_mean
+FROM t GROUP BY 1 ORDER BY 1
+"""
+QUERIES["q_post_stratified"] = q_post_stratified
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

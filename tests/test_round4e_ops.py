@@ -2275,3 +2275,81 @@ def test_heaps_law(ray_session):
     assert abs(out["beta"].iloc[0] - beta) < 1e-4
     assert abs(out["log_k"].iloc[0] - logk) < 1e-4
     assert 0.0 < out["beta"].iloc[0] <= 1.0 + 1e-9
+
+
+def test_kendall_w(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kendall_w"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    types = sorted(ev["event_type"].unique())
+    m, n = len(types), 24
+    rsum = np.zeros(n, np.int64)
+    for t in types:
+        counts = np.array(
+            [((ev["event_type"] == t) & (ev["h"] == h)).sum() for h in range(n)],
+            np.int64,
+        )
+        order = np.lexsort((np.arange(n), counts))
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(1, n + 1)
+        rsum += ranks
+    s = ((rsum - rsum.mean()) ** 2).sum()
+    w = 12 * s / (m * m * (n**3 - n))
+    assert out["n_items"].iloc[0] == n
+    assert out["m_rankers"].iloc[0] == m
+    assert out["sum_r2"].iloc[0] == (rsum * rsum).sum()
+    assert abs(out["kendall_w"].iloc[0] - w) < 1e-6
+    assert 0.0 <= out["kendall_w"].iloc[0] <= 1.0
+
+
+def test_cohort_ltv(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cohort_ltv"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    first = ev.groupby("user_id")["w"].min().rename("cw")
+    ev = ev.join(first, on="user_id")
+    ev["age"] = ev["w"] - ev["cw"]
+    sizes = first.value_counts()
+    cells = ev.groupby(["cw", "age"])["c"].sum().sort_index()
+    exp_rows = []
+    for cw in sorted(sizes.index):
+        cum = 0
+        for age in sorted(cells.loc[cw].index):
+            cum += cells.loc[(cw, age)]
+            exp_rows.append((cw, age, sizes.loc[cw], cum))
+    assert len(out) == len(exp_rows)
+    for (cw, age, nu, cum), (_, r) in zip(exp_rows, out.iterrows()):
+        assert (r["cohort_week"], r["age_week"]) == (cw, age)
+        assert r["n_users"] == nu
+        assert r["cum_cents"] == cum
+        assert abs(r["ltv_cents"] - cum / nu) < 1e-6
+    # LTV curve is cumulative within each cohort
+    for _, g in out.groupby("cohort_week"):
+        assert g["cum_cents"].is_monotonic_increasing or (
+            g["cum_cents"].diff().dropna().abs().ge(0).all()
+        )
+
+
+def test_post_stratified(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_post_stratified"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    nl = docs.groupby("lang").size()
+    for s, g in docs.groupby("source"):
+        raw = g["n_chars"].mean()
+        cells = g.groupby("lang")["n_chars"].mean()
+        w = nl.loc[cells.index]
+        post = (w * cells).sum() / w.sum()
+        assert out.loc[s, "n"] == len(g)
+        assert abs(out.loc[s, "raw_mean"] - raw) < 1e-6
+        assert abs(out.loc[s, "post_mean"] - post) < 1e-4
