@@ -26420,6 +26420,320 @@ FROM t GROUP BY 1 ORDER BY 1
 QUERIES["q_post_stratified"] = q_post_stratified
 
 
+def q_growth_accounting(sf_dir):
+    """Weekly growth accounting (new / retained / resurrected /
+    churned + quick ratio) — the canonical product-growth decomposition
+    of the active-user series. ONE user exchange derives each user's
+    distinct-week timeline; per-bucket state catalogs are bounded by
+    weeks×4; churn attributes to the week AFTER last activity, clipped
+    to the observed horizon on the driver."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        week = (
+            df["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+        )
+        d = (
+            pd.DataFrame({"u": df["user_id"].to_numpy(np.int64), "w": week})
+            .drop_duplicates()
+            .sort_values(["u", "w"])
+        )
+        u = d["u"].to_numpy(np.int64)
+        w = d["w"].to_numpy(np.int64)
+        same_prev = np.r_[False, u[1:] == u[:-1]]
+        gap_prev = np.r_[0, w[1:] - w[:-1]]
+        st = np.where(
+            ~same_prev, 0, np.where(gap_prev == 1, 1, 2)
+        ).astype(np.int64)  # 0 new, 1 retained, 2 resurrected
+        same_next = np.r_[u[:-1] == u[1:], False]
+        gap_next = np.r_[w[1:] - w[:-1], 0]
+        churn = ~same_next | (gap_next > 1)
+        rows = pd.concat(
+            [
+                pd.DataFrame({"w": w, "st": st}),
+                pd.DataFrame({"w": w[churn] + 1, "st": 3}),
+            ],
+            ignore_index=True,
+        )
+        g = rows.groupby(["w", "st"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "w": g["w"].to_numpy(np.int64),
+                "st": g["st"].to_numpy(np.int64),
+                "c": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_bucket, num_buckets=32)
+        .to_pandas()
+        .groupby(["w", "st"], as_index=False)["c"]
+        .sum()
+    )
+    gmax = int(cat.loc[cat["st"] < 3, "w"].max())
+    cat = cat[(cat["st"] < 3) | (cat["w"] <= gmax)]
+    piv = (
+        cat.pivot_table(index="w", columns="st", values="c", fill_value=0)
+        .reindex(columns=[0, 1, 2, 3], fill_value=0)
+        .sort_index()
+    )
+    nn = piv[0].to_numpy(np.int64)
+    nr = piv[1].to_numpy(np.int64)
+    ns = piv[2].to_numpy(np.int64)
+    nc = piv[3].to_numpy(np.int64)
+    qr = [
+        float(_duckdb_round(np.array([float(a + b) / float(c_)]))[0]) + 0.0
+        if c_ > 0
+        else None
+        for a, b, c_ in zip(nn, ns, nc)
+    ]
+    return pa.table(
+        {
+            "week": pa.array(piv.index.to_numpy(np.int64), pa.int64()),
+            "n_new": pa.array(nn, pa.int64()),
+            "n_retained": pa.array(nr, pa.int64()),
+            "n_resurrected": pa.array(ns, pa.int64()),
+            "n_churned": pa.array(nc, pa.int64()),
+            "quick_ratio": pa.array(qr, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_growth_accounting"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+  FROM events
+),
+g AS (SELECT max(w) AS gmax FROM uw),
+s AS (
+  SELECT user_id, w,
+         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+         lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+  FROM uw
+),
+act AS (
+  SELECT w, CASE WHEN pw IS NULL THEN 0
+                 WHEN w - pw = 1 THEN 1 ELSE 2 END AS st
+  FROM s
+),
+ch AS (
+  SELECT w + 1 AS w, 3 AS st
+  FROM s, g WHERE w + 1 <= g.gmax AND (nw IS NULL OR nw > w + 1)
+),
+allr AS (SELECT * FROM act UNION ALL SELECT * FROM ch),
+p AS (
+  SELECT w,
+         CAST(sum(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected,
+         CAST(sum(CASE WHEN st = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+  FROM allr GROUP BY 1
+)
+SELECT CAST(w AS BIGINT) AS week, n_new, n_retained, n_resurrected,
+       n_churned,
+       CASE WHEN n_churned > 0
+            THEN round(CAST(n_new + n_resurrected AS DOUBLE)
+                       / CAST(n_churned AS DOUBLE), 6) + 0.0
+       END AS quick_ratio
+FROM p ORDER BY 1
+"""
+QUERIES["q_growth_accounting"] = q_growth_accounting
+
+
+def q_cindex(sf_dir):
+    """Harrell's concordance index: does first-day engagement (event
+    count on a user's first active day) predict activity-span survival
+    (days from first to last event)? ONE user exchange yields per-user
+    (predictor, time); the bounded (p, t) cell catalog turns the O(n²)
+    pair count into a cell×cell integer sweep — C = (2·conc + ties) /
+    (2·usable), exact ints to ONE division."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].values.astype("datetime64[D]").astype(np.int64)
+        d = pd.DataFrame({"u": df["user_id"].to_numpy(np.int64), "d": day})
+        g = d.groupby("u")["d"].agg(["min", "max"])
+        first = d.join(g["min"].rename("fd"), on="u")
+        p = (
+            first[first["d"] == first["fd"]]
+            .groupby("u")
+            .size()
+            .rename("p")
+        )
+        per = pd.DataFrame(
+            {"p": p, "t": (g["max"] - g["min"]).astype(np.int64)}
+        )
+        cell = per.groupby(["p", "t"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "p": cell["p"].to_numpy(np.int64),
+                "t": cell["t"].to_numpy(np.int64),
+                "c": cell["size"].to_numpy(np.int64),
+            }
+        )
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_bucket, num_buckets=32)
+        .to_pandas()
+        .groupby(["p", "t"], as_index=False)["c"]
+        .sum()
+    )
+    p = cat["p"].to_numpy(np.int64)
+    t = cat["t"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    lt_t = t[:, None] < t[None, :]
+    cc = c[:, None] * c[None, :]
+    conc = int(cc[lt_t & (p[:, None] < p[None, :])].sum())
+    tie = int(cc[lt_t & (p[:, None] == p[None, :])].sum())
+    usable = int(cc[lt_t].sum())
+    cidx = float(2 * conc + tie) / float(2 * usable)
+    return pa.table(
+        {
+            "n_users": pa.array([int(c.sum())], pa.int64()),
+            "conc": pa.array([conc], pa.int64()),
+            "tie": pa.array([tie], pa.int64()),
+            "usable": pa.array([usable], pa.int64()),
+            "c_index": pa.array(
+                [float(_duckdb_round(np.array([cidx]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_cindex"] = """
+WITH d AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+m AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM d GROUP BY 1),
+per AS (
+  SELECT m.user_id, CAST(m.ld - m.fd AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS p
+  FROM d JOIN m ON d.user_id = m.user_id AND d.day = m.fd
+  GROUP BY 1, 2
+),
+cell AS (SELECT p, t, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1, 2),
+pairs AS (
+  SELECT
+    CAST(sum(CASE WHEN a.t < b.t AND a.p < b.p
+                  THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+    CAST(sum(CASE WHEN a.t < b.t AND a.p = b.p
+                  THEN a.c * b.c ELSE 0 END) AS BIGINT) AS tie,
+    CAST(sum(CASE WHEN a.t < b.t THEN a.c * b.c ELSE 0 END) AS BIGINT)
+      AS usable
+  FROM cell a, cell b
+)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cell) AS n_users,
+       conc, tie, usable,
+       round(CAST(2 * conc + tie AS DOUBLE)
+             / CAST(2 * usable AS DOUBLE), 6) + 0.0 AS c_index
+FROM pairs
+"""
+QUERIES["q_cindex"] = q_cindex
+
+
+def q_apdex(sf_dir):
+    """Apdex score of assistant response latency (user→assistant
+    adjacent pairs, T = 6 h, tolerating ≤ 4T) — the SLA satisfaction
+    index. Latency thresholds compare exact int64 microseconds, so the
+    3-way split is float-free; Apdex = (2·sat + tol)/(2n) is ONE
+    integer-ratio division."""
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    T_US, T4_US = 21_600_000_000, 86_400_000_000
+
+    def kern(t: pa.Table) -> pa.Table:
+        cols = ["n", "sat", "tol"]
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        starts, lengths = conv_runs(t["conv_id"])
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts_us = ts.to_numpy(zero_copy_only=False).view("int64")
+        role = t["role"].to_numpy(zero_copy_only=False).astype(object)
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        pair_ok = (
+            (role[:-1] == "user")
+            & (role[1:] == "assistant")
+            & (run_id[:-1] == run_id[1:])
+        )
+        lat = (ts_us[1:] - ts_us[:-1])[pair_ok]
+        return pa.table(
+            {
+                "n": pa.array([len(lat)], pa.int64()),
+                "sat": pa.array([int((lat <= T_US).sum())], pa.int64()),
+                "tol": pa.array(
+                    [int(((lat > T_US) & (lat <= T4_US)).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = map_conv_buckets(ds, kern, num_buckets=16).to_pandas()
+    n, sat, tol = (int(parts[k].sum()) for k in ("n", "sat", "tol"))
+    apdex = float(2 * sat + tol) / float(2 * n)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "n_sat": pa.array([sat], pa.int64()),
+            "n_tol": pa.array([tol], pa.int64()),
+            "n_frustrated": pa.array([n - sat - tol], pa.int64()),
+            "apdex": pa.array(
+                [float(_duckdb_round(np.array([apdex]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_apdex"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id, role, lead(role) OVER ({W}) AS role_n,
+         date_diff('microsecond', ts, lead(ts) OVER ({W})) AS lat
+  FROM transcripts
+),
+p AS (SELECT lat FROM m WHERE role = 'user' AND role_n = 'assistant'),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lat <= 21600000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sat,
+         CAST(sum(CASE WHEN lat > 21600000000 AND lat <= 86400000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tol
+  FROM p
+)
+SELECT n, sat AS n_sat, tol AS n_tol, n - sat - tol AS n_frustrated,
+       round(CAST(2 * sat + tol AS DOUBLE) / CAST(2 * n AS DOUBLE), 6)
+         + 0.0 AS apdex
+FROM s
+"""
+QUERIES["q_apdex"] = q_apdex
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

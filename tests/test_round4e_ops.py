@@ -2353,3 +2353,87 @@ def test_post_stratified(ray_session):
         assert out.loc[s, "n"] == len(g)
         assert abs(out.loc[s, "raw_mean"] - raw) < 1e-6
         assert abs(out.loc[s, "post_mean"] - post) < 1e-4
+
+
+def test_growth_accounting(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_growth_accounting"](SF).to_pandas().set_index("week")
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    uw = ev[["user_id", "w"]].drop_duplicates()
+    weeks = {u: set(g["w"]) for u, g in uw.groupby("user_id")}
+    gmax = uw["w"].max()
+    from collections import Counter
+
+    exp = {}
+    for u, ws in weeks.items():
+        first = min(ws)
+        for w in ws:
+            if w == first:
+                st = "n_new"
+            elif w - 1 in ws:
+                st = "n_retained"
+            else:
+                st = "n_resurrected"
+            exp.setdefault(w, Counter())[st] += 1
+            if w + 1 <= gmax and w + 1 not in ws:
+                exp.setdefault(w + 1, Counter())["n_churned"] += 1
+    assert set(out.index) == set(exp)
+    for w, cnt in exp.items():
+        for col in ("n_new", "n_retained", "n_resurrected", "n_churned"):
+            assert out.loc[w, col] == cnt.get(col, 0), (w, col)
+        if cnt.get("n_churned", 0) > 0:
+            qr = (cnt.get("n_new", 0) + cnt.get("n_resurrected", 0)) / cnt[
+                "n_churned"
+            ]
+            assert abs(out.loc[w, "quick_ratio"] - qr) < 1e-6
+
+
+def test_cindex(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cindex"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    per = []
+    for u, g in ev.groupby("user_id"):
+        fd, ld = g["d"].min(), g["d"].max()
+        per.append(((g["d"] == fd).sum(), ld - fd))
+    conc = tie = usable = 0
+    for i in range(len(per)):
+        for j in range(len(per)):
+            if per[i][1] < per[j][1]:
+                usable += 1
+                if per[i][0] < per[j][0]:
+                    conc += 1
+                elif per[i][0] == per[j][0]:
+                    tie += 1
+    assert out["n_users"].iloc[0] == len(per)
+    assert out["conc"].iloc[0] == conc
+    assert out["tie"].iloc[0] == tie
+    assert out["usable"].iloc[0] == usable
+    assert abs(out["c_index"].iloc[0] - (2 * conc + tie) / (2 * usable)) < 1e-6
+
+
+def test_apdex(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_apdex"](SF).to_pandas()
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    lats = []
+    for _, g in tr.groupby("conv_id"):
+        roles = g["role"].to_numpy()
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        for i in range(len(g) - 1):
+            if roles[i] == "user" and roles[i + 1] == "assistant":
+                lats.append(ts[i + 1] - ts[i])
+    lats = np.array(lats, np.int64)
+    T, T4 = 21_600_000_000, 86_400_000_000
+    sat = int((lats <= T).sum())
+    tol = int(((lats > T) & (lats <= T4)).sum())
+    assert out["n"].iloc[0] == len(lats)
+    assert out["n_sat"].iloc[0] == sat
+    assert out["n_tol"].iloc[0] == tol
+    assert out["n_frustrated"].iloc[0] == len(lats) - sat - tol
+    assert abs(out["apdex"].iloc[0] - (2 * sat + tol) / (2 * len(lats))) < 1e-6
