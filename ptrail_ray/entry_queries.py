@@ -26734,6 +26734,273 @@ FROM s
 QUERIES["q_apdex"] = q_apdex
 
 
+def q_atkinson(sf_dir):
+    """Atkinson inequality indices A(1) = 1 − GM/AM and A(2) = 1 − HM/AM
+    of per-user event activity — the welfare-weighted complements of
+    q_theil_user over the SAME count-of-counts catalog. ln and 1/v are
+    1e12-quantized on DISTINCT counts only; the two indices are two
+    fixed-order float expressions."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("user_id").size().to_numpy(np.int64)
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+    )
+    v = cat["v"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    vf = v.astype(np.float64)
+    qln = _quant12_vec(np.log(vf))
+    qinv = _quant12_vec(1.0 / vf)
+    n = int(c.sum())
+    s = int((c * v).sum())
+    ql = sum(int(ci) * int(qi) for ci, qi in zip(c, qln))
+    qv = sum(int(ci) * int(qi) for ci, qi in zip(c, qinv))
+    nf, sf_ = float(n), float(s)
+    am = sf_ / nf
+    a1 = 1.0 - np.exp((float(ql) / 1e12) / nf) / am
+    a2 = 1.0 - (nf / (float(qv) / 1e12)) / am
+    r6 = lambda x: float(_duckdb_round(np.array([x]))[0]) + 0.0
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "total_events": pa.array([s], pa.int64()),
+            "atkinson_1": pa.array([r6(a1)], pa.float64()),
+            "atkinson_2": pa.array([r6(a2)], pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_atkinson"] = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+cat AS (
+  SELECT c AS v, CAST(count(*) AS BIGINT) AS k FROM per GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * v) AS BIGINT) AS s,
+         sum(CAST(k AS HUGEINT)
+             * CAST(round(1e12 * ln(CAST(v AS DOUBLE))) AS HUGEINT)) AS ql,
+         sum(CAST(k AS HUGEINT)
+             * CAST(round(1e12 * (1.0 / CAST(v AS DOUBLE))) AS HUGEINT))
+           AS qv
+  FROM cat
+)
+SELECT n AS n_users, s AS total_events,
+       round(1.0 - exp((CAST(ql AS DOUBLE) / 1e12) / CAST(n AS DOUBLE))
+                   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+         AS atkinson_1,
+       round(1.0 - (CAST(n AS DOUBLE) / (CAST(qv AS DOUBLE) / 1e12))
+                   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+         AS atkinson_2
+FROM s
+"""
+QUERIES["q_atkinson"] = q_atkinson
+
+
+def q_lorenz_curve(sf_dir):
+    """Lorenz curve of user activity in deciles: each activity decile's
+    share and cumulative share of all events — the inequality profile
+    behind q_atkinson/q_theil_user. Decile fills walk the
+    count-of-counts catalog with ntile-replica sizes (first n%10
+    deciles one larger), so user-id tie order never matters; shares are
+    exact-int ratios."""
+    import os
+
+    import ray.data as rd
+
+    from ptrail_ray.stages.bucket import grouped_agg_by_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("user_id").size().to_numpy(np.int64)
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
+
+    cat = (
+        grouped_agg_by_bucket(ds, "user_id", per_user, num_buckets=32)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v")
+    )
+    v = cat["v"].to_numpy(np.int64)
+    c = cat["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    tot = int((c * v).sum())
+    base, rem = n // 10, n % 10
+    sizes = [base + (1 if d <= rem else 0) for d in range(1, 11)]
+    nu, ne = [], []
+    ci, avail = 0, int(c[0])
+    for size in sizes:
+        need, ev = size, 0
+        while need > 0:
+            take = min(need, avail)
+            ev += take * int(v[ci])
+            need -= take
+            avail -= take
+            if avail == 0 and ci + 1 < len(v):
+                ci += 1
+                avail = int(c[ci])
+        nu.append(size)
+        ne.append(ev)
+    cum = np.cumsum(ne)
+    return pa.table(
+        {
+            "decile": pa.array(range(1, 11), pa.int64()),
+            "n_users": pa.array(nu, pa.int64()),
+            "n_events": pa.array(ne, pa.int64()),
+            "share": pa.array(
+                _duckdb_round(np.array(ne, np.float64) / float(tot)) + 0.0,
+                pa.float64(),
+            ),
+            "cum_share": pa.array(
+                _duckdb_round(cum.astype(np.float64) / float(tot)) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_lorenz_curve"] = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+t AS (SELECT c, ntile(10) OVER (ORDER BY c, user_id) AS d FROM per),
+g AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS nu, CAST(sum(c) AS BIGINT) AS ne
+  FROM t GROUP BY 1
+),
+s AS (SELECT CAST(sum(ne) AS BIGINT) AS tot FROM g)
+SELECT CAST(d AS BIGINT) AS decile, nu AS n_users, ne AS n_events,
+       round(CAST(ne AS DOUBLE) / CAST(s.tot AS DOUBLE), 6) + 0.0 AS share,
+       round(CAST(sum(ne) OVER (ORDER BY d) AS DOUBLE)
+             / CAST(s.tot AS DOUBLE), 6) + 0.0 AS cum_share
+FROM g, s ORDER BY 1
+"""
+QUERIES["q_lorenz_curve"] = q_lorenz_curve
+
+
+def q_emd_lengths(sf_dir):
+    """1-D Wasserstein (earth-mover's) distance between the document
+    length distributions of lang='en' and the rest — the
+    magnitude-aware complement of KS/JS drift scores. Over the sorted
+    support union, W₁ = Σ|F_A−F_B|·Δv with the CDF gap cross-multiplied
+    to |cumA·nB − cumB·nA|, so the whole integral is ONE exact integer
+    divided once at the end."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {"e": en.astype(np.int64),
+             "v": t["n_chars"].to_numpy(zero_copy_only=False)}
+        ).groupby(["e", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "e": pa.array(g["e"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .to_pandas()
+        .groupby(["e", "v"], as_index=False)["c"]
+        .sum()
+    )
+    piv = (
+        cat.pivot_table(index="v", columns="e", values="c", fill_value=0)
+        .reindex(columns=[1, 0], fill_value=0)
+        .sort_index()
+    )
+    v = piv.index.to_numpy(np.int64)
+    ca = piv[1].to_numpy(np.int64)
+    cb = piv[0].to_numpy(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    cuma, cumb = np.cumsum(ca), np.cumsum(cb)
+    dv = np.diff(v)
+    t = sum(
+        abs(int(a) * nb - int(b) * na) * int(d)
+        for a, b, d in zip(cuma[:-1], cumb[:-1], dv)
+    )
+    w1 = float(t) / (float(na) * float(nb))
+    return pa.table(
+        {
+            "n_en": pa.array([na], pa.int64()),
+            "n_rest": pa.array([nb], pa.int64()),
+            "w1": pa.array(
+                [float(_duckdb_round(np.array([w1]))[0]) + 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_emd_lengths"] = """
+WITH a AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+b AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE lang <> 'en' GROUP BY 1
+),
+u AS (SELECT v FROM a UNION SELECT v FROM b),
+m AS (
+  SELECT u.v, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM u LEFT JOIN a ON a.v = u.v LEFT JOIN b ON b.v = u.v
+),
+w AS (
+  SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM m
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM a) AS na,
+         (SELECT CAST(sum(c) AS BIGINT) FROM b) AS nb
+),
+s AS (
+  SELECT sum(abs(CAST(cuma AS HUGEINT) * CAST(tot.nb AS HUGEINT)
+                 - CAST(cumb AS HUGEINT) * CAST(tot.na AS HUGEINT))
+             * CAST(nv - v AS HUGEINT)) AS t
+  FROM w, tot WHERE nv IS NOT NULL
+)
+SELECT tot.na AS n_en, tot.nb AS n_rest,
+       round(CAST(s.t AS DOUBLE)
+             / (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE)), 6) + 0.0
+         AS w1
+FROM s, tot
+"""
+QUERIES["q_emd_lengths"] = q_emd_lengths
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

@@ -2437,3 +2437,62 @@ def test_apdex(ray_session):
     assert out["n_tol"].iloc[0] == tol
     assert out["n_frustrated"].iloc[0] == len(lats) - sat - tol
     assert abs(out["apdex"].iloc[0] - (2 * sat + tol) / (2 * len(lats))) < 1e-6
+
+
+def test_atkinson(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_atkinson"](SF).to_pandas()
+    ev = _events_pdf()
+    x = ev.groupby("user_id").size().to_numpy(np.float64)
+    am = x.mean()
+    a1 = 1 - np.exp(np.log(x).mean()) / am
+    a2 = 1 - (len(x) / (1 / x).sum()) / am
+    assert out["n_users"].iloc[0] == len(x)
+    assert abs(out["atkinson_1"].iloc[0] - a1) < 1e-6
+    assert abs(out["atkinson_2"].iloc[0] - a2) < 1e-6
+    assert 0 <= out["atkinson_1"].iloc[0] <= out["atkinson_2"].iloc[0] <= 1
+
+
+def test_lorenz_curve(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lorenz_curve"](SF).to_pandas()
+    ev = _events_pdf()
+    cnt = np.sort(ev.groupby("user_id").size().to_numpy(np.int64))
+    n = len(cnt)
+    base, rem = n // 10, n % 10
+    i = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= rem else 0)
+        seg = cnt[i : i + size]
+        i += size
+        r = out[out["decile"] == d].iloc[0]
+        assert r["n_users"] == size
+        assert r["n_events"] == seg.sum()
+        assert abs(r["share"] - seg.sum() / cnt.sum()) < 1e-6
+    assert out["n_users"].sum() == n
+    assert out["n_events"].sum() == cnt.sum()
+    assert abs(out["cum_share"].iloc[-1] - 1.0) < 1e-6
+    # per-USER mean share is monotone (raw share isn't: ntile gives the
+    # first n%10 deciles one extra user)
+    per_user = out["n_events"] / out["n_users"]
+    assert per_user.is_monotonic_increasing
+
+
+def test_emd_lengths(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_emd_lengths"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = np.sort(docs.loc[docs["lang"] == "en", "n_chars"].to_numpy(np.float64))
+    b = np.sort(docs.loc[docs["lang"] != "en", "n_chars"].to_numpy(np.float64))
+    # scipy-free W1: integrate |F_A - F_B| over the union support
+    v = np.unique(np.r_[a, b])
+    fa = np.searchsorted(a, v, side="right") / len(a)
+    fb = np.searchsorted(b, v, side="right") / len(b)
+    w1 = float((np.abs(fa - fb)[:-1] * np.diff(v)).sum())
+    assert out["n_en"].iloc[0] == len(a)
+    assert out["n_rest"].iloc[0] == len(b)
+    assert abs(out["w1"].iloc[0] - w1) < 1e-6
