@@ -27001,6 +27001,327 @@ FROM s, tot
 QUERIES["q_emd_lengths"] = q_emd_lengths
 
 
+# ---- Markov stationary distribution (fixed-point power iteration) --------
+_MK_STATES = [""] + [f"tool-{i}" for i in range(7)]
+_MK_K = 40  # power-iteration steps
+_MK_SCALE = 1_000_000_000_000  # 1e12 fixed-point mass units
+
+
+def q_markov_stationary(sf_dir):
+    """Stationary distribution of the tool-transition Markov chain —
+    which tool states the conversation process spends its long-run time
+    in. Transition counts fold in ONE conv exchange; the power
+    iteration runs in FIXED-POINT integer arithmetic (mass in 1e12
+    units, per-term floor division), so all {k} steps are exactly
+    order-free and the SQL recursive-CTE replica is bit-identical.
+    Dangling states self-loop; π normalizes the final masses once."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+    m = len(_MK_STATES)
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        starts, _ = conv_runs(t[CONV_ID])
+        tool = pc.fill_null(t[TOOL], "").to_numpy(zero_copy_only=False)
+        keep = np.ones(n, dtype=bool)
+        keep[starts] = False
+        fr = tool[:-1][keep[1:]]
+        to = tool[1:][keep[1:]]
+        ok = np.array(
+            [a in sid and b in sid for a, b in zip(fr, to)], bool
+        )
+        if not ok.any():
+            return empty
+        fi = np.array([sid[a] for a in fr[ok]], np.int64)
+        ti = np.array([sid[b] for b in to[ok]], np.int64)
+        cell = fi * m + ti
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "i": pa.array(u // m, pa.int64()),
+                "j": pa.array(u % m, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["i", "j"], as_index=False)["n"]
+        .sum()
+    )
+    mat = np.zeros((m, m), np.int64)
+    mat[parts["i"].to_numpy(np.int64), parts["j"].to_numpy(np.int64)] = (
+        parts["n"].to_numpy(np.int64)
+    )
+    r = [int(x) for x in mat.sum(axis=1)]
+    q = [_MK_SCALE] * m
+    for _ in range(_MK_K):
+        nxt = []
+        for j in range(m):
+            acc = 0
+            for i in range(m):
+                if r[i] == 0:
+                    acc += q[i] if i == j else 0
+                else:
+                    acc += (q[i] * int(mat[i, j])) // r[i]
+            nxt.append(acc)
+        q = nxt
+    tot = sum(q)
+    return pa.table(
+        {
+            "state": pa.array(_MK_STATES, pa.string()),
+            "q_fixed": pa.array(q, pa.int64()),
+            "pi": pa.array(
+                _duckdb_round(
+                    np.array([float(x) / float(tot) for x in q])
+                )
+                + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _mk_oracle_sql() -> str:
+    m = len(_MK_STATES)
+    dom = ", ".join(f"'{s}'" for s in _MK_STATES)
+    matcols = []
+    for i, si in enumerate(_MK_STATES, 1):
+        for j, sj in enumerate(_MK_STATES, 1):
+            matcols.append(
+                f"CAST(coalesce(sum(CASE WHEN from_tool = '{si}' AND "
+                f"to_tool = '{sj}' THEN n END), 0) AS HUGEINT) AS n_{i}_{j}"
+            )
+        matcols.append(
+            f"CAST(coalesce(sum(CASE WHEN from_tool = '{si}' THEN n END), "
+            f"0) AS HUGEINT) AS r_{i}"
+        )
+    init = ", ".join(f"{_MK_SCALE}::HUGEINT" for _ in range(m))
+    exprs = []
+    for j in range(1, m + 1):
+        terms = []
+        for i in range(1, m + 1):
+            self_term = f"it.q{i}" if i == j else "0::HUGEINT"
+            terms.append(
+                f"(CASE WHEN mat.r_{i} = 0::HUGEINT THEN {self_term} "
+                f"ELSE (it.q{i} * mat.n_{i}_{j}) // mat.r_{i} END)"
+            )
+        exprs.append(" + ".join(terms))
+    step = ", ".join(exprs)
+    qcols = ", ".join(f"q{i}" for i in range(1, m + 1))
+    totsum = " + ".join(f"q{i}" for i in range(1, m + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS jj, q{i} AS q FROM fin" for i in range(1, m + 1)
+    )
+    states = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_MK_STATES, 1)
+    )
+    return f"""
+WITH RECURSIVE transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT lag(coalesce(tool, '')) OVER ({W}) AS from_tool,
+         coalesce(tool, '') AS to_tool,
+         row_number() OVER ({W}) AS rn
+  FROM transcripts
+),
+cnts AS (
+  SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
+  FROM p
+  WHERE rn > 1 AND from_tool IN ({dom}) AND to_tool IN ({dom})
+  GROUP BY 1, 2
+),
+mat AS MATERIALIZED (SELECT {", ".join(matcols)} FROM cnts),
+it(k, {qcols}) AS (
+  SELECT 0, {init}
+  UNION ALL
+  SELECT it.k + 1, {step}
+  FROM it, mat WHERE it.k < {_MK_K}
+),
+fin AS (SELECT * FROM it WHERE k = {_MK_K}),
+tot AS (SELECT {totsum} AS t FROM fin),
+u AS ({unions}),
+st(jj, name) AS (VALUES {states})
+SELECT st.name AS state, CAST(u.q AS BIGINT) AS q_fixed,
+       round(CAST(u.q AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) + 0.0 AS pi
+FROM u JOIN st ON st.jj = u.jj, tot
+ORDER BY st.name
+"""
+
+
+ORACLE_SQL["q_markov_stationary"] = _mk_oracle_sql()
+QUERIES["q_markov_stationary"] = q_markov_stationary
+
+
+def q_tool_by_position(sf_dir):
+    """Tool mix by relative turn position: each turn lands in a
+    within-conversation quartile ((4·(rn−1))//len), and the (quartile ×
+    tool) catalog shows how tool usage shifts from conversation opening
+    to close. ONE conv-bucketed pass, ≤4×8 cells, integer shares."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "qt": pa.array([], pa.int64()),
+                    "tool": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        starts, lens = conv_runs(t[CONV_ID])
+        rn = np.arange(t.num_rows, dtype=np.int64) - np.repeat(
+            starts, lens
+        )
+        ln = np.repeat(lens.astype(np.int64), lens)
+        qt = (4 * rn) // ln
+        tool = pc.fill_null(t[TOOL], "").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"qt": qt, "tool": tool, "n": 1}).groupby(
+            ["qt", "tool"], as_index=False
+        ).sum()
+        return pa.table(
+            {
+                "qt": pa.array(g["qt"].to_numpy(np.int64), pa.int64()),
+                "tool": pa.array(g["tool"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby(["qt", "tool"], as_index=False)["n"]
+        .sum()
+        .sort_values(["qt", "tool"])
+    )
+    tot = cat.groupby("qt")["n"].sum()
+    share = cat["n"].to_numpy(np.float64) / tot.loc[
+        cat["qt"]
+    ].to_numpy(np.float64)
+    return pa.table(
+        {
+            "quartile": pa.array(cat["qt"].to_numpy(np.int64), pa.int64()),
+            "tool": pa.array(cat["tool"].tolist(), pa.string()),
+            "n": pa.array(cat["n"].to_numpy(np.int64), pa.int64()),
+            "share": pa.array(_duckdb_round(share) + 0.0, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["q_tool_by_position"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+p AS (
+  SELECT coalesce(tool, '') AS tool,
+         (4 * (row_number() OVER ({W}) - 1))
+           // (count(*) OVER (PARTITION BY conv_id)) AS qt
+  FROM transcripts
+),
+g AS (
+  SELECT qt, tool, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+),
+t AS (SELECT qt, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+SELECT CAST(g.qt AS BIGINT) AS quartile, g.tool, g.n,
+       round(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0
+         AS share
+FROM g JOIN t ON t.qt = g.qt
+ORDER BY 1, 2
+"""
+QUERIES["q_tool_by_position"] = q_tool_by_position
+
+
+def q_toolchain_funnel(sf_dir):
+    """Tool-adoption funnel: for k = 1..7, how many conversations use
+    at least k DISTINCT tools (null turns don't count). Per-conv
+    distinct counts fold in ONE conv exchange to a ≤8-cell catalog; the
+    ≥k survival is a reverse cumsum — integers to one share division."""
+    from ptrail_ray.schema import CONV_ID, TOOL
+    from ptrail_ray.stages.bucket import conv_runs, map_conv_buckets
+
+    ds = derive_from_events(sf_dir, num_buckets=16)
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        starts, lens = conv_runs(t[CONV_ID])
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        tool = t[TOOL].to_numpy(zero_copy_only=False)
+        has = tool != None  # noqa: E711  (object array null check)
+        pairs = {
+            (int(r), str(x)) for r, x in zip(run_id[has], tool[has])
+        }
+        dist = np.zeros(len(starts), np.int64)
+        for r, _ in pairs:
+            dist[r] += 1
+        u, c = np.unique(dist, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cat = (
+        map_conv_buckets(ds, kern, num_buckets=16)
+        .to_pandas()
+        .groupby("k", as_index=False)["c"]
+        .sum()
+        .sort_values("k")
+    )
+    n_convs = int(cat["c"].sum())
+    rows = []
+    for k in range(1, 8):
+        ge = int(cat.loc[cat["k"] >= k, "c"].sum())
+        rows.append((k, ge, float(ge) / float(n_convs)))
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "n_convs_ge_k": pa.array([r[1] for r in rows], pa.int64()),
+            "share": pa.array(
+                _duckdb_round(np.array([r[2] for r in rows])) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["q_toolchain_funnel"] = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+per AS (
+  SELECT conv_id, CAST(count(DISTINCT tool) AS BIGINT) AS d
+  FROM transcripts GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM per),
+ks AS (SELECT unnest(range(1, 8)) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM per WHERE per.d >= ks.k)
+         AS n_convs_ge_k,
+       round(CAST((SELECT count(*) FROM per WHERE per.d >= ks.k)
+                  AS DOUBLE) / CAST(n.nc AS DOUBLE), 6) + 0.0 AS share
+FROM ks, n ORDER BY 1
+"""
+QUERIES["q_toolchain_funnel"] = q_toolchain_funnel
+
+
 # ---------------------------------------------------------------------------
 # driver-sample ordering (VERDICT r03 item 6)
 # ---------------------------------------------------------------------------

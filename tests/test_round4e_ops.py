@@ -2496,3 +2496,68 @@ def test_emd_lengths(ray_session):
     assert out["n_en"].iloc[0] == len(a)
     assert out["n_rest"].iloc[0] == len(b)
     assert abs(out["w1"].iloc[0] - w1) < 1e-6
+
+
+def test_markov_stationary(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_markov_stationary"](SF).to_pandas()
+    assert list(out["state"]) == sorted(_MK_STATES)
+    assert abs(out["pi"].sum() - 1.0) < 1e-5
+    assert (out["pi"] >= 0).all()
+    # float power iteration on the same transition matrix converges to
+    # nearly the same distribution (fixed-point error << 1e-6)
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    mat = np.zeros((m, m))
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            mat[sid[a], sid[b]] += 1
+    P = mat / np.where(mat.sum(1, keepdims=True) == 0, 1, mat.sum(1, keepdims=True))
+    for i in range(m):
+        if mat[i].sum() == 0:
+            P[i, i] = 1.0
+    pi = np.full(m, 1 / m)
+    for _ in range(200):
+        pi = pi @ P
+    exp = pd.Series(pi, index=_MK_STATES).sort_index()
+    assert np.allclose(out.set_index("state")["pi"], exp, atol=1e-4)
+
+
+def test_tool_by_position(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tool_by_position"](SF).to_pandas()
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    rows = []
+    for _, g in tr.groupby("conv_id"):
+        L = len(g)
+        for pos, tool in enumerate(g["tool"].fillna("")):
+            rows.append((4 * pos // L, tool))
+    exp = pd.DataFrame(rows, columns=["quartile", "tool"]).groupby(
+        ["quartile", "tool"]
+    ).size()
+    assert len(out) == len(exp)
+    tot = exp.groupby(level=0).sum()
+    for _, r in out.iterrows():
+        assert r["n"] == exp.loc[(r["quartile"], r["tool"])]
+        assert abs(
+            r["share"] - exp.loc[(r["quartile"], r["tool"])] / tot[r["quartile"]]
+        ) < 1e-6
+    assert set(out["quartile"]) == {0, 1, 2, 3}
+
+
+def test_toolchain_funnel(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_toolchain_funnel"](SF).to_pandas().set_index("k")
+    tr = _transcripts_pdf()
+    dist = tr.groupby("conv_id")["tool"].nunique()
+    nc = len(dist)
+    for k in range(1, 8):
+        ge = int((dist >= k).sum())
+        assert out.loc[k, "n_convs_ge_k"] == ge
+        assert abs(out.loc[k, "share"] - ge / nc) < 1e-6
+    assert out["n_convs_ge_k"].is_monotonic_decreasing
