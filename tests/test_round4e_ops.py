@@ -2561,3 +2561,63 @@ def test_toolchain_funnel(ray_session):
         assert out.loc[k, "n_convs_ge_k"] == ge
         assert abs(out.loc[k, "share"] - ge / nc) < 1e-6
     assert out["n_convs_ge_k"].is_monotonic_decreasing
+
+
+def test_cvm_lengths(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_cvm_lengths"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = np.sort(docs.loc[docs["lang"] == "en", "n_chars"].to_numpy(np.float64))
+    b = np.sort(docs.loc[docs["lang"] != "en", "n_chars"].to_numpy(np.float64))
+    na, nb = len(a), len(b)
+    z = np.r_[a, b]
+    fa = np.searchsorted(a, z, side="right") / na
+    fb = np.searchsorted(b, z, side="right") / nb
+    t = na * nb / (na + nb) ** 2 * ((fa - fb) ** 2).sum()
+    assert out["n_en"].iloc[0] == na
+    assert out["n_rest"].iloc[0] == nb
+    assert abs(out["cvm_t"].iloc[0] - t) < 1e-6
+
+
+def test_energy_distance(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_energy_distance"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = docs.loc[docs["lang"] == "en", "n_chars"].to_numpy(np.float64)
+    b = docs.loc[docs["lang"] != "en", "n_chars"].to_numpy(np.float64)
+    exy = np.abs(a[:, None] - b[None, :]).mean()
+    exx = np.abs(a[:, None] - a[None, :]).mean()
+    eyy = np.abs(b[:, None] - b[None, :]).mean()
+    ed2 = 2 * exy - exx - eyy
+    assert out["n_en"].iloc[0] == len(a)
+    assert out["n_rest"].iloc[0] == len(b)
+    assert out["e_xy"].iloc[0] == int(np.abs(a[:, None] - b[None, :]).sum())
+    assert abs(out["ed2"].iloc[0] - ed2) < 1e-6
+    assert out["ed2"].iloc[0] >= 0
+
+
+def test_changepoint(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_changepoint"](SF).to_pandas()
+    ev = _events_pdf()
+    daily = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size()
+    x = daily.to_numpy(np.int64)
+    n = len(x)
+    z = n * x - x.sum()
+    cus = np.cumsum(z)[:-1]
+    k = int(np.argmax(np.abs(cus)))
+    assert out["n_days"].iloc[0] == n
+    assert (
+        out["cp_day"].iloc[0]
+        == daily.index.to_numpy()[k].astype("datetime64[D]").astype(int)
+    )
+    assert out["cusum_max"].iloc[0] == abs(cus[k])
+    mb, ma = x[: k + 1].mean(), x[k + 1 :].mean()
+    assert abs(out["mean_before"].iloc[0] - mb) < 1e-6
+    assert abs(out["mean_after"].iloc[0] - ma) < 1e-6
+    assert abs(out["shift"].iloc[0] - (ma - mb)) < 1e-6
