@@ -248,6 +248,11 @@ BENCH_QUERIES = [
     "q_rfm",
     "q_order_integrity",
     "q_ks_matrix",
+    # round-4 session-6 representatives (catalog-exact stats / graph ops)
+    "q_markov_stationary",
+    "q_basket_lift",
+    "q_growth_accounting",
+    "q_emd_lengths",
 ]
 
 

@@ -2621,3 +2621,78 @@ def test_changepoint(ray_session):
     assert abs(out["mean_before"].iloc[0] - mb) < 1e-6
     assert abs(out["mean_after"].iloc[0] - ma) < 1e-6
     assert abs(out["shift"].iloc[0] - (ma - mb)) < 1e-6
+
+
+def test_pacf(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_pacf"](SF).to_pandas().set_index("lag")
+    ev = _events_pdf()
+    c = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size().to_numpy(
+        np.float64
+    )
+    z = c - c.mean()
+    d0 = (z * z).sum()
+    rho = np.r_[1.0, [(z[:-k] * z[k:]).sum() / d0 for k in (1, 2, 3, 4)]]
+    # Durbin-Levinson reference
+    phi = {}
+    phi[(1, 1)] = rho[1]
+    for k in range(2, 5):
+        num = rho[k] - sum(phi[(k - 1, j)] * rho[k - j] for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * rho[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 5):
+        assert abs(out.loc[k, "rho"] - rho[k]) < 1e-6
+        assert abs(out.loc[k, "pacf"] - phi[(k, k)]) < 1e-5
+    assert abs(out.loc[1, "pacf"] - out.loc[1, "rho"]) < 1e-9
+
+
+def test_region_trend(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_region_trend"](SF).to_pandas().set_index("region")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    re = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    j = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(re, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["week"] = (
+        j["o_orderdate"].values.astype("datetime64[D]").astype(np.int64) // 7
+    )
+    j["rev"] = np.round(
+        j["l_extendedprice"] * (1 - j["l_discount"]) * 10000
+    ).astype(np.int64)
+    for rname, g in j.groupby("r_name"):
+        cell = g.groupby("week")["rev"].sum()
+        slope = np.polyfit(
+            cell.index.to_numpy(np.float64), cell.to_numpy(np.float64), 1
+        )[0]
+        assert out.loc[rname, "n_weeks"] == len(cell)
+        assert out.loc[rname, "rev_q"] == cell.sum()
+        assert abs(out.loc[rname, "slope_per_week"] - slope / 1e4) < 2e-4
+
+
+def test_hill_tail(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hill_tail"](SF).to_pandas()
+    ev = _events_pdf()
+    cnt = np.sort(ev.groupby("user_id").size().to_numpy(np.float64))[::-1]
+    n = len(cnt)
+    k = int(np.ceil(n / 10))
+    xk1 = cnt[k]
+    alpha = k / (np.log(cnt[:k]).sum() - k * np.log(xk1))
+    assert out["n_users"].iloc[0] == n
+    assert out["k"].iloc[0] == k
+    assert out["x_kplus1"].iloc[0] == xk1
+    assert abs(out["hill_alpha"].iloc[0] - alpha) < 1e-5
+    assert out["hill_alpha"].iloc[0] > 0
