@@ -2696,3 +2696,71 @@ def test_hill_tail(ray_session):
     assert out["x_kplus1"].iloc[0] == xk1
     assert abs(out["hill_alpha"].iloc[0] - alpha) < 1e-5
     assert out["hill_alpha"].iloc[0] > 0
+
+
+def test_attribution_compare(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_attribution_compare"](SF).to_pandas().set_index("event_type")
+    )
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    nf, nl = Counter(), Counter()
+    for _, g in ev.groupby("user_id"):
+        tys = g["event_type"].tolist()
+        for i, t in enumerate(tys):
+            if t == "purchase" and i > 0:
+                nf[tys[0]] += 1
+                nl[tys[i - 1]] += 1
+    assert set(out.index) == set(nf) | set(nl)
+    for t in out.index:
+        assert out.loc[t, "n_first_touch"] == nf.get(t, 0)
+        assert out.loc[t, "n_last_touch"] == nl.get(t, 0)
+        if nf.get(t, 0) > 0:
+            assert abs(
+                out.loc[t, "last_over_first"] - nl.get(t, 0) / nf[t]
+            ) < 1e-6
+
+
+def test_elasticity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_elasticity"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    ).to_pandas()
+    pt = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    ).to_pandas()
+    per = li.groupby("l_partkey")["l_quantity"].sum().rename("q").reset_index()
+    per = per.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    x = np.log(np.round(per["p_retailprice"] * 100).to_numpy(np.float64))
+    y = np.log(per["q"].to_numpy(np.float64))
+    slope = np.polyfit(x, y, 1)[0]
+    assert out["n_parts"].iloc[0] == len(per)
+    assert abs(out["elasticity"].iloc[0] - slope) < 1e-3
+
+
+def test_mus_sample(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_mus_sample"](SF).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas().sort_values("o_orderkey")
+    c = np.round(od["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    tot = c.sum()
+    step = tot // 100
+    cum = np.cumsum(c)
+    sel = (cum // step) > ((cum - c) // step)
+    assert out["n_orders"].iloc[0] == len(c)
+    assert out["step_cents"].iloc[0] == step
+    assert out["n_selected"].iloc[0] == sel.sum()
+    assert out["selected_cents"].iloc[0] == c[sel].sum()
+    assert abs(out["coverage"].iloc[0] - c[sel].sum() / tot) < 1e-6
+    # systematic PPS: ~100 picks, every big order (> step) must be selected
+    assert (c[~sel] <= step).all()
