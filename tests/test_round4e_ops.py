@@ -2764,3 +2764,86 @@ def test_mus_sample(ray_session):
     assert abs(out["coverage"].iloc[0] - c[sel].sum() / tot) < 1e-6
     # systematic PPS: ~100 picks, every big order (> step) must be selected
     assert (c[~sel] <= step).all()
+
+
+def test_ordinal_assoc(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_ordinal_assoc"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_discount", "l_quantity"]
+    ).to_pandas()
+    x = np.round(li["l_discount"] * 100).to_numpy(np.int64)
+    y = li["l_quantity"].to_numpy(np.int64)
+    # brute-force pair counts on a subsample-free exact basis via cells
+    cells = pd.DataFrame({"x": x, "y": y}).groupby(["x", "y"]).size()
+    conc = disc = tx = ty = 0
+    items = [(a, b, int(c)) for (a, b), c in cells.items()]
+    for xa, ya, ca in items:
+        for xb, yb, cb in items:
+            if xa < xb and ya < yb:
+                conc += ca * cb
+            elif xa < xb and ya > yb:
+                disc += ca * cb
+    for _, g in cells.groupby(level=0):
+        s = int(g.sum())
+        tx += (s * s - int((g**2).sum())) // 2
+    for _, g in cells.groupby(level=1):
+        s = int(g.sum())
+        ty += (s * s - int((g**2).sum())) // 2
+    assert out["conc"].iloc[0] == conc
+    assert out["disc"].iloc[0] == disc
+    assert out["ties_x"].iloc[0] == tx
+    assert out["ties_y"].iloc[0] == ty
+    assert abs(out["gamma"].iloc[0] - (conc - disc) / (conc + disc)) < 1e-6
+    assert abs(
+        out["tau_b"].iloc[0]
+        - (conc - disc) / np.sqrt((conc + disc + tx) * (conc + disc + ty))
+    ) < 1e-6
+
+
+def test_stickiness(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_stickiness"](SF).to_pandas().set_index("week")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    ud["w"] = ud["d"] // 7
+    for w, g in ud.groupby("w"):
+        wau = g["user_id"].nunique()
+        userdays = len(g)
+        assert out.loc[w, "wau"] == wau
+        assert out.loc[w, "user_days"] == userdays
+        assert abs(out.loc[w, "stickiness"] - userdays / 7 / wau) < 1e-6
+        assert out.loc[w, "stickiness"] <= 1.0 + 1e-9
+
+
+def test_lmoments(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lmoments"](SF).to_pandas()
+    ev = _events_pdf()
+    x = np.sort(
+        ev.groupby(ev["ts"].values.astype("datetime64[D]")).size().to_numpy(
+            np.float64
+        )
+    )
+    n = len(x)
+    i = np.arange(1, n + 1)
+    b0 = x.mean()
+    b1 = ((i - 1) * x).sum() / (n * (n - 1))
+    b2 = ((i - 1) * (i - 2) / 2 * x).sum() / (n * (n - 1) * (n - 2) / 2)
+    b3 = ((i - 1) * (i - 2) * (i - 3) / 6 * x).sum() / (
+        n * (n - 1) * (n - 2) * (n - 3) / 6
+    )
+    l1, l2 = b0, 2 * b1 - b0
+    l3 = 6 * b2 - 6 * b1 + b0
+    l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["l1"].iloc[0] - l1) < 1e-6
+    assert abs(out["l2"].iloc[0] - l2) < 1e-6
+    assert abs(out["t3"].iloc[0] - l3 / l2) < 1e-6
+    assert abs(out["t4"].iloc[0] - l4 / l2) < 1e-6
+    assert -1 <= out["t3"].iloc[0] <= 1
