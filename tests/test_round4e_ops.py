@@ -2847,3 +2847,84 @@ def test_lmoments(ray_session):
     assert abs(out["t3"].iloc[0] - l3 / l2) < 1e-6
     assert abs(out["t4"].iloc[0] - l4 / l2) < 1e-6
     assert -1 <= out["t3"].iloc[0] <= 1
+
+
+def test_cooccur_pmi(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _PMI_TOPK, _PMI_MIN_AB
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    out = QUERIES["q_cooccur_pmi"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    doc_words = [set(re.findall(r"\S+", t or "")) for t in docs["text"]]
+    df = Counter(w for ws in doc_words for w in ws)
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_TOPK]
+    topset = {w for w, _ in top}
+    nd = len(docs)
+    single = Counter()
+    pair = Counter()
+    for ws in doc_words:
+        tw = sorted(ws & topset)
+        single.update(tw)
+        for i in range(len(tw)):
+            for j in range(i + 1, len(tw)):
+                pair[(tw[i], tw[j])] += 1
+    exp = {k: v for k, v in pair.items() if v >= _PMI_MIN_AB}
+    assert len(out) == len(exp)
+    for _, r in out.head(30).iterrows():
+        key = (r["w_a"], r["w_b"])
+        assert key in exp
+        assert r["n_ab"] == exp[key]
+        assert r["n_a"] == single[r["w_a"]]
+        assert r["n_b"] == single[r["w_b"]]
+        pmi = np.log(nd * exp[key] / (single[r["w_a"]] * single[r["w_b"]]))
+        assert abs(r["pmi"] - pmi) < 1e-6
+
+
+def test_haar_energy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_haar_energy"](SF).to_pandas().set_index("level")
+    ev = _events_pdf()
+    x = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size().to_numpy(
+        np.float64
+    )
+    n2 = 1
+    while n2 * 2 <= len(x):
+        n2 *= 2
+    s = x[:n2].copy()
+    nums = []
+    for lev in (1, 2, 3):
+        d = s[0::2] - s[1::2]
+        s = s[0::2] + s[1::2]
+        e = (d * d).sum()
+        nums.append(e * 2 ** (3 - lev))
+        assert out.loc[lev, "n_coeffs"] == len(d)
+        assert abs(out.loc[lev, "energy"] - e / 2**lev) < 1e-6
+    for lev in (1, 2, 3):
+        assert abs(out.loc[lev, "share"] - nums[lev - 1] / sum(nums)) < 1e-6
+    assert abs(out["share"].sum() - 1.0) < 1e-5
+
+
+def test_gumbel_max(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gumbel_max"](SF).to_pandas()
+    ev = _events_pdf()
+    daily = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size()
+    wk = daily.groupby(
+        daily.index.to_numpy().astype("datetime64[D]").astype(np.int64) // 7
+    ).max()
+    m = wk.to_numpy(np.float64)
+    mean, sd = m.mean(), m.std(ddof=1)
+    scale = sd * np.sqrt(6) / np.pi
+    loc = mean - 0.5772156649015329 * scale
+    z = (1.2 * m.max() - loc) / scale
+    p = 1 - np.exp(-np.exp(-z))
+    assert out["n_weeks"].iloc[0] == len(m)
+    assert out["max_week"].iloc[0] == m.max()
+    assert abs(out["gumbel_loc"].iloc[0] - loc) < 1e-5
+    assert abs(out["gumbel_scale"].iloc[0] - scale) < 1e-5
+    assert abs(out["p_exceed_1_2x"].iloc[0] - p) < 1e-6
+    assert 0.0 <= out["p_exceed_1_2x"].iloc[0] <= 1.0
