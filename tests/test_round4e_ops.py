@@ -2928,3 +2928,69 @@ def test_gumbel_max(ray_session):
     assert abs(out["gumbel_scale"].iloc[0] - scale) < 1e-5
     assert abs(out["p_exceed_1_2x"].iloc[0] - p) < 1e-6
     assert 0.0 <= out["p_exceed_1_2x"].iloc[0] <= 1.0
+
+
+def test_nbinom_fit(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_nbinom_fit"](SF).to_pandas()
+    ev = _events_pdf()
+    x = ev.groupby("user_id").size().to_numpy(np.float64)
+    mu, var = x.mean(), x.var(ddof=1)
+    assert out["n_users"].iloc[0] == len(x)
+    assert abs(out["mean"].iloc[0] - mu) < 1e-6
+    assert abs(out["dispersion"].iloc[0] - var / mu) < 1e-6
+    if var > mu:
+        assert abs(out["nb_r"].iloc[0] - mu * mu / (var - mu)) < 1e-5
+        assert abs(out["nb_p"].iloc[0] - mu / var) < 1e-6
+    else:
+        assert pd.isna(out["nb_r"].iloc[0])
+
+
+def test_inspection_paradox(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_inspection_paradox"](SF).to_pandas()
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        gaps.extend(((ts[1:] - ts[:-1]) // 1_000_000).tolist())
+    gaps = np.array(gaps, np.float64)
+    factor = len(gaps) * (gaps**2).sum() / gaps.sum() ** 2
+    assert out["n_gaps"].iloc[0] == len(gaps)
+    assert abs(out["mean_gap_s"].iloc[0] - gaps.mean()) < 1e-6
+    assert abs(
+        out["length_biased_s"].iloc[0] - (gaps**2).sum() / gaps.sum()
+    ) < 1e-5
+    assert abs(out["inspection_factor"].iloc[0] - factor) < 1e-6
+    assert out["inspection_factor"].iloc[0] >= 1.0  # Cauchy-Schwarz
+
+
+def test_abc_parts(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_abc_parts"](SF).to_pandas().set_index("abc_class")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    li["rev"] = np.round(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 10000
+    ).astype(np.int64)
+    per = li.groupby("l_partkey")["rev"].sum().reset_index()
+    per = per.sort_values(["rev", "l_partkey"], ascending=[False, True])
+    rev = per["rev"].to_numpy(np.int64)
+    tot = rev.sum()
+    prev = np.cumsum(rev) - rev
+    cls = np.where(
+        5 * prev < 4 * tot, "A", np.where(20 * prev < 19 * tot, "B", "C")
+    )
+    for k in ("A", "B", "C"):
+        m = cls == k
+        assert out.loc[k, "n_parts"] == m.sum()
+        assert out.loc[k, "revenue_q"] == rev[m].sum()
+        assert abs(out.loc[k, "rev_share"] - rev[m].sum() / tot) < 1e-6
+    assert out.loc["A", "rev_share"] >= 0.79
+    assert out["n_parts"].sum() == len(per)
