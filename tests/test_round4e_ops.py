@@ -2994,3 +2994,73 @@ def test_abc_parts(ray_session):
         assert abs(out.loc[k, "rev_share"] - rev[m].sum() / tot) < 1e-6
     assert out.loc["A", "rev_share"] >= 0.79
     assert out["n_parts"].sum() == len(per)
+
+
+def test_weibull_fit(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_weibull_fit"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    span = ev.groupby("user_id")["d"].agg(lambda s: s.max() - s.min())
+    t = np.sort(span[span > 0].to_numpy(np.float64))
+    n = len(t)
+    i = np.arange(1, n + 1)
+    x = np.log(t)
+    y = np.log(-np.log(1 - (i - 0.3) / (n + 0.4)))
+    k, b = np.polyfit(x, y, 1)
+    lam = np.exp(-b / k)
+    assert out["n_users"].iloc[0] == n
+    assert abs(out["shape_k"].iloc[0] - k) < 1e-4
+    assert abs(out["scale_days"].iloc[0] - lam) < 1e-3
+    assert out["shape_k"].iloc[0] > 0
+
+
+def test_price_index(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_price_index"](SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    j["half"] = (j["o_orderdate"].dt.day > 15).astype(int)
+    j["e"] = np.round(j["l_extendedprice"] * 100).astype(np.int64)
+    per = j.groupby(["l_partkey", "half"]).agg(
+        q=("l_quantity", "sum"), e=("e", "sum")
+    ).unstack(fill_value=0)
+    both = (per[("q", 0)] > 0) & (per[("q", 1)] > 0)
+    p = per[both]
+    q0, q1 = p[("q", 0)].to_numpy(), p[("q", 1)].to_numpy()
+    e0, e1 = p[("e", 0)].to_numpy(), p[("e", 1)].to_numpy()
+    lasp = (e1 * q0 / q1).sum() / e0.sum()
+    paas = e1.sum() / (e0 * q1 / q0).sum()
+    assert out["n_parts"].iloc[0] == both.sum()
+    assert abs(out["laspeyres"].iloc[0] - lasp) < 1e-4
+    assert abs(out["paasche"].iloc[0] - paas) < 1e-4
+    assert abs(out["fisher"].iloc[0] - np.sqrt(lasp * paas)) < 1e-4
+
+
+def test_taylor_law(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_taylor_law"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    ev["h"] = ev["ts"].dt.hour
+    nd = ev["d"].nunique()
+    pts = []
+    for (_, _), g in ev.groupby(["event_type", "h"]):
+        counts = g.groupby("d").size().reindex(
+            ev["d"].unique(), fill_value=0
+        ).to_numpy(np.float64)
+        m, v = counts.mean(), counts.var(ddof=1)
+        if m > 0 and v > 0:
+            pts.append((np.log(m), np.log(v)))
+    b, loga = np.polyfit([p[0] for p in pts], [p[1] for p in pts], 1)
+    assert out["n_cells"].iloc[0] == len(pts)
+    assert out["n_days"].iloc[0] == nd
+    assert abs(out["taylor_b"].iloc[0] - b) < 1e-4
+    assert abs(out["log_a"].iloc[0] - loga) < 1e-4
