@@ -3064,3 +3064,89 @@ def test_taylor_law(ray_session):
     assert out["n_days"].iloc[0] == nd
     assert abs(out["taylor_b"].iloc[0] - b) < 1e-4
     assert abs(out["log_a"].iloc[0] - loga) < 1e-4
+
+
+def test_rank_stability(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_rank_stability"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    ev["half"] = (ev["ts"].dt.day > 15).astype(int)
+    types = sorted(ev["event_type"].unique())
+    hours = sorted(ev["h"].unique())
+    keys = [(t, h) for t in types for h in hours]
+    cnt = ev.groupby(["event_type", "h", "half"]).size()
+
+    def ranks(half):
+        vals = [
+            (int(cnt.get((t, h, half), 0)), t, h) for (t, h) in keys
+        ]
+        order = sorted(range(len(keys)), key=lambda i: vals[i])
+        r = [0] * len(keys)
+        for pos, i in enumerate(order, 1):
+            r[i] = pos
+        return np.array(r)
+
+    r0, r1 = ranks(0), ranks(1)
+    n = len(keys)
+    d2 = ((r0 - r1) ** 2).sum()
+    assert out["n_cells"].iloc[0] == n
+    assert out["sum_d2"].iloc[0] == d2
+    assert out["footrule"].iloc[0] == np.abs(r0 - r1).sum()
+    assert abs(
+        out["spearman_rho"].iloc[0] - (1 - 6 * d2 / (n * (n * n - 1)))
+    ) < 1e-6
+
+
+def test_word_burstiness(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    out = QUERIES["q_word_burstiness"](SF).to_pandas().set_index("w")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    tf, df, df2 = Counter(), Counter(), Counter()
+    for t in docs["text"].fillna(""):
+        c = Counter(re.findall(r"\S+", t))
+        for w, k in c.items():
+            tf[w] += k
+            df[w] += 1
+            if k >= 2:
+                df2[w] += 1
+    assert set(out.index) == set(tf)
+    for w in out.index:
+        assert out.loc[w, "tf"] == tf[w]
+        assert out.loc[w, "df"] == df[w]
+        assert out.loc[w, "df2"] == df2.get(w, 0)
+        assert abs(out.loc[w, "adaptation"] - df2.get(w, 0) / df[w]) < 1e-6
+        assert abs(out.loc[w, "rate"] - tf[w] / df[w]) < 1e-6
+
+
+def test_renyi_spectrum(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    out = QUERIES["q_renyi_spectrum"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    c = Counter(
+        w for t in docs["text"].fillna("") for w in re.findall(r"\S+", t)
+    )
+    f = np.array(list(c.values()), np.float64)
+    p = f / f.sum()
+    assert out["vocab"].iloc[0] == len(f)
+    assert out["tokens"].iloc[0] == f.sum()
+    assert abs(out["renyi_0"].iloc[0] - np.log(len(f))) < 1e-6
+    assert abs(out["renyi_1"].iloc[0] - -(p * np.log(p)).sum()) < 1e-6
+    assert abs(out["renyi_2"].iloc[0] - -np.log((p**2).sum())) < 1e-6
+    assert abs(out["renyi_inf"].iloc[0] - -np.log(p.max())) < 1e-6
+    # monotone: R0 >= R1 >= R2 >= Rinf
+    assert (
+        out["renyi_0"].iloc[0]
+        >= out["renyi_1"].iloc[0]
+        >= out["renyi_2"].iloc[0]
+        >= out["renyi_inf"].iloc[0]
+    )
