@@ -3150,3 +3150,62 @@ def test_renyi_spectrum(ray_session):
         >= out["renyi_2"].iloc[0]
         >= out["renyi_inf"].iloc[0]
     )
+
+
+def test_transition_residuals(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_transition_residuals"](SF).to_pandas()
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    mat = np.zeros((m, m))
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            mat[sid[a], sid[b]] += 1
+    r, c, nn = mat.sum(1), mat.sum(0), mat.sum()
+    for _, row in out.iterrows():
+        i, j = sid[row["from_tool"]], sid[row["to_tool"]]
+        e = r[i] * c[j] / nn
+        assert row["n"] == mat[i, j]
+        assert abs(row["expected"] - e) < 1e-5
+        res = (mat[i, j] - e) / np.sqrt(
+            e * (1 - r[i] / nn) * (1 - c[j] / nn)
+        )
+        assert abs(row["residual"] - res) < 1e-4
+    # residuals of a contingency table roughly sum to 0 across cells
+    assert abs((out["n"] - out["expected"]).sum()) < 1e-3
+
+
+def test_ab_power(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ab_power"](SF).to_pandas()
+    ev = _events_pdf()
+    p = (ev["event_type"] == "purchase").mean()
+    delta = 0.1 * p
+    npa = 2 * (1.959963984540054 + 0.8416212335729143) ** 2 * p * (1 - p) / delta**2
+    assert out["n_events"].iloc[0] == len(ev)
+    assert abs(out["p_hat"].iloc[0] - p) < 1e-6
+    assert abs(out["delta"].iloc[0] - delta) < 1e-6
+    assert out["n_per_arm"].iloc[0] == int(np.ceil(npa))
+
+
+def test_label_centroid_cosine(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_label_centroid_cosine"](SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    labels = sorted(emb["label"].unique())
+    cents = {
+        lb: m[emb["label"].to_numpy() == lb].sum(axis=0) for lb in labels
+    }
+    assert len(out) == len(labels) * (len(labels) - 1) // 2
+    for _, r in out.iterrows():
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(r["cosine"] - cos) < 1e-5
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
