@@ -3209,3 +3209,82 @@ def test_label_centroid_cosine(ray_session):
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert abs(r["cosine"] - cos) < 1e-5
         assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_median_ci(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_median_ci"](SF).to_pandas()
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    c = np.sort(
+        np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype(
+            np.int64
+        )
+    )
+    n = len(c)
+    z = 1.959963984540054
+    lo = max(1, int(np.floor((n - z * np.sqrt(n)) / 2)))
+    hi = min(n, int(np.ceil(1 + (n + z * np.sqrt(n)) / 2)))
+    assert out["n"].iloc[0] == n
+    assert out["median_cents"].iloc[0] == c[(n + 1) // 2 - 1]
+    assert out["lo_cents"].iloc[0] == c[lo - 1]
+    assert out["hi_cents"].iloc[0] == c[hi - 1]
+    assert (
+        out["lo_cents"].iloc[0]
+        <= out["median_cents"].iloc[0]
+        <= out["hi_cents"].iloc[0]
+    )
+
+
+def test_sprt(ray_session):
+    from ptrail_ray.entry_queries import (
+        QUERIES, _SPRT_QA, _SPRT_QB, _SPRT_UP, _SPRT_DN,
+    )
+
+    out = QUERIES["q_sprt"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    daily = ev.groupby("d").agg(
+        n=("event_id", "size"),
+        k=("event_type", lambda s: int((s == "purchase").sum())),
+    ).sort_index()
+    llr, dec, cross = 0, "continue", None
+    for d, r in daily.iterrows():
+        llr += int(r["k"]) * _SPRT_QA + int(r["n"] - r["k"]) * _SPRT_QB
+        if dec == "continue":
+            if llr >= _SPRT_UP:
+                dec, cross = "H1", d
+            elif llr <= _SPRT_DN:
+                dec, cross = "H0", d
+    assert out["n_days"].iloc[0] == len(daily)
+    assert out["decision"].iloc[0] == dec
+    if cross is None:
+        assert pd.isna(out["cross_day"].iloc[0])
+    else:
+        assert out["cross_day"].iloc[0] == cross
+    assert out["final_llr_q"].iloc[0] == llr
+
+
+def test_trimmed_mean(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_trimmed_mean"](SF).to_pandas()
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    c = np.sort(
+        np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype(
+            np.float64
+        )
+    )
+    n = len(c)
+    g = 0.1 * n
+    k, f = int(g), g - int(g)
+    w = np.ones(n)
+    w[: k + 1] = 0
+    w[n - k - 1 :] = 0
+    w[k] = 1 - f
+    w[n - k - 1] = 1 - f
+    exp = (w * c).sum() / w.sum()
+    assert out["n"].iloc[0] == n
+    assert abs(out["trimmed_mean_cents"].iloc[0] - exp) < 1e-6
