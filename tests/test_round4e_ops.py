@@ -3288,3 +3288,69 @@ def test_trimmed_mean(ray_session):
     exp = (w * c).sum() / w.sum()
     assert out["n"].iloc[0] == n
     assert abs(out["trimmed_mean_cents"].iloc[0] - exp) < 1e-6
+
+
+def test_benford2(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_benford2"](SF).to_pandas().set_index("digit")
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    cents = np.round(od["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    cents = cents[cents >= 10]
+    d2 = np.array([int(str(v)[1]) for v in cents])
+    n = len(d2)
+    for d in range(10):
+        p = sum(np.log10(1 + 1 / (10 * d1 + d)) for d1 in range(1, 10))
+        o = int((d2 == d).sum())
+        assert out.loc[d, "observed"] == o
+        assert abs(out.loc[d, "expected"] - n * p) < 1e-4
+        assert abs(out.loc[d, "contrib"] - (o - n * p) ** 2 / (n * p)) < 1e-3
+    assert out["observed"].sum() == n
+
+
+def test_price_endings(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_price_endings"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["frac"] = (
+        np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype(
+            np.int64
+        )
+        % 100
+    )
+    for t, g in ev.groupby("event_type"):
+        nr = int((g["frac"] == 0).sum())
+        nc = int((g["frac"] == 99).sum())
+        assert out.loc[t, "n"] == len(g)
+        assert out.loc[t, "n_round"] == nr
+        assert out.loc[t, "n_charm"] == nc
+        assert abs(out.loc[t, "share_round"] - nr / len(g)) < 1e-6
+        assert abs(out.loc[t, "share_charm"] - nc / len(g)) < 1e-6
+
+
+def test_capture_recapture(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_capture_recapture"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    w0 = ev["w"].min()
+    s1 = set(ev.loc[ev["w"] == w0, "user_id"])
+    s2 = set(ev.loc[ev["w"] == w0 + 1, "user_id"])
+    n1, n2, m = len(s1), len(s2), len(s1 & s2)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    se = np.sqrt(
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / ((m + 1) ** 2 * (m + 2))
+    )
+    assert out["n_week1"].iloc[0] == n1
+    assert out["n_week2"].iloc[0] == n2
+    assert out["overlap"].iloc[0] == m
+    assert abs(out["chapman_n"].iloc[0] - nhat) < 1e-6
+    assert abs(out["se"].iloc[0] - se) < 1e-6
+    # estimate is at least the union size seen
+    assert out["chapman_n"].iloc[0] >= len(s1 | s2) - 1
