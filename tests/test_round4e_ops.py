@@ -3354,3 +3354,76 @@ def test_capture_recapture(ray_session):
     assert abs(out["se"].iloc[0] - se) < 1e-6
     # estimate is at least the union size seen
     assert out["chapman_n"].iloc[0] >= len(s1 | s2) - 1
+
+
+def test_mean_crossings(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mean_crossings"](SF).to_pandas()
+    ev = _events_pdf()
+    x = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size().to_numpy(
+        np.float64
+    )
+    s = (x > x.mean()).astype(int)
+    crossings = int((np.diff(s) != 0).sum())
+    runs = np.r_[0, np.where(np.diff(s) != 0)[0] + 1, len(s)]
+    lens = np.diff(runs)
+    kinds = s[runs[:-1]]
+    assert out["n_days"].iloc[0] == len(x)
+    assert out["crossings"].iloc[0] == crossings
+    la = lens[kinds == 1].max() if (kinds == 1).any() else 0
+    lb = lens[kinds == 0].max() if (kinds == 0).any() else 0
+    assert out["longest_above"].iloc[0] == la
+    assert out["longest_below"].iloc[0] == lb
+
+
+def test_peaks(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_peaks"](SF).to_pandas()
+    ev = _events_pdf()
+    daily = ev.groupby(ev["ts"].values.astype("datetime64[D]")).size()
+    c = daily.to_numpy(np.int64)
+    d = daily.index.to_numpy().astype("datetime64[D]").astype(np.int64)
+    peaks = []
+    for i in range(3, len(c) - 3):
+        win = c[i - 3 : i + 4]
+        if (c[i] > np.r_[win[:3], win[4:]]).all() and 10 * c[i] >= 11 * int(
+            np.sort(win)[3]
+        ):
+            peaks.append((d[i], c[i]))
+    assert out["n_days"].iloc[0] == len(c)
+    assert out["n_peaks"].iloc[0] == len(peaks)
+    if peaks:
+        mx = max(p[1] for p in peaks)
+        assert out["peak_count"].iloc[0] == mx
+        assert out["peak_day"].iloc[0] == min(
+            p[0] for p in peaks if p[1] == mx
+        )
+    else:
+        assert pd.isna(out["peak_day"].iloc[0])
+
+
+def test_icc_design(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_icc_design"](SF).to_pandas()
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["x"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    groups = [g["x"].to_numpy(np.float64) for _, g in ev.groupby("user_id")]
+    n = sum(len(g) for g in groups)
+    gcnt = len(groups)
+    grand = np.concatenate(groups)
+    ssb = sum(len(g) * (g.mean() - grand.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    msb, msw = ssb / (gcnt - 1), ssw / (n - gcnt)
+    k0 = (n - sum(len(g) ** 2 for g in groups) / n) / (gcnt - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    deff = 1 + (n / gcnt - 1) * icc
+    assert out["n_users"].iloc[0] == gcnt
+    assert out["n_events"].iloc[0] == n
+    assert abs(out["icc"].iloc[0] - icc) < 1e-4
+    assert abs(out["design_effect"].iloc[0] - deff) < 1e-3
