@@ -3427,3 +3427,72 @@ def test_icc_design(ray_session):
     assert out["n_events"].iloc[0] == n
     assert abs(out["icc"].iloc[0] - icc) < 1e-4
     assert abs(out["design_effect"].iloc[0] - deff) < 1e-3
+
+
+def _word_freqs():
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    return Counter(
+        w for t in docs["text"].fillna("") for w in re.findall(r"\S+", t)
+    )
+
+
+def test_chao1(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_chao1"](SF).to_pandas()
+    c = _word_freqs()
+    f = np.array(list(c.values()))
+    v, t = len(f), f.sum()
+    f1, f2 = int((f == 1).sum()), int((f == 2).sum())
+    assert out["vocab"].iloc[0] == v
+    assert out["tokens"].iloc[0] == t
+    assert out["f1"].iloc[0] == f1
+    assert out["f2"].iloc[0] == f2
+    assert abs(out["chao1"].iloc[0] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 1e-6
+    assert abs(out["gt_unseen_mass"].iloc[0] - f1 / t) < 1e-6
+    assert out["chao1"].iloc[0] >= v
+
+
+def test_rarefaction(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _RARE_M
+
+    out = QUERIES["q_rarefaction"](SF).to_pandas()
+    c = _word_freqs()
+    f = np.array(list(c.values()), np.float64)
+    t = f.sum()
+    m = _RARE_M
+    # exact hypergeometric via log-gamma-free product
+    ev = 0.0
+    for fi in f:
+        if fi > t - m:
+            ev += 1.0
+        else:
+            i = np.arange(m)
+            ev += 1.0 - np.exp(np.log((t - fi - i) / (t - i)).sum())
+    assert out["vocab"].iloc[0] == len(f)
+    assert out["tokens"].iloc[0] == t
+    assert out["m"].iloc[0] == m
+    assert abs(out["expected_vocab"].iloc[0] - ev) < 1e-3
+    assert 0 < out["expected_vocab"].iloc[0] <= len(f)
+
+
+def test_g_test(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_g_test"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    tab = pd.crosstab(docs["lang"], docs["source"])
+    n = tab.values.sum()
+    e = np.outer(tab.sum(1), tab.sum(0)) / n
+    o = tab.values.astype(float)
+    mask = o > 0
+    g = 2 * (o[mask] * np.log(o[mask] / e[mask])).sum()
+    assert out["n"].iloc[0] == n
+    assert out["df"].iloc[0] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert abs(out["g_stat"].iloc[0] - g) < 1e-3
+    assert out["g_stat"].iloc[0] >= 0
