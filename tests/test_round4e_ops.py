@@ -3496,3 +3496,68 @@ def test_g_test(ray_session):
     assert out["df"].iloc[0] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
     assert abs(out["g_stat"].iloc[0] - g) < 1e-3
     assert out["g_stat"].iloc[0] >= 0
+
+
+def test_lorenz_asymmetry(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lorenz_asymmetry"](SF).to_pandas()
+    ev = _events_pdf()
+    cnt = ev.groupby("user_id").size().to_numpy(np.int64)
+    below = cnt < cnt.mean()
+    asym = below.sum() / len(cnt) + cnt[below].sum() / cnt.sum()
+    assert out["n_users"].iloc[0] == len(cnt)
+    assert out["below_users"].iloc[0] == below.sum()
+    assert out["below_events"].iloc[0] == cnt[below].sum()
+    assert abs(out["asymmetry"].iloc[0] - asym) < 1e-6
+    assert 0 <= out["asymmetry"].iloc[0] <= 2
+
+
+def test_irreversibility(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_irreversibility"](SF).to_pandas()
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    mat = np.zeros((m, m), np.int64)
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            mat[sid[a], sid[b]] += 1
+    tot, n_pairs, best = 0.0, 0, (-1, None, None)
+    for i in range(m):
+        for j in range(i + 1, m):
+            a, b = int(mat[i, j]), int(mat[j, i])
+            if a + b == 0:
+                continue
+            n_pairs += 1
+            term = (a - b) ** 2 / (a + b)
+            tot += term
+            if round(term * 1e6) > best[0]:
+                best = (round(term * 1e6), _MK_STATES[i], _MK_STATES[j])
+    assert out["n_pairs"].iloc[0] == n_pairs
+    assert abs(out["irreversibility"].iloc[0] - tot) < 1e-4
+    assert (out["top_a"].iloc[0], out["top_b"].iloc[0]) == (best[1], best[2])
+
+
+def test_word_position_bias(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+    from collections import defaultdict
+
+    out = QUERIES["q_word_position_bias"](SF).to_pandas().set_index("w")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    acc = defaultdict(list)
+    for t in docs["text"].fillna(""):
+        toks = re.findall(r"\S+", t)
+        if len(toks) < 2:
+            continue
+        for i, w in enumerate(toks):
+            acc[w].append(i / (len(toks) - 1))
+    assert set(out.index) == set(acc)
+    for w in out.index:
+        assert out.loc[w, "n"] == len(acc[w])
+        assert abs(out.loc[w, "mean_relpos"] - np.mean(acc[w])) < 1e-5
+        assert 0.0 <= out.loc[w, "mean_relpos"] <= 1.0
