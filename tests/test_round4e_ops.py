@@ -3561,3 +3561,58 @@ def test_word_position_bias(ray_session):
         assert out.loc[w, "n"] == len(acc[w])
         assert abs(out.loc[w, "mean_relpos"] - np.mean(acc[w])) < 1e-5
         assert 0.0 <= out.loc[w, "mean_relpos"] <= 1.0
+
+
+def test_decayed_engagement(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_decayed_engagement"](SF).to_pandas().set_index("event_type")
+    )
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    gmax = ev["d"].max()
+    ev["w"] = 2.0 ** (-(gmax - ev["d"]) / 7.0)
+    tot_n, tot_s = len(ev), ev["w"].sum()
+    for t, g in ev.groupby("event_type"):
+        assert out.loc[t, "n"] == len(g)
+        assert abs(out.loc[t, "share_plain"] - len(g) / tot_n) < 1e-6
+        assert abs(
+            out.loc[t, "share_decayed"] - g["w"].sum() / tot_s
+        ) < 1e-5
+    assert abs(out["share_decayed"].sum() - 1.0) < 1e-5
+
+
+def test_crest_factor(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_crest_factor"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    nd = ev["d"].nunique()
+    for t, g in ev.groupby("event_type"):
+        daily = g.groupby("d").size()
+        assert out.loc[t, "n_days"] == nd
+        assert out.loc[t, "total"] == len(g)
+        assert out.loc[t, "peak_day_count"] == daily.max()
+        assert abs(
+            out.loc[t, "crest_factor"] - daily.max() * nd / len(g)
+        ) < 1e-6
+        assert out.loc[t, "crest_factor"] >= 1.0
+
+
+def test_cagr_weekly(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cagr_weekly"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    for t, g in ev.groupby("event_type"):
+        wk = g.groupby("w").size().sort_index()
+        k = wk.index[-1] - wk.index[0]
+        assert out.loc[t, "n_weeks"] == len(wk)
+        assert out.loc[t, "first_week_n"] == wk.iloc[0]
+        assert out.loc[t, "last_week_n"] == wk.iloc[-1]
+        if k > 0:
+            exp = np.exp(np.log(wk.iloc[-1] / wk.iloc[0]) / k)
+            assert abs(out.loc[t, "weekly_growth"] - exp) < 1e-6
