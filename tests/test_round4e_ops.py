@@ -3616,3 +3616,86 @@ def test_cagr_weekly(ray_session):
         if k > 0:
             exp = np.exp(np.log(wk.iloc[-1] / wk.iloc[0]) / k)
             assert abs(out.loc[t, "weekly_growth"] - exp) < 1e-6
+
+
+def test_vocab_coverage(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_vocab_coverage"](SF).to_pandas().set_index("k")
+    c = _word_freqs()
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = sum(c.values())
+    for k in (5, 10, 20):
+        cov = sum(f for _, f in freqs[:k])
+        assert out.loc[k, "covered"] == cov
+        assert abs(out.loc[k, "coverage"] - cov / t) < 1e-6
+    assert out["coverage"].is_monotonic_increasing
+
+
+def test_js_matrix_sources(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    out = QUERIES["q_js_matrix_sources"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    dists = {}
+    for s, g in docs.groupby("source"):
+        c = Counter(
+            w for t in g["text"].fillna("") for w in re.findall(r"\S+", t)
+        )
+        n = sum(c.values())
+        dists[s] = {w: k / n for w, k in c.items()}
+    srcs = sorted(dists)
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for _, r in out.head(15).iterrows():
+        pa_, pb = dists[r["source_a"]], dists[r["source_b"]]
+        words = set(pa_) | set(pb)
+        jsd = 0.0
+        for w in words:
+            p, q = pa_.get(w, 0.0), pb.get(w, 0.0)
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * np.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * np.log(q / m)
+        assert abs(r["jsd"] - jsd) < 1e-5
+        assert 0 <= r["jsd"] <= np.log(2) + 1e-9
+
+
+def test_burrows_delta(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _BD_TOPK
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    out = QUERIES["q_burrows_delta"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    per = {}
+    corpus = Counter()
+    for s, g in docs.groupby("source"):
+        c = Counter(
+            w for t in g["text"].fillna("") for w in re.findall(r"\S+", t)
+        )
+        per[s] = c
+        corpus.update(c)
+    top = [
+        w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_BD_TOPK]
+    srcs = sorted(per)
+    f = np.array(
+        [
+            [per[s].get(w, 0) / sum(per[s].values()) for w in top]
+            for s in srcs
+        ]
+    )
+    z = (f - f.mean(0)) / f.std(0, ddof=1)
+    idx = {s: i for i, s in enumerate(srcs)}
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for _, r in out.head(15).iterrows():
+        exp = np.abs(
+            z[idx[r["source_a"]]] - z[idx[r["source_b"]]]
+        ).mean()
+        assert abs(r["delta"] - exp) < 1e-4
+        assert r["delta"] >= 0
