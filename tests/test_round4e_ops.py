@@ -3699,3 +3699,53 @@ def test_burrows_delta(ray_session):
         ).mean()
         assert abs(r["delta"] - exp) < 1e-4
         assert r["delta"] >= 0
+
+
+def _daily_counts():
+    ev = _events_pdf()
+    return ev.groupby(ev["ts"].values.astype("datetime64[D]")).size()
+
+
+def test_semivariogram(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_semivariogram"](SF).to_pandas().set_index("lag")
+    x = _daily_counts().to_numpy(np.float64)
+    for h in range(1, 8):
+        g = ((x[h:] - x[:-h]) ** 2).sum() / (2 * (len(x) - h))
+        assert out.loc[h, "n_pairs"] == len(x) - h
+        assert abs(out.loc[h, "gamma"] - g) < 1e-6
+
+
+def test_exceedance_intervals(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_exceedance_intervals"](SF).to_pandas()
+    daily = _daily_counts()
+    c = daily.to_numpy(np.int64)
+    n = len(c)
+    thr = np.sort(c)[int(np.ceil(0.9 * n)) - 1]
+    d = daily.index.to_numpy().astype("datetime64[D]").astype(np.int64)
+    ex = d[c >= thr]
+    gaps = np.diff(ex)
+    assert out["threshold"].iloc[0] == thr
+    assert out["n_exceed"].iloc[0] == len(ex)
+    if len(ex) > 1:
+        assert out["min_interval"].iloc[0] == gaps.min()
+        assert out["max_interval"].iloc[0] == gaps.max()
+        assert abs(
+            out["mean_interval"].iloc[0] - (ex[-1] - ex[0]) / (len(ex) - 1)
+        ) < 1e-6
+
+
+def test_allan_variance(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_allan_variance"](SF).to_pandas().set_index("tau")
+    x = _daily_counts().to_numpy(np.float64)
+    for tau in (1, 2, 4):
+        k = len(x) // tau
+        m = x[: k * tau].reshape(k, tau).mean(axis=1)
+        avar = (np.diff(m) ** 2).sum() / (2 * (k - 1))
+        assert out.loc[tau, "n_blocks"] == k
+        assert abs(out.loc[tau, "avar"] - avar) < 1e-6
