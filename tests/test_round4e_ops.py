@@ -3749,3 +3749,71 @@ def test_allan_variance(ray_session):
         avar = (np.diff(m) ** 2).sum() / (2 * (k - 1))
         assert out.loc[tau, "n_blocks"] == k
         assert abs(out.loc[tau, "avar"] - avar) < 1e-6
+
+
+def test_order_size_fit(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_order_size_fit"](SF).to_pandas().set_index("k")
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"]).to_pandas()
+    sizes = li.groupby("l_orderkey").size()
+    n, tot = len(sizes), sizes.sum()
+    p = n / tot
+    for k in range(1, 8):
+        o = int((sizes >= 7).sum()) if k == 7 else int((sizes == k).sum())
+        e = n * (1 - p) ** 6 if k == 7 else n * (1 - p) ** (k - 1) * p
+        assert out.loc[k, "observed"] == o
+        assert abs(out.loc[k, "expected"] - e) < 1e-4
+        assert abs(out.loc[k, "contrib"] - (o - e) ** 2 / e) < 1e-3
+    assert out["observed"].sum() == n
+    assert abs(out["expected"].sum() - n) < 0.5
+
+
+def test_quant_error(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_quant_error"](SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    q = np.round(1e9 * m)
+    amax = np.abs(q).max(axis=0)
+    code = np.round(127 * q / amax)
+    resid = (127 * q - code * amax) / (127 * 1e9)
+    mse = (resid**2).mean()
+    assert out["n_values"].iloc[0] == m.size
+    assert abs(out["mse"].iloc[0] - mse * 1e9) < 1e-4
+    assert abs(out["max_abs_err"].iloc[0] - np.abs(resid).max() * 1e6) < 1e-3
+    # int8 symmetric quantization: max error is half a grid step
+    assert np.abs(resid).max() <= (amax.max() / 1e9) / 127 / 2 + 1e-12
+
+
+def test_concurrency_profile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_concurrency_profile"](SF).to_pandas()
+    tr = _transcripts_pdf()
+    spans = tr.groupby("conv_id")["ts"].agg(["min", "max"])
+    s = spans["min"].values.astype("datetime64[us]").astype(np.int64)
+    e = spans["max"].values.astype("datetime64[us]").astype(np.int64) + 1
+    times = np.r_[s, e]
+    deltas = np.r_[np.ones(len(s), int), -np.ones(len(e), int)]
+    order = np.lexsort((-deltas, times))
+    t, lvl = times[order], np.cumsum(deltas[order])
+    dur = np.r_[np.diff(t), 0]
+    keep = dur > 0
+    df = pd.DataFrame({"l": lvl[keep], "d": dur[keep]})
+    wd = df.groupby("l")["d"].sum().sort_index()
+    tot = wd.sum()
+    cum = wd.cumsum()
+
+    def wq(q):
+        thr = int(np.ceil(q * tot))
+        return wd.index[np.searchsorted(cum.to_numpy(), thr)]
+
+    assert out["n_convs"].iloc[0] == len(spans)
+    assert out["span_us"].iloc[0] == tot
+    assert out["p50"].iloc[0] == wq(0.5)
+    assert out["p90"].iloc[0] == wq(0.9)
+    assert out["peak"].iloc[0] == lvl.max()
