@@ -3817,3 +3817,60 @@ def test_concurrency_profile(ray_session):
     assert out["p50"].iloc[0] == wq(0.5)
     assert out["p90"].iloc[0] == wq(0.9)
     assert out["peak"].iloc[0] == lvl.max()
+
+
+def test_mix_entropy_trend(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mix_entropy_trend"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    hs = []
+    for w, g in ev.groupby("w"):
+        p = g["event_type"].value_counts(normalize=True).to_numpy()
+        hs.append((w, -(p * np.log(p)).sum()))
+    ws = np.array([h[0] for h in hs], np.float64)
+    ys = np.array([h[1] for h in hs])
+    slope = np.polyfit(ws, ys, 1)[0]
+    assert out["n_weeks"].iloc[0] == len(hs)
+    assert abs(out["h_mean"].iloc[0] - ys.mean()) < 1e-6
+    assert abs(out["slope_per_week"].iloc[0] - slope) < 1e-5
+
+
+def test_gini_parts(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_gini_parts"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    li["rev"] = np.round(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 10000
+    ).astype(np.int64)
+    x = np.sort(li.groupby("l_partkey")["rev"].sum().to_numpy(np.float64))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = ((2 * i - n - 1) * x).sum() / (n * x.sum())
+    assert out["n_parts"].iloc[0] == n
+    assert out["total_rev_q"].iloc[0] == x.sum()
+    assert abs(out["gini"].iloc[0] - gini) < 1e-6
+    assert 0 <= out["gini"].iloc[0] < 1
+
+
+def test_hazard_table(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hazard_table"](SF).to_pandas().set_index("t_days")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    spans = ev.groupby("user_id")["d"].agg(lambda s: s.max() - s.min())
+    cat = spans.value_counts().sort_index()
+    at_risk = cat[::-1].cumsum()[::-1]
+    assert list(out.index) == list(cat.index)
+    for t in cat.index:
+        assert out.loc[t, "deaths"] == cat.loc[t]
+        assert out.loc[t, "at_risk"] == at_risk.loc[t]
+        assert abs(out.loc[t, "hazard"] - cat.loc[t] / at_risk.loc[t]) < 1e-6
+    assert out["hazard"].iloc[-1] == 1.0  # everyone at max tenure exits
