@@ -3874,3 +3874,78 @@ def test_hazard_table(ray_session):
         assert out.loc[t, "at_risk"] == at_risk.loc[t]
         assert abs(out.loc[t, "hazard"] - cat.loc[t] / at_risk.loc[t]) < 1e-6
     assert out["hazard"].iloc[-1] == 1.0  # everyone at max tenure exits
+
+
+def test_assoc_rules(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _AR_MIN_AB
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_assoc_rules"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    pt = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    ob = li.merge(pt, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    nn = ob["l_orderkey"].nunique()
+    singles = ob.groupby("p_brand").size()
+    m = ob.merge(ob, on="l_orderkey")
+    m = m[m["p_brand_x"] < m["p_brand_y"]]
+    pairs = m.groupby(["p_brand_x", "p_brand_y"]).size()
+    pairs = pairs[pairs >= _AR_MIN_AB]
+    assert len(out) == 2 * len(pairs)
+    for _, r in out.head(20).iterrows():
+        a, b = r["antecedent"], r["consequent"]
+        nab = pairs.loc[(min(a, b), max(a, b))]
+        na, nb = singles.loc[a], singles.loc[b]
+        assert r["n_ab"] == nab
+        assert abs(r["confidence"] - nab / na) < 1e-6
+        assert abs(r["lift"] - nn * nab / (na * nb)) < 1e-6
+        if na > nab:
+            assert abs(
+                r["conviction"] - (1 - nb / nn) / (1 - nab / na)
+            ) < 1e-4
+
+
+def test_quadratic_hour(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_quadratic_hour"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    g = ev.groupby("h").agg(
+        n=("event_id", "size"),
+        k=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    x = g.index.to_numpy(np.float64)
+    y = (g["k"] / g["n"]).to_numpy(np.float64)
+    c2, c1, _c0 = np.polyfit(x, y, 2)
+    assert out["n_hours"].iloc[0] == len(x)
+    assert abs(out["curvature"].iloc[0] - c2) < 1e-5
+    assert abs(out["slope"].iloc[0] - c1) < 1e-4
+    assert out["curv_sign"].iloc[0] == np.sign(out["curvature"].iloc[0])
+    assert abs(out["vertex_hour"].iloc[0] - (-c1 / (2 * c2))) < 1e-2
+
+
+def test_hash_uniformity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from hashlib import md5
+
+    out = QUERIES["q_hash_uniformity"](SF).to_pandas()
+    ev = _events_pdf()
+    users = ev["user_id"].unique()
+    hb = [int(md5(str(int(u)).encode()).hexdigest()[:2], 16) for u in users]
+    from collections import Counter
+
+    c = Counter(hb)
+    n = len(users)
+    obs2 = sum(v * (v - 1) for v in c.values())
+    assert out["n_users"].iloc[0] == n
+    assert out["n_buckets_hit"].iloc[0] == len(c)
+    assert out["max_bucket"].iloc[0] == max(c.values())
+    assert abs(
+        out["collision_ratio"].iloc[0] - obs2 * 256 / (n * (n - 1))
+    ) < 1e-6
