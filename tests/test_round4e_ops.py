@@ -3949,3 +3949,68 @@ def test_hash_uniformity(ray_session):
     assert abs(
         out["collision_ratio"].iloc[0] - obs2 * 256 / (n * (n - 1))
     ) < 1e-6
+
+
+def test_markov_order_test(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_markov_order_test"](SF).to_pandas()
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    mat = np.zeros((m, m))
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            mat[sid[a], sid[b]] += 1
+    r, c, nn = mat.sum(1), mat.sum(0), mat.sum()
+    mask = mat > 0
+    g_ = 2 * (
+        mat[mask] * np.log(nn * mat[mask] / np.outer(r, c)[mask])
+    ).sum()
+    assert out["n_transitions"].iloc[0] == nn
+    assert out["df"].iloc[0] == ((r > 0).sum() - 1) * ((c > 0).sum() - 1)
+    assert abs(out["g_stat"].iloc[0] - g_) < 1e-4
+    assert out["g_stat"].iloc[0] >= 0
+
+
+def test_info_gain_hour(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_info_gain_hour"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+
+    def H(labels):
+        p = labels.value_counts(normalize=True).to_numpy()
+        return -(p * np.log(p)).sum()
+
+    ht, hh = H(ev["event_type"]), H(ev["h"])
+    hj = H(ev["event_type"].astype(str) + "|" + ev["h"].astype(str))
+    ig = ht + hh - hj
+    assert out["n"].iloc[0] == len(ev)
+    assert abs(out["h_type"].iloc[0] - ht) < 1e-6
+    assert abs(out["h_hour"].iloc[0] - hh) < 1e-6
+    assert abs(out["h_joint"].iloc[0] - hj) < 1e-6
+    assert abs(out["info_gain"].iloc[0] - ig) < 1e-5
+    assert 0 <= out["uncertainty_coeff"].iloc[0] <= 1
+
+
+def test_balance_activity_corr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_balance_activity_corr"](SF).to_pandas()
+    cu = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey"]
+    ).to_pandas()
+    cnt = od.groupby("o_custkey").size()
+    x = np.round(cu["c_acctbal"] * 100).to_numpy(np.float64)
+    y = cu["c_custkey"].map(cnt).fillna(0).to_numpy(np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n_customers"].iloc[0] == len(cu)
+    assert out["n_with_orders"].iloc[0] == len(cnt)
+    assert abs(out["pearson_r"].iloc[0] - r) < 1e-6
