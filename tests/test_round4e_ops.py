@@ -4014,3 +4014,65 @@ def test_balance_activity_corr(ray_session):
     assert out["n_customers"].iloc[0] == len(cu)
     assert out["n_with_orders"].iloc[0] == len(cnt)
     assert abs(out["pearson_r"].iloc[0] - r) < 1e-6
+
+
+def test_err_metric(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, NDCG_GAINS, NDCG_K
+
+    out = QUERIES["q_err_metric"](SF).to_pandas().set_index("user_id")
+    ev = _events_pdf()
+    ev["gain"] = ev["event_type"].map(NDCG_GAINS).fillna(0).astype(int)
+    for u, g in ev.groupby("user_id"):
+        top = g.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(NDCG_K)
+        err, stay = 0.0, 1.0
+        for r, gn in enumerate(top["gain"], 1):
+            R = (2**gn - 1) / 8
+            err += stay * R / r
+            stay *= 1 - R
+        assert abs(out.loc[u, "err"] - err) < 1e-5
+        assert 0 <= out.loc[u, "err"] <= 1
+
+
+def test_concentration_index(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_concentration_index"](SF).to_pandas()
+    cu = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    od["cents"] = np.round(od["o_totalprice"] * 100).astype(np.int64)
+    rev = od.groupby("o_custkey")["cents"].sum()
+    cu["bal"] = np.round(cu["c_acctbal"] * 100).astype(np.int64)
+    cu = cu.sort_values(["bal", "c_custkey"]).reset_index(drop=True)
+    x = cu["c_custkey"].map(rev).fillna(0).to_numpy(np.float64)
+    n = len(x)
+    i = np.arange(1, n + 1)
+    ci = 2 * (x * i).sum() / (n * x.sum()) - (n + 1) / n
+    assert out["n_customers"].iloc[0] == n
+    assert out["total_cents"].iloc[0] == x.sum()
+    assert abs(out["conc_index"].iloc[0] - ci) < 1e-6
+    assert -1 <= out["conc_index"].iloc[0] <= 1
+
+
+def test_activity_persistence(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_activity_persistence"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    w0 = ev["w"].min()
+    c1 = ev[ev["w"] == w0].groupby("user_id").size()
+    c2 = ev[ev["w"] == w0 + 1].groupby("user_id").size()
+    x = c1.to_numpy(np.float64)
+    y = c1.index.map(c2).fillna(0).to_numpy(np.float64)
+    slope = np.polyfit(x, y, 1)[0]
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n_users"].iloc[0] == len(x)
+    assert abs(out["slope"].iloc[0] - slope) < 1e-5
+    assert abs(out["pearson_r"].iloc[0] - r) < 1e-6
