@@ -4076,3 +4076,71 @@ def test_activity_persistence(ray_session):
     assert out["n_users"].iloc[0] == len(x)
     assert abs(out["slope"].iloc[0] - slope) < 1e-5
     assert abs(out["pearson_r"].iloc[0] - r) < 1e-6
+
+
+def test_hitting_time(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_hitting_time"](SF).to_pandas().set_index("state")
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    mat = np.zeros((m, m))
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            mat[sid[a], sid[b]] += 1
+    r = mat.sum(1)
+    P = mat / np.where(r[:, None] == 0, 1, r[:, None])
+    # float reference: solve h = 1 + P[:,1:] @ h over non-target states
+    A = np.eye(m - 1) - P[1:, 1:]
+    h = np.linalg.solve(A, np.ones(m - 1))
+    for i, s in enumerate(_MK_STATES[1:]):
+        if r[i + 1] > 0:
+            # fixed-point 60-iter integer value approximates the solve
+            assert abs(out.loc[s, "hitting_time"] - h[i]) < 1e-3
+    assert (out["hitting_time"].dropna() >= 1.0).all()
+
+
+def test_var_cvar(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_var_cvar"](SF).to_pandas()
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    s = np.sort(ev.groupby(ev["ts"].values.astype("datetime64[D]"))["c"].sum())
+    n = len(s)
+    k = int(np.ceil(0.05 * n))
+    assert out["n_days"].iloc[0] == n
+    assert out["k_worst"].iloc[0] == k
+    assert out["var95_cents"].iloc[0] == s[k - 1]
+    assert abs(out["cvar95_cents"].iloc[0] - s[:k].mean()) < 1e-6
+    assert out["cvar95_cents"].iloc[0] <= out["var95_cents"].iloc[0]
+
+
+def test_page_trend(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_page_trend"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    weeks = sorted(ev["w"].unique())
+    types = sorted(ev["event_type"].unique())
+    k, b = len(weeks), len(types)
+    cnt = ev.groupby(["event_type", "w"]).size()
+    rsum = {w: 0 for w in weeks}
+    for t in types:
+        vals = sorted(weeks, key=lambda w: (cnt.get((t, w), 0), w))
+        for pos, w in enumerate(vals, 1):
+            rsum[w] += pos
+    L = sum((j + 1) * rsum[w] for j, w in enumerate(weeks))
+    e_l = b * k * (k + 1) ** 2 / 4
+    z = (L - e_l) / np.sqrt(b * k**2 * (k + 1) * (k**2 - 1) / 144)
+    assert out["n_blocks"].iloc[0] == b
+    assert out["n_weeks"].iloc[0] == k
+    assert out["page_l"].iloc[0] == L
+    assert out["e_l"].iloc[0] == e_l
+    assert abs(out["z"].iloc[0] - z) < 1e-6
