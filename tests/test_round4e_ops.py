@@ -4144,3 +4144,69 @@ def test_page_trend(ray_session):
     assert out["page_l"].iloc[0] == L
     assert out["e_l"].iloc[0] == e_l
     assert abs(out["z"].iloc[0] - z) < 1e-6
+
+
+def test_state_occupancy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_state_occupancy"](SF).to_pandas().set_index("state")
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    from collections import Counter
+
+    acc = Counter()
+    for _, g in tr.groupby("conv_id"):
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        tools = g["tool"].fillna("").to_numpy()
+        for i in range(len(g) - 1):
+            acc[tools[i]] += int(ts[i + 1] - ts[i])
+    tot = sum(acc.values())
+    assert set(out.index) == set(acc)
+    for s in out.index:
+        assert out.loc[s, "total_us"] == acc[s]
+        assert abs(out.loc[s, "share"] - acc[s] / tot) < 1e-6
+    assert abs(out["share"].sum() - 1.0) < 1e-5
+
+
+def test_priority_transitions(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_priority_transitions"](SF).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas().sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    from collections import Counter
+
+    cnt = Counter()
+    for _, g in od.groupby("o_custkey"):
+        p = g["o_orderpriority"].tolist()
+        for a, b in zip(p[:-1], p[1:]):
+            cnt[(a, b)] += 1
+    assert len(out) == len(cnt)
+    rowtot = Counter()
+    for (a, _b), c in cnt.items():
+        rowtot[a] += c
+    for _, r in out.iterrows():
+        key = (r["from_priority"], r["to_priority"])
+        assert r["n"] == cnt[key]
+        assert abs(r["share"] - cnt[key] / rowtot[key[0]]) < 1e-6
+
+
+def test_msttr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MSTTR_W
+    import pyarrow.parquet as pq
+    import re
+
+    out = QUERIES["q_msttr"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    k, s = 0, 0
+    for t in docs["text"].fillna(""):
+        toks = re.findall(r"\S+", t)
+        for i in range(len(toks) // _MSTTR_W):
+            chunk = toks[i * _MSTTR_W : (i + 1) * _MSTTR_W]
+            k += 1
+            s += len(set(chunk))
+    assert out["n_windows"].iloc[0] == k
+    assert out["sum_types"].iloc[0] == s
+    assert abs(out["msttr"].iloc[0] - s / (_MSTTR_W * k)) < 1e-6
+    assert 0 < out["msttr"].iloc[0] <= 1
