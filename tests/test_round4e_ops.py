@@ -4210,3 +4210,64 @@ def test_msttr(ray_session):
     assert out["sum_types"].iloc[0] == s
     assert abs(out["msttr"].iloc[0] - s / (_MSTTR_W * k)) < 1e-6
     assert 0 < out["msttr"].iloc[0] <= 1
+
+
+def test_xcorr_types(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_xcorr_types"](SF).to_pandas().set_index("lag")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]")
+    daily = ev.groupby("d").agg(
+        p=("event_type", lambda s: int((s == "purchase").sum())),
+        e=("event_type", lambda s: int((s == "error").sum())),
+    )
+    zp = daily["p"].to_numpy(np.float64) - daily["p"].mean()
+    ze = daily["e"].to_numpy(np.float64) - daily["e"].mean()
+    den = np.sqrt((zp**2).sum() * (ze**2).sum())
+    n = len(zp)
+    for lag in (-2, -1, 0, 1, 2):
+        if lag >= 0:
+            num = (zp[: n - lag] * ze[lag:]).sum()
+        else:
+            num = (zp[-lag:] * ze[: n + lag]).sum()
+        assert abs(out.loc[lag, "xcorr"] - num / den) < 1e-6
+        assert -1 <= out.loc[lag, "xcorr"] <= 1
+
+
+def test_cochran_armitage(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cochran_armitage"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    g = ev.groupby("w").agg(
+        n=("event_id", "size"),
+        k=("event_type", lambda s: int((s == "purchase").sum())),
+    ).sort_index()
+    w = np.arange(1, len(g) + 1, dtype=np.float64)
+    n_, k_ = g["n"].to_numpy(np.float64), g["k"].to_numpy(np.float64)
+    N, K = n_.sum(), k_.sum()
+    pbar = K / N
+    num = (w * k_).sum() - pbar * (w * n_).sum()
+    var = pbar * (1 - pbar) * ((n_ * w * w).sum() - (n_ * w).sum() ** 2 / N)
+    z = num / np.sqrt(var)
+    assert out["n_weeks"].iloc[0] == len(g)
+    assert out["n"].iloc[0] == N
+    assert out["k"].iloc[0] == K
+    assert abs(out["z"].iloc[0] - z) < 1e-5
+
+
+def test_hodges_lehmann(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_hodges_lehmann"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = docs.loc[docs["lang"] == "en", "n_chars"].to_numpy(np.int64)
+    b = docs.loc[docs["lang"] != "en", "n_chars"].to_numpy(np.int64)
+    diffs = np.sort((a[:, None] - b[None, :]).ravel())
+    n = len(diffs)
+    hl = diffs[int(np.ceil(n / 2)) - 1]  # lower weighted median
+    assert out["n_pairs"].iloc[0] == n
+    assert out["hl_shift"].iloc[0] == hl
