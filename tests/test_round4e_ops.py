@@ -4271,3 +4271,50 @@ def test_hodges_lehmann(ray_session):
     hl = diffs[int(np.ceil(n / 2)) - 1]  # lower weighted median
     assert out["n_pairs"].iloc[0] == n
     assert out["hl_shift"].iloc[0] == hl
+
+
+def test_bimodality(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bimodality"](SF).to_pandas()
+    x = _daily_counts().to_numpy(np.float64)
+    z = x - x.mean()
+    m2, m3, m4 = (z**2).mean(), (z**3).mean(), (z**4).mean()
+    g1, g2 = m3 / m2**1.5, m4 / m2**2
+    assert out["n_days"].iloc[0] == len(x)
+    assert abs(out["skewness"].iloc[0] - g1) < 1e-5
+    assert abs(out["kurtosis"].iloc[0] - g2) < 1e-5
+    assert abs(out["bimodality"].iloc[0] - (g1**2 + 1) / g2) < 1e-5
+
+
+def test_ks_uniform_hour(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ks_uniform_hour"](SF).to_pandas()
+    ev = _events_pdf()
+    c = ev["ts"].dt.hour.value_counts().reindex(range(24), fill_value=0)
+    n = c.sum()
+    cum = c.sort_index().cumsum().to_numpy(np.float64)
+    dev = np.abs(cum / n - np.arange(1, 25) / 24)
+    assert out["n"].iloc[0] == n
+    assert out["worst_hour"].iloc[0] == int(np.argmax(dev))
+    assert abs(out["d_stat"].iloc[0] - dev.max()) < 1e-6
+    assert 0 <= out["d_stat"].iloc[0] <= 1
+
+
+def test_stoch_dominance(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_stoch_dominance"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = np.sort(docs.loc[docs["lang"] == "en", "n_chars"].to_numpy())
+    b = np.sort(docs.loc[docs["lang"] != "en", "n_chars"].to_numpy())
+    v = np.unique(np.r_[a, b])
+    fa = np.searchsorted(a, v, side="right") / len(a)
+    fb = np.searchsorted(b, v, side="right") / len(b)
+    holds = int((fa <= fb).sum())
+    assert out["n_support"].iloc[0] == len(v)
+    assert out["n_holds"].iloc[0] == holds
+    assert out["dominates"].iloc[0] == (holds == len(v))
+    assert abs(out["worst_violation"].iloc[0] - max((fa - fb).max(), 0)) < 1e-6
