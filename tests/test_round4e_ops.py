@@ -4318,3 +4318,66 @@ def test_stoch_dominance(ray_session):
     assert out["n_holds"].iloc[0] == holds
     assert out["dominates"].iloc[0] == (holds == len(v))
     assert abs(out["worst_violation"].iloc[0] - max((fa - fb).max(), 0)) < 1e-6
+
+
+def test_shift_share(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_shift_share"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    w0 = ev["w"].min()
+    a = ev[ev["w"] == w0].groupby("event_type").size()
+    b = ev[ev["w"] == w0 + 1].groupby("event_type").size()
+    n0, n1 = a.sum(), b.sum()
+    for t in out.index:
+        c0, c1 = a.get(t, 0), b.get(t, 0)
+        assert out.loc[t, "n_week1"] == c0
+        assert out.loc[t, "n_week2"] == c1
+        assert abs(out.loc[t, "expected"] - c0 * n1 / n0) < 1e-5
+        assert abs(out.loc[t, "mix_effect"] - (c1 - c0 * n1 / n0)) < 1e-5
+    assert abs(out["mix_effect"].sum()) < 1e-3  # residuals net to zero
+
+
+def test_growth_drivers(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_growth_drivers"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    w0 = ev["w"].min()
+    g0 = ev[ev["w"] == w0]
+    g1 = ev[ev["w"] == w0 + 1]
+    n0, n1 = len(g0), len(g1)
+    u0, u1 = g0["user_id"].nunique(), g1["user_id"].nunique()
+    assert (out["n_week1"].iloc[0], out["n_week2"].iloc[0]) == (n0, n1)
+    assert (out["u_week1"].iloc[0], out["u_week2"].iloc[0]) == (u0, u1)
+    assert abs(out["g_total"].iloc[0] - np.log(n1 / n0)) < 1e-6
+    assert abs(out["g_users"].iloc[0] - np.log(u1 / u0)) < 1e-6
+    assert abs(
+        out["g_total"].iloc[0]
+        - out["g_users"].iloc[0]
+        - out["g_intensity"].iloc[0]
+    ) < 1e-5  # the decomposition identity
+
+
+def test_post_purchase_error(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_post_purchase_error"](SF).to_pandas()
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    na = nea = 0
+    for _, g in ev.groupby("user_id"):
+        ty = g["event_type"].tolist()
+        for a, b in zip(ty[:-1], ty[1:]):
+            if a == "purchase":
+                na += 1
+                if b == "error":
+                    nea += 1
+    ne = len(ev)
+    nr = int((ev["event_type"] == "error").sum())
+    assert out["n_events"].iloc[0] == ne
+    assert out["n_after_purchase"].iloc[0] == na
+    assert out["n_err_after"].iloc[0] == nea
+    assert abs(out["err_rate_after"].iloc[0] - nea / na) < 1e-6
+    assert abs(out["lift"].iloc[0] - (nea / na) / (nr / ne)) < 1e-5
