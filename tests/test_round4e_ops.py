@@ -4381,3 +4381,59 @@ def test_post_purchase_error(ray_session):
     assert out["n_err_after"].iloc[0] == nea
     assert abs(out["err_rate_after"].iloc[0] - nea / na) < 1e-6
     assert abs(out["lift"].iloc[0] - (nea / na) / (nr / ne)) < 1e-5
+
+
+def test_mean_residual_life(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mean_residual_life"](SF).to_pandas().set_index("t_days")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    spans = ev.groupby("user_id")["d"].agg(lambda s: s.max() - s.min())
+    for t in out.index:
+        surv = spans[spans >= t]
+        mrl = (surv - t).mean()
+        assert out.loc[t, "at_risk"] == len(surv)
+        assert abs(out.loc[t, "mrl_days"] - mrl) < 1e-6
+    assert out["mrl_days"].iloc[-1] == 0.0
+
+
+def test_handoff_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_handoff_entropy"](SF).to_pandas().set_index("state")
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    from collections import Counter
+
+    rows = {s: Counter() for s in _MK_STATES}
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            rows[a][b] += 1
+    for s in out.index:
+        c = np.array(list(rows[s].values()), np.float64)
+        p = c / c.sum()
+        h = -(p * np.log(p)).sum()
+        assert out.loc[s, "n_out"] == c.sum()
+        assert out.loc[s, "out_degree"] == len(c)
+        assert abs(out.loc[s, "entropy"] - h) < 1e-6
+        assert abs(out.loc[s, "perplexity"] - np.exp(h)) < 1e-5
+        assert out.loc[s, "perplexity"] <= out.loc[s, "out_degree"] + 1e-9
+
+
+def test_gap_gini(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gap_gini"](SF).to_pandas()
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        gaps.extend(((ts[1:] - ts[:-1]) // 1_000_000).tolist())
+    x = np.sort(np.array(gaps, np.float64))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = ((2 * i - n - 1) * x).sum() / (n * x.sum())
+    assert out["n_gaps"].iloc[0] == n
+    assert abs(out["gini"].iloc[0] - gini) < 1e-6
+    assert 0 <= out["gini"].iloc[0] < 1
