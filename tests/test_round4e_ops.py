@@ -4437,3 +4437,64 @@ def test_gap_gini(ray_session):
     assert out["n_gaps"].iloc[0] == n
     assert abs(out["gini"].iloc[0] - gini) < 1e-6
     assert 0 <= out["gini"].iloc[0] < 1
+
+
+def test_coverage_by_source(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    out = QUERIES["q_coverage_by_source"](SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for s, g in docs.groupby("source"):
+        c = Counter(
+            w for t in g["text"].fillna("") for w in re.findall(r"\S+", t)
+        )
+        tot = sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        assert out.loc[s, "vocab"] == len(c)
+        assert out.loc[s, "tokens"] == tot
+        assert out.loc[s, "f1"] == f1
+        assert abs(out.loc[s, "coverage"] - (1 - f1 / tot)) < 1e-6
+
+
+def test_revisit_curve(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_revisit_curve"](SF).to_pandas().set_index("k_days")
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    sets = {u: set(g["d"]) for u, g in ud.groupby("user_id")}
+    gmax = ud["d"].max()
+    for k in range(1, 8):
+        num = sum(
+            1 for u, ds_ in sets.items() for d in ds_ if d + k in ds_
+        )
+        den = sum(
+            1 for u, ds_ in sets.items() for d in ds_ if d + k <= gmax
+        )
+        assert out.loc[k, "revisits"] == num
+        assert out.loc[k, "at_risk"] == den
+        assert abs(out.loc[k, "p_revisit"] - num / den) < 1e-6
+
+
+def test_type_switch_rate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_type_switch_rate"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    n, s = Counter(), Counter()
+    for _, g in ev.groupby("user_id"):
+        ty = g["event_type"].tolist()
+        for a, b in zip(ty[:-1], ty[1:]):
+            n[a] += 1
+            if a != b:
+                s[a] += 1
+    for t in out.index:
+        assert out.loc[t, "n_pairs"] == n[t]
+        assert out.loc[t, "n_switched"] == s.get(t, 0)
+        assert abs(out.loc[t, "switch_rate"] - s.get(t, 0) / n[t]) < 1e-6
