@@ -253,6 +253,10 @@ BENCH_QUERIES = [
     "q_basket_lift",
     "q_growth_accounting",
     "q_emd_lengths",
+    "q_hitting_time",
+    "q_cooccur_pmi",
+    "q_weibull_fit",
+    "q_region_trend",
 ]
 
 

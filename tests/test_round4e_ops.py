@@ -4498,3 +4498,77 @@ def test_type_switch_rate(ray_session):
         assert out.loc[t, "n_pairs"] == n[t]
         assert out.loc[t, "n_switched"] == s.get(t, 0)
         assert abs(out.loc[t, "switch_rate"] - s.get(t, 0) / n[t]) < 1e-6
+
+
+def test_graph_distances(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_graph_distances"](SF).to_pandas().set_index("state")
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    adj = np.zeros((m, m), bool)
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            if a != b:
+                adj[sid[a], sid[b]] = True
+    for s in out.index:
+        u = sid[s]
+        # BFS reference
+        dist = {u: 0}
+        frontier = [u]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for y in range(m):
+                    if adj[x, y] and y not in dist:
+                        dist[y] = dist[x] + 1
+                        nxt.append(y)
+            frontier = nxt
+        ds_ = [d for v, d in dist.items() if v != u]
+        assert out.loc[s, "n_reachable"] == len(ds_)
+        assert out.loc[s, "eccentricity"] == (max(ds_) if ds_ else 0)
+        assert out.loc[s, "harmonic_420"] == sum(420 // d for d in ds_)
+
+
+def test_reciprocity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _MK_STATES
+
+    out = QUERIES["q_reciprocity"](SF).to_pandas()
+    tr = _transcripts_pdf().sort_values(["conv_id", "turn_idx", "ts"])
+    sid = {s: i for i, s in enumerate(_MK_STATES)}
+    m = len(_MK_STATES)
+    mat = np.zeros((m, m), np.int64)
+    for _, g in tr.groupby("conv_id"):
+        tools = g["tool"].fillna("").to_numpy()
+        for a, b in zip(tools[:-1], tools[1:]):
+            mat[sid[a], sid[b]] += 1
+    np.fill_diagonal(mat, 0)
+    tot = mat.sum()
+    rec = np.minimum(mat, mat.T).sum()
+    edges = int((mat > 0).sum())
+    mutual = int(((mat > 0) & (mat.T > 0)).sum())
+    assert out["n_edges"].iloc[0] == edges
+    assert out["n_mutual"].iloc[0] == mutual
+    assert abs(out["weighted_reciprocity"].iloc[0] - rec / tot) < 1e-6
+    assert abs(out["edge_reciprocity"].iloc[0] - mutual / edges) < 1e-6
+
+
+def test_ace_richness(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ace_richness"](SF).to_pandas()
+    c = _word_freqs()
+    f = np.array(list(c.values()))
+    s_abund = int((f > 10).sum())
+    rare = f[f <= 10]
+    assert out["s_abund"].iloc[0] == s_abund
+    assert out["s_rare"].iloc[0] == len(rare)
+    assert out["n_rare"].iloc[0] == rare.sum()
+    if len(rare) == 0:
+        # degenerate: every type is abundant → ACE reduces to S_abund
+        assert pd.isna(out["gamma2"].iloc[0])
+        assert out["ace"].iloc[0] == s_abund
+    else:
+        assert out["ace"].iloc[0] >= s_abund + len(rare) - 1e-6
