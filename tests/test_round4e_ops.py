@@ -4572,3 +4572,72 @@ def test_ace_richness(ray_session):
         assert out["ace"].iloc[0] == s_abund
     else:
         assert out["ace"].iloc[0] >= s_abund + len(rare) - 1e-6
+
+
+def test_vocab_growth(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+
+    out = QUERIES["q_vocab_growth"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().sort_values(
+        "doc_id"
+    )
+    n = len(docs)
+    seen = set()
+    curve = {}
+    checkpoints = {n // 4, n // 2, 3 * n // 4, n}
+    for i, (_, row) in enumerate(docs.iterrows(), 1):
+        seen.update(re.findall(r"\S+", row["text"] or ""))
+        if i in checkpoints:
+            curve[i] = len(seen)
+    for _, r in out.iterrows():
+        assert r["types_seen"] == curve[r["n_docs"]]
+    assert out["types_seen"].is_monotonic_increasing
+
+
+def test_circular_emd(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_circular_emd"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    ev["h"] = ev["ts"].dt.hour
+    w0 = ev["w"].min()
+    a = ev[ev["w"] == w0]["h"].value_counts().reindex(
+        range(24), fill_value=0
+    ).to_numpy(np.float64)
+    b = ev[ev["w"] == w0 + 1]["h"].value_counts().reindex(
+        range(24), fill_value=0
+    ).to_numpy(np.float64)
+    pa_, pb = a / a.sum(), b / b.sum()
+    diff = np.cumsum(pa_ - pb)
+    # min over K of mean |diff - K| is attained at the median
+    emd = np.abs(diff - np.median(diff)).mean()
+    assert out["n_week1"].iloc[0] == a.sum()
+    assert out["n_week2"].iloc[0] == b.sum()
+    # lower-median convention can differ from np.median by an amount
+    # that does NOT change the optimum (flat between the two medians)
+    assert abs(out["emd_circular"].iloc[0] - emd) < 1e-6
+
+
+def test_tail_ratio(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tail_ratio"](SF).to_pandas().set_index("event_type")
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    for t, g in ev.groupby("event_type"):
+        v = np.sort(g["c"].to_numpy(np.int64))
+        n = len(v)
+        p50 = v[int(np.ceil(0.5 * n)) - 1]
+        p99 = v[int(np.ceil(0.99 * n)) - 1]
+        p999 = v[int(np.ceil(0.999 * n)) - 1]
+        assert out.loc[t, "p50_cents"] == p50
+        assert out.loc[t, "p99_cents"] == p99
+        assert out.loc[t, "p999_cents"] == p999
+        if p50 != 0:
+            assert abs(out.loc[t, "tail_ratio_99_50"] - p99 / p50) < 1e-6
