@@ -4641,3 +4641,63 @@ def test_tail_ratio(ray_session):
         assert out.loc[t, "p999_cents"] == p999
         if p50 != 0:
             assert abs(out.loc[t, "tail_ratio_99_50"] - p99 / p50) < 1e-6
+
+
+def test_spectral_slope(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_spectral_slope"](SF).to_pandas()
+    x = _daily_counts().to_numpy(np.float64)
+    n2 = 1
+    while n2 * 2 <= len(x):
+        n2 *= 2
+    s = x[:n2].copy()
+    es = []
+    for lev in (1, 2, 3):
+        d = s[0::2] - s[1::2]
+        s = s[0::2] + s[1::2]
+        es.append(np.log((d * d).sum() / 2**lev))
+    slope = np.polyfit([1, 2, 3], es, 1)[0]
+    assert out["n_levels"].iloc[0] == 3
+    assert abs(out["slope_ln_e"].iloc[0] - slope) < 1e-5
+
+
+def test_ovl_coefficient(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    out = QUERIES["q_ovl_coefficient"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = Counter(docs.loc[docs["lang"] == "en", "n_chars"])
+    b = Counter(docs.loc[docs["lang"] != "en", "n_chars"])
+    na, nb = sum(a.values()), sum(b.values())
+    ovl = sum(
+        min(a.get(v, 0) / na, b.get(v, 0) / nb)
+        for v in set(a) | set(b)
+    )
+    assert out["n_en"].iloc[0] == na
+    assert out["n_rest"].iloc[0] == nb
+    assert abs(out["ovl"].iloc[0] - ovl) < 1e-6
+    assert 0 <= out["ovl"].iloc[0] <= 1
+
+
+def test_eta_squared(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_eta_squared"](SF).to_pandas()
+    ev = _events_pdf()
+    raw = ev["value"].to_numpy() * 100
+    ev["x"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.float64)
+    grand = ev["x"].mean()
+    ssb = sum(
+        len(g) * (g["x"].mean() - grand) ** 2
+        for _, g in ev.groupby("event_type")
+    )
+    sst = ((ev["x"] - grand) ** 2).sum()
+    assert out["n"].iloc[0] == len(ev)
+    assert out["k_groups"].iloc[0] == ev["event_type"].nunique()
+    assert abs(out["eta_squared"].iloc[0] - ssb / sst) < 1e-5
+    assert 0 <= out["eta_squared"].iloc[0] <= 1
