@@ -4701,3 +4701,73 @@ def test_eta_squared(ray_session):
     assert out["k_groups"].iloc[0] == ev["event_type"].nunique()
     assert abs(out["eta_squared"].iloc[0] - ssb / sst) < 1e-5
     assert 0 <= out["eta_squared"].iloc[0] <= 1
+
+
+def test_lexical_density(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, STOPWORDS
+    import pyarrow.parquet as pq
+    import re
+
+    out = QUERIES["q_lexical_density"](SF).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    stop = set(STOPWORDS)
+    for l, g in docs.groupby("lang"):
+        toks = [
+            w for t in g["text"].fillna("") for w in re.findall(r"\S+", t)
+        ]
+        s = sum(1 for w in toks if w in stop)
+        assert out.loc[l, "n_tokens"] == len(toks)
+        assert out.loc[l, "n_stopwords"] == s
+        assert abs(
+            out.loc[l, "lexical_density"] - (len(toks) - s) / len(toks)
+        ) < 1e-6
+
+
+def test_churn_wilson(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_churn_wilson"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    w0 = ev["w"].min()
+    cohort = set(ev.loc[ev["w"] == w0, "user_id"])
+    nxt = set(ev.loc[ev["w"] == w0 + 1, "user_id"])
+    n = len(cohort)
+    k = len(cohort - nxt)
+    p = k / n
+    z = 1.959963984540054
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert out["cohort"].iloc[0] == n
+    assert out["churned"].iloc[0] == k
+    assert abs(out["churn_rate"].iloc[0] - p) < 1e-6
+    assert abs(out["wilson_lo"].iloc[0] - (center - half)) < 1e-6
+    assert abs(out["wilson_hi"].iloc[0] - (center + half)) < 1e-6
+    assert (
+        out["wilson_lo"].iloc[0]
+        <= out["churn_rate"].iloc[0] + 1e-9
+    )
+
+
+def test_vocab_jaccard(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+    import re
+
+    out = QUERIES["q_vocab_jaccard"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = set(
+        w
+        for t in docs.loc[docs["lang"] == "en", "text"].fillna("")
+        for w in re.findall(r"\S+", t)
+    )
+    b = set(
+        w
+        for t in docs.loc[docs["lang"] != "en", "text"].fillna("")
+        for w in re.findall(r"\S+", t)
+    )
+    assert out["vocab_en"].iloc[0] == len(a)
+    assert out["vocab_rest"].iloc[0] == len(b)
+    assert out["intersection"].iloc[0] == len(a & b)
+    assert abs(out["jaccard"].iloc[0] - len(a & b) / len(a | b)) < 1e-6
