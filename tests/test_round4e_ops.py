@@ -4771,3 +4771,65 @@ def test_vocab_jaccard(ray_session):
     assert out["vocab_rest"].iloc[0] == len(b)
     assert out["intersection"].iloc[0] == len(a & b)
     assert abs(out["jaccard"].iloc[0] - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_mood_median(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_mood_median"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    x = np.sort(docs["n_chars"].to_numpy(np.int64))
+    med = x[int(np.ceil(0.5 * len(x))) - 1]
+    en = docs["lang"] == "en"
+    a = int(((docs["n_chars"] > med) & en).sum())
+    b = int(((docs["n_chars"] <= med) & en).sum())
+    c = int(((docs["n_chars"] > med) & ~en).sum())
+    d = int(((docs["n_chars"] <= med) & ~en).sum())
+    n = a + b + c + d
+    chi2 = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert out["grand_median"].iloc[0] == med
+    assert (out["en_above"].iloc[0], out["en_below_eq"].iloc[0]) == (a, b)
+    assert (out["rest_above"].iloc[0], out["rest_below_eq"].iloc[0]) == (c, d)
+    assert abs(out["chi2"].iloc[0] - chi2) < 1e-5
+
+
+def test_turning_points(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_turning_points"](SF).to_pandas()
+    x = _daily_counts().to_numpy(np.int64)
+    a, b, c = x[:-2], x[1:-1], x[2:]
+    tp = int((((b > a) & (b > c)) | ((b < a) & (b < c))).sum())
+    n = len(x)
+    z = (tp - 2 * (n - 2) / 3) / np.sqrt((16 * n - 29) / 90)
+    assert out["n_days"].iloc[0] == n
+    assert out["turning_points"].iloc[0] == tp
+    assert abs(out["expected"].iloc[0] - 2 * (n - 2) / 3) < 1e-6
+    assert abs(out["z"].iloc[0] - z) < 1e-6
+
+
+def test_sign_test(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from math import comb
+
+    out = QUERIES["q_sign_test"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    ev["h"] = ev["ts"].dt.hour
+    w0 = ev["w"].min()
+    a = ev[ev["w"] == w0]["h"].value_counts().reindex(
+        range(24), fill_value=0
+    )
+    b = ev[ev["w"] == w0 + 1]["h"].value_counts().reindex(
+        range(24), fill_value=0
+    )
+    pos = int((b > a).sum())
+    neg = int((b < a).sum())
+    n, s = pos + neg, max(pos, neg)
+    p = min(1.0, 2 * sum(comb(n, k) for k in range(s, n + 1)) / 2**n)
+    assert out["n_pairs"].iloc[0] == n
+    assert out["n_up"].iloc[0] == pos
+    assert out["n_down"].iloc[0] == neg
+    assert abs(out["p_two_sided"].iloc[0] - p) < 1e-6
+    assert 0 < out["p_two_sided"].iloc[0] <= 1
