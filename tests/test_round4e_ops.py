@@ -4833,3 +4833,56 @@ def test_sign_test(ray_session):
     assert out["n_down"].iloc[0] == neg
     assert abs(out["p_two_sided"].iloc[0] - p) < 1e-6
     assert 0 < out["p_two_sided"].iloc[0] <= 1
+
+
+def test_gk_lambda(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gk_lambda"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["h"] = ev["ts"].dt.hour
+    tab = pd.crosstab(ev["event_type"], ev["h"])
+    n = tab.values.sum()
+    mg = tab.sum(axis=1).max()
+    mh = tab.max(axis=0).sum()
+    assert out["n"].iloc[0] == n
+    assert out["modal_global"].iloc[0] == mg
+    assert out["sum_modal_by_hour"].iloc[0] == mh
+    lam = (mh - mg) / (n - mg)
+    assert abs(out["gk_lambda"].iloc[0] - lam) < 1e-6
+    assert 0 <= out["gk_lambda"].iloc[0] <= 1
+
+
+def test_cohens_h(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cohens_h"](SF).to_pandas()
+    ev = _events_pdf()
+    we = ev["ts"].dt.dayofweek >= 5
+    isp = ev["event_type"] == "purchase"
+    p0 = isp[~we].mean()
+    p1 = isp[we].mean()
+    h = 2 * np.arcsin(np.sqrt(p1)) - 2 * np.arcsin(np.sqrt(p0))
+    assert out["n_weekday"].iloc[0] == (~we).sum()
+    assert out["n_weekend"].iloc[0] == we.sum()
+    assert abs(out["p_weekday"].iloc[0] - p0) < 1e-6
+    assert abs(out["p_weekend"].iloc[0] - p1) < 1e-6
+    assert abs(out["cohens_h"].iloc[0] - h) < 1e-6
+
+
+def test_zero_inflation(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_zero_inflation"](SF).to_pandas()
+    ev = _events_pdf()
+    ev["d"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64)
+    ev["h"] = ev["ts"].dt.hour
+    cells = ev.groupby(["event_type", "h", "d"]).size()
+    total = ev["event_type"].nunique() * 24 * ev["d"].nunique()
+    zeros = total - len(cells)
+    lam = len(ev) / total
+    zi = 1 + np.log(zeros / total) / lam
+    assert out["n_cells"].iloc[0] == total
+    assert out["n_zero"].iloc[0] == zeros
+    assert abs(out["lambda_hat"].iloc[0] - lam) < 1e-6
+    assert abs(out["zero_inflation"].iloc[0] - zi) < 1e-5
