@@ -4886,3 +4886,65 @@ def test_zero_inflation(ray_session):
     assert out["n_zero"].iloc[0] == zeros
     assert abs(out["lambda_hat"].iloc[0] - lam) < 1e-6
     assert abs(out["zero_inflation"].iloc[0] - zi) < 1e-5
+
+
+def test_kuiper(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kuiper"](SF).to_pandas()
+    ev = _events_pdf()
+    c = ev["ts"].dt.hour.value_counts().reindex(range(24), fill_value=0)
+    n = c.sum()
+    cum = c.sort_index().cumsum().to_numpy(np.float64) / n
+    u = np.arange(1, 25) / 24
+    dp = max((cum - u).max(), 0)
+    dm = max((u - cum).max(), 0)
+    assert out["n"].iloc[0] == n
+    assert abs(out["kuiper_v"].iloc[0] - (dp + dm)) < 1e-6
+    # Kuiper V dominates the one-sided KS D
+    assert out["kuiper_v"].iloc[0] >= max(dp, dm) - 1e-9
+
+
+def test_geometric_median(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _GM_D, _GM_K
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_geometric_median"](SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    x = np.stack(
+        [np.asarray(v, np.float64)[:_GM_D] for v in emb["embedding"]]
+    )
+    m = np.zeros(_GM_D)
+    for _ in range(_GM_K):
+        d = np.sqrt(((x - m) ** 2).sum(axis=1))
+        w = 1 / d
+        m = (w[:, None] * x).sum(0) / w.sum()
+    assert out["n_points"].iloc[0] == len(x)
+    for k in range(_GM_D):
+        assert abs(out[f"gm_{k}"].iloc[0] - m[k]) < 1e-4
+    # robust center stays inside the data's bounding box
+    for k in range(_GM_D):
+        assert x[:, k].min() <= out[f"gm_{k}"].iloc[0] <= x[:, k].max()
+
+
+def test_letter_values(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    import pyarrow.parquet as pq
+
+    out = QUERIES["q_letter_values"](SF).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for l, g in docs.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(v)
+
+        def pick(q):
+            return v[int(np.ceil(q * n)) - 1]
+
+        assert out.loc[l, "n"] == n
+        assert out.loc[l, "median"] == pick(0.5)
+        assert out.loc[l, "f_lower"] == pick(0.25)
+        assert out.loc[l, "f_upper"] == pick(0.75)
+        assert out.loc[l, "e_lower"] == pick(0.125)
+        assert out.loc[l, "e_upper"] == pick(0.875)
+        assert out.loc[l, "f_spread"] == pick(0.75) - pick(0.25)
+        assert out.loc[l, "e_spread"] == pick(0.875) - pick(0.125)
