@@ -4948,3 +4948,71 @@ def test_letter_values(ray_session):
         assert out.loc[l, "e_upper"] == pick(0.875)
         assert out.loc[l, "f_spread"] == pick(0.75) - pick(0.25)
         assert out.loc[l, "e_spread"] == pick(0.875) - pick(0.125)
+
+
+def test_seasonal_mk(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_seasonal_mk"](SF).to_pandas()
+    daily = _daily_counts()
+    d = daily.index.to_numpy().astype("datetime64[D]").astype(np.int64)
+    c = daily.to_numpy(np.int64)
+    dow = (d + 3) % 7
+    s_tot, var_tot = 0, 0
+    for k in range(7):
+        x = c[dow == k]
+        n = len(x)
+        if n < 2:
+            continue
+        for i in range(n - 1):
+            s_tot += int(np.sign(x[i + 1 :] - x[i]).sum())
+        var_tot += n * (n - 1) * (2 * n + 5) // 18
+    z = (
+        (s_tot - np.sign(s_tot)) / np.sqrt(var_tot) if s_tot != 0 else 0.0
+    )
+    assert out["s"].iloc[0] == s_tot
+    assert out["var_s"].iloc[0] == var_tot
+    assert abs(out["z"].iloc[0] - z) < 1e-6
+
+
+def test_conversion_by_decile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_conversion_by_decile"](SF).to_pandas()
+    ev = _events_pdf()
+    per = ev.groupby("user_id").agg(
+        n=("event_type", "size"),
+        k=("event_type", lambda s: int((s == "purchase").sum())),
+    ).sort_values(["n", "k"]).reset_index(drop=True)
+    n_users = len(per)
+    base, rem = n_users // 10, n_users % 10
+    i = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= rem else 0)
+        seg = per.iloc[i : i + size]
+        i += size
+        r = out[out["decile"] == d].iloc[0]
+        assert r["n_users"] == size
+        assert r["n_events"] == seg["n"].sum()
+        assert r["n_purchases"] == seg["k"].sum()
+        assert abs(r["conversion"] - seg["k"].sum() / seg["n"].sum()) < 1e-6
+    assert out["n_users"].sum() == n_users
+
+
+def test_spend_ramp(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_spend_ramp"](SF).to_pandas().set_index("age_week")
+    ev = _events_pdf()
+    ev["w"] = ev["ts"].values.astype("datetime64[D]").astype(np.int64) // 7
+    raw = ev["value"].to_numpy() * 100
+    ev["c"] = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
+    first = ev.groupby("user_id")["w"].min().rename("fw")
+    ev = ev.join(first, on="user_id")
+    ev["age"] = ev["w"] - ev["fw"]
+    for age, g in ev.groupby("age"):
+        assert out.loc[age, "n_events"] == len(g)
+        assert out.loc[age, "net_cents"] == g["c"].sum()
+        assert abs(out.loc[age, "mean_cents"] - g["c"].mean()) < 1e-6
