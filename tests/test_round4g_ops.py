@@ -118,3 +118,82 @@ def test_adamic_adar(ray_session):
         assert r["cn"] == cn
         assert abs(r["aa"] - aa) < 1e-4
         assert abs(r["ra"] - ra) < 1e-4
+
+
+def _hourly_counts_pdf():
+    import duckdb
+
+    return duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            count(*) AS c FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()["c"].to_numpy(np.int64)
+
+
+def test_sample_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_sample_entropy"](SF).to_pandas()
+    x = _hourly_counts_pdf()
+    n = len(x)
+    assert out["n_hours"].iloc[0] == n
+    r = round(0.2 * x.std())  # population std
+    assert out["r_tol"].iloc[0] == r
+    b1 = a1 = a2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if abs(x[i] - x[j]) <= r:
+                b1 += 1
+                if i + 1 < n and j + 1 < n and abs(x[i + 1] - x[j + 1]) <= r:
+                    a1 += 1
+                    if (
+                        i + 2 < n
+                        and j + 2 < n
+                        and abs(x[i + 2] - x[j + 2]) <= r
+                    ):
+                        a2 += 1
+    assert out["b1"].iloc[0] == b1
+    assert out["a1"].iloc[0] == a1
+    assert out["a2"].iloc[0] == a2
+    assert abs(out["sampen1"].iloc[0] - np.log(b1 / a1)) < 1e-6
+    assert abs(out["sampen2"].iloc[0] - np.log(a1 / a2)) < 1e-6
+
+
+def test_higuchi_fd(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_higuchi_fd"](SF).to_pandas()
+    x = _hourly_counts_pdf().astype(np.float64)
+    n = len(x)
+    lks = []
+    for k in range(1, 6):
+        lms = []
+        for m in range(1, k + 1):
+            idx = np.arange(m - 1, n, k)
+            d = np.abs(np.diff(x[idx])).sum()
+            lms.append(d * (n - 1) / ((len(idx) - 1) * k * k))
+        lks.append(np.mean(lms))
+        assert abs(out[f"lk{k}"].iloc[0] - lks[-1]) < 1e-3
+    slope = np.polyfit(np.log(np.arange(1, 6)), np.log(lks), 1)[0]
+    assert abs(out["fd"].iloc[0] - (-slope)) < 1e-4
+
+
+def test_hurst_rs(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hurst_rs"](SF).to_pandas()
+    x = _hourly_counts_pdf().astype(np.float64)
+    n = len(x)
+    rs_means = []
+    for w in (16, 32, 64):
+        vals = []
+        for j in range(n // w):
+            blk = x[j * w : (j + 1) * w]
+            if blk.std() == 0:
+                continue
+            z = np.cumsum(blk - blk.mean())
+            vals.append((z.max() - z.min()) / blk.std())
+        rs_means.append(np.mean(vals))
+        assert abs(out[f"rs{w}"].iloc[0] - rs_means[-1]) < 1e-3
+    slope = np.polyfit(np.log([16.0, 32.0, 64.0]), np.log(rs_means), 1)[0]
+    assert abs(out["hurst"].iloc[0] - slope) < 1e-4
+    assert 0.0 < out["hurst"].iloc[0] < 1.5
