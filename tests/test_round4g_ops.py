@@ -197,3 +197,81 @@ def test_hurst_rs(ray_session):
     slope = np.polyfit(np.log([16.0, 32.0, 64.0]), np.log(rs_means), 1)[0]
     assert abs(out["hurst"].iloc[0] - slope) < 1e-4
     assert 0.0 < out["hurst"].iloc[0] < 1.5
+
+
+def _docs_pv():
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["n_chars", "lang"]
+    ).to_pandas()
+    m = int(df["n_chars"].max())
+    v = df["n_chars"].to_numpy(np.int64)
+    return v, v / m, (df["lang"] == "en").to_numpy(np.float64), m
+
+
+def test_brier_decomp(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_brier_decomp"](SF).to_pandas()
+    v, p, y, m = _docs_pv()
+    n = len(p)
+    assert out["n"].iloc[0] == n
+    assert out["m"].iloc[0] == m
+    bs = ((p - y) ** 2).mean()
+    assert abs(out["bs"].iloc[0] - bs) < 1e-6
+    binid = np.minimum(10 * v // m, 9)
+    rel = res = 0.0
+    ybar = y.mean()
+    for b in np.unique(binid):
+        mask = binid == b
+        nb = mask.sum()
+        acc = y[mask].mean()
+        conf = p[mask].mean()
+        rel += nb * (conf - acc) ** 2
+        res += nb * (acc - ybar) ** 2
+    assert abs(out["reliability"].iloc[0] - rel / n) < 1e-5
+    assert abs(out["resolution"].iloc[0] - res / n) < 1e-5
+    assert abs(out["uncertainty"].iloc[0] - ybar * (1 - ybar)) < 1e-6
+
+
+def test_log_loss(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_log_loss"](SF).to_pandas()
+    v, p, y, m = _docs_pv()
+    pc_ = np.clip(p, 1e-6, 1 - 1e-6)
+    ll = -(y * np.log(pc_) + (1 - y) * np.log(1 - pc_)).mean()
+    assert abs(out["log_loss"].iloc[0] - ll) < 1e-5
+    assert abs(out["base_rate"].iloc[0] - y.mean()) < 1e-6
+    assert abs(out["mean_conf"].iloc[0] - p.mean()) < 1e-6
+
+
+def test_granger(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_granger"](SF).to_pandas()
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p,
+            sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS e
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    pv = d["p"].to_numpy(np.float64)
+    ev = d["e"].to_numpy(np.float64)
+    y, x1, x2 = pv[1:], pv[:-1], ev[:-1]
+    t = len(y)
+    assert out["t_obs"].iloc[0] == t
+    Xf = np.column_stack([np.ones(t), x1, x2])
+    bf, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    rss_f = ((y - Xf @ bf) ** 2).sum()
+    Xr = np.column_stack([np.ones(t), x1])
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    rss_r = ((y - Xr @ br) ** 2).sum()
+    assert abs(out["rss_f"].iloc[0] - rss_f) < max(1e-3, 1e-6 * rss_f)
+    assert abs(out["rss_r"].iloc[0] - rss_r) < max(1e-3, 1e-6 * rss_r)
+    assert abs(out["beta_err"].iloc[0] - bf[2]) < 1e-4
+    f = (rss_r - rss_f) / (rss_f / (t - 3))
+    assert abs(out["f_stat"].iloc[0] - f) < 1e-3
