@@ -275,3 +275,106 @@ def test_granger(ray_session):
     assert abs(out["beta_err"].iloc[0] - bf[2]) < 1e-4
     f = (rss_r - rss_f) / (rss_f / (t - 3))
     assert abs(out["f_stat"].iloc[0] - f) < 1e-3
+
+
+def _avg_ranks(vals):
+    order = np.argsort(vals, kind="stable")
+    n = len(vals)
+    ranks = np.empty(n, np.float64)
+    sv = np.asarray(vals)[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    return ranks
+
+
+def test_cucconi(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cucconi"](SF).to_pandas()
+    x = _hourly_counts_pdf()
+    h = np.arange(len(x))  # only used via the query's own weekend defn
+    import duckdb
+
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            count(*) AS c FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    hv = d["h"].to_numpy(np.int64)
+    c = d["c"].to_numpy(np.int64)
+    we = (hv // 24 + 3) % 7 >= 5
+    nt, n, m = len(c), int(we.sum()), int((~we).sum())
+    assert out["n_weekend"].iloc[0] == n
+    assert out["n_weekday"].iloc[0] == m
+    r = _avg_ranks(c)
+    su = (r[we] ** 2).sum()
+    sv = ((nt + 1 - r[we]) ** 2).sum()
+    den = np.sqrt(n * m * (nt + 1) * (2 * nt + 1) * (8 * nt + 11) / 5.0)
+    u = (6 * su - n * (nt + 1) * (2 * nt + 1)) / den
+    v = (6 * sv - n * (nt + 1) * (2 * nt + 1)) / den
+    rho = 2 * (nt**2 - 4) / ((2 * nt + 3) * (8 * nt + 11)) - 1
+    assert abs(out["u_stat"].iloc[0] - u) < 1e-4
+    assert abs(out["v_stat"].iloc[0] - v) < 1e-4
+    assert abs(out["rho"].iloc[0] - rho) < 1e-6
+    cstat = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert abs(out["cucconi_c"].iloc[0] - cstat) < 1e-3
+
+
+def test_conover_squared_ranks(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_conover_squared_ranks"](SF).to_pandas()
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            count(*) AS c FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    hv = d["h"].to_numpy(np.int64)
+    c = d["c"].to_numpy(np.float64)
+    we = (hv // 24 + 3) % 7 >= 5
+    z = np.where(we, np.abs(c - c[we].mean()), np.abs(c - c[~we].mean()))
+    r = _avg_ranks(z)
+    a = r**2
+    nt, n, m = len(c), int(we.sum()), int((~we).sum())
+    t_stat = a[we].sum()
+    e = n * a.mean()
+    var = n * m * (nt * (a**2).sum() - a.sum() ** 2) / (nt**2 * (nt - 1))
+    zs = (t_stat - e) / np.sqrt(var)
+    assert out["n_weekend"].iloc[0] == n
+    assert abs(out["t4"].iloc[0] / 4.0 - t_stat) < 1e-6
+    assert abs(out["z_sqrank"].iloc[0] - zs) < 1e-4
+
+
+def test_quade(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_quade"](SF).to_pandas()
+    d = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+            event_type AS et, count(*) AS c
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).df()
+    grid = (
+        d.pivot(index="d", columns="et", values="c").fillna(0).sort_index()
+    )
+    x = grid.to_numpy(np.float64)
+    b, k = x.shape
+    assert out["b_blocks"].iloc[0] == b
+    assert out["k_treat"].iloc[0] == k
+    r = np.vstack([_avg_ranks(row) for row in x])
+    q = _avg_ranks(x.max(axis=1) - x.min(axis=1))
+    s = q[:, None] * (r - (k + 1) / 2.0)
+    a_stat = (s**2).sum()
+    sj = s.sum(axis=0)
+    b_stat = (sj**2).sum() / b
+    f = (b - 1) * b_stat / (a_stat - b_stat)
+    assert abs(out["a16"].iloc[0] / 16.0 - a_stat) < 1e-6
+    assert abs(out["sb2"].iloc[0] / 16.0 - (sj**2).sum()) < 1e-6
+    assert abs(out["quade_f"].iloc[0] - f) < 1e-4
