@@ -378,3 +378,60 @@ def test_quade(ray_session):
     assert abs(out["a16"].iloc[0] / 16.0 - a_stat) < 1e-6
     assert abs(out["sb2"].iloc[0] / 16.0 - (sj**2).sum()) < 1e-6
     assert abs(out["quade_f"].iloc[0] - f) < 1e-4
+
+
+def _hod_we_pdf():
+    import duckdb
+
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h
+            FROM '{SF}/events.parquet'"""
+    ).df()["h"].to_numpy(np.int64)
+    hod = d % 24
+    we = (d // 24 + 3) % 7 >= 5
+    a = np.bincount(hod[we], minlength=24).astype(np.float64)
+    b = np.bincount(hod[~we], minlength=24).astype(np.float64)
+    return a, b
+
+
+def test_hellinger(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hellinger"](SF).to_pandas()
+    a, b = _hod_we_pdf()
+    p, q = a / a.sum(), b / b.sum()
+    bc = np.sqrt(p * q).sum()
+    assert out["n_weekend"].iloc[0] == a.sum()
+    assert out["n_weekday"].iloc[0] == b.sum()
+    assert abs(out["bc"].iloc[0] - bc) < 1e-6
+    assert abs(out["hellinger"].iloc[0] - np.sqrt(1 - bc)) < 1e-5
+
+
+def test_total_variation(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_total_variation"](SF).to_pandas()
+    a, b = _hod_we_pdf()
+    p, q = a / a.sum(), b / b.sum()
+    assert abs(out["tv"].iloc[0] - 0.5 * np.abs(p - q).sum()) < 1e-6
+    assert abs(out["linf"].iloc[0] - np.abs(p - q).max()) < 1e-6
+    assert 0.0 <= out["tv"].iloc[0] <= 1.0
+
+
+def test_cressie_read(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cressie_read"](SF).to_pandas()
+    a, b = _hod_we_pdf()
+    o = a + b
+    n = o.sum()
+    e = n / 24.0
+    assert out["n"].iloc[0] == n
+    lam = 2.0 / 3.0
+    cr = 2.0 / (lam * (lam + 1)) * (o * ((o / e) ** lam - 1)).sum()
+    assert abs(out["cr_lambda23"].iloc[0] - cr) < 1e-4
+    ft = 2.0 / (-0.5 * 0.5) * (o * ((o / e) ** -0.5 - 1)).sum()
+    # identity: CR(-1/2) equals 4*sum((sqrt(O)-sqrt(E))^2) up to O-E total
+    ft_classic = 4.0 * ((np.sqrt(o) - np.sqrt(e)) ** 2).sum()
+    assert abs(out["cr_freeman_tukey"].iloc[0] - ft) < 1e-4
+    assert abs(ft - ft_classic) < 1e-6
