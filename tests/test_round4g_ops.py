@@ -435,3 +435,65 @@ def test_cressie_read(ray_session):
     ft_classic = 4.0 * ((np.sqrt(o) - np.sqrt(e)) ** 2).sum()
     assert abs(out["cr_freeman_tukey"].iloc[0] - ft) < 1e-4
     assert abs(ft - ft_classic) < 1e-6
+
+
+def test_yule_k(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_yule_k"](SF).to_pandas()
+    toks = duckdb.sql(
+        f"""SELECT unnest(list_filter(regexp_split_to_array(
+              coalesce(text,''), '\\s+'), x -> x <> '')) AS w
+            FROM '{SF}/documents.parquet'"""
+    ).df()["w"]
+    freqs = toks.value_counts().to_numpy(np.float64)
+    n, vt = freqs.sum(), len(freqs)
+    assert out["n_tokens"].iloc[0] == n
+    assert out["n_types"].iloc[0] == vt
+    assert out["v1"].iloc[0] == (freqs == 1).sum()
+    assert out["v2"].iloc[0] == (freqs == 2).sum()
+    k = 1e4 * ((freqs**2).sum() - n) / n**2
+    assert abs(out["yule_k"].iloc[0] - k) < 1e-4
+    d = ((freqs * (freqs - 1)).sum()) / (n * (n - 1))
+    assert abs(out["simpson_d"].iloc[0] - d) < 1e-6
+    assert abs(out["herdan_c"].iloc[0] - np.log(vt) / np.log(n)) < 1e-6
+    assert abs(out["brunet_w"].iloc[0] - n ** (vt**-0.165)) < 1e-3
+
+
+def test_ar2_yw(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ar2_yw"](SF).to_pandas()
+    x = _hourly_counts_pdf().astype(np.float64)
+    z = x - x.mean()
+    c0 = (z * z).sum()
+    r1 = (z[:-1] * z[1:]).sum() / c0
+    r2 = (z[:-2] * z[2:]).sum() / c0
+    assert abs(out["r1"].iloc[0] - r1) < 1e-6
+    assert abs(out["r2"].iloc[0] - r2) < 1e-6
+    phi1 = r1 * (1 - r2) / (1 - r1**2)
+    phi2 = (r2 - r1**2) / (1 - r1**2)
+    assert abs(out["phi1"].iloc[0] - phi1) < 1e-6
+    assert abs(out["phi2"].iloc[0] - phi2) < 1e-6
+    assert abs(out["innov_ratio"].iloc[0] - (1 - phi1 * r1 - phi2 * r2)) < 1e-6
+
+
+def test_anderson_darling(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_anderson_darling"](SF).to_pandas()
+    sec = duckdb.sql(
+        f"""SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) % 86400
+              AS s
+            FROM '{SF}/events.parquet'"""
+    ).df()["s"].to_numpy(np.int64)
+    u = np.sort((sec + 0.5) / 86400.0)
+    n = len(u)
+    assert out["n"].iloc[0] == n
+    i = np.arange(1, n + 1)
+    a2 = -n - ((2 * i - 1) * (np.log(u) + np.log(1 - u[::-1]))).sum() / n
+    assert abs(out["a2"].iloc[0] - a2) < 1e-3
