@@ -497,3 +497,65 @@ def test_anderson_darling(ray_session):
     i = np.arange(1, n + 1)
     a2 = -n - ((2 * i - 1) * (np.log(u) + np.log(1 - u[::-1]))).sum() / n
     assert abs(out["a2"].iloc[0] - a2) < 1e-3
+
+
+def test_lz76(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lz76"](SF).to_pandas()
+    x = _hourly_counts_pdf()
+    s = "".join(
+        "u" if b > a else ("d" if b < a else "f") for a, b in zip(x, x[1:])
+    )
+    i, cnt = 0, 0
+    while i < len(s):
+        k = 0
+        while i + k < len(s) and s[i : i + k + 1] in s[: i + k]:
+            k += 1
+        i += k + 1
+        cnt += 1
+    assert out["seq_len"].iloc[0] == len(s)
+    assert out["lz76_c"].iloc[0] == cnt
+    assert abs(out["c_norm"].iloc[0] - cnt * np.log(len(s)) / len(s)) < 1e-6
+
+
+def test_rqa(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_rqa"](SF).to_pandas()
+    x = _hourly_counts_pdf()
+    n = len(x)
+    r = round(0.2 * x.std())
+    assert out["r_tol"].iloc[0] == r
+    rec = detp = 0
+    d = np.abs(x[:, None] - x[None, :]) <= r
+    for i in range(n):
+        for j in range(i + 1, n):
+            if d[i, j]:
+                rec += 1
+                prev_ok = i >= 1 and j >= 1 and d[i - 1, j - 1]
+                next_ok = i + 1 < n and j + 1 < n and d[i + 1, j + 1]
+                if prev_ok or next_ok:
+                    detp += 1
+    assert out["rec_pairs"].iloc[0] == rec
+    assert out["det_pairs"].iloc[0] == detp
+    assert abs(out["rr"].iloc[0] - rec / (n * (n - 1) / 2)) < 1e-6
+    assert abs(out["det"].iloc[0] - detp / rec) < 1e-6
+
+
+def test_spectral_flatness(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_spectral_flatness"](SF).to_pandas()
+    x = _hourly_counts_pdf().astype(np.float64)
+    n = len(x)
+    f = np.fft.rfft(x)
+    ps = (np.abs(f[1:13]) ** 2) / n
+    flat = np.exp(np.mean(np.log(ps))) / np.mean(ps)
+    assert out["n_hours"].iloc[0] == n
+    assert out["dominant_k"].iloc[0] == int(np.argmax(ps)) + 1
+    assert abs(out["peak_power"].iloc[0] - ps.max()) < max(
+        1e-3, 1e-6 * ps.max()
+    )
+    assert abs(out["flatness"].iloc[0] - flat) < 1e-4
+    assert 0.0 < out["flatness"].iloc[0] <= 1.0
