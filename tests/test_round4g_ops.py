@@ -559,3 +559,89 @@ def test_spectral_flatness(ray_session):
     )
     assert abs(out["flatness"].iloc[0] - flat) < 1e-4
     assert 0.0 < out["flatness"].iloc[0] <= 1.0
+
+
+def test_isotonic(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_isotonic"](SF).to_pandas()
+    ne = out["n_events"].to_numpy(np.float64)
+    npu = out["n_purchases"].to_numpy(np.float64)
+    rate = npu / ne
+    # independent PAVA
+    vals = list(rate)
+    wts = list(ne)
+    blocks = [[v, w] for v, w in zip(vals, wts)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+            v = (
+                blocks[i][0] * blocks[i][1]
+                + blocks[i + 1][0] * blocks[i + 1][1]
+            ) / (blocks[i][1] + blocks[i + 1][1])
+            blocks[i] = [v, blocks[i][1] + blocks[i + 1][1]]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    fit = []
+    bi = 0
+    acc = blocks[0][1]
+    for w in ne:
+        fit.append(blocks[bi][0])
+        acc -= w
+        if acc <= 1e-9 and bi + 1 < len(blocks):
+            bi += 1
+            acc = blocks[bi][1]
+    iso = out["iso_rate"].to_numpy(np.float64)
+    assert np.all(np.diff(iso) >= -1e-9)  # monotone
+    assert np.allclose(iso, fit, atol=1e-5)
+
+
+def test_croston(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_croston"](SF).to_pandas()
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    h = d["h"].to_numpy(np.int64)
+    p = d["p"].to_numpy(np.int64)
+    pos = h - h[0] + 1
+    nz = p > 0
+    dem, tpos = p[nz], pos[nz]
+    gaps = np.concatenate(([tpos[0]], np.diff(tpos)))
+    z, pp = float(dem[0]), float(gaps[0])
+    for dd, gg in zip(dem[1:], gaps[1:]):
+        z = 0.9 * z + 0.1 * dd
+        pp = 0.9 * pp + 0.1 * gg
+    assert out["k_demands"].iloc[0] == nz.sum()
+    assert abs(out["z_size"].iloc[0] - z) < 1e-6
+    assert abs(out["p_interval"].iloc[0] - pp) < 1e-6
+    assert abs(out["forecast"].iloc[0] - z / pp) < 1e-6
+
+
+def test_watson_u2(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_watson_u2"](SF).to_pandas()
+    sec = duckdb.sql(
+        f"""SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) % 86400
+              AS s FROM '{SF}/events.parquet'"""
+    ).df()["s"].to_numpy(np.int64)
+    u = np.sort((sec + 0.5) / 86400.0)
+    n = len(u)
+    i = np.arange(1, n + 1)
+    w2 = 1.0 / (12 * n) + ((u - (2 * i - 1) / (2 * n)) ** 2).sum()
+    u2 = w2 - n * (u.mean() - 0.5) ** 2
+    assert out["n"].iloc[0] == n
+    assert abs(out["w2"].iloc[0] - w2) < 1e-4
+    assert abs(out["ubar"].iloc[0] - u.mean()) < 1e-6
+    assert abs(out["u2"].iloc[0] - u2) < 1e-4
