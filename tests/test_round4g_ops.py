@@ -645,3 +645,92 @@ def test_watson_u2(ray_session):
     assert abs(out["w2"].iloc[0] - w2) < 1e-4
     assert abs(out["ubar"].iloc[0] - u.mean()) < 1e-6
     assert abs(out["u2"].iloc[0] - u2) < 1e-4
+
+
+def _hourly_pe_pdf():
+    import duckdb
+
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p,
+            sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS e
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    return d["p"].to_numpy(np.float64), d["e"].to_numpy(np.float64)
+
+
+def test_distance_corr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_distance_corr"](SF).to_pandas()
+    p, e = _hourly_pe_pdf()
+    n = len(p)
+
+    def centered(x):
+        a = np.abs(x[:, None] - x[None, :])
+        return a - a.mean(0)[None, :] - a.mean(1)[:, None] + a.mean()
+
+    A, B = centered(p), centered(e)
+    dcov2 = (A * B).mean()
+    dcor2 = dcov2 / np.sqrt((A * A).mean() * (B * B).mean())
+    assert out["n_hours"].iloc[0] == n
+    assert abs(out["dcor2"].iloc[0] - dcor2) < 1e-5
+    assert abs(out["dcor"].iloc[0] - np.sqrt(dcor2)) < 1e-5
+    assert 0.0 <= out["dcor"].iloc[0] <= 1.0
+
+
+def test_theil_decomp(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_theil_decomp"](SF).to_pandas()
+    d = duckdb.sql(
+        f"""SELECT p.p_brand AS brand,
+              sum(round(l.l_extendedprice*(1.0-l.l_discount)*10000.0)) AS x
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+            GROUP BY l.l_partkey, p.p_brand"""
+    ).df()
+    x = d["x"].to_numpy(np.float64)
+    n, xt = len(x), x.sum()
+    t_total = ((x / xt) * np.log((x / xt) / (1.0 / n))).sum()
+    tb = 0.0
+    tw = 0.0
+    for _, g in d.groupby("brand"):
+        gx = g["x"].to_numpy(np.float64)
+        xg, ng = gx.sum(), len(gx)
+        tb += (xg / xt) * np.log((xg / xt) / (ng / n))
+        tw += (xg / xt) * ((gx / xg) * np.log((gx / xg) * ng)).sum()
+    assert out["n_parts"].iloc[0] == n
+    assert abs(out["theil_between"].iloc[0] - tb) < 1e-5
+    assert abs(out["theil_within"].iloc[0] - tw) < 1e-5
+    assert abs(out["theil_total"].iloc[0] - t_total) < 1e-4
+
+
+def test_bass_diffusion(ray_session):
+    import duckdb
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bass_diffusion"](SF).to_pandas()
+    d = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS d,
+            sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS s
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    s = d["s"].to_numpy(np.float64)
+    c = np.concatenate(([0.0], np.cumsum(s)[:-1]))
+    X = np.column_stack([np.ones(len(s)), c, c * c])
+    beta, *_ = np.linalg.lstsq(X, s, rcond=None)
+    a, b, cc = beta
+    assert out["t_days"].iloc[0] == len(s)
+    assert abs(out["coef_a"].iloc[0] - a) < max(1e-4, 1e-5 * abs(a))
+    assert abs(out["coef_b"].iloc[0] - b) < 1e-4
+    assert abs(out["coef_c"].iloc[0] - cc) < 1e-4
+    if not pd.isna(out["m_market"].iloc[0]):
+        m = out["m_market"].iloc[0]
+        # m is a root of c*m^2 + b*m + a = 0
+        assert abs(cc * m * m + b * m + a) < 1e-3
+        assert abs(out["p_innov"].iloc[0] - a / m) < 1e-4
+        assert abs(out["q_imit"].iloc[0] - (-cc * m)) < 1e-4
