@@ -734,3 +734,93 @@ def test_bass_diffusion(ray_session):
         assert abs(cc * m * m + b * m + a) < 1e-3
         assert abs(out["p_innov"].iloc[0] - a / m) < 1e-4
         assert abs(out["q_imit"].iloc[0] - (-cc * m)) < 1e-4
+
+
+import re
+
+
+def _docs_text_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pandas()
+
+
+def test_readability(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = (
+        QUERIES["q_readability"](SF)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = _docs_text_pdf()
+    for _, row in docs.sample(25, random_state=0).iterrows():
+        t = row["text"] or ""
+        w = len(re.findall(r"\S+", t))
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        syl = max(len(re.findall(r"[aeiouAEIOU]+", t)), 1)
+        lt = len(re.findall(r"[A-Za-z0-9]", t))
+        r = out.loc[row["doc_id"]]
+        assert r["n_words"] == w and r["n_sents"] == s
+        assert r["n_syll"] == syl and r["n_letters"] == lt
+        if w:
+            assert abs(
+                r["flesch"] - (206.835 - 1.015 * w / s - 84.6 * syl / w)
+            ) < 1e-4
+            assert abs(
+                r["ari"] - (4.71 * lt / w + 0.5 * w / s - 21.43)
+            ) < 1e-4
+            assert abs(
+                r["coleman_liau"]
+                - (0.0588 * 100 * lt / w - 0.296 * 100 * s / w - 15.8)
+            ) < 1e-4
+
+
+def test_gunning_fog(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gunning_fog"](SF).to_pandas().set_index("source")
+    docs = _docs_text_pdf()
+    agg = {}
+    for _, row in docs.iterrows():
+        t = row["text"] or ""
+        toks = re.findall(r"\S+", t)
+        if not toks:
+            continue
+        w = len(toks)
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        cw = sum(1 for x in toks if len(re.findall(r"[aeiouAEIOU]+", x)) >= 3)
+        fog = 0.4 * (w / s + 100 * cw / w)
+        smog = 1.043 * np.sqrt(cw * 30.0 / s) + 3.1291
+        a = agg.setdefault(row["source"], [0, 0.0, 0.0])
+        a[0] += 1
+        a[1] += fog
+        a[2] += smog
+    for src, (n, f, m) in agg.items():
+        r = out.loc[src]
+        assert r["n_docs"] == n
+        assert abs(r["mean_fog"] - f / n) < 1e-4
+        assert abs(r["mean_smog"] - m / n) < 1e-4
+
+
+def test_sentence_stats(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_sentence_stats"](SF).to_pandas().set_index("source")
+    docs = _docs_text_pdf()
+    agg = {}
+    for _, row in docs.iterrows():
+        for frag in re.split(r"[.!?]+", row["text"] or ""):
+            w = len(re.findall(r"\S+", frag))
+            if w > 0:
+                agg.setdefault(row["source"], []).append(w)
+    for src, ws in agg.items():
+        ws = np.array(ws, np.float64)
+        r = out.loc[src]
+        assert r["n_sents"] == len(ws)
+        assert r["max_words"] == ws.max()
+        assert abs(r["mean_words"] - ws.mean()) < 1e-6
+        assert abs(r["var_words"] - ws.var()) < 1e-5
