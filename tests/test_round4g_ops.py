@@ -824,3 +824,71 @@ def test_sentence_stats(ray_session):
         assert r["max_words"] == ws.max()
         assert abs(r["mean_words"] - ws.mean()) < 1e-6
         assert abs(r["var_words"] - ws.var()) < 1e-5
+
+
+def _emb_pdf():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    x = np.stack(
+        [np.asarray(v, np.float64) for v in t["embedding"].to_pylist()]
+    )
+    return x, t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def test_calinski_harabasz(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_calinski_harabasz"](SF).to_pandas()
+    x, lab = _emb_pdf()
+    n, k = len(x), len(np.unique(lab))
+    m = x.mean(axis=0)
+    tr_b = tr_w = 0.0
+    for l in np.unique(lab):
+        g = x[lab == l]
+        c = g.mean(axis=0)
+        tr_b += len(g) * ((c - m) ** 2).sum()
+        tr_w += ((g - c) ** 2).sum()
+    ch = (tr_b / (k - 1)) / (tr_w / (n - k))
+    assert out["n_vecs"].iloc[0] == n
+    assert out["k_labels"].iloc[0] == k
+    assert abs(out["tr_between"].iloc[0] - tr_b) < 1e-3
+    assert abs(out["tr_within"].iloc[0] - tr_w) < 1e-3
+    assert abs(out["ch"].iloc[0] - ch) < 1e-3
+
+
+def test_davies_bouldin(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_davies_bouldin"](SF).to_pandas()
+    x, lab = _emb_pdf()
+    labels = np.unique(lab)
+    cents = {l: x[lab == l].mean(axis=0) for l in labels}
+    sg = {
+        l: np.sqrt(((x[lab == l] - cents[l]) ** 2).sum(axis=1).mean())
+        for l in labels
+    }
+    db = 0.0
+    for g in labels:
+        db += max(
+            (sg[g] + sg[h]) / np.linalg.norm(cents[g] - cents[h])
+            for h in labels
+            if h != g
+        )
+    db /= len(labels)
+    assert out["k_labels"].iloc[0] == len(labels)
+    assert abs(out["db_index"].iloc[0] - db) < 1e-4
+
+
+def test_mmd_linear(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mmd_linear"](SF).to_pandas()
+    x, lab = _emb_pdf()
+    mu_a = x[lab == 0].mean(axis=0)
+    mu_b = x[lab == 1].mean(axis=0)
+    mmd2 = ((mu_a - mu_b) ** 2).sum()
+    assert out["n_a"].iloc[0] == (lab == 0).sum()
+    assert out["n_b"].iloc[0] == (lab == 1).sum()
+    assert abs(out["mmd2"].iloc[0] - mmd2) < 1e-5
+    assert abs(out["mmd"].iloc[0] - np.sqrt(mmd2)) < 1e-5
