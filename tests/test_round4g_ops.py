@@ -892,3 +892,66 @@ def test_mmd_linear(ray_session):
     assert out["n_b"].iloc[0] == (lab == 1).sum()
     assert abs(out["mmd2"].iloc[0] - mmd2) < 1e-5
     assert abs(out["mmd"].iloc[0] - np.sqrt(mmd2)) < 1e-5
+
+
+def _daily_pdf():
+    import duckdb
+
+    d = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+            count(*) AS c FROM '{SF}/events.parquet'
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    return d["d"].to_numpy(np.int64), d["c"].to_numpy(np.int64)
+
+
+def test_siegel_slopes(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_siegel_slopes"](SF).to_pandas()
+    d, c = _daily_pdf()
+    n = len(d)
+    inner = []
+    for i in range(n):
+        sl = [(c[j] - c[i]) / (d[j] - d[i]) for j in range(n) if j != i]
+        inner.append(np.median(sl))
+    slope = np.median(inner)
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["siegel_slope"].iloc[0] - slope) < 1e-6
+
+
+def test_bartels_rank_vn(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bartels_rank_vn"](SF).to_pandas()
+    _, c = _daily_pdf()
+    r = pd.Series(c).rank(method="average").to_numpy()
+    n = len(r)
+    rvn = ((r[:-1] - r[1:]) ** 2).sum() / ((r - r.mean()) ** 2).sum()
+    assert abs(out["rvn"].iloc[0] - rvn) < 1e-6
+    assert out["num4"].iloc[0] / 4.0 == ((r[:-1] - r[1:]) ** 2).sum()
+    var = (
+        4 * (n - 2) * (5 * n * n - 2 * n - 9)
+        / (5 * n * (n + 1) * (n - 1) ** 2)
+    )
+    assert abs(out["z_rvn"].iloc[0] - (rvn - 2) / np.sqrt(var)) < 1e-5
+
+
+def test_cox_stuart(ray_session):
+    import math
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cox_stuart"](SF).to_pandas()
+    _, c = _daily_pdf()
+    n = len(c)
+    m = n // 2
+    pairs = list(zip(c[:m], c[n - m :]))
+    pos = sum(1 for a, b in pairs if b > a)
+    neg = sum(1 for a, b in pairs if b < a)
+    mm = pos + neg
+    st = max(pos, neg)
+    p = min(1.0, 2 * sum(math.comb(mm, k) for k in range(st, mm + 1)) / 2**mm)
+    assert out["n_up"].iloc[0] == pos
+    assert out["n_down"].iloc[0] == neg
+    assert abs(out["p_two"].iloc[0] - p) < 1e-6
