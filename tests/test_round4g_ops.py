@@ -955,3 +955,76 @@ def test_cox_stuart(ray_session):
     assert out["n_up"].iloc[0] == pos
     assert out["n_down"].iloc[0] == neg
     assert abs(out["p_two"].iloc[0] - p) < 1e-6
+
+
+def _hod_we_pur_pdf():
+    import duckdb
+
+    d = duckdb.sql(
+        f"""SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+            CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS pur
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    hod = (d["h"] % 24).to_numpy(np.int64)
+    we = ((d["h"] // 24 + 3) % 7 >= 5).to_numpy()
+    pur = d["pur"].to_numpy(np.int64)
+    rows = []
+    for h in range(24):
+        m = hod == h
+        rows.append(
+            (
+                int((m & we).sum()),
+                int(pur[m & we].sum()),
+                int((m & ~we).sum()),
+                int(pur[m & ~we].sum()),
+            )
+        )
+    return np.array(rows, np.float64)  # n_we, k_we, n_wd, k_wd
+
+
+def test_mantel_haenszel(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mantel_haenszel"](SF).to_pandas()
+    r = _hod_we_pur_pdf()
+    n_we, k_we, n_wd, k_wd = r.T
+    a, b, c, d = k_we, n_we - k_we, k_wd, n_wd - k_wd
+    or_crude = (a.sum() * d.sum()) / (b.sum() * c.sum())
+    nt = n_we + n_wd
+    or_mh = (a * d / nt).sum() / (b * c / nt).sum()
+    assert out["n_strata"].iloc[0] == 24
+    assert abs(out["or_crude"].iloc[0] - or_crude) < 1e-5
+    assert abs(out["or_mh"].iloc[0] - or_mh) < 1e-4
+
+
+def test_direct_standardization(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_direct_standardization"](SF).to_pandas()
+    r = _hod_we_pur_pdf()
+    n_we, k_we, n_wd, k_wd = r.T
+    std = ((n_wd / n_wd.sum()) * (k_we / n_we)).sum()
+    assert abs(out["crude_we"].iloc[0] - k_we.sum() / n_we.sum()) < 1e-6
+    assert abs(out["crude_wd"].iloc[0] - k_wd.sum() / n_wd.sum()) < 1e-6
+    assert abs(out["std_we"].iloc[0] - std) < 1e-5
+
+
+def test_kitagawa(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kitagawa"](SF).to_pandas()
+    r = _hod_we_pur_pdf()
+    n_we, k_we, n_wd, k_wd = r.T
+    w1, w2 = n_we / n_we.sum(), n_wd / n_wd.sum()
+    r1, r2 = k_we / n_we, k_wd / n_wd
+    comp = ((w1 - w2) * (r1 + r2) / 2).sum()
+    rate = ((w1 + w2) / 2 * (r1 - r2)).sum()
+    delta = k_we.sum() / n_we.sum() - k_wd.sum() / n_wd.sum()
+    assert abs(out["delta"].iloc[0] - delta) < 1e-6
+    assert abs(out["comp_effect"].iloc[0] - comp) < 1e-5
+    assert abs(out["rate_effect"].iloc[0] - rate) < 1e-5
+    # identity: decomposition sums to the gap
+    assert abs(
+        out["comp_effect"].iloc[0] + out["rate_effect"].iloc[0]
+        - out["delta"].iloc[0]
+    ) < 1e-5
