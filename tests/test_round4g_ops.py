@@ -1028,3 +1028,110 @@ def test_kitagawa(ray_session):
         out["comp_effect"].iloc[0] + out["rate_effect"].iloc[0]
         - out["delta"].iloc[0]
     ) < 1e-5
+
+
+def _surv_pdf():
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    tr = (
+        derive_from_events(SF)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "ts"])
+    )
+    rows = []
+    for _, g in tr.groupby("conv_id"):
+        t0 = g["ts"].iloc[0]
+        tooled = g[g["tool"].notna()]
+        coh = int(g["role"].iloc[0] == "user")
+        if len(tooled):
+            dur = (tooled["ts"].iloc[0] - t0).value // 10**9
+            rows.append((dur, coh, 1, tooled["tool"].iloc[0]))
+        else:
+            dur = (g["ts"].iloc[-1] - t0).value // 10**9
+            rows.append((dur, coh, 0, None))
+    return pd.DataFrame(rows, columns=["dur", "coh", "ev", "ftool"])
+
+
+def _risk_sets(df):
+    times = sorted(df.loc[df["ev"] > 0, "dur"].unique())
+    out = []
+    for t in times:
+        at = df[df["dur"] >= t]
+        dd = df[(df["dur"] == t) & (df["ev"] > 0)]
+        out.append((t, at, dd))
+    return out
+
+
+def test_weighted_logrank(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_weighted_logrank"](SF).to_pandas()
+    df = _surv_pdf()
+    gn = 0.0
+    vg = 0.0
+    twn = 0.0
+    vtw = 0.0
+    for t, at, dd in _risk_sets(df):
+        nn, n1 = len(at), int((at["coh"] == 1).sum())
+        d, d1 = len(dd), int((dd["coh"] == 1).sum())
+        e1 = d * n1 / nn
+        v = (
+            (d * n1 / nn) * (nn - n1) / nn * (nn - d) / (nn - 1)
+            if nn > 1
+            else 0.0
+        )
+        gn += nn * (d1 - e1)
+        vg += nn * nn * v
+        twn += np.sqrt(nn) * (d1 - e1)
+        vtw += nn * v
+    assert abs(out["gehan_num"].iloc[0] - gn) < 1e-6
+    assert abs(out["z_gehan"].iloc[0] - gn / np.sqrt(vg)) < 1e-4
+    assert abs(out["z_tarone_ware"].iloc[0] - twn / np.sqrt(vtw)) < 1e-4
+
+
+def test_cumulative_incidence(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cumulative_incidence"](SF).to_pandas()
+    df = _surv_pdf()
+    s = 1.0
+    cif1 = cif2 = 0.0
+    for i, (t, at, dd) in enumerate(_risk_sets(df)):
+        nn = len(at)
+        d1 = int((dd["ftool"] == "tool-1").sum())
+        d2 = len(dd) - d1
+        r = out.iloc[i]
+        assert r["dur_s"] == t and r["n_risk"] == nn
+        assert r["d_cause1"] == d1 and r["d_cause2"] == d2
+        assert abs(r["s_minus"] - s) < 1e-5
+        cif1 += s * d1 / nn
+        cif2 += s * d2 / nn
+        assert abs(r["cif1"] - cif1) < 1e-5
+        assert abs(r["cif2"] - cif2) < 1e-5
+        s *= (nn - d1 - d2) / nn
+    # CIFs + survival partition probability space
+    assert abs(cif1 + cif2 + s - 1.0) < 1e-9
+
+
+def test_km_median(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_km_median"](SF).to_pandas()
+    df = _surv_pdf()
+    s = 1.0
+    gcum = 0.0
+    med = None
+    for t, at, dd in _risk_sets(df):
+        nn, d = len(at), len(dd)
+        s *= (nn - d) / nn
+        if nn > d:
+            gcum += d / (nn * (nn - d))
+        if s <= 0.5:
+            med = (t, s, s * np.sqrt(gcum))
+            break
+    if med is None:
+        assert len(out) == 0
+    else:
+        assert out["median_s"].iloc[0] == med[0]
+        assert abs(out["s_at_median"].iloc[0] - med[1]) < 1e-6
+        assert abs(out["greenwood_se"].iloc[0] - med[2]) < 1e-6
