@@ -80,3 +80,77 @@ def test_bartlett(ray_session):
     assert out["n_total"].iloc[0] == int(bign)
     assert abs(out["s2_pooled"].iloc[0] - s2p) < 1e-3 * max(1.0, abs(s2p))
     assert abs(out["bartlett_t"].iloc[0] - t) < 1e-4 * max(1.0, abs(t))
+
+
+def _votes_pdf():
+    from ptrail_ray.functions.textstats import STOPWORDS
+
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    out = []
+    for s in df["text"].fillna(""):
+        toks = s.split()
+        nt = len(toks)
+        if nt == 0:
+            out.append(0)
+            continue
+        a = sum(1 for x in toks if x in STOPWORDS) / nt > 0.05
+        b = len(s.encode()) == len(s)
+        c = (sum(len(x) for x in toks) / nt) < 6
+        out.append(int(a) + int(b) + int(c))
+    return np.array(out)
+
+
+def test_fleiss_kappa(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_fleiss_kappa"](SF).to_pandas()
+    v = _votes_pdf()
+    n, m = len(v), 3
+    nij = np.stack([3 - v, v], axis=1)
+    p_i = ((nij**2).sum(axis=1) - m) / (m * (m - 1))
+    p_bar = p_i.mean()
+    p_j = nij.sum(axis=0) / (n * m)
+    p_e = (p_j**2).sum()
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out["n_docs"].iloc[0] == n
+    assert out["votes_en"].iloc[0] == int(v.sum())
+    assert abs(out["p_bar"].iloc[0] - p_bar) < 1e-6
+    assert abs(out["fleiss_kappa"].iloc[0] - kappa) < 1e-6
+
+
+def test_krippendorff(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_krippendorff"](SF).to_pandas()
+    v = _votes_pdf()
+    n = 3 * len(v)
+    u = int((v * (3 - v)).sum())
+    c1 = int(v.sum())
+    alpha = 1 - (n - 1) * u / (2 * c1 * (n - c1))
+    assert out["n_values"].iloc[0] == n
+    assert out["u_disagree"].iloc[0] == u
+    assert abs(out["alpha"].iloc[0] - alpha) < 1e-6
+
+
+def test_lin_ccc(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lin_ccc"](SF).to_pandas()
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).to_pandas()
+    li["y"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    ls = li.groupby("l_orderkey", as_index=False)["y"].sum()
+    j = o.merge(ls, left_on="o_orderkey", right_on="l_orderkey")
+    x = np.round(j["o_totalprice"].to_numpy(float) * 100)
+    y = j["y"].to_numpy(float)
+    sxy = np.cov(x, y, bias=True)[0, 1]
+    ccc = 2 * sxy / (x.var() + y.var() + (x.mean() - y.mean()) ** 2)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n_orders"].iloc[0] == len(j)
+    assert abs(out["ccc"].iloc[0] - ccc) < 1e-6
+    assert abs(out["pearson_r"].iloc[0] - r) < 1e-6
+    assert abs(out["c_b"].iloc[0] - ccc / r) < 1e-6
