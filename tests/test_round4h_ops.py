@@ -154,3 +154,62 @@ def test_lin_ccc(ray_session):
     assert abs(out["ccc"].iloc[0] - ccc) < 1e-6
     assert abs(out["pearson_r"].iloc[0] - r) < 1e-6
     assert abs(out["c_b"].iloc[0] - ccc / r) < 1e-6
+
+
+def _daily_counts():
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    return pd.Series(day).value_counts().sort_index().to_numpy(np.int64)
+
+
+def test_garch_filter(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_garch_filter"](SF).to_pandas()
+    y = _daily_counts()
+    r = (y[1:] - y[:-1]).astype(float)
+    m = len(r)
+    h = (r**2).mean()
+    hs = [h]
+    for t in range(1, m):
+        h = 2.0 + 0.05 * r[t - 1] ** 2 + 0.90 * h
+        hs.append(h)
+    assert out["n_obs"].iloc[0] == m
+    assert abs(out["h_last"].iloc[0] - hs[-1]) < 1e-4 * max(1, abs(hs[-1]))
+    assert abs(out["h_mean"].iloc[0] - np.mean(hs)) < 1e-4 * max(1, abs(np.mean(hs)))
+    assert abs(out["z_last"].iloc[0] - r[-1] / np.sqrt(hs[-1])) < 1e-5
+
+
+def test_riskmetrics_ewma(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_riskmetrics_ewma"](SF).to_pandas()
+    y = _daily_counts()
+    r = (y[1:] - y[:-1]).astype(float)
+    s2 = r[0] ** 2
+    br = 0
+    for t in range(1, len(r)):
+        if r[t] ** 2 > 4 * s2:
+            br += 1
+        s2 = 0.94 * s2 + 0.06 * r[t] ** 2
+    assert out["n_obs"].iloc[0] == len(r)
+    assert abs(out["vol_last"].iloc[0] - np.sqrt(s2)) < 1e-5 * max(1, np.sqrt(s2))
+    assert out["breaches_2sigma"].iloc[0] == br
+
+
+def test_kpss(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kpss"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    e = y - y.mean()
+    s = np.cumsum(e)
+    l = int(np.floor(4 * (n / 100.0) ** 0.25))
+    lam = (e * e).sum()
+    for j in range(1, l + 1):
+        lam += 2 * (1 - j / (l + 1)) * (e[:-j] * e[j:]).sum()
+    eta = (s**2).sum() / (n**2 * (lam / n))
+    assert out["n_days"].iloc[0] == n
+    assert out["lag_l"].iloc[0] == l
+    assert abs(out["kpss_eta"].iloc[0] - eta) < 1e-5 * max(1, abs(eta))
