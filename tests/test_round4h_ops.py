@@ -213,3 +213,64 @@ def test_kpss(ray_session):
     assert out["n_days"].iloc[0] == n
     assert out["lag_l"].iloc[0] == l
     assert abs(out["kpss_eta"].iloc[0] - eta) < 1e-5 * max(1, abs(eta))
+
+
+def test_erlang_b(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_erlang_b"](SF).to_pandas()
+    a = out["offered_a"].iloc[0]
+    b = 1.0
+    for k in range(1, 9):
+        b = a * b / (k + a * b)
+    assert abs(out["erlang_b"].iloc[0] - b) < 1e-5
+    c = 8.0
+    assert abs(out["erlang_c"].iloc[0] - c * b / (c - a * (1 - b))) < 1e-5
+    assert a > 0 and 0 <= out["erlang_b"].iloc[0] <= 1
+
+
+def test_crow_amsaa(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_crow_amsaa"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    us = df.loc[df["event_type"] == "error", "ts"].astype(
+        "datetime64[us]"
+    ).astype(np.int64)
+    t0 = int(us.min()) - 3_600_000_000
+    t_s = (int(us.max()) - t0) / 1e6
+    ti = (us.to_numpy(np.int64) - t0) / 1e6
+    n = len(ti)
+    beta = n / np.log(t_s / ti).sum()
+    assert out["n_failures"].iloc[0] == n
+    assert abs(out["beta"].iloc[0] - beta) < 1e-4
+    assert abs(out["mtbf_inst_s"].iloc[0] - t_s / (n * beta)) < 1e-2 * max(
+        1, t_s / (n * beta)
+    )
+
+
+def test_mtbf_mttr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mtbf_mttr"](SF).to_pandas()
+    df = _events_pdf(["user_id", "ts", "event_id", "event_type"]).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    gaps, recs = [], []
+    n_err = 0
+    for _, g in df.assign(us=us).groupby("user_id"):
+        t = g["us"].to_numpy()
+        err = (g["event_type"] == "error").to_numpy()
+        n_err += int(err.sum())
+        et = t[err]
+        gaps.extend((et[1:] - et[:-1]).tolist())
+        for i in np.where(err)[0]:
+            after = np.where(~err[i + 1 :])[0]
+            if len(after):
+                recs.append(t[i + 1 + after[0]] - t[i])
+    assert out["n_errors"].iloc[0] == n_err
+    assert out["n_gaps"].iloc[0] == len(gaps)
+    assert abs(out["mtbf_s"].iloc[0] - np.mean(gaps) / 1e6) < 1e-3
+    assert out["n_recovered"].iloc[0] == len(recs)
+    assert abs(out["mttr_s"].iloc[0] - np.mean(recs) / 1e6) < 1e-3
