@@ -274,3 +274,61 @@ def test_mtbf_mttr(ray_session):
     assert abs(out["mtbf_s"].iloc[0] - np.mean(gaps) / 1e6) < 1e-3
     assert out["n_recovered"].iloc[0] == len(recs)
     assert abs(out["mttr_s"].iloc[0] - np.mean(recs) / 1e6) < 1e-3
+
+
+def test_risk_panel(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_risk_panel"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    we = ((day + 3) % 7 >= 5).to_numpy()
+    pur = (df["event_type"] == "purchase").to_numpy()
+    a, n1 = int((we & pur).sum()), int(we.sum())
+    c, n0 = int((~we & pur).sum()), int((~we).sum())
+    p1, p0 = a / n1, c / n0
+    rr = p1 / p0
+    se = np.sqrt(1 / a - 1 / n1 + 1 / c - 1 / n0)
+    assert out["exp_purchases"].iloc[0] == a
+    assert abs(out["risk_ratio"].iloc[0] - rr) < 1e-6
+    assert abs(out["rr_lo95"].iloc[0] - np.exp(np.log(rr) - 1.96 * se)) < 1e-6
+    assert abs(out["rr_hi95"].iloc[0] - np.exp(np.log(rr) + 1.96 * se)) < 1e-6
+    assert abs(out["arf_exposed"].iloc[0] - (rr - 1) / rr) < 1e-6
+    pbar = (a + c) / (n1 + n0)
+    assert abs(out["paf"].iloc[0] - (pbar - p0) / pbar) < 1e-6
+    assert abs(out["nnt"].iloc[0] - 1 / (p1 - p0)) < 1e-4 * abs(1 / (p1 - p0))
+
+
+def test_snht(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_snht"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    s = y.std()  # population
+    tks = []
+    for k in range(1, n):
+        z1 = (y[:k].mean() - y.mean()) / s
+        z2 = (y[k:].mean() - y.mean()) / s
+        tks.append(k * z1 * z1 + (n - k) * z2 * z2)
+    tks = np.array(tks)
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["t_max"].iloc[0] - tks.max()) < 1e-5 * max(1, tks.max())
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    days = np.sort(pd.Series(day).unique())
+    assert out["split_day"].iloc[0] == days[int(tks.argmax())]
+
+
+def test_buishand(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_buishand"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    sk = np.cumsum(y - y.mean())
+    s = y.std()
+    rn = (sk.max() - sk.min()) / (s * np.sqrt(n))
+    qn = np.abs(sk).max() / (s * np.sqrt(n))
+    assert abs(out["r_sqrt_n"].iloc[0] - rn) < 1e-5 * max(1, rn)
+    assert abs(out["q_sqrt_n"].iloc[0] - qn) < 1e-5 * max(1, qn)
