@@ -332,3 +332,73 @@ def test_buishand(ray_session):
     qn = np.abs(sk).max() / (s * np.sqrt(n))
     assert abs(out["r_sqrt_n"].iloc[0] - rn) < 1e-5 * max(1, rn)
     assert abs(out["q_sqrt_n"].iloc[0] - qn) < 1e-5 * max(1, qn)
+
+
+def test_keyness_dunning(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_keyness_dunning"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    focus = df["source"].min()
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for s, t in zip(df["source"], df["text"].fillna("")):
+        (ca if s == focus else cb).update(t.split())
+    c1, c2 = sum(ca.values()), sum(cb.values())
+    rows = []
+    for tok in set(ca) | set(cb):
+        a, b = ca[tok], cb[tok]
+        t = a + b
+        g2 = 2 * (
+            (a * np.log(a / (c1 * t / (c1 + c2))) if a else 0)
+            + (b * np.log(b / (c2 * t / (c1 + c2))) if b else 0)
+        )
+        rows.append((round(g2 * 1e6), tok, a, b))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    top = rows[:15]
+    assert len(out) == 15
+    for i, (q, tok, a, b) in enumerate(top):
+        assert out["token"].iloc[i] == tok
+        assert out["cnt_focus"].iloc[i] == a
+        assert out["cnt_rest"].iloc[i] == b
+        assert abs(out["g2"].iloc[i] - q / 1e6) < 2e-6
+        assert out["overused_in_focus"].iloc[i] == (a * c2 > b * c1)
+
+
+def test_dagostino_k2(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dagostino_k2"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    try:
+        from scipy import stats as st  # noqa
+
+        z1 = st.skewtest(y).statistic
+        z2 = st.kurtosistest(y).statistic
+        k2 = st.normaltest(y).statistic
+        assert abs(out["z_skew"].iloc[0] - z1) < 1e-4
+        assert abs(out["z_kurt"].iloc[0] - z2) < 1e-4
+        assert abs(out["k2_omnibus"].iloc[0] - k2) < 1e-4
+    except ImportError:
+        n = len(y)
+        m2 = ((y - y.mean()) ** 2).mean()
+        m3 = ((y - y.mean()) ** 3).mean()
+        g1 = m3 / m2**1.5
+        yv = g1 * np.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+        b2 = (
+            3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+            / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+        )
+        w2 = -1 + np.sqrt(2 * (b2 - 1))
+        z1 = (1 / np.sqrt(np.log(np.sqrt(w2)))) * np.log(
+            yv / np.sqrt(2 / (w2 - 1))
+            + np.sqrt((yv / np.sqrt(2 / (w2 - 1))) ** 2 + 1)
+        )
+        assert abs(out["z_skew"].iloc[0] - z1) < 1e-4
+        assert abs(
+            out["k2_omnibus"].iloc[0]
+            - (out["z_skew"].iloc[0] ** 2 + out["z_kurt"].iloc[0] ** 2)
+        ) < 1e-4
