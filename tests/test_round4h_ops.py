@@ -402,3 +402,35 @@ def test_dagostino_k2(ray_session):
             out["k2_omnibus"].iloc[0]
             - (out["z_skew"].iloc[0] ** 2 + out["z_kurt"].iloc[0] ** 2)
         ) < 1e-4
+
+
+def test_kneser_ney(ray_session):
+    from collections import Counter, defaultdict
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kneser_ney"](SF).to_pandas()
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    cab = Counter()
+    for t in df["text"].fillna(""):
+        toks = t.split()
+        cab.update(zip(toks[:-1], toks[1:]))
+    c1 = defaultdict(int)
+    n1f = defaultdict(int)
+    n1b = defaultdict(int)
+    for (a, b), c in cab.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    bt = len(cab)
+    tt = sum(cab.values())
+    d = 0.75
+    h = 0.0
+    for (a, b), c in cab.items():
+        p = (c - d) / c1[a] + (d * n1f[a] / c1[a]) * (n1b[b] / bt)
+        h -= c * np.log(p)
+    h /= tt
+    assert out["n_bigram_tokens"].iloc[0] == tt
+    assert out["n_bigram_types"].iloc[0] == bt
+    assert abs(out["cross_entropy_nats"].iloc[0] - h) < 1e-5
+    assert abs(out["perplexity"].iloc[0] - np.exp(h)) < 1e-3 * np.exp(h)
