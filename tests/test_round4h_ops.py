@@ -434,3 +434,65 @@ def test_kneser_ney(ray_session):
     assert out["n_bigram_types"].iloc[0] == bt
     assert abs(out["cross_entropy_nats"].iloc[0] - h) < 1e-5
     assert abs(out["perplexity"].iloc[0] - np.exp(h)) < 1e-3 * np.exp(h)
+
+
+def test_fisher_exact(ray_session):
+    import math
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_fisher_exact"](SF).to_pandas()
+    a, n1 = int(out["a_cell"].iloc[0]), int(out["n_exposed"].iloc[0])
+    c, n0 = int(out["c_cell"].iloc[0]), int(out["n_unexposed"].iloc[0])
+    n, c1 = n1 + n0, a + c
+
+    def pmf(k):
+        return math.exp(
+            math.lgamma(n1 + 1) + math.lgamma(n0 + 1) + math.lgamma(c1 + 1)
+            + math.lgamma(n - c1 + 1) - math.lgamma(n + 1)
+            - math.lgamma(k + 1) - math.lgamma(n1 - k + 1)
+            - math.lgamma(c1 - k + 1) - math.lgamma(n0 - c1 + k + 1)
+        )
+
+    klo, khi = max(0, c1 - n0), min(n1, c1)
+    pa_ = pmf(a)
+    two = sum(pmf(k) for k in range(klo, khi + 1) if pmf(k) <= pa_ * (1 + 1e-9))
+    left = sum(pmf(k) for k in range(klo, a + 1))
+    right = sum(pmf(k) for k in range(a, khi + 1))
+    assert abs(out["p_two_sided"].iloc[0] - min(1, two)) < 1e-4
+    assert abs(out["p_left"].iloc[0] - min(1, left)) < 1e-5
+    assert abs(out["p_right"].iloc[0] - min(1, right)) < 1e-5
+
+
+def test_bland_altman(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bland_altman"](SF).to_pandas()
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).to_pandas()
+    li["y"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    ls = li.groupby("l_orderkey", as_index=False)["y"].sum()
+    j = o.merge(ls, left_on="o_orderkey", right_on="l_orderkey")
+    d = np.round(j["o_totalprice"].to_numpy(float) * 100) - j["y"].to_numpy(float)
+    lo = d.mean() - 1.96 * d.std(ddof=1)
+    hi = d.mean() + 1.96 * d.std(ddof=1)
+    assert out["n_orders"].iloc[0] == len(j)
+    assert abs(out["mean_diff_cents"].iloc[0] - d.mean()) < 1e-3
+    assert abs(out["loa_lo"].iloc[0] - lo) < 1e-2
+    assert abs(out["loa_hi"].iloc[0] - hi) < 1e-2
+    assert out["n_inside"].iloc[0] == int(((d >= lo) & (d <= hi)).sum())
+
+
+def test_dixon_q(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dixon_q"](SF).to_pandas()
+    x = np.sort(_daily_counts())
+    rng = x[-1] - x[0]
+    assert out["x_min"].iloc[0] == x[0] and out["x_max"].iloc[0] == x[-1]
+    assert abs(out["q_max"].iloc[0] - (x[-1] - x[-2]) / rng) < 1e-6
+    assert abs(out["q_min"].iloc[0] - (x[1] - x[0]) / rng) < 1e-6
