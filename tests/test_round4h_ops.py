@@ -496,3 +496,52 @@ def test_dixon_q(ray_session):
     assert out["x_min"].iloc[0] == x[0] and out["x_max"].iloc[0] == x[-1]
     assert abs(out["q_max"].iloc[0] - (x[-1] - x[-2]) / rng) < 1e-6
     assert abs(out["q_min"].iloc[0] - (x[1] - x[0]) / rng) < 1e-6
+
+
+def test_gwet_ac1(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gwet_ac1"](SF).to_pandas()
+    v = _votes_pdf()
+    n, m = len(v), 3
+    nij = np.stack([3 - v, v], axis=1)
+    p_bar = (((nij**2).sum(axis=1) - m) / (m * (m - 1))).mean()
+    pi = v.sum() / (3 * n)
+    p_e = 2 * pi * (1 - pi)
+    assert abs(out["p_bar"].iloc[0] - p_bar) < 1e-6
+    assert abs(out["gwet_ac1"].iloc[0] - (p_bar - p_e) / (1 - p_e)) < 1e-6
+
+
+def test_dickey_fuller(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dickey_fuller"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    x = y[:-1]
+    d = np.diff(y)
+    m = len(x)
+    X = np.column_stack([np.ones(m), x])
+    beta, res, *_ = np.linalg.lstsq(X, d, rcond=None)
+    alpha, rho = beta
+    ssr = ((d - X @ beta) ** 2).sum()
+    s2 = ssr / (m - 2)
+    se = np.sqrt(s2 * m / (m * (x**2).sum() - x.sum() ** 2))
+    assert out["n_pairs"].iloc[0] == m
+    assert abs(out["rho"].iloc[0] - rho) < 1e-5
+    assert abs(out["alpha"].iloc[0] - alpha) < 1e-3 * max(1, abs(alpha))
+    assert abs(out["df_t"].iloc[0] - rho / se) < 1e-4
+
+
+def test_page_hinkley(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_page_hinkley"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    xb, m, mmin, ph = y[0], 0.0, 0.0, 0.0
+    for t in range(1, len(y)):
+        xb = xb + (y[t] - xb) / (t + 1)
+        m = m + (y[t] - xb)
+        mmin = min(mmin, m)
+        ph = max(ph, m - mmin)
+    assert out["n_days"].iloc[0] == len(y)
+    assert abs(out["ph_stat"].iloc[0] - ph) < 1e-5 * max(1, ph)
