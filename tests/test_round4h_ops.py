@@ -545,3 +545,46 @@ def test_page_hinkley(ray_session):
         ph = max(ph, m - mmin)
     assert out["n_days"].iloc[0] == len(y)
     assert abs(out["ph_stat"].iloc[0] - ph) < 1e-5 * max(1, ph)
+
+
+def _embed_xy():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    x = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    lab = t["label"].to_numpy().astype(np.int64)
+    return x, lab
+
+
+def test_mahalanobis_diag(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mahalanobis_diag"](SF).to_pandas()
+    x, _ = _embed_xy()
+    q = np.round(x * 1e9)
+    mu = q.mean(axis=0)
+    var = q.var(axis=0)
+    d2 = (((q - mu) ** 2) / var).sum(axis=1)
+    dim = x.shape[1]
+    assert out["n_vecs"].iloc[0] == len(x)
+    assert out["n_dims"].iloc[0] == dim
+    assert abs(out["mean_d2"].iloc[0] - d2.mean()) < 1e-3 * d2.mean()
+    assert abs(out["max_d2"].iloc[0] - d2.max()) < 1e-3 * d2.max()
+    assert out["n_outliers"].iloc[0] == int((d2 > 2 * dim).sum())
+
+
+def test_silhouette_centroid(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_silhouette_centroid"](SF).to_pandas()
+    x, lab = _embed_xy()
+    labels = np.unique(lab)
+    mu = {lb: np.round(x[lab == lb] * 1e9).sum(axis=0) / 1e9 / (lab == lb).sum() for lb in labels}
+    svals = []
+    for i in range(len(x)):
+        d = {lb: np.sqrt(((x[i] - mu[lb]) ** 2).sum()) for lb in labels}
+        a = d[lab[i]]
+        b = min(v for lb, v in d.items() if lb != lab[i])
+        svals.append((b - a) / max(a, b))
+    svals = np.array(svals)
+    assert out["n_vecs"].iloc[0] == len(x)
+    assert abs(out["mean_silhouette"].iloc[0] - svals.mean()) < 1e-4
+    assert out["n_positive"].iloc[0] == int((np.round(svals * 1e9)) .__gt__(0).sum())
