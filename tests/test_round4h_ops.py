@@ -588,3 +588,72 @@ def test_silhouette_centroid(ray_session):
     assert out["n_vecs"].iloc[0] == len(x)
     assert abs(out["mean_silhouette"].iloc[0] - svals.mean()) < 1e-4
     assert out["n_positive"].iloc[0] == int((np.round(svals * 1e9)) .__gt__(0).sum())
+
+
+def test_breslow_day(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_breslow_day"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    hr = df["ts"].astype("datetime64[ns]").astype(np.int64) // 3_600_000_000_000
+    hod = (hr % 24).to_numpy()
+    we = ((hr // 24 + 3) % 7 >= 5).to_numpy()
+    pur = (df["event_type"] == "purchase").to_numpy()
+    num = den = 0.0
+    strata = []
+    for h in range(24):
+        m = hod == h
+        a = int((m & we & pur).sum())
+        n1 = int((m & we).sum())
+        c = int((m & ~we & pur).sum())
+        n0 = int((m & ~we).sum())
+        nt = n1 + n0
+        num += a * (n0 - c) / nt
+        den += (n1 - a) * c / nt
+        strata.append((a, n1, c, n0))
+    psi = num / den
+    chi2 = 0.0
+    for a, n1, c, n0 in strata:
+        m1 = a + c
+        A, B, C = 1 - psi, (n0 - m1) + psi * (n1 + m1), -psi * n1 * m1
+        sq = np.sqrt(B * B - 4 * A * C)
+        x1, x2 = (-B + sq) / (2 * A), (-B - sq) / (2 * A)
+        x = x1 if (0 < x1 < min(n1, m1) and n0 - m1 + x1 > 0) else x2
+        v = 1 / x + 1 / (n1 - x) + 1 / (m1 - x) + 1 / (n0 - m1 + x)
+        chi2 += (a - x) ** 2 * v
+    assert out["n_strata"].iloc[0] == 24
+    assert abs(out["or_mh"].iloc[0] - psi) < 1e-4
+    assert abs(out["bd_chi2"].iloc[0] - chi2) < 1e-3 * max(1, chi2)
+
+
+def test_poisson_ratio(ray_session):
+    import math
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_poisson_ratio_test"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    obs = np.sort(pd.Series(day).unique())
+    t1 = int(((obs + 3) % 7 >= 5).sum())
+    t0 = len(obs) - t1
+    pd_ = day[(df["event_type"] == "purchase").to_numpy()]
+    k1 = int((((pd_ + 3) % 7) >= 5).sum())
+    k0 = len(pd_) - k1
+    k = k1 + k0
+    p0 = t1 / (t1 + t0)
+
+    def logpmf(j):
+        return (
+            math.lgamma(k + 1) - math.lgamma(j + 1) - math.lgamma(k - j + 1)
+            + j * math.log(p0) + (k - j) * math.log(1 - p0)
+        )
+
+    la = logpmf(k1)
+    two = sum(
+        math.exp(logpmf(j)) for j in range(k + 1) if logpmf(j) <= la + 1e-9
+    )
+    assert out["k_weekend"].iloc[0] == k1
+    assert out["t_weekend_days"].iloc[0] == t1
+    assert abs(out["rate_ratio"].iloc[0] - (k1 / t1) / (k0 / t0)) < 1e-5
+    assert abs(out["p_two_sided"].iloc[0] - min(1, two)) < 1e-4
