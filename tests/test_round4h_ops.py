@@ -657,3 +657,40 @@ def test_poisson_ratio(ray_session):
     assert out["t_weekend_days"].iloc[0] == t1
     assert abs(out["rate_ratio"].iloc[0] - (k1 / t1) / (k0 / t0)) < 1e-5
     assert abs(out["p_two_sided"].iloc[0] - min(1, two)) < 1e-4
+
+
+def test_bh_fdr(ray_session):
+    import math
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bh_fdr"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    hr = df["ts"].astype("datetime64[ns]").astype(np.int64) // 3_600_000_000_000
+    hod = (hr % 24).to_numpy()
+    pur = (df["event_type"] == "purchase").to_numpy()
+    bign = len(df)
+    bigk = int(pur.sum())
+    ps = []
+    for h in range(24):
+        nh = int((hod == h).sum())
+        kh = int((pur & (hod == h)).sum())
+        ph = nh / bign
+        lg = [
+            math.lgamma(bigk + 1) - math.lgamma(j + 1)
+            - math.lgamma(bigk - j + 1) + j * math.log(ph)
+            + (bigk - j) * math.log(1 - ph)
+            for j in range(bigk + 1)
+        ]
+        la = lg[kh]
+        p = min(1.0, sum(math.exp(v) for v in lg if v <= la + 1e-9))
+        ps.append(p)
+    ps.sort()
+    n_rej = 0
+    for i, p in enumerate(ps, start=1):
+        if p <= i * 0.05 / 24:
+            n_rej = i
+    assert out["m_tests"].iloc[0] == 24
+    assert out["n_rejected"].iloc[0] == n_rej
+    assert abs(out["min_p"].iloc[0] - ps[0]) < 1e-4
+    assert abs(out["median_p"].iloc[0] - (ps[11] + ps[12]) / 2) < 1e-4
