@@ -694,3 +694,64 @@ def test_bh_fdr(ray_session):
     assert out["n_rejected"].iloc[0] == n_rej
     assert abs(out["min_p"].iloc[0] - ps[0]) < 1e-4
     assert abs(out["median_p"].iloc[0] - (ps[11] + ps[12]) / 2) < 1e-4
+
+
+def _fl_matrix_pdf():
+    df = _events_pdf(["user_id", "ts", "event_id", "event_type"]).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    cat = np.where(
+        df["event_type"].isin(["click", "view"]),
+        0,
+        np.where(df["event_type"].isin(["purchase", "signup"]), 1, 2),
+    )
+    g = df.assign(c=cat).groupby("user_id")["c"]
+    m = np.zeros((3, 3), np.int64)
+    for f, l in zip(g.first(), g.last()):
+        m[f, l] += 1
+    return m
+
+
+def test_stuart_maxwell(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_stuart_maxwell"](SF).to_pandas()
+    m = _fl_matrix_pdf()
+    r, c = m.sum(1), m.sum(0)
+    d = (r - c)[:2].astype(float)
+    V = np.array(
+        [
+            [r[0] + c[0] - 2 * m[0, 0], -(m[0, 1] + m[1, 0])],
+            [-(m[0, 1] + m[1, 0]), r[1] + c[1] - 2 * m[1, 1]],
+        ],
+        float,
+    )
+    chi2 = d @ np.linalg.inv(V) @ d
+    assert out["n_users"].iloc[0] == m.sum()
+    assert out["d_browse"].iloc[0] == r[0] - c[0]
+    assert abs(out["sm_chi2"].iloc[0] - chi2) < 1e-5 * max(1, chi2)
+
+
+def test_bowker(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bowker"](SF).to_pandas()
+    m = _fl_matrix_pdf()
+    chi2 = sum(
+        (m[i, j] - m[j, i]) ** 2 / (m[i, j] + m[j, i])
+        for i in range(3)
+        for j in range(i + 1, 3)
+        if m[i, j] + m[j, i] > 0
+    )
+    assert abs(out["bowker_chi2"].iloc[0] - chi2) < 1e-5 * max(1, chi2)
+
+
+def test_cohen_kappa_fl(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cohen_kappa_fl"](SF).to_pandas()
+    m = _fl_matrix_pdf()
+    n = m.sum()
+    po = np.trace(m) / n
+    pe = (m.sum(1) * m.sum(0)).sum() / n**2
+    assert abs(out["cohen_kappa"].iloc[0] - (po - pe) / (1 - pe)) < 1e-6
