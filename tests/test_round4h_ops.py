@@ -755,3 +755,62 @@ def test_cohen_kappa_fl(ray_session):
     po = np.trace(m) / n
     pe = (m.sum(1) * m.sum(0)).sum() / n**2
     assert abs(out["cohen_kappa"].iloc[0] - (po - pe) / (1 - pe)) < 1e-6
+
+
+def test_cronbach_alpha(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cronbach_alpha"](SF).to_pandas()
+    import ray
+
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    df = derive_from_events(SF).to_pandas()
+    per = df.groupby("conv_id")["role"].agg(
+        x0=lambda s: (s == "user").sum(),
+        x1=lambda s: (s == "assistant").sum(),
+        x2=lambda s: (s == "tool").sum(),
+    )
+    items = per.to_numpy(float)
+    k = 3
+    svar = items.var(axis=0, ddof=1).sum()
+    tvar = items.sum(axis=1).var(ddof=1)
+    alpha = k / (k - 1) * (1 - svar / tvar)
+    assert out["n_convs"].iloc[0] == len(per)
+    assert abs(out["cronbach_alpha"].iloc[0] - alpha) < 1e-6
+
+
+def test_ksample_ad(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_ksample_ad"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    cnt = pd.Series(day).value_counts().sort_index()
+    z = cnt.to_numpy(float)
+    we = ((cnt.index.to_numpy(np.int64) + 3) % 7 >= 5)
+    try:
+        from scipy.stats import anderson_ksamp
+
+        res = anderson_ksamp([z[we], z[~we]], midrank=True)
+        assert abs(out["ad_k2"].iloc[0] - res.statistic * 1.0) < 10  # stat is standardized in scipy
+    except ImportError:
+        pass
+    # literal Scholz-Stephens A2akN recomputation
+    samples = [z[we], z[~we]]
+    N = len(z)
+    zs = np.sort(np.unique(z))
+    lj = np.array([(z == v).sum() for v in zs], float)
+    Bj = np.cumsum(lj) - lj / 2
+    a2 = 0.0
+    for xs in samples:
+        ni = len(xs)
+        fij = np.array([(xs == v).sum() for v in zs], float)
+        Mij = np.cumsum(fij) - fij / 2
+        den = Bj * (N - Bj) - N * lj / 4
+        ok = den != 0
+        inner = (lj[ok] / N) * (N * Mij[ok] - ni * Bj[ok]) ** 2 / den[ok]
+        a2 += inner.sum() / ni
+    a2 *= (N - 1) / N
+    assert out["n_days"].iloc[0] == N
+    assert abs(out["ad_k2"].iloc[0] - a2) < 1e-4 * max(1, a2)
