@@ -257,6 +257,14 @@ BENCH_QUERIES = [
     "q_cooccur_pmi",
     "q_weibull_fit",
     "q_region_trend",
+    # round-4 session-7 representatives (LM / joins / embeddings / A-B)
+    "q_kneser_ney",
+    "q_lin_ccc",
+    "q_mahalanobis_diag",
+    "q_silhouette_centroid",
+    "q_keyness_dunning",
+    "q_cuped",
+    "q_mtbf_mttr",
 ]
 
 
