@@ -814,3 +814,64 @@ def test_ksample_ad(ray_session):
     a2 *= (N - 1) / N
     assert out["n_days"].iloc[0] == N
     assert abs(out["ad_k2"].iloc[0] - a2) < 1e-4 * max(1, a2)
+
+
+def test_gopher_census(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gopher_census"](SF).to_pandas()
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    fails = np.zeros(7, int)
+    npass = 0
+    for s in df["text"].fillna(""):
+        toks = s.split()
+        nw = len(toks)
+        tokchars = sum(len(x) for x in toks)
+        nalpha = sum(1 for x in toks if any(c.isascii() and c.isalpha() for c in x))
+        nreq = len(req & set(toks))
+        nsym = s.count("#") + s.count("...")
+        lines = s.split("\n")
+        nbul = sum(1 for l in lines if l.startswith("-") or l.startswith("•"))
+        nell = sum(1 for l in lines if l.endswith("..."))
+        r = [
+            nw < 50 or nw > 100_000,
+            not (3 * nw <= tokchars <= 10 * nw),
+            10 * nsym > nw,
+            10 * nbul > 9 * len(lines),
+            10 * nell > 3 * len(lines),
+            5 * nalpha < 4 * nw,
+            nreq < 2,
+        ]
+        fails += np.array(r, int)
+        npass += not any(r)
+    assert out["n_docs"].iloc[0] == len(df)
+    for i in range(7):
+        assert out[f"fail_r{i + 1}"].iloc[0] == fails[i], f"rule {i + 1}"
+    assert out["n_pass_all"].iloc[0] == npass
+
+
+def test_c4_census(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_c4_census"](SF).to_pandas()
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    nb = nl = n3 = nlines = nkept = nclean = 0
+    for s in df["text"].fillna(""):
+        brace = "{" in s
+        lorem = "lorem ipsum" in s.lower()
+        nsent = s.count(".") + s.count("!") + s.count("?")
+        nb += brace
+        nl += lorem
+        n3 += nsent < 3
+        nclean += not brace and not lorem and nsent >= 3
+        for line in s.split("\n"):
+            nlines += 1
+            if line.endswith((".", "!", "?", '"')) and len(line.split()) >= 5:
+                nkept += 1
+    assert out["n_brace"].iloc[0] == nb
+    assert out["n_lorem"].iloc[0] == nl
+    assert out["n_lt3_sent"].iloc[0] == n3
+    assert out["n_lines"].iloc[0] == nlines
+    assert out["n_lines_kept"].iloc[0] == nkept
+    assert out["n_docs_clean"].iloc[0] == nclean
