@@ -875,3 +875,52 @@ def test_c4_census(ray_session):
     assert out["n_lines"].iloc[0] == nlines
     assert out["n_lines_kept"].iloc[0] == nkept
     assert out["n_docs_clean"].iloc[0] == nclean
+
+
+def test_dsir_select(ray_session):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dsir_select"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pandas()
+    focus = df["source"].min()
+    B = 1024
+
+    def buckets(s):
+        toks = s.split()
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % B
+            for a, b in zip(toks[:-1], toks[1:])
+        ]
+
+    tc, rc = Counter(), Counter()
+    per_doc = {}
+    for did, src, txt in zip(df["doc_id"], df["source"], df["text"].fillna("")):
+        bs = buckets(txt)
+        per_doc[did] = (src == focus, bs)
+        (tc if src == focus else rc).update(bs)
+    tt, rr = sum(tc.values()), sum(rc.values())
+    dq = {
+        b: round(
+            1e6
+            * (
+                np.log((tc[b] + 1) / (tt + B))
+                - np.log((rc[b] + 1) / (rr + B))
+            )
+        )
+        for b in range(B)
+    }
+    scores = [
+        (sum(dq[b] for b in bs), did)
+        for did, (ist, bs) in per_doc.items()
+        if not ist and bs
+    ]
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    top = scores[:10]
+    assert list(out["doc_id"]) == [d for _, d in top]
+    for (q, _), w in zip(top, out["dsir_logw"]):
+        assert abs(w - q / 1e6) < 2e-6
