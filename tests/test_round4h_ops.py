@@ -924,3 +924,45 @@ def test_dsir_select(ray_session):
     assert list(out["doc_id"]) == [d for _, d in top]
     for (q, _), w in zip(top, out["dsir_logw"]):
         assert abs(w - q / 1e6) < 2e-6
+
+
+def test_mw_effect_sizes(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mw_effect_sizes"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    cnt = pd.Series(day).value_counts().sort_index()
+    v = cnt.to_numpy(float)
+    we = (cnt.index.to_numpy(np.int64) + 3) % 7 >= 5
+    ranks = pd.Series(v).rank(method="average").to_numpy()
+    n1, n0 = int(we.sum()), int((~we).sum())
+    r1 = ranks[we].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert out["n_weekend"].iloc[0] == n1
+    assert out["u2"].iloc[0] == int(round(2 * u1))
+    assert abs(out["rank_biserial"].iloc[0] - (1 - 2 * u1 / (n1 * n0))) < 1e-6
+    assert abs(out["common_language"].iloc[0] - u1 / (n1 * n0)) < 1e-6
+
+
+def test_kw_dow_effects(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kw_dow_effects"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    cnt = pd.Series(day).value_counts().sort_index()
+    v = cnt.to_numpy(float)
+    g = (cnt.index.to_numpy(np.int64) + 3) % 7
+    ranks = pd.Series(v).rank(method="average").to_numpy()
+    n = len(v)
+    k = len(np.unique(g))
+    s = sum(ranks[g == j].sum() ** 2 / (g == j).sum() for j in np.unique(g))
+    _, t = np.unique(v, return_counts=True)
+    cfac = 1 - (t**3 - t).sum() / (n**3 - n)
+    h = ((12 / (n * (n + 1))) * s - 3 * (n + 1)) / cfac
+    assert out["n_days"].iloc[0] == n
+    assert out["k_groups"].iloc[0] == k
+    assert abs(out["kw_h"].iloc[0] - h) < 1e-4
+    assert abs(out["eta2_h"].iloc[0] - (h - k + 1) / (n - k)) < 1e-5
+    assert abs(out["epsilon2"].iloc[0] - h * (n + 1) / (n**2 - 1)) < 1e-5
