@@ -966,3 +966,25 @@ def test_kw_dow_effects(ray_session):
     assert abs(out["kw_h"].iloc[0] - h) < 1e-4
     assert abs(out["eta2_h"].iloc[0] - (h - k + 1) / (n - k)) < 1e-5
     assert abs(out["epsilon2"].iloc[0] - h * (n + 1) / (n**2 - 1)) < 1e-5
+
+
+def test_hits(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _tool_transition_matrix
+
+    out = QUERIES["q_hits"](SF).to_pandas().sort_values("state")
+    A = _tool_transition_matrix(SF).astype(float)
+    h = np.ones(A.shape[0])
+    for _ in range(200):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    # fixed-point integer iteration should land within rounding noise
+    got_a = out["authority"].to_numpy()
+    got_h = out["hub"].to_numpy()
+    states = out["state"].tolist()
+    names = [""] + [f"tool-{i}" for i in range(7)]
+    idx = [names.index(s) for s in states]
+    assert np.allclose(got_a, a[idx], atol=5e-3)
+    assert np.allclose(got_h, h[idx], atol=5e-3)
+    assert abs(got_a.sum() - 1.0) < 1e-3 and abs(got_h.sum() - 1.0) < 1e-3
