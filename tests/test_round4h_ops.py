@@ -988,3 +988,59 @@ def test_hits(ray_session):
     assert np.allclose(got_a, a[idx], atol=5e-3)
     assert np.allclose(got_h, h[idx], atol=5e-3)
     assert abs(got_a.sum() - 1.0) < 1e-3 and abs(got_h.sum() - 1.0) < 1e-3
+
+
+def test_brunner_munzel(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_brunner_munzel"](SF).to_pandas()
+    y_all = _daily_counts().astype(float)
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    days = np.sort(pd.Series(day).unique())
+    we = (days + 3) % 7 >= 5
+    x, y = y_all[~we], y_all[we]
+    try:
+        from scipy.stats import brunnermunzel
+
+        res = brunnermunzel(x, y)
+        assert abs(out["w_bm"].iloc[0] - res.statistic) < 1e-4
+    except ImportError:
+        pass
+    # literal recomputation (Brunner & Munzel 2000)
+    nx, ny = len(x), len(y)
+    pooled = np.concatenate([x, y])
+    rc = pd.Series(pooled).rank(method="average").to_numpy()
+    rcx, rcy = rc[:nx], rc[nx:]
+    rix = pd.Series(x).rank(method="average").to_numpy()
+    riy = pd.Series(y).rank(method="average").to_numpy()
+    sx2 = ((rcx - rix - rcx.mean() + (nx + 1) / 2) ** 2).sum() / (nx - 1)
+    sy2 = ((rcy - riy - rcy.mean() + (ny + 1) / 2) ** 2).sum() / (ny - 1)
+    w = nx * ny * (rcy.mean() - rcx.mean()) / (
+        (nx + ny) * np.sqrt(nx * sx2 + ny * sy2)
+    )
+    p_hat = (rcy.mean() - (ny + 1) / 2) / nx
+    assert out["n_weekday"].iloc[0] == nx
+    assert abs(out["p_hat"].iloc[0] - p_hat) < 1e-6
+    assert abs(out["w_bm"].iloc[0] - w) < 1e-5
+
+
+def test_welch_anova(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_welch_anova"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    g = df.groupby("source")["n_chars"]
+    n = g.size().to_numpy(float)
+    m = g.mean().to_numpy(float)
+    s2 = g.var(ddof=1).to_numpy(float)
+    w = n / s2
+    W = w.sum()
+    xw = (w * m).sum() / W
+    k = len(n)
+    num = (w * (m - xw) ** 2).sum() / (k - 1)
+    den = 1 + 2 * (k - 2) / (k**2 - 1) * ((1 - w / W) ** 2 / (n - 1)).sum()
+    assert out["k_groups"].iloc[0] == k
+    assert abs(out["welch_f"].iloc[0] - num / den) < 1e-4 * max(1, num / den)
