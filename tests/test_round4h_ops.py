@@ -1044,3 +1044,37 @@ def test_welch_anova(ray_session):
     den = 1 + 2 * (k - 2) / (k**2 - 1) * ((1 - w / W) ** 2 / (n - 1)).sum()
     assert out["k_groups"].iloc[0] == k
     assert abs(out["welch_f"].iloc[0] - num / den) < 1e-4 * max(1, num / den)
+
+
+def test_dunn_and_conover(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    dz = QUERIES["q_dunn_posthoc"](SF).to_pandas()
+    ct = QUERIES["q_conover_iman"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    cnt = pd.Series(day).value_counts().sort_index()
+    v = cnt.to_numpy(float)
+    g = ((cnt.index.to_numpy(np.int64) + 3) % 7).astype(int)
+    r = pd.Series(v).rank(method="average").to_numpy()
+    n = len(v)
+    k = 7
+    _, t = np.unique(v, return_counts=True)
+    tie = float((t.astype(float) ** 3 - t).sum())
+    sig = n * (n + 1) / 12 - tie / (12 * (n - 1))
+    s = sum(r[g == j].sum() ** 2 / (g == j).sum() for j in range(k))
+    cfac = 1 - tie / (n**3 - n)
+    h = ((12 / (n * (n + 1))) * s - 3 * (n + 1)) / cfac
+    s2 = ((r**2).sum() - n * (n + 1) ** 2 / 4) / (n - 1)
+    factor = s2 * (n - 1 - h) / (n - k)
+    row = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            ni, nj_ = (g == i).sum(), (g == j).sum()
+            rd = r[g == i].mean() - r[g == j].mean()
+            z = rd / np.sqrt(sig * (1 / ni + 1 / nj_))
+            t_ = rd / np.sqrt(factor * (1 / ni + 1 / nj_))
+            assert dz["dow_a"].iloc[row] == i and dz["dow_b"].iloc[row] == j
+            assert abs(dz["dunn_z"].iloc[row] - z) < 1e-5
+            assert abs(ct["ci_t"].iloc[row] - t_) < 1e-4
+            row += 1
