@@ -1078,3 +1078,45 @@ def test_dunn_and_conover(ray_session):
             assert abs(dz["dunn_z"].iloc[row] - z) < 1e-5
             assert abs(ct["ci_t"].iloc[row] - t_) < 1e-4
             row += 1
+
+
+def test_smape_naive(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_smape_naive"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    a, f = y[7:], y[:-7]
+    e = np.abs(a - f)
+    assert out["n_fc"].iloc[0] == len(a)
+    assert abs(out["smape"].iloc[0] - (2 * e / (a + f)).mean()) < 1e-6
+    assert abs(out["mape"].iloc[0] - (e / a).mean()) < 1e-6
+    ape = np.sort(e / a)
+    assert abs(out["mdape"].iloc[0] - ape[(len(a) - 1) // 2]) < 1e-6
+
+
+def test_pinball_loss(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_pinball_loss"](SF).to_pandas()
+    y = _daily_counts()
+    h = len(y) // 2
+    train = np.sort(y[:h])
+    test = y[h:].astype(float)
+    for tau, name in ((0.1, "q10"), (0.5, "q50"), (0.9, "q90")):
+        q = train[min(int(tau * 10) * h // 10, h - 1)]
+        assert out[f"{name}_value"].iloc[0] == q
+        loss = np.maximum(tau * (test - q), (tau - 1) * (test - q)).mean()
+        assert abs(out[f"{name}_loss"].iloc[0] - loss) < 1e-6
+
+
+def test_tracking_signal(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tracking_signal"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    e = y[7:] - y[:-7]
+    assert out["cum_error"].iloc[0] == int(e.sum())
+    assert abs(out["mad"].iloc[0] - np.abs(e).mean()) < 1e-6
+    assert abs(
+        out["tracking_signal"].iloc[0] - e.sum() / np.abs(e).mean()
+    ) < 1e-5
