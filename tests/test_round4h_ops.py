@@ -1120,3 +1120,42 @@ def test_tracking_signal(ray_session):
     assert abs(
         out["tracking_signal"].iloc[0] - e.sum() / np.abs(e).mean()
     ) < 1e-5
+
+
+def test_abc_xyz(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_abc_xyz"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_shipdate"],
+    ).to_pandas()
+    wk = li["l_shipdate"].astype("datetime64[us]").astype(np.int64) // (
+        7 * 86_400_000_000
+    )
+    qty = np.round(li["l_quantity"]).astype(np.int64)
+    g = (
+        pd.DataFrame({"p": li["l_partkey"], "w": wk, "q": qty})
+        .groupby(["p", "w"], as_index=False)["q"]
+        .sum()
+    )
+    per = g.groupby("p")["q"].agg(
+        s="sum", qsq=lambda x: int((x.astype(object) ** 2).sum()), k="size"
+    )
+    s, qsq, k = (
+        per["s"].to_numpy(np.int64),
+        per["qsq"].to_numpy(np.int64),
+        per["k"].to_numpy(np.int64),
+    )
+    varn = k * qsq - s * s
+    cls = np.where(4 * varn < s * s, "X", np.where(varn < s * s, "Y", "Z"))
+    exp = (
+        pd.DataFrame({"c": cls, "s": s})
+        .groupby("c")
+        .agg(n=("s", "size"), q=("s", "sum"))
+    )
+    got = out.set_index("xyz_class")
+    for c in exp.index:
+        assert got.loc[c, "n_parts"] == exp.loc[c, "n"]
+        assert got.loc[c, "total_qty"] == exp.loc[c, "q"]
+    assert len(got) == len(exp)
