@@ -1159,3 +1159,37 @@ def test_abc_xyz(ray_session):
         assert got.loc[c, "n_parts"] == exp.loc[c, "n"]
         assert got.loc[c, "total_qty"] == exp.loc[c, "q"]
     assert len(got) == len(exp)
+
+
+def test_tornqvist_walsh(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tornqvist_walsh"](SF).to_pandas()
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    o["half"] = (o["o_orderdate"].dt.day > 15).astype(int)
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["e"] = np.round(j["l_extendedprice"] * 100).astype(np.int64)
+    j["q"] = j["l_quantity"].astype(np.int64)
+    per = j.groupby(["l_partkey", "half"], as_index=False)[["q", "e"]].sum()
+    piv = per.pivot_table(
+        index="l_partkey", columns="half", values=["q", "e"], fill_value=0
+    )
+    both = piv[("q", 0)].gt(0) & piv[("q", 1)].gt(0)
+    q0 = piv.loc[both, ("q", 0)].to_numpy(float)
+    q1 = piv.loc[both, ("q", 1)].to_numpy(float)
+    e0 = piv.loc[both, ("e", 0)].to_numpy(float)
+    e1 = piv.loc[both, ("e", 1)].to_numpy(float)
+    w = (e0 / e0.sum() + e1 / e1.sum()) / 2
+    torn = np.exp((w * np.log((e1 / q1) / (e0 / q0))).sum())
+    walsh = ((e1 / q1) * np.sqrt(q0 * q1)).sum() / (
+        (e0 / q0) * np.sqrt(q0 * q1)
+    ).sum()
+    assert out["n_parts"].iloc[0] == int(both.sum())
+    assert abs(out["tornqvist"].iloc[0] - torn) < 1e-5
+    assert abs(out["walsh"].iloc[0] - walsh) < 1e-5
