@@ -1193,3 +1193,44 @@ def test_tornqvist_walsh(ray_session):
     assert out["n_parts"].iloc[0] == int(both.sum())
     assert abs(out["tornqvist"].iloc[0] - torn) < 1e-5
     assert abs(out["walsh"].iloc[0] - walsh) < 1e-5
+
+
+def test_event_study(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_event_study"](SF).to_pandas()
+    df = _events_pdf(["user_id", "ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    d = pd.DataFrame(
+        {"u": df["user_id"], "day": day, "pur": df["event_type"] == "purchase"}
+    )
+    t0 = d[d["pur"]].groupby("u")["day"].min()
+    dj = d.join(t0.rename("t0"), on="u", how="inner")
+    r = (dj["day"] - dj["t0"]).to_numpy()
+    assert out["n_users"].iloc[0] == len(t0)
+    for i, rel in enumerate(range(-7, 8)):
+        n = int((r == rel).sum())
+        assert out["rel_day"].iloc[i] == rel
+        assert out["n_events"].iloc[i] == n
+        assert abs(out["mean_per_user"].iloc[i] - n / len(t0)) < 1e-6
+
+
+def test_did(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_did"](SF).to_pandas()
+    df = _events_pdf(["user_id", "ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    bnd = (int(day.min()) + int(day.max()) + 1) // 2
+    treat = (df["user_id"] % 2 == 1).to_numpy()
+    pre = (day < bnd).to_numpy()
+    nt = df.loc[treat, "user_id"].nunique()
+    nc = df.loc[~treat, "user_id"].nunique()
+    tp = (treat & pre).sum() / nt
+    tq = (treat & ~pre).sum() / nt
+    cp = (~treat & pre).sum() / nc
+    cq = (~treat & ~pre).sum() / nc
+    assert out["n_treat_users"].iloc[0] == nt
+    assert out["n_ctrl_users"].iloc[0] == nc
+    assert abs(out["did_estimate"].iloc[0] - ((tq - tp) - (cq - cp))) < 1e-5
+    assert abs(out["pre_period_gap"].iloc[0] - (tp - cp)) < 1e-5
