@@ -1234,3 +1234,65 @@ def test_did(ray_session):
     assert out["n_ctrl_users"].iloc[0] == nc
     assert abs(out["did_estimate"].iloc[0] - ((tq - tp) - (cq - cp))) < 1e-5
     assert abs(out["pre_period_gap"].iloc[0] - (tp - cp)) < 1e-5
+
+
+def _hod_cells():
+    df = _events_pdf(["ts", "event_type"])
+    hr = df["ts"].astype("datetime64[ns]").astype(np.int64) // 3_600_000_000_000
+    hod = (hr % 24).to_numpy()
+    we = ((hr // 24 + 3) % 7 >= 5).to_numpy()
+    pur = (df["event_type"] == "purchase").to_numpy()
+    cells = []
+    for h in range(24):
+        m = hod == h
+        cells.append(
+            (
+                int((m & we & pur).sum()),
+                int((m & we).sum()),
+                int((m & ~we & pur).sum()),
+                int((m & ~we).sum()),
+            )
+        )
+    return cells
+
+
+def test_cmh_test(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cmh_test"](SF).to_pandas()
+    s = v = 0.0
+    for a, n1, c, n0 in _hod_cells():
+        nn, m1 = n1 + n0, a + c
+        m0 = nn - m1
+        s += a - n1 * m1 / nn
+        v += n1 * n0 * m1 * m0 / (nn * nn * (nn - 1))
+    chi2 = (abs(s) - 0.5) ** 2 / v
+    assert abs(out["sum_a_minus_e"].iloc[0] - s) < 1e-4
+    assert abs(out["cmh_chi2"].iloc[0] - chi2) < 1e-3 * max(1, chi2)
+
+
+def test_oaxaca_threefold(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_oaxaca_threefold"](SF).to_pandas()
+    cells = _hod_cells()
+    nw = sum(c[1] for c in cells)
+    nd = sum(c[3] for c in cells)
+    e = c_ = i = 0.0
+    for a, n1, c0, n0 in cells:
+        w1, w0 = n1 / nw, n0 / nd
+        r1, r0 = a / n1, c0 / n0
+        e += (w1 - w0) * r0
+        c_ += w0 * (r1 - r0)
+        i += (w1 - w0) * (r1 - r0)
+    delta = sum(c[0] for c in cells) / nw - sum(c[2] for c in cells) / nd
+    assert abs(out["delta"].iloc[0] - delta) < 1e-6
+    assert abs(out["endowment"].iloc[0] - e) < 1e-6
+    assert abs(out["coefficients"].iloc[0] - c_) < 1e-6
+    assert abs(out["interaction"].iloc[0] - i) < 1e-6
+    total = (
+        out["endowment"].iloc[0]
+        + out["coefficients"].iloc[0]
+        + out["interaction"].iloc[0]
+    )
+    assert abs(total - out["delta"].iloc[0]) < 5e-6
