@@ -1296,3 +1296,19 @@ def test_oaxaca_threefold(ray_session):
         + out["interaction"].iloc[0]
     )
     assert abs(total - out["delta"].iloc[0]) < 5e-6
+
+
+def test_spectral_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_spectral_entropy"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    hr = df["ts"].astype("datetime64[ns]").astype(np.int64) // 3_600_000_000_000
+    x = pd.Series(hr).value_counts().sort_index().to_numpy(float)
+    n = len(x)
+    fft = np.fft.rfft(x)
+    p = (np.abs(fft[1:13]) ** 2) / n
+    pk = p / p.sum()
+    h = -(pk * np.log(pk)).sum() / np.log(12)
+    assert out["n_hours"].iloc[0] == n
+    assert abs(out["spectral_entropy"].iloc[0] - h) < 1e-4
