@@ -1312,3 +1312,22 @@ def test_spectral_entropy(ray_session):
     h = -(pk * np.log(pk)).sum() / np.log(12)
     assert out["n_hours"].iloc[0] == n
     assert abs(out["spectral_entropy"].iloc[0] - h) < 1e-4
+
+
+def test_lid_estimate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lid_estimate"](SF).to_pandas()
+    x, _ = _embed_xy()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    vid = t["vec_id"].to_numpy()
+    k = 16
+    for _, row in out.iterrows():
+        a = int(row["anchor_id"])
+        ai = int(np.where(vid == a)[0][0])
+        d = np.sqrt(((x - x[ai]) ** 2).sum(axis=1))
+        d = np.delete(d, ai)
+        d.sort()
+        r = d[:k]
+        lid = -1.0 / (np.log(r / r[-1]).mean())
+        assert abs(row["lid"] - lid) < 1e-3 * max(1, abs(lid))
