@@ -1331,3 +1331,34 @@ def test_lid_estimate(ray_session):
         r = d[:k]
         lid = -1.0 / (np.log(r / r[-1]).mean())
         assert abs(row["lid"] - lid) < 1e-3 * max(1, abs(lid))
+
+
+def test_kneedle(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_kneedle"](SF).to_pandas()
+    y = _daily_counts().astype(np.int64)
+    cum = np.cumsum(y)
+    n = len(y)
+    k = np.arange(1, n + 1)
+    dk = (cum[-1] - cum[0]) * (k - 1) - (n - 1) * (cum - cum[0])
+    kk = int(np.argmax(dk)) + 1
+    assert out["knee_k"].iloc[0] == kk
+    assert abs(out["cum_share"].iloc[0] - cum[kk - 1] / cum[-1]) < 1e-6
+
+
+def test_bradford_zones(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bradford_zones"](SF).to_pandas()
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["source"]).to_pandas()
+    g = df.groupby("source").size().sort_values(ascending=False)
+    g = g.reset_index().sort_values([0, "source"], ascending=[False, True])
+    n = g[0].to_numpy(np.int64)
+    total = n.sum()
+    cum = np.cumsum(n)
+    zone = np.minimum(2, 3 * (cum - 1) // total)
+    assert out["n_docs"].sum() == total
+    for z in range(3):
+        assert out["n_sources"].iloc[z] == int((zone == z).sum())
+        assert out["n_docs"].iloc[z] == int(n[zone == z].sum())
