@@ -1362,3 +1362,28 @@ def test_bradford_zones(ray_session):
     for z in range(3):
         assert out["n_sources"].iloc[z] == int((zone == z).sum())
         assert out["n_docs"].iloc[z] == int(n[zone == z].sum())
+
+
+def test_hhi_nation_rev(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hhi_nation_rev"](SF).to_pandas()
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    c = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    n = pq.read_table(
+        f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j["o_totalprice"] * 100).astype(np.int64)
+    per = j.groupby("c_nationkey")["cents"].sum()
+    sh = per / per.sum()
+    hhi = (sh**2).sum()
+    assert out["n_nations"].iloc[0] == len(per)
+    assert abs(out["hhi"].iloc[0] - hhi) < 1e-6
+    assert abs(out["effective_nations"].iloc[0] - 1 / hhi) < 1e-4
+    topk = per.sort_values(ascending=False).index[0]
+    assert out["top_nation"].iloc[0] == n.set_index("n_nationkey").loc[topk, "n_name"]
