@@ -1387,3 +1387,45 @@ def test_hhi_nation_rev(ray_session):
     assert abs(out["effective_nations"].iloc[0] - 1 / hhi) < 1e-4
     topk = per.sort_values(ascending=False).index[0]
     assert out["top_nation"].iloc[0] == n.set_index("n_nationkey").loc[topk, "n_name"]
+
+
+def test_modularity_split(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _tool_transition_matrix
+
+    out = QUERIES["q_modularity_split"](SF).to_pandas()
+    A = _tool_transition_matrix(SF).astype(float)
+    comm = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    w = A.sum()
+    q = 0.0
+    for c in (0, 1):
+        sel = comm == c
+        q += A[np.ix_(sel, sel)].sum() / w - (
+            A[sel, :].sum() / w
+        ) * (A[:, sel].sum() / w)
+    assert out["total_weight"].iloc[0] == int(w)
+    assert abs(out["modularity"].iloc[0] - q) < 1e-6
+
+
+def test_leading_indicator(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_leading_indicator"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    piv = (
+        pd.DataFrame({"d": day, "t": df["event_type"]})
+        .groupby(["d", "t"])
+        .size()
+        .unstack(fill_value=0)
+        .sort_index()
+    )
+    pur = piv["purchase"].to_numpy(float)
+    row = 0
+    for typ in sorted(c for c in piv.columns if c != "purchase"):
+        xf = piv[typ].to_numpy(float)
+        for lag in (1, 2, 3):
+            r = np.corrcoef(xf[:-lag], pur[lag:])[0, 1]
+            assert out["event_type"].iloc[row] == typ
+            assert out["lead_days"].iloc[row] == lag
+            assert abs(out["pearson_r"].iloc[row] - r) < 1e-6
+            row += 1
