@@ -1429,3 +1429,31 @@ def test_leading_indicator(ray_session):
             assert out["lead_days"].iloc[row] == lag
             assert abs(out["pearson_r"].iloc[row] - r) < 1e-6
             row += 1
+
+
+def test_match_att(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_match_att"](SF).to_pandas()
+    df = _events_pdf(["user_id", "ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    bnd = (int(day.min()) + int(day.max()) + 1) // 2
+    g = (
+        pd.DataFrame({"u": df["user_id"], "pre": (day < bnd).astype(int)})
+        .groupby("u")["pre"]
+        .agg(x="sum", n="size")
+    )
+    g["y"] = g["n"] - g["x"]
+    g = g.reset_index()
+    tr = g[g["u"] % 2 == 1]
+    ct = g[g["u"] % 2 == 0]
+    diffs, dists = [], []
+    for _, t in tr.iterrows():
+        cand = ct.assign(d=(ct["x"] - t["x"]).abs()).sort_values(["d", "u"])
+        best = cand.iloc[0]
+        diffs.append(t["y"] - best["y"])
+        dists.append(best["d"])
+    assert out["n_treated"].iloc[0] == len(tr)
+    assert out["n_controls"].iloc[0] == len(ct)
+    assert abs(out["att"].iloc[0] - np.mean(diffs)) < 1e-6
+    assert abs(out["mean_match_dist"].iloc[0] - np.mean(dists)) < 1e-6
