@@ -1457,3 +1457,43 @@ def test_match_att(ray_session):
     assert out["n_controls"].iloc[0] == len(ct)
     assert abs(out["att"].iloc[0] - np.mean(diffs)) < 1e-6
     assert abs(out["mean_match_dist"].iloc[0] - np.mean(dists)) < 1e-6
+
+
+def test_binary_segmentation(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_binary_segmentation"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    cnt = pd.Series(day).value_counts().sort_index()
+    y = cnt.to_numpy(float)
+    days = cnt.index.to_numpy(np.int64)
+    n = len(y)
+
+    def sse(seg):
+        return ((seg - seg.mean()) ** 2).sum() if len(seg) else 0.0
+
+    def best(lo, hi):  # 0-based slice [lo, hi)
+        base = sse(y[lo:hi])
+        bb = None
+        for k in range(lo + 1, hi):
+            red = base - sse(y[lo:k]) - sse(y[k:hi])
+            if bb is None or red > bb[0] + 1e-9:
+                bb = (red, k)
+        return bb
+
+    r1, k1 = best(0, n)
+    cand = []
+    b = best(0, k1)
+    if b:
+        cand.append(b)
+    b = best(k1, n)
+    if b:
+        cand.append(b)
+    k2 = max(cand, key=lambda t: t[0])[1]
+    ka, kb = sorted((k1, k2))
+    assert out["cp1_day"].iloc[0] == days[ka - 1]
+    assert out["cp2_day"].iloc[0] == days[kb - 1]
+    assert abs(out["seg1_mean"].iloc[0] - y[:ka].mean()) < 1e-5
+    assert abs(out["seg2_mean"].iloc[0] - y[ka:kb].mean()) < 1e-5
+    assert abs(out["seg3_mean"].iloc[0] - y[kb:].mean()) < 1e-5
