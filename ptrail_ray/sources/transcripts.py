@@ -392,3 +392,59 @@ def read_transcripts_json(path: str, **kwargs):
     from ptrail_ray.schema import normalize
 
     return normalize(rd.read_json(path, **kwargs))
+
+
+def read_arrow_ipc(path: str, *, columns=None):
+    """Arrow IPC (Feather v2 / RecordBatch file) ingest: each shard's
+    bytes stream through ``read_binary_files`` and decode zero-copy
+    with ``pa.ipc.open_file`` inside the task — no driver collect, one
+    output block per shard (shard sizing is the writer's job, same
+    contract as the parquet path). Column pruning happens at decode."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, file_extensions=["arrow"])
+
+    def decode(t: "pa.Table") -> "pa.Table":
+        out = []
+        col = t["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for buf in col:
+            reader = pa.ipc.open_file(pa.BufferReader(buf.as_py()))
+            tab = reader.read_all()
+            if columns is not None:
+                tab = tab.select(columns)
+            out.append(tab)
+        return pa.concat_tables(out) if out else pa.table({})
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
+def write_arrow_ipc_shards(parquet_path: str, out_dir: str, *, shards: int = 8):
+    """Deterministically convert a parquet table to ``shards`` Arrow
+    IPC files (row-range sharding, stable order) — idempotent via a
+    DONE marker so repeated query runs reuse the shards."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    tab = pq.read_table(parquet_path)
+    n = tab.num_rows
+    step = -(-n // shards)
+    for i in range(shards):
+        part = tab.slice(i * step, step)
+        if part.num_rows == 0:
+            continue
+        with pa.ipc.new_file(
+            os.path.join(out_dir, f"part-{i:04d}.arrow"), part.schema
+        ) as w:
+            w.write_table(part)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir

@@ -1497,3 +1497,27 @@ def test_binary_segmentation(ray_session):
     assert abs(out["seg1_mean"].iloc[0] - y[:ka].mean()) < 1e-5
     assert abs(out["seg2_mean"].iloc[0] - y[ka:kb].mean()) < 1e-5
     assert abs(out["seg3_mean"].iloc[0] - y[kb:].mean()) < 1e-5
+
+
+def test_ingest_ipc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from ptrail_ray.sources.transcripts import (
+        read_arrow_ipc,
+        write_arrow_ipc_shards,
+    )
+
+    out = str(tmp_path / "ipc")
+    write_arrow_ipc_shards(f"{SF}/events.parquet", out, shards=3)
+    ds = read_arrow_ipc(out, columns=["event_id", "user_id"])
+    got = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # idempotent: second write is a no-op (DONE marker)
+    write_arrow_ipc_shards(f"{SF}/events.parquet", out, shards=3)
+    assert len(read_arrow_ipc(out).to_pandas()) == len(exp)
