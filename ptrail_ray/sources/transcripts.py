@@ -448,3 +448,35 @@ def write_arrow_ipc_shards(parquet_path: str, out_dir: str, *, shards: int = 8):
     with open(done, "w") as f:
         f.write("ok\n")
     return out_dir
+
+
+def write_arrow_ipc(ds, out_dir: str):
+    """Distributed Arrow IPC sink: every task writes its block as one
+    Feather-v2 shard (content-hash names — deterministic for a given
+    block set, safe under task retry because a rewrite is a byte-
+    identical overwrite). Returns the shard paths."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+        buf = sink.getvalue()
+        name = hashlib.md5(buf.to_pybytes()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.arrow")
+        with open(path, "wb") as f:
+            f.write(buf.to_pybytes())
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    return sorted(
+        ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()["path"]
+        .tolist()
+    )

@@ -1521,3 +1521,22 @@ def test_ingest_ipc_roundtrip(ray_session, tmp_path):
     # idempotent: second write is a no-op (DONE marker)
     write_arrow_ipc_shards(f"{SF}/events.parquet", out, shards=3)
     assert len(read_arrow_ipc(out).to_pandas()) == len(exp)
+
+
+def test_write_arrow_ipc_sink(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ptrail_ray.sources.transcripts import read_arrow_ipc, write_arrow_ipc
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    out = str(tmp_path / "sink")
+    paths = write_arrow_ipc(ds, out)
+    assert paths and all(p.endswith(".arrow") for p in paths)
+    back = read_arrow_ipc(out).to_pandas().sort_values("event_id")
+    exp = (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert back["event_id"].tolist() == exp["event_id"].tolist()
+    assert np.allclose(back["value"].to_numpy(), exp["value"].to_numpy(), equal_nan=True)
