@@ -1540,3 +1540,36 @@ def test_write_arrow_ipc_sink(ray_session, tmp_path):
     )
     assert back["event_id"].tolist() == exp["event_id"].tolist()
     assert np.allclose(back["value"].to_numpy(), exp["value"].to_numpy(), equal_nan=True)
+
+
+def test_rank_turbulence(ray_session):
+    from collections import Counter
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_rank_turbulence"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    bnd = (int(df["doc_id"].min()) + int(df["doc_id"].max()) + 1) // 2
+    c1, c2 = Counter(), Counter()
+    for did, t in zip(df["doc_id"], df["text"].fillna("")):
+        (c2 if did >= bnd else c1).update(t.split())
+
+    def ranks(c):
+        toks = sorted(c, key=lambda t: (-c[t], t))
+        return {t: i + 1 for i, t in enumerate(toks)}
+
+    r1, r2 = ranks(c1), ranks(c2)
+    contrib = {}
+    for t in set(c1) | set(c2):
+        i1 = 1 / r1[t] if t in r1 else 0.0
+        i2 = 1 / r2[t] if t in r2 else 0.0
+        contrib[t] = abs(i1 - i2)
+    total = sum(round(v * 1e12) for v in contrib.values()) / 1e12
+    top = sorted(contrib, key=lambda t: (-round(contrib[t] * 1e12), t))[:5]
+    assert list(out["token"]) == top
+    assert abs(out["rtd_total"].iloc[0] - total) < 1e-5
+    for i, t in enumerate(top):
+        assert out["rank_first"].iloc[i] == r1.get(t, 0)
+        assert out["rank_second"].iloc[i] == r2.get(t, 0)
