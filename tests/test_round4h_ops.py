@@ -1573,3 +1573,31 @@ def test_rank_turbulence(ray_session):
     for i, t in enumerate(top):
         assert out["rank_first"].iloc[i] == r1.get(t, 0)
         assert out["rank_second"].iloc[i] == r2.get(t, 0)
+
+
+def test_matrix_profile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_matrix_profile"](SF).to_pandas()
+    y = _daily_counts().astype(np.int64)
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    days = np.sort(pd.Series(day).unique())
+    n = len(y)
+    w = 7
+    m = n - w + 1
+    best = None
+    mp = {}
+    for i in range(m):
+        for j in range(i + w, m):
+            d2 = int(((y[i : i + w] - y[j : j + w]) ** 2).sum())
+            if best is None or (d2, i, j) < best:
+                best = (d2, i, j)
+            mp[i] = min(mp.get(i, 1 << 62), d2)
+            mp[j] = min(mp.get(j, 1 << 62), d2)
+    disc = max(mp.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert out["motif_day_a"].iloc[0] == days[best[1]]
+    assert out["motif_day_b"].iloc[0] == days[best[2]]
+    assert out["motif_dist2"].iloc[0] == best[0]
+    assert out["discord_day"].iloc[0] == days[disc[0]]
+    assert out["discord_dist2"].iloc[0] == disc[1]
