@@ -1601,3 +1601,23 @@ def test_matrix_profile(ray_session):
     assert out["motif_dist2"].iloc[0] == best[0]
     assert out["discord_day"].iloc[0] == days[disc[0]]
     assert out["discord_dist2"].iloc[0] == disc[1]
+
+
+def test_variance_ratio(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_variance_ratio"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    X = np.concatenate([[0.0], np.cumsum(y)])
+    mu = (X[-1] - X[0]) / n
+    q = 5
+    s2a = ((y - mu) ** 2).sum() / (n - 1)
+    m = q * (n - q + 1) * (1 - q / n)
+    diffs = X[q:] - X[:-q]
+    s2b = ((diffs - q * mu) ** 2).sum() / m
+    vr = s2b / s2a
+    z = (vr - 1) / np.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * n))
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["variance_ratio"].iloc[0] - vr) < 1e-5
+    assert abs(out["z_stat"].iloc[0] - z) < 1e-4
