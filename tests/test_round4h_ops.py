@@ -1621,3 +1621,28 @@ def test_variance_ratio(ray_session):
     assert out["n_days"].iloc[0] == n
     assert abs(out["variance_ratio"].iloc[0] - vr) < 1e-5
     assert abs(out["z_stat"].iloc[0] - z) < 1e-4
+
+
+def test_dfa(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dfa"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    prof = np.cumsum(y - y.mean())
+    fs = []
+    for s in (4, 8, 16):
+        k = n // s
+        sses = []
+        for b in range(k):
+            seg = prof[b * s : (b + 1) * s]
+            x = np.arange(1, s + 1)
+            A = np.column_stack([np.ones(s), x])
+            beta, *_ = np.linalg.lstsq(A, seg, rcond=None)
+            sses.append(((seg - A @ beta) ** 2).sum())
+        fs.append(np.sqrt(np.mean(sses)))
+    slope = np.polyfit(np.log([4, 8, 16]), np.log(fs), 1)[0]
+    assert out["n_days"].iloc[0] == n
+    for col, f in zip(("f4", "f8", "f16"), fs):
+        assert abs(out[col].iloc[0] - f) < 1e-3 * max(1, f)
+    assert abs(out["dfa_alpha"].iloc[0] - slope) < 1e-4
