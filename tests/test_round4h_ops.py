@@ -1646,3 +1646,30 @@ def test_dfa(ray_session):
     for col, f in zip(("f4", "f8", "f16"), fs):
         assert abs(out[col].iloc[0] - f) < 1e-3 * max(1, f)
     assert abs(out["dfa_alpha"].iloc[0] - slope) < 1e-4
+
+
+def test_visibility_graphs(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    nv = QUERIES["q_visibility_graph"](SF).to_pandas()
+    hv = QUERIES["q_horizontal_visibility"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    e_nat = e_hor = 0
+    deg = np.zeros(n, int)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ks = np.arange(i + 1, j)
+            if len(ks) == 0 or np.all(
+                y[ks] < y[i] + (y[j] - y[i]) * (ks - i) / (j - i)
+            ):
+                e_nat += 1
+                deg[i] += 1
+                deg[j] += 1
+            if len(ks) == 0 or np.all(y[ks] < min(y[i], y[j])):
+                e_hor += 1
+    assert nv["n_edges"].iloc[0] == e_nat
+    assert hv["n_edges"].iloc[0] == e_hor
+    assert nv["hub_degree"].iloc[0] == deg.max()
+    # HVG is a subgraph of NVG
+    assert e_hor <= e_nat
