@@ -1673,3 +1673,25 @@ def test_visibility_graphs(ray_session):
     assert nv["hub_degree"].iloc[0] == deg.max()
     # HVG is a subgraph of NVG
     assert e_hor <= e_nat
+
+
+def test_poisson_mixture_em(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_poisson_mixture_em"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    ys = np.sort(y)
+    l1, l2, pi = ys[(n - 1) // 4], ys[3 * (n - 1) // 4], 0.5
+    for _ in range(10):
+        lo = np.log((1 - pi) / pi) + (l1 - l2) + y * np.log(l2 / l1)
+        r = 1 / (1 + np.exp(lo))
+        l1 = (r * y).sum() / r.sum()
+        l2 = ((1 - r) * y).sum() / (1 - r).sum()
+        pi = r.mean()
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["lambda_low"].iloc[0] - l1) < 1e-4 * max(1, l1)
+    assert abs(out["lambda_high"].iloc[0] - l2) < 1e-4 * max(1, l2)
+    assert abs(out["pi_low"].iloc[0] - pi) < 1e-5
+    assert out["lambda_low"].iloc[0] <= out["lambda_high"].iloc[0]
+    assert out["loglik"].iloc[0] < 0
