@@ -1695,3 +1695,23 @@ def test_poisson_mixture_em(ray_session):
     assert abs(out["pi_low"].iloc[0] - pi) < 1e-5
     assert out["lambda_low"].iloc[0] <= out["lambda_high"].iloc[0]
     assert out["loglik"].iloc[0] < 0
+
+
+def test_experiment_health(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_experiment_health"](SF).to_pandas()
+    df = _events_pdf(["user_id"])
+    per = df.groupby("user_id").size()
+    u = per.index.to_numpy(np.int64)
+    n1 = int((u % 2 == 1).sum())
+    n0 = int((u % 2 == 0).sum())
+    assert out["n_treat"].iloc[0] == n1
+    assert out["n_ctrl"].iloc[0] == n0
+    assert abs(out["srm_chi2"].iloc[0] - (n1 - n0) ** 2 / (n1 + n0)) < 1e-6
+    a = per[u % 4 == 0].to_numpy(float)
+    b = per[u % 4 == 2].to_numpy(float)
+    z = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert abs(out["aa_z"].iloc[0] - z) < 1e-5
