@@ -1715,3 +1715,22 @@ def test_experiment_health(ray_session):
         a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
     )
     assert abs(out["aa_z"].iloc[0] - z) < 1e-5
+
+
+def test_benford_first(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_benford_first"](SF).to_pandas()
+    o = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"]).to_pandas()
+    cents = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    first = cents.astype(str).str[0].astype(int)
+    n = len(first)
+    chi2 = mad = 0.0
+    for d in range(1, 10):
+        p = np.log10(1 + 1 / d)
+        obs = int((first == d).sum())
+        chi2 += (obs - n * p) ** 2 / (n * p)
+        mad += abs(obs / n - p)
+    assert out["n_orders"].iloc[0] == n
+    assert abs(out["chi2"].iloc[0] - chi2) < 1e-4 * max(1, chi2)
+    assert abs(out["nigrini_mad"].iloc[0] - mad / 9) < 1e-6
