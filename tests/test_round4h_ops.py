@@ -1734,3 +1734,32 @@ def test_benford_first(ray_session):
     assert out["n_orders"].iloc[0] == n
     assert abs(out["chi2"].iloc[0] - chi2) < 1e-4 * max(1, chi2)
     assert abs(out["nigrini_mad"].iloc[0] - mad / 9) < 1e-6
+
+
+def test_interrupted_ts_and_chow(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    its = QUERIES["q_interrupted_ts"](SF).to_pandas()
+    chow = QUERIES["q_chow_test"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    h = n // 2
+    t = np.arange(1, n + 1)
+
+    def fit(lo, hi):
+        A = np.column_stack([np.ones(hi - lo), t[lo:hi]])
+        beta, *_ = np.linalg.lstsq(A, y[lo:hi], rcond=None)
+        sse = ((y[lo:hi] - A @ beta) ** 2).sum()
+        return beta[0], beta[1], sse
+
+    a1, b1, s1 = fit(0, h)
+    a2, b2, s2 = fit(h, n)
+    _, _, sp = fit(0, n)
+    assert abs(its["pre_slope"].iloc[0] - b1) < 1e-4
+    assert abs(its["post_slope"].iloc[0] - b2) < 1e-4
+    assert abs(its["slope_change"].iloc[0] - (b2 - b1)) < 1e-4
+    assert abs(
+        its["level_change"].iloc[0] - ((a2 + b2 * h) - (a1 + b1 * h))
+    ) < 1e-3
+    f = ((sp - s1 - s2) / 2) / ((s1 + s2) / (n - 4))
+    assert abs(chow["chow_f"].iloc[0] - f) < 1e-3 * max(1, abs(f))
