@@ -1763,3 +1763,38 @@ def test_interrupted_ts_and_chow(ray_session):
     ) < 1e-3
     f = ((sp - s1 - s2) / 2) / ((s1 + s2) / (n - 4))
     assert abs(chow["chow_f"].iloc[0] - f) < 1e-3 * max(1, abs(f))
+
+
+def test_transfer_entropy(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_transfer_entropy"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    sub = pd.DataFrame({"d": day, "t": df["event_type"]})
+    sub = sub[sub["t"].isin(["purchase", "error"])]
+    piv = sub.groupby(["d", "t"]).size().unstack(fill_value=0).sort_index()
+    pur = piv["purchase"].to_numpy(np.int64)
+    err = piv["error"].to_numpy(np.int64)
+
+    def binarize(v):
+        return (v > np.sort(v)[(len(v) - 1) // 2]).astype(int)
+
+    by, bx = binarize(pur), binarize(err)
+    yp, yc, xc = by[1:], by[:-1], bx[:-1]
+    n = len(yp)
+    te = 0.0
+    import itertools
+
+    for a, b, c in itertools.product((0, 1), repeat=3):
+        m = (yp == a) & (yc == b) & (xc == c)
+        cc = int(m.sum())
+        if cc == 0:
+            continue
+        c_yx = int(((yc == b) & (xc == c)).sum())
+        c_yy = int(((yp == a) & (yc == b)).sum())
+        c_y = int((yc == b).sum())
+        te += cc / n * np.log(cc * c_y / (c_yx * c_yy))
+    assert out["n_transitions"].iloc[0] == n
+    assert abs(out["te_nats"].iloc[0] - te) < 1e-6
+    assert out["te_nats"].iloc[0] >= -1e-9  # TE is non-negative
