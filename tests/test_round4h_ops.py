@@ -1798,3 +1798,31 @@ def test_transfer_entropy(ray_session):
     assert out["n_transitions"].iloc[0] == n
     assert abs(out["te_nats"].iloc[0] - te) < 1e-6
     assert out["te_nats"].iloc[0] >= -1e-9  # TE is non-negative
+
+
+def test_logistic_fit(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_logistic_fit"](SF).to_pandas()
+    df = _events_pdf(["user_id", "event_type"])
+    g = df.groupby("user_id")["event_type"].agg(
+        n="size", pc=lambda s: int((s == "purchase").sum())
+    )
+    med = np.sort(g["pc"].to_numpy())[(len(g) - 1) // 2]
+    y = (g["pc"] > med).astype(float).to_numpy()
+    x = g["n"].astype(float).to_numpy()
+    # unquantized Newton reference
+    a = np.log(y.mean() / (1 - y.mean()))
+    b = 0.0
+    for _ in range(50):
+        p = 1 / (1 + np.exp(-(a + b * x)))
+        g1, g2 = (y - p).sum(), (x * (y - p)).sum()
+        w = p * (1 - p)
+        h11, h12, h22 = w.sum(), (x * w).sum(), (x * x * w).sum()
+        det = h11 * h22 - h12 * h12
+        a += (h22 * g1 - h12 * g2) / det
+        b += (h11 * g2 - h12 * g1) / det
+    assert out["n_users"].iloc[0] == len(g)
+    assert abs(out["intercept"].iloc[0] - a) < 5e-3 * max(1, abs(a))
+    assert abs(out["slope"].iloc[0] - b) < 5e-3 * max(1e-3, abs(b))
+    assert out["deviance"].iloc[0] >= 0
