@@ -1826,3 +1826,24 @@ def test_logistic_fit(ray_session):
     assert abs(out["intercept"].iloc[0] - a) < 5e-3 * max(1, abs(a))
     assert abs(out["slope"].iloc[0] - b) < 5e-3 * max(1e-3, abs(b))
     assert out["deviance"].iloc[0] >= 0
+
+
+def test_cooks_distance(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cooks_distance"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=float)
+    A = np.column_stack([np.ones(n), t])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    e = y - A @ beta
+    s2 = (e**2).sum() / (n - 2)
+    h = 1 / n + (t - t.mean()) ** 2 / ((t - t.mean()) ** 2).sum()
+    D = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    days = np.sort(pd.Series(day).unique())
+    assert out["top_day"].iloc[0] == days[int(np.argmax(D))]
+    assert abs(out["top_cooks_d"].iloc[0] - D.max()) < 1e-5 * max(1, D.max())
+    assert out["n_influential"].iloc[0] == int((D > 4 / n).sum())
