@@ -1847,3 +1847,24 @@ def test_cooks_distance(ray_session):
     assert out["top_day"].iloc[0] == days[int(np.argmax(D))]
     assert abs(out["top_cooks_d"].iloc[0] - D.max()) < 1e-5 * max(1, D.max())
     assert out["n_influential"].iloc[0] == int((D > 4 / n).sum())
+
+
+def test_jackknife_slope(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_jackknife_slope"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=float)
+    betas = []
+    for i in range(n):
+        mask = np.ones(n, bool)
+        mask[i] = False
+        b = np.polyfit(t[mask], y[mask], 1)[0]
+        betas.append(b)
+    betas = np.array(betas)
+    se = np.sqrt((n - 1) / n * ((betas - betas.mean()) ** 2).sum())
+    full = np.polyfit(t, y, 1)[0]
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["slope"].iloc[0] - full) < 1e-4
+    assert abs(out["jackknife_se"].iloc[0] - se) < 1e-3 * max(1e-3, se)
