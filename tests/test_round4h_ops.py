@@ -1868,3 +1868,52 @@ def test_jackknife_slope(ray_session):
     assert out["n_days"].iloc[0] == n
     assert abs(out["slope"].iloc[0] - full) < 1e-4
     assert abs(out["jackknife_se"].iloc[0] - se) < 1e-3 * max(1e-3, se)
+
+
+def test_copeland_sources(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_copeland_sources"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    sources = sorted(df["source"].unique())
+    score = {s: 0 for s in sources}
+    for i, a in enumerate(sources):
+        va = df.loc[df["source"] == a, "n_chars"].to_numpy(float)
+        for b in sources[i + 1 :]:
+            vb = df.loc[df["source"] == b, "n_chars"].to_numpy(float)
+            pooled = np.concatenate([va, vb])
+            r = pd.Series(pooled).rank(method="average").to_numpy()
+            u = r[: len(va)].sum() - len(va) * (len(va) + 1) / 2
+            p = u / (len(va) * len(vb))
+            if p > 0.5:
+                score[a] += 1
+                score[b] -= 1
+            elif p < 0.5:
+                score[a] -= 1
+                score[b] += 1
+    exp = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(out["source"]) == [s for s, _ in exp]
+    assert list(out["copeland"]) == [c for _, c in exp]
+
+
+def test_shapley_growth(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_shapley_growth"](SF).to_pandas()
+    total = (
+        out["shapley_users"].iloc[0]
+        + out["shapley_intensity"].iloc[0]
+        + out["shapley_yield"].iloc[0]
+    )
+    # Shapley contributions telescope to the total change
+    assert abs(total - out["delta_value"].iloc[0]) < 1e-3 * max(
+        1, abs(out["delta_value"].iloc[0])
+    )
+    df = _events_pdf(["user_id", "ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    bnd = (int(day.min()) + int(day.max()) + 1) // 2
+    u0 = df.loc[(day < bnd).to_numpy(), "user_id"].nunique()
+    u1 = df.loc[(day >= bnd).to_numpy(), "user_id"].nunique()
+    assert u0 > 0 and u1 > 0
