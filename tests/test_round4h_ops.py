@@ -1917,3 +1917,27 @@ def test_shapley_growth(ray_session):
     u0 = df.loc[(day < bnd).to_numpy(), "user_id"].nunique()
     u1 = df.loc[(day >= bnd).to_numpy(), "user_id"].nunique()
     assert u0 > 0 and u1 > 0
+
+
+def test_gompertz_3point(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gompertz_3point"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = (
+        df.loc[df["event_type"] == "signup", "ts"]
+        .astype("datetime64[ns]")
+        .astype(np.int64)
+        // 86_400_000_000_000
+    ).to_numpy()
+    dmin, dmax = int(day.min()), int(day.max())
+    span = dmax - dmin + 1
+    t1, t2, t3 = dmin + span // 3 - 1, dmin + 2 * span // 3 - 1, dmax
+    s1, s2, s3 = [int((day <= t).sum()) for t in (t1, t2, t3)]
+    y = np.log([s1, s2, s3])
+    ct = (y[2] - y[1]) / (y[1] - y[0])
+    a = np.exp(y[0] - (y[1] - y[0]) / (ct - 1))
+    assert out["s1"].iloc[0] == s1 and out["s3"].iloc[0] == s3
+    assert abs(out["c_ratio"].iloc[0] - ct) < 1e-5
+    assert abs(out["asymptote"].iloc[0] - a) < 1e-3 * max(1, a)
+    assert abs(out["saturation"].iloc[0] - s3 / a) < 1e-5
