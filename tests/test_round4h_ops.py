@@ -1941,3 +1941,23 @@ def test_gompertz_3point(ray_session):
     assert abs(out["c_ratio"].iloc[0] - ct) < 1e-5
     assert abs(out["asymptote"].iloc[0] - a) < 1e-3 * max(1, a)
     assert abs(out["saturation"].iloc[0] - s3 / a) < 1e-5
+
+
+def test_erlang_staffing(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_erlang_staffing"](SF).to_pandas()
+    a = out["offered_a"].iloc[0]
+    c = int(out["staff_c"].iloc[0])
+    # verify c is the minimal stable agent count with C(c,a) <= 0.2
+    def erlang_c(cc, a):
+        b = 1.0
+        for k in range(1, cc + 1):
+            b = a * b / (k + a * b)
+        return cc * b / (cc - a * (1 - b))
+
+    assert c > a
+    assert erlang_c(c, a) <= 0.2 + 1e-9
+    if c - 1 > a:
+        assert erlang_c(c - 1, a) > 0.2 - 1e-6
+    assert abs(out["wait_prob"].iloc[0] - erlang_c(c, a)) < 1e-5
