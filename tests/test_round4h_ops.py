@@ -1961,3 +1961,29 @@ def test_erlang_staffing(ray_session):
     if c - 1 > a:
         assert erlang_c(c - 1, a) > 0.2 - 1e-6
     assert abs(out["wait_prob"].iloc[0] - erlang_c(c, a)) < 1e-5
+
+
+def test_embed_hubness(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_embed_hubness"](SF).to_pandas()
+    x, _ = _embed_xy()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    vid = t["vec_id"].to_numpy()
+    sel = vid < 500
+    xs, vs = x[sel], vid[sel]
+    order = np.argsort(vs)
+    xs, vs = xs[order], vs[order]
+    n = len(vs)
+    indeg = np.zeros(n, int)
+    for i in range(n):
+        d = ((xs - xs[i]) ** 2).sum(axis=1)
+        d[i] = np.inf
+        nn = np.argsort(d, kind="stable")[:5]
+        indeg[nn] += 1
+    assert out["n_vecs"].iloc[0] == n
+    assert out["max_indegree"].iloc[0] == indeg.max()
+    m2 = ((indeg - indeg.mean()) ** 2).mean()
+    m3 = ((indeg - indeg.mean()) ** 3).mean()
+    g1 = m3 / m2**1.5
+    assert abs(out["indegree_skew"].iloc[0] - g1) < 1e-4
