@@ -1987,3 +1987,32 @@ def test_embed_hubness(ray_session):
     m3 = ((indeg - indeg.mean()) ** 3).mean()
     g1 = m3 / m2**1.5
     assert abs(out["indegree_skew"].iloc[0] - g1) < 1e-4
+
+
+def test_tool_response_lift(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    out = QUERIES["q_tool_response_lift"](SF).to_pandas()
+    df = derive_from_events(SF).to_pandas().sort_values(["conv_id", "turn_idx"])
+    df["m1"] = df["text"].fillna("").str.len()
+    base = df.loc[df["role"] == "assistant", "m1"].mean()
+    rows = {}
+    for _, conv in df.groupby("conv_id"):
+        m1 = conv["m1"].to_numpy()
+        role = conv["role"].to_numpy()
+        tool = conv["tool"].fillna("").to_numpy()
+        for i in range(len(conv)):
+            if tool[i] == "":
+                continue
+            after = np.where(role[i + 1 :] == "assistant")[0]
+            if len(after) == 0:
+                continue
+            v = m1[i + 1 + after[0]]
+            n, s = rows.get(tool[i], (0, 0))
+            rows[tool[i]] = (n + 1, s + v)
+    for _, r in out.iterrows():
+        n, s = rows[r["tool"]]
+        assert r["n_followups"] == n
+        assert abs(r["mean_next_len"] - s / n) < 1e-6
+        assert abs(r["lift"] - (s / n) / base) < 1e-6
