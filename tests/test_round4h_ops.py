@@ -2016,3 +2016,48 @@ def test_tool_response_lift(ray_session):
         assert r["n_followups"] == n
         assert abs(r["mean_next_len"] - s / n) < 1e-6
         assert abs(r["lift"] - (s / n) / base) < 1e-6
+
+
+def test_conv_tempo(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    out = QUERIES["q_conv_tempo"](SF).to_pandas()
+    df = derive_from_events(SF).to_pandas().sort_values(["conv_id", "turn_idx"])
+    us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    slopes = []
+    for _, g in df.assign(us=us).groupby("conv_id"):
+        t = g["us"].to_numpy()
+        if len(t) < 4:
+            continue
+        y = (t[1:] - t[:-1]) // 1_000_000
+        x = g["turn_idx"].to_numpy()[1:].astype(float)
+        b = np.polyfit(x, y.astype(float), 1)[0]
+        slopes.append(round(b * 1e6) / 1e6)
+    assert out["n_convs"].iloc[0] == len(slopes)
+    assert abs(out["mean_slope_s"].iloc[0] - np.mean(slopes)) < 1e-3
+    assert abs(
+        out["share_accelerating"].iloc[0]
+        - np.mean([s < 0 for s in slopes])
+    ) < 1e-6
+
+
+def test_question_rate(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    out = QUERIES["q_question_rate"](SF).to_pandas()
+    df = derive_from_events(SF).to_pandas()
+    txt = df["text"].fillna("")
+    g = pd.DataFrame(
+        {
+            "role": df["role"],
+            "e": txt.str.endswith("?").astype(int),
+            "q": txt.str.count(r"\?"),
+        }
+    ).groupby("role")
+    for _, r in out.iterrows():
+        sub = g.get_group(r["role"])
+        assert r["n_turns"] == len(sub)
+        assert abs(r["ends_q_rate"] - sub["e"].mean()) < 1e-6
+        assert abs(r["marks_per_turn"] - sub["q"].mean()) < 1e-6
