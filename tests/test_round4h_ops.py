@@ -2061,3 +2061,22 @@ def test_question_rate(ray_session):
         assert r["n_turns"] == len(sub)
         assert abs(r["ends_q_rate"] - sub["e"].mean()) < 1e-6
         assert abs(r["marks_per_turn"] - sub["q"].mean()) < 1e-6
+
+
+def test_discount_response(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_discount_response"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_discount", "l_quantity"]
+    ).to_pandas()
+    x = np.round(li["l_discount"] * 100).to_numpy(float)
+    y = np.round(li["l_quantity"]).to_numpy(float)
+    beta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert out["n_lines"].iloc[0] == len(x)
+    assert abs(out["slope_qty_per_pct"].iloc[0] - beta) < 1e-5
+    assert abs(out["r2"].iloc[0] - r2) < 1e-6
+    assert abs(
+        out["elasticity_at_mean"].iloc[0] - beta * x.mean() / y.mean()
+    ) < 1e-5
