@@ -2080,3 +2080,26 @@ def test_discount_response(ray_session):
     assert abs(
         out["elasticity_at_mean"].iloc[0] - beta * x.mean() / y.mean()
     ) < 1e-5
+
+
+def test_soundex_parts(ray_session):
+    import re
+
+    from ptrail_ray.entry_queries import QUERIES, _soundex_sql_recipe
+
+    out = QUERIES["q_soundex_parts"](SF).to_pandas()
+    p = pq.read_table(f"{SF}/part.parquet", columns=["p_name"]).to_pandas()
+    toks = sorted({n.split(" ")[0] for n in p["p_name"].fillna("") if n})
+    codes = {}
+    for t in toks:
+        c = _soundex_sql_recipe(t)
+        codes.setdefault(c, []).append(t)
+    assert out["n_distinct_tokens"].iloc[0] == len(toks)
+    assert out["n_codes"].iloc[0] == len(codes)
+    top = sorted(codes.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:5]
+    for i, (c, ts) in enumerate(top):
+        assert out["code"].iloc[i] == c
+        assert out["n_tokens"].iloc[i] == len(ts)
+        assert out["example"].iloc[i] == min(ts)
+    # spot-check the recipe itself on a known word
+    assert re.match(r"^[A-Z][0-9]{3}$", _soundex_sql_recipe("robert"))
