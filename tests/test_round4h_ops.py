@@ -2103,3 +2103,34 @@ def test_soundex_parts(ray_session):
         assert out["example"].iloc[i] == min(ts)
     # spot-check the recipe itself on a known word
     assert re.match(r"^[A-Z][0-9]{3}$", _soundex_sql_recipe("robert"))
+
+
+def test_extremal_index(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_extremal_index"](SF).to_pandas()
+    y = _daily_counts()
+    n = len(y)
+    u = int(np.sort(y)[(9 * n) // 10 - 1])
+    exc = np.where(y > u)[0]
+    clusters = 1 + int((np.diff(exc) > 2).sum()) if len(exc) else 0
+    assert out["threshold"].iloc[0] == u
+    assert out["n_exceedances"].iloc[0] == len(exc)
+    assert out["n_clusters"].iloc[0] == clusters
+    assert abs(out["extremal_index"].iloc[0] - clusters / len(exc)) < 1e-6
+
+
+def test_mean_excess(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_mean_excess"](SF).to_pandas()
+    y = _daily_counts()
+    n = len(y)
+    ys = np.sort(y)
+    for i, pct in enumerate((75, 90, 95)):
+        u = int(ys[(pct * n) // 100 - 1])
+        exc = y[y > u] - u
+        assert out["threshold"].iloc[i] == u
+        assert out["n_exceed"].iloc[i] == len(exc)
+        me = exc.mean() if len(exc) else 0.0
+        assert abs(out["mean_excess"].iloc[i] - me) < 1e-6
