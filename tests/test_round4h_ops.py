@@ -2134,3 +2134,37 @@ def test_mean_excess(ray_session):
         assert out["n_exceed"].iloc[i] == len(exc)
         me = exc.mean() if len(exc) else 0.0
         assert abs(out["mean_excess"].iloc[i] - me) < 1e-6
+
+
+def test_gpd_moments(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_gpd_moments"](SF).to_pandas()
+    y = _daily_counts()
+    n = len(y)
+    u = int(np.sort(y)[(9 * n) // 10 - 1])
+    exc = (y[y > u] - u).astype(float)
+    m, s2 = exc.mean(), exc.var(ddof=1)
+    xi = 0.5 * (1 - m * m / s2)
+    sigma = 0.5 * m * (m * m / s2 + 1)
+    assert out["threshold"].iloc[0] == u
+    assert abs(out["gpd_shape"].iloc[0] - xi) < 1e-5
+    assert abs(out["gpd_scale"].iloc[0] - sigma) < 1e-4 * max(1, sigma)
+
+
+def test_return_level(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_return_level"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    cnt = pd.Series(day).value_counts().sort_index()
+    wk = cnt.index.to_numpy(np.int64) // 7
+    mx = pd.Series(cnt.to_numpy(), index=wk).groupby(level=0).max().to_numpy(float)
+    m, s = mx.mean(), mx.std(ddof=1)
+    beta = s * np.sqrt(6) / np.pi
+    mu = m - 0.5772156649015329 * beta
+    rl = mu - beta * np.log(-np.log(1 - 1 / 30))
+    assert out["n_weeks"].iloc[0] == len(mx)
+    assert abs(out["gumbel_mu"].iloc[0] - mu) < 1e-3 * max(1, abs(mu))
+    assert abs(out["return_level_30"].iloc[0] - rl) < 1e-3 * max(1, abs(rl))
