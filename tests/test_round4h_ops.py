@@ -2168,3 +2168,39 @@ def test_return_level(ray_session):
     assert out["n_weeks"].iloc[0] == len(mx)
     assert abs(out["gumbel_mu"].iloc[0] - mu) < 1e-3 * max(1, abs(mu))
     assert abs(out["return_level_30"].iloc[0] - rl) < 1e-3 * max(1, abs(rl))
+
+
+def test_partial_kendall(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_partial_kendall"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    g = pd.DataFrame({"d": day, "t": df["event_type"]})
+    v = g.groupby("d").size()
+    p = g[g["t"] == "purchase"].groupby("d").size().reindex(v.index, fill_value=0)
+    e = g[g["t"] == "error"].groupby("d").size().reindex(v.index, fill_value=0)
+
+    def taub(a, b):
+        a, b = a.to_numpy(float), b.to_numpy(float)
+        n = len(a)
+        c = d = ta = tb = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                da, db = a[i] - a[j], b[i] - b[j]
+                if da == 0:
+                    ta += 1
+                if db == 0:
+                    tb += 1
+                if da != 0 and db != 0:
+                    if (da > 0) == (db > 0):
+                        c += 1
+                    else:
+                        d += 1
+        n0 = n * (n - 1) // 2
+        return (c - d) / np.sqrt((n0 - ta) * (n0 - tb))
+
+    txy, txz, tyz = taub(v, p), taub(v, e), taub(p, e)
+    pt = (txy - txz * tyz) / np.sqrt((1 - txz**2) * (1 - tyz**2))
+    assert abs(out["tau_vol_pur"].iloc[0] - txy) < 1e-6
+    assert abs(out["partial_tau"].iloc[0] - pt) < 1e-5
