@@ -2204,3 +2204,23 @@ def test_partial_kendall(ray_session):
     pt = (txy - txz * tyz) / np.sqrt((1 - txz**2) * (1 - tyz**2))
     assert abs(out["tau_vol_pur"].iloc[0] - txy) < 1e-6
     assert abs(out["partial_tau"].iloc[0] - pt) < 1e-5
+
+
+def test_single_source_risk(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_single_source_risk"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    ).to_pandas()
+    li["q"] = np.round(li["l_quantity"]).astype(np.int64)
+    per = li.groupby("l_partkey").agg(
+        ns=("l_suppkey", "nunique"), qty=("q", "sum")
+    )
+    hist = per.groupby("ns").agg(n=("qty", "size"), q=("qty", "sum"))
+    assert list(out["n_suppliers"]) == list(hist.index)
+    assert list(out["n_parts"]) == list(hist["n"])
+    assert list(out["total_qty"]) == list(hist["q"])
+    share = hist["q"].get(1, 0) / hist["q"].sum()
+    assert abs(out["single_source_share"].iloc[0] - share) < 1e-6
