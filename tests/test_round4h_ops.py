@@ -2224,3 +2224,29 @@ def test_single_source_risk(ray_session):
     assert list(out["total_qty"]) == list(hist["q"])
     share = hist["q"].get(1, 0) / hist["q"].sum()
     assert abs(out["single_source_share"].iloc[0] - share) < 1e-6
+
+
+def test_cosupply_jaccard(ray_session):
+    from itertools import combinations
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_cosupply_jaccard"](SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).to_pandas().drop_duplicates()
+    parts_of = li.groupby("l_suppkey")["l_partkey"].apply(set)
+    co = {}
+    for _, g in li.groupby("l_partkey"):
+        for a, b in combinations(sorted(g["l_suppkey"].unique()), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    rows = []
+    for (a, b), c in co.items():
+        un = len(parts_of[a]) + len(parts_of[b]) - c
+        rows.append((round(c / un * 1e9), a, b, c, un))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    for i, (qj, a, b, c, un) in enumerate(rows[:5]):
+        assert out["supp_a"].iloc[i] == a and out["supp_b"].iloc[i] == b
+        assert out["shared_parts"].iloc[i] == c
+        assert out["union_parts"].iloc[i] == un
+        assert abs(out["jaccard"].iloc[i] - qj / 1e9) < 2e-6
