@@ -2250,3 +2250,23 @@ def test_cosupply_jaccard(ray_session):
         assert out["shared_parts"].iloc[i] == c
         assert out["union_parts"].iloc[i] == un
         assert abs(out["jaccard"].iloc[i] - qj / 1e9) < 2e-6
+
+
+def test_lift_at_decile(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_lift_at_decile"](SF).to_pandas()
+    df = _events_pdf(["user_id", "event_type"])
+    g = df.groupby("user_id")["event_type"].agg(
+        n="size", pc=lambda s: int((s == "purchase").sum())
+    )
+    med = np.sort(g["pc"].to_numpy())[(len(g) - 1) // 2]
+    heavy = (g["pc"] > med).to_numpy()
+    thr = int(np.sort(g["n"].to_numpy())[(9 * len(g)) // 10 - 1])
+    top = (g["n"] >= thr).to_numpy()
+    rate_top = heavy[top].mean()
+    rate_all = heavy.mean()
+    assert out["threshold_events"].iloc[0] == thr
+    assert out["n_top"].iloc[0] == int(top.sum())
+    assert abs(out["rate_top"].iloc[0] - rate_top) < 1e-6
+    assert abs(out["lift"].iloc[0] - rate_top / rate_all) < 1e-5
