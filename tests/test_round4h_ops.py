@@ -2270,3 +2270,24 @@ def test_lift_at_decile(ray_session):
     assert out["n_top"].iloc[0] == int(top.sum())
     assert abs(out["rate_top"].iloc[0] - rate_top) < 1e-6
     assert abs(out["lift"].iloc[0] - rate_top / rate_all) < 1e-5
+
+
+def test_hotelling_t2(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hotelling_t2"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    g = pd.DataFrame({"d": day, "t": df["event_type"]})
+    days = np.sort(g["d"].unique())
+    p = g[g["t"] == "purchase"].groupby("d").size().reindex(days, fill_value=0).to_numpy(float)
+    e = g[g["t"] == "error"].groupby("d").size().reindex(days, fill_value=0).to_numpy(float)
+    X = np.column_stack([p, e])
+    mu = X.mean(axis=0)
+    S = np.cov(X.T, ddof=1)
+    Sinv = np.linalg.inv(S)
+    t2 = np.einsum("ij,jk,ik->i", X - mu, Sinv, X - mu)
+    assert out["n_days"].iloc[0] == len(days)
+    assert out["max_t2_day"].iloc[0] == days[int(np.argmax(t2))]
+    assert abs(out["max_t2"].iloc[0] - t2.max()) < 1e-4
+    assert out["n_beyond_10"].iloc[0] == int((t2 > 10).sum())
