@@ -2291,3 +2291,32 @@ def test_hotelling_t2(ray_session):
     assert out["max_t2_day"].iloc[0] == days[int(np.argmax(t2))]
     assert abs(out["max_t2"].iloc[0] - t2.max()) < 1e-4
     assert out["n_beyond_10"].iloc[0] == int((t2 > 10).sum())
+
+
+def test_canonical_corr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_canonical_corr"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    g = pd.DataFrame({"d": day, "t": df["event_type"]})
+    days = np.sort(g["d"].unique())
+    M = {}
+    for name, val in (("p", "purchase"), ("e", "error"), ("c", "click"), ("v", "view")):
+        M[name] = (
+            g[g["t"] == val].groupby("d").size().reindex(days, fill_value=0).to_numpy(float)
+        )
+    X = np.column_stack([M["p"], M["e"]])
+    Y = np.column_stack([M["c"], M["v"]])
+    Xc = X - X.mean(0)
+    Yc = Y - Y.mean(0)
+    Sxx = Xc.T @ Xc
+    Syy = Yc.T @ Yc
+    Sxy = Xc.T @ Yc
+    Mm = np.linalg.inv(Sxx) @ Sxy @ np.linalg.inv(Syy) @ Sxy.T
+    lams = np.sort(np.linalg.eigvals(Mm).real)[::-1]
+    assert abs(out["rho1"].iloc[0] - np.sqrt(lams[0])) < 1e-5
+    assert abs(out["rho2"].iloc[0] - np.sqrt(max(lams[1], 0))) < 1e-5
+    assert abs(
+        out["wilks_lambda"].iloc[0] - (1 - lams[0]) * (1 - lams[1])
+    ) < 1e-5
