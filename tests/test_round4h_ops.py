@@ -2320,3 +2320,30 @@ def test_canonical_corr(ray_session):
     assert abs(
         out["wilks_lambda"].iloc[0] - (1 - lams[0]) * (1 - lams[1])
     ) < 1e-5
+
+
+def test_fisher_lda(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_fisher_lda"](SF).to_pandas()
+    df = _events_pdf(["user_id", "event_type"])
+    g = df.groupby("user_id")["event_type"].agg(
+        n="size",
+        err=lambda s: int((s == "error").sum()),
+        pc=lambda s: int((s == "purchase").sum()),
+    )
+    med = np.sort(g["pc"].to_numpy())[(len(g) - 1) // 2]
+    cls = (g["pc"] > med).to_numpy()
+    X = g[["n", "err"]].to_numpy(float)
+    x0, x1 = X[~cls], X[cls]
+    Sw = np.zeros((2, 2))
+    for xs in (x0, x1):
+        z = xs - xs.mean(0)
+        Sw += z.T @ z
+    d = x1.mean(0) - x0.mean(0)
+    w = np.linalg.solve(Sw, d)
+    j = w @ d
+    assert out["n_heavy"].iloc[0] == int(cls.sum())
+    assert abs(out["w_events"].iloc[0] - w[0]) < 1e-5 * max(1e-3, abs(w[0]))
+    assert abs(out["w_errors"].iloc[0] - w[1]) < 1e-5 * max(1e-3, abs(w[1]))
+    assert abs(out["fisher_j"].iloc[0] - j) < 1e-5 * max(1e-3, abs(j))
