@@ -2347,3 +2347,46 @@ def test_fisher_lda(ray_session):
     assert abs(out["w_events"].iloc[0] - w[0]) < 1e-5 * max(1e-3, abs(w[0]))
     assert abs(out["w_errors"].iloc[0] - w[1]) < 1e-5 * max(1e-3, abs(w[1]))
     assert abs(out["fisher_j"].iloc[0] - j) < 1e-5 * max(1e-3, abs(j))
+
+
+def test_pca_2d(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_pca_2d"](SF).to_pandas()
+    df = _events_pdf(["user_id", "event_type"])
+    g = df.groupby("user_id")["event_type"].agg(
+        n="size", err=lambda s: int((s == "error").sum())
+    )
+    X = g[["n", "err"]].to_numpy(float)
+    S = np.cov(X.T, ddof=1)
+    lams = np.sort(np.linalg.eigvalsh(S))[::-1]
+    assert out["n_users"].iloc[0] == len(g)
+    assert abs(out["lambda1"].iloc[0] - lams[0]) < 1e-3 * max(1, lams[0])
+    assert abs(out["lambda2"].iloc[0] - lams[1]) < 1e-3 * max(1, lams[1])
+    assert abs(
+        out["explained_share"].iloc[0] - lams[0] / lams.sum()
+    ) < 1e-5
+
+
+def test_deming(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_deming"](SF).to_pandas()
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).to_pandas()
+    li["y"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    ls = li.groupby("l_orderkey", as_index=False)["y"].sum()
+    j = o.merge(ls, left_on="o_orderkey", right_on="l_orderkey")
+    x = np.round(j["o_totalprice"].to_numpy(float) * 100)
+    y = j["y"].to_numpy(float)
+    cxx, cyy = x.var(), y.var()
+    cxy = np.cov(x, y, bias=True)[0, 1]
+    beta = (cyy - cxx + np.sqrt((cyy - cxx) ** 2 + 4 * cxy**2)) / (2 * cxy)
+    alpha = (y.mean() - beta * x.mean()) / 100
+    assert out["n_orders"].iloc[0] == len(j)
+    assert abs(out["deming_slope"].iloc[0] - beta) < 1e-5
+    assert abs(out["deming_intercept_usd"].iloc[0] - alpha) < 1e-2
