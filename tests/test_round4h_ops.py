@@ -2390,3 +2390,44 @@ def test_deming(ray_session):
     assert out["n_orders"].iloc[0] == len(j)
     assert abs(out["deming_slope"].iloc[0] - beta) < 1e-5
     assert abs(out["deming_intercept_usd"].iloc[0] - alpha) < 1e-2
+
+
+def test_hoeffding_d(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_hoeffding_d"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    g = pd.DataFrame({"d": day, "t": df["event_type"]})
+    v = g.groupby("d").size().sort_index().to_numpy(float)
+    p = (
+        g[g["t"] == "purchase"].groupby("d").size()
+        .reindex(np.sort(g["d"].unique()), fill_value=0)
+        .to_numpy(float)
+    )
+    n = len(v)
+    # classical midrank formulation (Hollander & Wolfe)
+    R = pd.Series(v).rank(method="average").to_numpy()
+    S = pd.Series(p).rank(method="average").to_numpy()
+    phi = lambda t: 1.0 if t > 0 else (0.5 if t == 0 else 0.0)
+    Q = np.array(
+        [
+            1
+            + sum(
+                phi(v[i] - v[j]) * phi(p[i] - p[j])
+                for j in range(n)
+                if j != i
+            )
+            for i in range(n)
+        ]
+    )
+    D1 = ((Q - 1) * (Q - 2)).sum()
+    D2 = ((R - 1) * (R - 2) * (S - 1) * (S - 2)).sum()
+    D3 = ((R - 2) * (S - 2) * (Q - 1)).sum()
+    D = (
+        30
+        * ((n - 2) * (n - 3) * D1 + D2 - 2 * (n - 2) * D3)
+        / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    assert out["n_days"].iloc[0] == n
+    assert abs(out["hoeffding_d"].iloc[0] - D) < 1e-6
