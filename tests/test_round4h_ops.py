@@ -2431,3 +2431,31 @@ def test_hoeffding_d(ray_session):
     )
     assert out["n_days"].iloc[0] == n
     assert abs(out["hoeffding_d"].iloc[0] - D) < 1e-6
+
+
+def test_blomqvist_gini_corr(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_blomqvist_gini_corr"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    g = pd.DataFrame({"d": day, "t": df["event_type"]})
+    days = np.sort(g["d"].unique())
+    x = g.groupby("d").size().sort_index().to_numpy(float)
+    y = (
+        g[g["t"] == "purchase"].groupby("d").size()
+        .reindex(days, fill_value=0).to_numpy(float)
+    )
+    n = len(x)
+    mx = np.sort(x)[(n - 1) // 2]
+    my = np.sort(y)[(n - 1) // 2]
+    keep = (x != mx) & (y != my)
+    conc = int((((x > mx) == (y > my)) & keep).sum())
+    disc = int(keep.sum()) - conc
+    assert abs(out["blomqvist_beta"].iloc[0] - (conc - disc) / (conc + disc)) < 1e-6
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    gxy = np.cov(x, ry, bias=True)[0, 1] / np.cov(x, rx, bias=True)[0, 1]
+    gyx = np.cov(y, rx, bias=True)[0, 1] / np.cov(y, ry, bias=True)[0, 1]
+    assert abs(out["gini_corr_xy"].iloc[0] - gxy) < 1e-6
+    assert abs(out["gini_corr_yx"].iloc[0] - gyx) < 1e-6
