@@ -2459,3 +2459,33 @@ def test_blomqvist_gini_corr(ray_session):
     gyx = np.cov(y, rx, bias=True)[0, 1] / np.cov(y, ry, bias=True)[0, 1]
     assert abs(out["gini_corr_xy"].iloc[0] - gxy) < 1e-6
     assert abs(out["gini_corr_yx"].iloc[0] - gyx) < 1e-6
+
+
+def test_dtw_weekly(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_dtw_weekly"](SF).to_pandas()
+    df = _events_pdf(["ts"])
+    us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    day = us // 86_400_000_000
+    hod = (us // 3_600_000_000) % 24
+    wk = day // 7
+    g = pd.DataFrame({"w": wk, "h": hod}).groupby(["w", "h"]).size()
+    w0, w1 = int(wk.min()), int(wk.max())
+    a = np.array([g.get((w0, h), 0) for h in range(24)], float)
+    b = np.array([g.get((w1, h), 0) for h in range(24)], float)
+    D = np.full((24, 24), np.inf)
+    for i in range(24):
+        for j in range(24):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                D[i, j] = c
+            elif i == 0:
+                D[i, j] = D[i, j - 1] + c
+            elif j == 0:
+                D[i, j] = D[i - 1, j] + c
+            else:
+                D[i, j] = c + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    assert out["week_first"].iloc[0] == w0
+    assert out["week_last"].iloc[0] == w1
+    assert out["dtw_dist"].iloc[0] == int(D[23, 23])
