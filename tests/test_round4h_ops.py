@@ -2489,3 +2489,44 @@ def test_dtw_weekly(ray_session):
     assert out["week_first"].iloc[0] == w0
     assert out["week_last"].iloc[0] == w1
     assert out["dtw_dist"].iloc[0] == int(D[23, 23])
+
+
+def test_topsis_sources(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_topsis_sources"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    g = df.groupby("source")["n_chars"].agg(
+        n="size", s="sum", sh=lambda v: int((v < 100).sum())
+    )
+    C = np.column_stack(
+        [
+            g["n"].to_numpy(float),
+            (g["s"] / g["n"]).to_numpy(float),
+            (g["sh"] / g["n"]).to_numpy(float),
+        ]
+    )
+    k = len(g)
+    norm = C / np.sqrt((C**2).sum(0))
+    p = C / C.sum(0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        plogp = np.where(p > 0, p * np.log(p), 0.0)
+    e = -plogp.sum(0) / np.log(k)
+    w = (1 - e) / (1 - e).sum()
+    V = w * norm
+    ideal = np.array([V[:, 0].max(), V[:, 1].max(), V[:, 2].min()])
+    anti = np.array([V[:, 0].min(), V[:, 1].min(), V[:, 2].max()])
+    dp = np.sqrt(((V - ideal) ** 2).sum(1))
+    dm = np.sqrt(((V - anti) ** 2).sum(1))
+    cc = dm / (dp + dm)
+    order = sorted(zip(-cc, g.index))[:5]
+    assert list(out["source"]) == [s for _, s in order]
+    for i, (_, s) in enumerate(order):
+        idx = list(g.index).index(s)
+        assert abs(out["closeness"].iloc[i] - cc[idx]) < 1e-4
+    assert np.allclose(
+        out[["w_volume", "w_length", "w_short"]].iloc[0].to_numpy(), w,
+        atol=1e-4,
+    )
