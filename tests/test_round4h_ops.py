@@ -2530,3 +2530,28 @@ def test_topsis_sources(ray_session):
         out[["w_volume", "w_length", "w_short"]].iloc[0].to_numpy(), w,
         atol=1e-4,
     )
+
+
+def test_burt_constraint(ray_session):
+    from ptrail_ray.entry_queries import QUERIES, _tool_transition_matrix
+
+    out = QUERIES["q_burt_constraint"](SF).to_pandas()
+    A = _tool_transition_matrix(SF).astype(float)
+    W = A + A.T
+    np.fill_diagonal(W, 0)
+    m = W.shape[0]
+    P = W / W.sum(1, keepdims=True)
+    names = [""] + [f"tool-{i}" for i in range(7)]
+    for _, r in out.iterrows():
+        i = names.index(r["state"])
+        c = 0.0
+        for j in range(m):
+            if j == i:
+                continue
+            ind = sum(
+                P[i, q] * P[q, j]
+                for q in range(m)
+                if q != i and q != j and W[q].sum() > 0
+            )
+            c += (P[i, j] + ind) ** 2
+        assert abs(r["burt_constraint"] - c) < 1e-5
