@@ -2555,3 +2555,39 @@ def test_burt_constraint(ray_session):
             )
             c += (P[i, j] + ind) ** 2
         assert abs(r["burt_constraint"] - c) < 1e-5
+
+
+def test_colley_sources(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_colley_sources"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    sources = sorted(df["source"].unique())
+    k = len(sources)
+    wins = {s: 0.0 for s in sources}
+    for i, a in enumerate(sources):
+        va = df.loc[df["source"] == a, "n_chars"].to_numpy(float)
+        for b in sources[i + 1 :]:
+            vb = df.loc[df["source"] == b, "n_chars"].to_numpy(float)
+            pooled = np.concatenate([va, vb])
+            r = pd.Series(pooled).rank(method="average").to_numpy()
+            u = r[: len(va)].sum() - len(va) * (len(va) + 1) / 2
+            p = u / (len(va) * len(vb))
+            if p > 0.5:
+                wins[a] += 1
+            elif p < 0.5:
+                wins[b] += 1
+            else:
+                wins[a] += 0.5
+                wins[b] += 0.5
+    # exact Colley solve for reference
+    C = np.full((k, k), -1.0) + np.eye(k)
+    np.fill_diagonal(C, 2 + (k - 1))
+    bv = np.array([1 + (wins[s] - (k - 1 - wins[s])) / 2 for s in sources])
+    r = np.linalg.solve(C, bv)
+    order = sorted(zip(-r, sources))[:5]
+    assert list(out["source"]) == [s for _, s in order]
+    for i, (nr, s) in enumerate(order):
+        assert abs(out["colley_rating"].iloc[i] - (-nr)) < 1e-3
