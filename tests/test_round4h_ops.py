@@ -2591,3 +2591,47 @@ def test_colley_sources(ray_session):
     assert list(out["source"]) == [s for _, s in order]
     for i, (nr, s) in enumerate(order):
         assert abs(out["colley_rating"].iloc[i] - (-nr)) < 1e-3
+
+
+def test_bradley_terry(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_bradley_terry"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    sources = sorted(df["source"].unique())
+    k = len(sources)
+    wins = {s: 0.0 for s in sources}
+    for i, a in enumerate(sources):
+        va = df.loc[df["source"] == a, "n_chars"].to_numpy(float)
+        for b in sources[i + 1 :]:
+            vb = df.loc[df["source"] == b, "n_chars"].to_numpy(float)
+            pooled = np.concatenate([va, vb])
+            r = pd.Series(pooled).rank(method="average").to_numpy()
+            u = r[: len(va)].sum() - len(va) * (len(va) + 1) / 2
+            p = u / (len(va) * len(vb))
+            if p > 0.5:
+                wins[a] += 1
+            elif p < 0.5:
+                wins[b] += 1
+            else:
+                wins[a] += 0.5
+                wins[b] += 0.5
+    w = np.array([wins[s] for s in sources])
+    pi = np.ones(k)
+    for _ in range(200):  # converge fully for the reference
+        den = np.array(
+            [
+                sum(1 / (pi[i] + pi[j]) for j in range(k) if j != i)
+                for i in range(k)
+            ]
+        )
+        pi = w / den
+        pi *= k / pi.sum()
+    order = sorted(zip(-pi, sources))[:5]
+    assert list(out["source"]) == [s for _, s in order]
+    for i, (np_, s) in enumerate(order):
+        assert abs(out["bt_strength"].iloc[i] - (-np_)) < 5e-2 * max(
+            0.1, -np_
+        )
