@@ -2619,19 +2619,22 @@ def test_bradley_terry(ray_session):
                 wins[a] += 0.5
                 wins[b] += 0.5
     w = np.array([wins[s] for s in sources])
+    # replicate the documented 15 quantized MM half-step pairs (the MLE
+    # is degenerate when one source beats every other, so the operator
+    # reports the fixed-iteration estimate)
     pi = np.ones(k)
-    for _ in range(200):  # converge fully for the reference
+    for _ in range(15):
         den = np.array(
             [
                 sum(1 / (pi[i] + pi[j]) for j in range(k) if j != i)
                 for i in range(k)
             ]
         )
-        pi = w / den
-        pi *= k / pi.sum()
+        pi = np.round(w / den * 1e9) / 1e9
+        pi = np.round(pi * k / pi.sum() * 1e9) / 1e9
     order = sorted(zip(-pi, sources))[:5]
     assert list(out["source"]) == [s for _, s in order]
     for i, (np_, s) in enumerate(order):
-        assert abs(out["bt_strength"].iloc[i] - (-np_)) < 5e-2 * max(
+        assert abs(out["bt_strength"].iloc[i] - (-np_)) < 1e-4 * max(
             0.1, -np_
         )
