@@ -2638,3 +2638,22 @@ def test_bradley_terry(ray_session):
         assert abs(out["bt_strength"].iloc[i] - (-np_)) < 1e-4 * max(
             0.1, -np_
         )
+
+
+def test_condorcet_and_iqv(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    cw = QUERIES["q_condorcet_winner"](SF).to_pandas()
+    # cross-check against Copeland: if a Condorcet winner exists it must
+    # be the Copeland top (the criterion), and beats == k-1
+    cope = QUERIES["q_copeland_sources"](SF).to_pandas()
+    if cw["condorcet_winner"].iloc[0]:
+        assert cw["condorcet_winner"].iloc[0] == cope["source"].iloc[0]
+        assert bool(cw["consistent"].iloc[0])
+    iqv = QUERIES["q_iqv"](SF).to_pandas()
+    df = _events_pdf(["event_type"])
+    p = df["event_type"].value_counts(normalize=True).to_numpy()
+    k = len(p)
+    exp = k / (k - 1) * (1 - (p**2).sum())
+    assert iqv["k_types"].iloc[0] == k
+    assert abs(iqv["iqv"].iloc[0] - exp) < 1e-6
