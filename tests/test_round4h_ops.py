@@ -2657,3 +2657,32 @@ def test_condorcet_and_iqv(ray_session):
     exp = k / (k - 1) * (1 - (p**2).sum())
     assert iqv["k_types"].iloc[0] == k
     assert abs(iqv["iqv"].iloc[0] - exp) < 1e-6
+
+
+def test_burrows_zeta(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_burrows_zeta"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    focus = df["source"].min()
+    n_a = int((df["source"] == focus).sum())
+    n_b = len(df) - n_a
+    dfa, dfb = {}, {}
+    for s, t in zip(df["source"], df["text"].fillna("")):
+        for w in set(t.split()):
+            if s == focus:
+                dfa[w] = dfa.get(w, 0) + 1
+            else:
+                dfb[w] = dfb.get(w, 0) + 1
+    rows = []
+    for w in set(dfa) | set(dfb):
+        z = dfa.get(w, 0) / n_a - dfb.get(w, 0) / n_b
+        rows.append((round(z * 1e9), w))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    assert list(out["token"]) == [w for _, w in rows[:5]]
+    for i, (qz, w) in enumerate(rows[:5]):
+        assert out["df_focus"].iloc[i] == dfa.get(w, 0)
+        assert out["df_rest"].iloc[i] == dfb.get(w, 0)
+        assert abs(out["zeta"].iloc[i] - qz / 1e9) < 2e-6
