@@ -2686,3 +2686,32 @@ def test_burrows_zeta(ray_session):
         assert out["df_focus"].iloc[i] == dfa.get(w, 0)
         assert out["df_rest"].iloc[i] == dfb.get(w, 0)
         assert abs(out["zeta"].iloc[i] - qz / 1e9) < 2e-6
+
+
+def test_tolerance_interval(ray_session):
+    import math
+
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_tolerance_interval"](SF).to_pandas()
+    y = np.sort(_daily_counts())
+    n = len(y)
+
+    def conf(r):
+        return sum(
+            math.comb(n, k) * 0.75**k * 0.25 ** (n - k)
+            for k in range(0, n - 2 * r + 1)
+        )
+
+    best = 0
+    for r in range(1, n // 2 + 1):
+        if conf(r) >= 0.95 - 1e-9:
+            best = r
+        else:
+            break
+    assert out["n_days"].iloc[0] == n
+    assert out["trim_r"].iloc[0] == best
+    if best > 0:
+        assert out["tol_lo"].iloc[0] == y[best]
+        assert out["tol_hi"].iloc[0] == y[n - best - 1]
+        assert abs(out["confidence"].iloc[0] - conf(best)) < 1e-4
