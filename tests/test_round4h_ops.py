@@ -2715,3 +2715,20 @@ def test_tolerance_interval(ray_session):
         assert out["tol_lo"].iloc[0] == y[best]
         assert out["tol_hi"].iloc[0] == y[n - best - 1]
         assert abs(out["confidence"].iloc[0] - conf(best)) < 1e-4
+
+
+def test_process_capability(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_process_capability"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    a, b = y[: n // 2], y[n // 2 :]
+    usl = a.mean() + 3 * a.std(ddof=1)
+    lsl = a.mean() - 3 * a.std(ddof=1)
+    cp = (usl - lsl) / (6 * b.std(ddof=1))
+    cpk = min(usl - b.mean(), b.mean() - lsl) / (3 * b.std(ddof=1))
+    assert out["n_eval_days"].iloc[0] == len(b)
+    assert abs(out["cp"].iloc[0] - cp) < 1e-5
+    assert abs(out["cpk"].iloc[0] - cpk) < 1e-5
+    assert out["n_out_of_spec"].iloc[0] == int(((b > usl) | (b < lsl)).sum())
