@@ -2732,3 +2732,22 @@ def test_process_capability(ray_session):
     assert abs(out["cp"].iloc[0] - cp) < 1e-5
     assert abs(out["cpk"].iloc[0] - cpk) < 1e-5
     assert out["n_out_of_spec"].iloc[0] == int(((b > usl) | (b < lsl)).sum())
+
+
+def test_community_similarity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_community_similarity"](SF).to_pandas()
+    df = _events_pdf(["ts", "event_type"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    we = ((day + 3) % 7 >= 5).to_numpy()
+    types = sorted(df["event_type"].unique())
+    a = np.array([int(((df["event_type"] == t).to_numpy() & we).sum()) for t in types], float)
+    b = np.array([int(((df["event_type"] == t).to_numpy() & ~we).sum()) for t in types], float)
+    bc = np.abs(a - b).sum() / (a + b).sum()
+    da = (a**2).sum() / a.sum() ** 2
+    db = (b**2).sum() / b.sum() ** 2
+    mh = 2 * (a * b).sum() / ((da + db) * a.sum() * b.sum())
+    assert out["k_types"].iloc[0] == len(types)
+    assert abs(out["bray_curtis"].iloc[0] - bc) < 1e-6
+    assert abs(out["morisita_horn"].iloc[0] - mh) < 1e-6
