@@ -2751,3 +2751,26 @@ def test_community_similarity(ray_session):
     assert out["k_types"].iloc[0] == len(types)
     assert abs(out["bray_curtis"].iloc[0] - bc) < 1e-6
     assert abs(out["morisita_horn"].iloc[0] - mh) < 1e-6
+
+
+def test_beta_diversity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_beta_diversity"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    pres = {}
+    for s, t in zip(df["source"], df["text"].fillna("")):
+        for w in set(t.split()):
+            pres.setdefault(w, set()).add(s)
+    gamma = len(pres)
+    k = df["source"].nunique()
+    presence = sum(len(v) for v in pres.values())
+    endemic = sum(1 for v in pres.values() if len(v) == 1)
+    alpha = presence / k
+    assert out["gamma_tokens"].iloc[0] == gamma
+    assert out["n_sources"].iloc[0] == k
+    assert abs(out["alpha_mean"].iloc[0] - alpha) < 1e-5
+    assert abs(out["whittaker_beta"].iloc[0] - (gamma / alpha - 1)) < 1e-5
+    assert out["endemic_tokens"].iloc[0] == endemic
