@@ -2774,3 +2774,23 @@ def test_beta_diversity(ray_session):
     assert abs(out["alpha_mean"].iloc[0] - alpha) < 1e-5
     assert abs(out["whittaker_beta"].iloc[0] - (gamma / alpha - 1)) < 1e-5
     assert out["endemic_tokens"].iloc[0] == endemic
+
+
+def test_session_sensitivity(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+    from ptrail_ray.sources.transcripts import derive_from_events
+
+    out = QUERIES["q_session_sensitivity"](SF).to_pandas()
+    df = derive_from_events(SF).to_pandas().sort_values(["conv_id", "turn_idx"])
+    us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    nc = df["conv_id"].nunique()
+    for i, tau in enumerate((900, 3600, 14400)):
+        breaks = 0
+        for _, g in df.assign(us=us).groupby("conv_id"):
+            t = g["us"].to_numpy()
+            breaks += int((np.diff(t) > tau * 1_000_000).sum())
+        assert out["gap_s"].iloc[i] == tau
+        assert out["n_sessions"].iloc[i] == nc + breaks
+        assert abs(
+            out["sessions_per_conv"].iloc[i] - (nc + breaks) / nc
+        ) < 1e-6
