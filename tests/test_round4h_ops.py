@@ -2794,3 +2794,21 @@ def test_session_sensitivity(ray_session):
         assert abs(
             out["sessions_per_conv"].iloc[i] - (nc + breaks) / nc
         ) < 1e-6
+
+
+def test_causal_impact(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_causal_impact"](SF).to_pandas()
+    y = _daily_counts().astype(float)
+    n = len(y)
+    h = n // 2
+    t = np.arange(1, n + 1, dtype=float)
+    beta, alpha = np.polyfit(t[:h], y[:h], 1)
+    pred = (alpha + beta * t[h:]).sum()
+    actual = y[h:].sum()
+    assert out["post_days"].iloc[0] == n - h
+    assert out["actual_total"].iloc[0] == int(actual)
+    assert abs(out["counterfactual_total"].iloc[0] - pred) < 1e-2
+    assert abs(out["abs_effect"].iloc[0] - (actual - pred)) < 1e-2
+    assert abs(out["rel_effect"].iloc[0] - (actual - pred) / pred) < 1e-5
