@@ -2812,3 +2812,23 @@ def test_causal_impact(ray_session):
     assert abs(out["counterfactual_total"].iloc[0] - pred) < 1e-2
     assert abs(out["abs_effect"].iloc[0] - (actual - pred)) < 1e-2
     assert abs(out["rel_effect"].iloc[0] - (actual - pred) / pred) < 1e-5
+
+
+def test_quantile_treatment_effect(ray_session):
+    from ptrail_ray.entry_queries import QUERIES
+
+    out = QUERIES["q_quantile_treatment_effect"](SF).to_pandas()
+    df = _events_pdf(["user_id", "ts"])
+    day = df["ts"].astype("datetime64[ns]").astype(np.int64) // 86_400_000_000_000
+    bnd = (int(day.min()) + int(day.max()) + 1) // 2
+    g = (
+        pd.DataFrame({"u": df["user_id"], "p": (day >= bnd).astype(int)})
+        .groupby("u")["p"]
+        .sum()
+    )
+    for i, pct in enumerate((25, 50, 75)):
+        for arm, col in ((1, "q_treat"), (0, "q_ctrl")):
+            vals = np.sort(g[g.index % 2 == arm].to_numpy())
+            rank = min(pct * len(vals) // 100, len(vals) - 1)
+            assert out[col].iloc[i] == vals[rank]
+        assert out["qte"].iloc[i] == out["q_treat"].iloc[i] - out["q_ctrl"].iloc[i]
