@@ -180,24 +180,57 @@ def sparse_cosine_pairs(
     posts = ds.map_batches(weights, batch_format="pyarrow", batch_size=batch_size)
 
     # ---- pass 3: per-term pair contributions, pre-aggregated --------
+    # fully vectorized: the per-term all-pairs expansion is the same
+    # repeat/arange trick as graph.triangle_count's wedge generation
+    # (no pandas self-merge — that allocates Σ_t df_t² rows through a
+    # hash join and was 15 s of the sf0.1 wall); aggregation is
+    # sort + add.reduceat on int64 (exact, no float accumulation)
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _empty_pairs()
-        m = df.merge(df, on="term")
-        m = m[m["doc_x"] < m["doc_y"]]
-        if m.empty:
+        tc, _ = pd.factorize(df["term"], sort=False)
+        doc = df["doc"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.float64)
+        order = np.argsort(tc, kind="stable")
+        tc, doc, x = tc[order], doc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1]])
+        lengths = np.diff(np.r_[starts, len(tc)])
+        pos = np.arange(len(tc), dtype=np.int64) - np.repeat(starts, lengths)
+        cnt = np.repeat(lengths, lengths) - 1 - pos
+        total = int(cnt.sum())
+        if total == 0:
             return _empty_pairs()
-        contrib = _quant_int64(m["x_x"].to_numpy() * m["x_y"].to_numpy())
-        return (
-            pd.DataFrame(
+        i_flat = np.repeat(np.arange(len(tc), dtype=np.int64), cnt)
+        coff = np.concatenate([[0], np.cumsum(cnt)])
+        j_flat = i_flat + (np.arange(total, dtype=np.int64) - coff[i_flat]) + 1
+        da, db = doc[i_flat], doc[j_flat]
+        lo = np.minimum(da, db)
+        hi = np.maximum(da, db)
+        contrib = _quant_int64(x[i_flat] * x[j_flat])
+        if len(hi) and (int(hi.max()) < (1 << 31)) and int(lo.min()) >= 0:
+            # packed-key fast path (ids fit 31 bits)
+            pk = (lo << np.int64(32)) | hi
+            o2 = np.argsort(pk, kind="stable")
+            pk, contrib = pk[o2], contrib[o2]
+            b = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+            s = np.add.reduceat(contrib, b)
+            upk = pk[b]
+            return pd.DataFrame(
                 {
-                    "doc_a": m["doc_x"].to_numpy(),
-                    "doc_b": m["doc_y"].to_numpy(),
-                    "s": contrib,
+                    "doc_a": upk >> np.int64(32),
+                    "doc_b": upk & np.int64(0xFFFFFFFF),
+                    "s": s,
                 }
             )
-            .groupby(["doc_a", "doc_b"], as_index=False, sort=False)["s"]
-            .sum()
+        o2 = np.lexsort((hi, lo))
+        lo, hi, contrib = lo[o2], hi[o2], contrib[o2]
+        b = np.flatnonzero(np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        return pd.DataFrame(
+            {
+                "doc_a": lo[b],
+                "doc_b": hi[b],
+                "s": np.add.reduceat(contrib, b),
+            }
         )
 
     parts = grouped_agg_by_bucket(
@@ -208,16 +241,30 @@ def sparse_cosine_pairs(
 
     # ---- pass 4: exact pair sums → cosine, threshold ----------------
     def finalize_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)["s"].sum()
-        cos = g["s"].to_numpy(np.int64).astype(np.float64) / QUANT_SCALE
-        out = pd.DataFrame(
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        lo = df["doc_a"].to_numpy(np.int64)
+        hi = df["doc_b"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        o = np.lexsort((hi, lo))
+        lo, hi, s = lo[o], hi[o], s[o]
+        b = np.flatnonzero(np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        sums = np.add.reduceat(s, b)
+        cos = sums.astype(np.float64) / QUANT_SCALE
+        keep = cos >= thr
+        return pd.DataFrame(
             {
-                "doc_a": g["doc_a"].to_numpy(np.int64),
-                "doc_b": g["doc_b"].to_numpy(np.int64),
-                "cosine": cos,
+                "doc_a": lo[b][keep],
+                "doc_b": hi[b][keep],
+                "cosine": cos[keep],
             }
         )
-        return out[out["cosine"] >= thr]
 
     return grouped_agg_by_bucket(
         parts,

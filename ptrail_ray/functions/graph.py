@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 PR_SCALE = 10**12
 
@@ -128,17 +129,19 @@ def pagerank_int(
 
         merged = hash_join(nodes, sums, "node", how="left", num_buckets=num_buckets)
 
-        def update(df: pd.DataFrame) -> pd.DataFrame:
-            c = df["c"].fillna(0).astype(np.int64)
-            return pd.DataFrame(
+        def update(t: pa.Table) -> pa.Table:
+            # zero-copy Arrow: fill_null + cast + scalar add (no pandas
+            # round-trip for a two-int-column frame — VERDICT r04 #6)
+            c = pc.fill_null(t["c"], 0).cast(pa.int64())
+            return pa.table(
                 {
-                    "node": df["node"].astype(np.int64),
-                    "r": (np.int64(base) + c.to_numpy(np.int64)).astype(np.int64),
+                    "node": t["node"].cast(pa.int64()),
+                    "r": pc.add_checked(c, pa.scalar(base, pa.int64())),
                 }
             )
 
         ranks = merged.map_batches(
-            update, batch_format="pandas", batch_size=None
+            update, batch_format="pyarrow", batch_size=None
         ).materialize()
 
     return ranks
@@ -150,7 +153,7 @@ def triangle_count(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     num_buckets: int = 16,
-    max_out_degree: int = 4096,
+    broadcast_max_nodes: int = 4_000_000,
 ):
     """Exact triangle count over an undirected edge list (a < b
     canonical) — the clustering-structure audit of the near-dup
@@ -158,23 +161,130 @@ def triangle_count(
     min-id canonicalization will collapse aggressively; a triangle-free
     pairing is chains, a different cleanup regime).
 
-    Node-iterator shape, two narrow exchanges, text-free throughout:
+    **Degree-oriented** node-iterator (the standard O(m^1.5) bound —
+    Chiba–Nishizeki / Schank–Wagner forward counting): every edge is
+    directed toward its higher-(degree, id) endpoint, wedges are
+    generated at the LOW endpoint, so per-node wedge work is bounded by
+    the oriented out-degree ≤ O(√m) regardless of hub size — a planted
+    hub of degree 10⁶ emits ZERO wedges at the hub (all its edges point
+    into it) instead of 10¹² pairs. Three narrow exchanges, text-free:
 
-    1. bucket edges by their MIN endpoint; each node a emits the
-       wedges (b, c), b < c, over its out-neighbors — every triangle
-       {x<y<z} is generated exactly once, at its minimum node;
-    2. wedges (need = 1) union edges (have = 1) exchange on the
-       (b, c) pair key; a wedge closes iff its pair key is an edge.
+    1. degree per node — one count exchange over both endpoint columns;
+    2. orient each edge toward higher (deg, id); bucket oriented edges
+       by tail; each tail a emits wedges (b, c) over its out-neighbors
+       via a fully vectorized repeat/arange expansion (no per-node
+       Python loop) — every triangle {x→y→z in the (deg, id) DAG order}
+       is generated exactly once, at x;
+    3. wedges (need = 1) union canonical edges (have = 1) exchange on
+       the id-canonical (min, max) pair key; a wedge closes iff its
+       pair key is an edge.
 
-    Σ deg⁺(a)² wedge work is the textbook cost; ``max_out_degree``
-    guards the hub blowup LOUDLY (orient-by-degree is the production
-    escape hatch, not silent truncation). Returns a one-row Dataset
-    (n_triangles, n_wedges, n_edges)."""
+    Degrees attach to edges via a `ray.put` broadcast + searchsorted
+    lookup when the node catalog fits (< ``broadcast_max_nodes``); two
+    hash joins otherwise — same answer, scale-safe path. Returns a
+    one-row Dataset (n_triangles, n_wedges, n_edges); ``n_wedges`` is
+    the degree-oriented wedge count Σ_a C(deg⁺(a), 2)."""
+    import ray
+
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
 
-    def wedges(t: pa.Table) -> pa.Table:
+    # the edge list is consumed three times (degrees, orientation,
+    # closing edges) — pin it once so the upstream pair-generation
+    # pipeline (often a full APSS) doesn't re-execute per consumer;
+    # pairs are two int64 columns, narrow at any scale
+    pairs = pairs.materialize()
+
+    # --- 1. degrees (undirected: each edge counts at both endpoints) ---
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                t[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        keys, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(keys, pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False, sort=False)["deg"].sum()
+
+    deg = grouped_agg_by_bucket(
+        pairs.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        "node",
+        deg_sum,
+        num_buckets=num_buckets,
+        partial_batch=None,
+    ).materialize()
+    n_nodes = deg.count()
+
+    # --- 2. orientation: tail = lower (deg, id) endpoint ---
+    def orient_from_cols(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a < b canonical, so on a degree tie the smaller id (a) is tail
+        a_is_tail = da <= db  # a < b canonical: on a degree tie a is tail
+        return pa.table(
+            {
+                "tail": pa.array(np.where(a_is_tail, a, b), pa.int64()),
+                "head": pa.array(np.where(a_is_tail, b, a), pa.int64()),
+            }
+        )
+
+    if n_nodes <= broadcast_max_nodes:
+        dp = deg.to_pandas()
+        nd = dp["node"].to_numpy(np.int64)
+        dg = dp["deg"].to_numpy(np.int64)
+        o = np.argsort(nd, kind="stable")
+        deg_ref = ray.put((nd[o], dg[o]))
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            nodes_s, degs_s = ray.get(deg_ref)
+            a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = degs_s[np.searchsorted(nodes_s, a)]
+            db = degs_s[np.searchsorted(nodes_s, b)]
+            a_is_tail = da <= db  # a < b canonical: on a degree tie a is tail
+            return pa.table(
+                {
+                    "tail": pa.array(np.where(a_is_tail, a, b), pa.int64()),
+                    "head": pa.array(np.where(a_is_tail, b, a), pa.int64()),
+                }
+            )
+
+        oriented = pairs.map_batches(
+            orient_bcast, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        from ptrail_ray.stages.join import hash_join
+
+        da_ds = deg.map_batches(
+            lambda t: t.rename_columns([a_col, "deg_a"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        db_ds = deg.map_batches(
+            lambda t: t.rename_columns([b_col, "deg_b"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        oriented = hash_join(
+            hash_join(pairs, da_ds, a_col, num_buckets=num_buckets),
+            db_ds,
+            b_col,
+            num_buckets=num_buckets,
+        ).map_batches(orient_from_cols, batch_format="pyarrow", batch_size=None)
+
+    # --- 3. wedge generation at the tail, vectorized across nodes ---
+    def wedges(t: pa.Table) -> pa.Table:
+        a = t["tail"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["head"].to_numpy(zero_copy_only=False).astype(np.int64)
         empty = pa.table(
             {
                 "u": pa.array([], pa.int64()),
@@ -189,22 +299,20 @@ def triangle_count(
         a, b = a[order], b[order]
         starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
         lengths = np.diff(np.r_[starts, len(a)])
-        if int(lengths.max()) > max_out_degree:
-            raise ValueError(
-                f"triangle_count: out-degree {int(lengths.max())} exceeds "
-                f"max_out_degree={max_out_degree} — orient edges by degree "
-                "before wedge generation for hub-heavy graphs"
-            )
-        us, vs = [], []
-        for s, L in zip(starts, lengths):
-            if L < 2:
-                continue
-            nb = b[s : s + L]  # sorted ascending
-            iu, ju = np.triu_indices(int(L), 1)
-            us.append(nb[iu])
-            vs.append(nb[ju])
-        w_u = np.concatenate(us) if us else np.array([], np.int64)
-        w_v = np.concatenate(vs) if vs else np.array([], np.int64)
+        # partner count of each flat element when playing the wedge's
+        # first leg: elements after it inside its own tail group
+        pos = np.arange(len(a), dtype=np.int64) - np.repeat(starts, lengths)
+        cnt = np.repeat(lengths, lengths) - 1 - pos
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        i_flat = np.repeat(np.arange(len(a), dtype=np.int64), cnt)
+        coff = np.concatenate([[0], np.cumsum(cnt)])
+        j_flat = i_flat + (np.arange(total, dtype=np.int64) - coff[i_flat]) + 1
+        bu, bv = b[i_flat], b[j_flat]
+        # closing-edge lookup key is id-canonical (min, max)
+        w_u = np.minimum(bu, bv)
+        w_v = np.maximum(bu, bv)
         return pa.table(
             {
                 "u": pa.array(w_u, pa.int64()),
@@ -215,8 +323,8 @@ def triangle_count(
         )
 
     wedge_ds = grouped_agg_by_bucket(
-        pairs, a_col, wedges, num_buckets=num_buckets, group_format="pyarrow",
-        partial_batch=None,
+        oriented, "tail", wedges, num_buckets=num_buckets,
+        group_format="pyarrow", partial_batch=None,
     )
 
     def as_have(t: pa.Table) -> pa.Table:

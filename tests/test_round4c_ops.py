@@ -679,25 +679,55 @@ def test_triangle_count_hand_graph(ray_session):
     out = triangle_count(rd.from_arrow(edges), num_buckets=4).to_pandas()
     assert int(out.loc[0, "n_triangles"]) == 4
     assert int(out.loc[0, "n_edges"]) == 8
-    # wedges: deg+(1)=3 -> 3, deg+(2)=2 -> 1, deg+(3)=1, deg+(4)=1, deg+(6)=1 -> 0
+    # degree-oriented wedges (tail = lower (deg, id)): out-deg 1->3,
+    # 2->2, 3->1, 5->1, 6->1 => C(3,2)+C(2,2-ish)=3+1 = 4
     assert int(out.loc[0, "n_wedges"]) == 4
 
 
-def test_triangle_count_degree_guard(ray_session):
-    import pytest
-    import ray
+def test_triangle_count_planted_hub(ray_session):
+    """A hub of degree 5000 (>> the old 4096 max_out_degree hard-raise)
+    now completes: degree orientation points every hub edge INTO the
+    hub, so the hub emits zero wedges and wedge work stays O(m^1.5)."""
     import ray.data as rd
 
     from ptrail_ray.functions.graph import triangle_count
 
+    n_leaves = 5000
+    hub_a = [0] * n_leaves
+    hub_b = list(range(1, n_leaves + 1))
+    # one closing edge (1,2) => exactly one triangle {0,1,2}
     star = pa.table(
         {
-            "doc_a": pa.array([0] * 10, pa.int64()),
-            "doc_b": pa.array(list(range(1, 11)), pa.int64()),
+            "doc_a": pa.array(hub_a + [1], pa.int64()),
+            "doc_b": pa.array(hub_b + [2], pa.int64()),
         }
     )
-    with pytest.raises(ray.exceptions.RayTaskError, match="max_out_degree"):
-        triangle_count(rd.from_arrow(star), num_buckets=2, max_out_degree=5)
+    out = triangle_count(rd.from_arrow(star), num_buckets=4).to_pandas()
+    assert int(out.loc[0, "n_edges"]) == n_leaves + 1
+    assert int(out.loc[0, "n_triangles"]) == 1
+    # only node 1 (out-neighbors {0, 2}) emits a wedge
+    assert int(out.loc[0, "n_wedges"]) == 1
+
+
+def test_triangle_count_join_fallback_matches_broadcast(ray_session):
+    """broadcast_max_nodes=0 forces the two-hash-join degree-attach
+    path; answers must be identical to the broadcast path."""
+    import ray.data as rd
+
+    from ptrail_ray.functions.graph import triangle_count
+
+    edges = pa.table(
+        {
+            "doc_a": pa.array([1, 1, 1, 2, 2, 3, 4, 6], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 3, 4, 4, 5, 7], pa.int64()),
+        }
+    )
+    out = triangle_count(
+        rd.from_arrow(edges), num_buckets=4, broadcast_max_nodes=0
+    ).to_pandas()
+    assert int(out.loc[0, "n_triangles"]) == 4
+    assert int(out.loc[0, "n_wedges"]) == 4
+    assert int(out.loc[0, "n_edges"]) == 8
 
 
 def test_spearman_matches_scipy_free_definition(ray_session):

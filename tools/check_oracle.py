@@ -23,6 +23,13 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Queries allowed to return 0 rows at sf0.01 (explicit opt-out from the
+# vacuous-pass guard below). Anything else returning 0 rows on BOTH the
+# engine and the oracle side is a FAIL: an empty-vs-empty compare proves
+# nothing (q_drift_welch passed 3 rounds without executing its math once
+# because its cohort split was degenerate — never again).
+EXPECTED_EMPTY: set[str] = set()
+
 
 def to_pandas(obj) -> pd.DataFrame:
     import pyarrow as pa
@@ -58,7 +65,11 @@ def compare(
     if len(got) != len(exp):
         errs.append(f"rowcount {len(got)} != {len(exp)}")
     if len(got) == 0 and len(exp) == 0:
-        return []  # empty == empty (an empty Ray Dataset loses its schema)
+        # empty == empty (an empty Ray Dataset loses its schema) — but
+        # only queries explicitly whitelisted may pass vacuously.
+        if name in EXPECTED_EMPTY:
+            return []
+        return ["vacuous: 0 rows on both engine and oracle side (add to EXPECTED_EMPTY only if 0 rows is the designed output at this sf)"]
     if sorted(got.columns) != sorted(exp.columns):
         errs.append(f"columns {sorted(got.columns)} != {sorted(exp.columns)}")
     if errs:
