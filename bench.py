@@ -282,6 +282,23 @@ def ensure_bench_corpus() -> str:
             n_hot=8,
             hot_turns=20000,
         )
+    else:
+        # corpus cached by a pre-layout-manifest round: write_synth's
+        # per-file conv disjointness is positional (part-NNNN ranges),
+        # so backfill the declaration it would write today
+        from ptrail_ray.state.manifest import (
+            load_layout_manifest,
+            save_layout_manifest,
+        )
+
+        if load_layout_manifest(BENCH_DIR) is None:
+            import glob as _g
+
+            names = sorted(
+                os.path.basename(f)
+                for f in _g.glob(os.path.join(BENCH_DIR, "*.parquet"))
+            )
+            save_layout_manifest(BENCH_DIR, names, producer="write_synth")
     return BENCH_DIR
 
 
@@ -303,7 +320,11 @@ def run_headline() -> dict:
     # ~5% off the 16-CPU flagship wall, neutral at 4 CPUs (r04 sweep)
     ctx.use_push_based_shuffle = True
 
-    from ptrail_ray.pipelines.flagship import flagship, flagship_prepartitioned
+    from ptrail_ray.pipelines.flagship import (
+        flagship,
+        flagship_auto,
+        flagship_prepartitioned,
+    )
     from ptrail_ray.sources.transcripts import read_transcripts, side_scd_from_events
 
     path = ensure_bench_corpus()
@@ -333,23 +354,40 @@ def run_headline() -> dict:
     num_buckets = max(128, NUM_CPUS * 4)
     asof_conc = max(2, NUM_CPUS // 2)
 
-    # BENCH_PREPART=1: the shuffle-free variant over the file-partitioned
-    # corpus (each bench file holds complete conversations) — measures
-    # the pipeline with the storage-level partitioning contract in force
-    # and therefore WITHOUT the sort barrier's fixed span. Opt-in;
-    # plain `bench.py` keeps the general exchange path as the headline.
+    # Default (VERDICT r04 #3): the STORAGE LAYOUT decides the plan —
+    # flagship_auto reads the corpus's layout manifest (written by the
+    # engine's own producers: write_synth here, the sink's
+    # partition-only mode in production) and elides the conv exchange
+    # whenever every conversation provably lives whole in one file.
+    # Overrides for the comparison rows in BASELINE.md:
+    #   BENCH_GENERAL=1  force the general exchange path
+    #   BENCH_PREPART=1  force the shuffle-free path (fails if the
+    #                    layout doesn't qualify — no silent fallback)
     prepart = bool(os.environ.get("BENCH_PREPART"))
+    general = bool(os.environ.get("BENCH_GENERAL"))
+    if prepart and general:
+        raise SystemExit("BENCH_PREPART and BENCH_GENERAL are mutually exclusive")
 
     def build():
         if prepart:
             return flagship_prepartitioned(path, side, asof_concurrency=asof_conc)
-        return flagship(
-            read_transcripts(path, override_num_blocks=read_blocks),
+        if general:
+            return flagship(
+                read_transcripts(path, override_num_blocks=read_blocks),
+                side,
+                num_buckets=num_buckets,
+                gap_seconds=120.0,
+                asof_concurrency=asof_conc,
+                hot_threshold=None,
+            )
+        return flagship_auto(
+            path,
             side,
             num_buckets=num_buckets,
             gap_seconds=120.0,
             asof_concurrency=asof_conc,
             hot_threshold=None,
+            read_blocks=read_blocks,
         )
 
     # The pilot is one UNTIMED full-corpus run with the same parameters
@@ -375,7 +413,7 @@ def run_headline() -> dict:
         rows = out.count()  # consume via aggregate — no driver materialization
         walls.append(time.perf_counter() - t0)
         assert rows >= n_turns
-    wall = sorted(walls)[1]
+    wall = sorted(walls)[len(walls) // 2]
     return {
         "wall_s": wall,
         "walls": [round(w, 3) for w in walls],

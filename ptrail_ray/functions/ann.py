@@ -394,3 +394,87 @@ def ivf_topk(
         .to_pandas()
     )
     return _merge_partials(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Serial ground-truth replicas (VERDICT r04 #7)
+#
+# Single-process numpy replays of the SAME documented contracts the
+# distributed paths implement (identical plane/centroid seeding,
+# identical candidate rules, identical (-sim, vec_id) tie-break). They
+# exist so the approximate-ANN queries get a persisted parquet anchor
+# the driver's hash gate can compare against — the distributed
+# filter/partial-topk/merge machinery is what the comparison exercises;
+# the replicas never touch Ray.
+# ---------------------------------------------------------------------------
+
+
+def topk_serial(emb: np.ndarray, ids: np.ndarray, q: np.ndarray, k: int) -> pd.DataFrame:
+    """Exact top-k over pre-normalized rows: (sim DESC, vec_id ASC)."""
+    rows = []
+    sims = q @ emb.T
+    for qi in range(q.shape[0]):
+        order = np.lexsort((ids, -sims[qi]))[: min(k, len(ids))]
+        for r, j in enumerate(order, 1):
+            rows.append((qi, int(ids[j]), float(sims[qi, j]), r))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim", "rank"])
+
+
+def lsh_candidates_serial(
+    emb: np.ndarray, q: np.ndarray, *, tables: int, bits: int, seed: int
+) -> np.ndarray:
+    """Boolean mask of rows matching any query bucket in any table —
+    the serial replay of ``_lsh_probe_filter`` (same rng stream, same
+    uint64 code packing)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(tables, bits, q.shape[1]))
+    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+    keep = np.zeros(len(emb), dtype=bool)
+    for t in range(tables):
+        code_e = ((emb @ planes[t].T > 0).astype(np.uint64) * weights).sum(axis=1)
+        code_q = np.unique(
+            ((q @ planes[t].T > 0).astype(np.uint64) * weights).sum(axis=1)
+        )
+        keep |= np.isin(code_e, code_q)
+    return keep
+
+
+def lsh_topk_serial(
+    emb: np.ndarray,
+    ids: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    *,
+    tables: int,
+    bits: int,
+    seed: int = 13,
+) -> pd.DataFrame:
+    keep = lsh_candidates_serial(emb, q, tables=tables, bits=bits, seed=seed)
+    return topk_serial(emb[keep], ids[keep], q, k)
+
+
+def ivf_topk_serial(
+    emb: np.ndarray,
+    ids: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_size: int = 512,
+    iters: int = 10,
+    seed: int = 5,
+) -> pd.DataFrame:
+    """Serial replay of ``ivf_topk``: same stride sample (first
+    ``train_size`` stride-selected rows in dataset order), same seeded
+    Lloyd centroids, same any-query probe rule."""
+    n = len(ids)
+    stride = max(1, n // train_size)
+    m = np.flatnonzero(ids % stride == 0)[:train_size]
+    cent = _kmeans(emb[m], n_lists, iters, seed)
+    probed = np.unique(
+        np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe].ravel()
+    )
+    nearest = np.argmax(emb @ cent.T, axis=1)
+    keep = np.isin(nearest, probed)
+    return topk_serial(emb[keep], ids[keep], q, k)

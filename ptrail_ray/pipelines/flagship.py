@@ -97,6 +97,7 @@ def flagship_prepartitioned(
     gap_seconds: float = 120.0,
     features: list[str] | None = None,
     asof_concurrency: "int | tuple" = 8,
+    files: "list[str] | None" = None,
 ):
     """Shuffle-free flagship over a conversation-PARTITIONED Parquet
     layout: each file holds only complete conversations (disjoint
@@ -123,7 +124,8 @@ def flagship_prepartitioned(
     from ptrail_ray.schema import TRANSCRIPT_COLUMNS
     from ptrail_ray.stages.bucket import sort_bucket
 
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if files is None:
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
 
@@ -146,3 +148,54 @@ def flagship_prepartitioned(
     if side is not None:
         out = asof_join(out, side, concurrency=asof_concurrency)
     return out
+
+
+def flagship_auto(
+    path: str,
+    side: "pa.Table | None" = None,
+    *,
+    num_buckets: int = 32,
+    gap_seconds: float = 120.0,
+    features: list[str] | None = None,
+    asof_concurrency: "int | tuple" = 8,
+    hot_threshold: int | None = None,
+    read_blocks: int | None = None,
+):
+    """Flagship over a parquet dir, picking the execution plan from the
+    STORAGE layout (VERDICT r04 #3: the layout, not an env var, decides).
+
+    If ``path`` carries a layout manifest declaring a complete
+    conversation-partitioned raw-transcript layout
+    (`state.manifest.conv_partitioned_files` — written by the sink's
+    partition-only mode and the synthetic-corpus writer), the
+    conv-bucket exchange — the pipeline's single all-to-all — is elided
+    and one task per file does read → sort → kernels
+    (:func:`flagship_prepartitioned`). Otherwise the general exchange
+    path (:func:`flagship`) runs. Both paths are value-identical
+    (tests/test_flagship_auto.py)."""
+    from ptrail_ray.sources.transcripts import read_transcripts
+    from ptrail_ray.state.manifest import conv_partitioned_files
+
+    files = conv_partitioned_files(path)
+    if files is not None:
+        return flagship_prepartitioned(
+            path,
+            side,
+            gap_seconds=gap_seconds,
+            features=features,
+            asof_concurrency=asof_concurrency,
+            files=files,
+        )
+    ds = read_transcripts(
+        path,
+        **({"override_num_blocks": read_blocks} if read_blocks else {}),
+    )
+    return flagship(
+        ds,
+        side,
+        num_buckets=num_buckets,
+        gap_seconds=gap_seconds,
+        features=features,
+        asof_concurrency=asof_concurrency,
+        hot_threshold=hot_threshold,
+    )

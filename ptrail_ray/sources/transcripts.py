@@ -348,6 +348,7 @@ def write_synth(
     os.makedirs(path, exist_ok=True)
     per_file = (n_convs + n_files - 1) // n_files
     off = 0
+    names = []
     for i in range(n_files):
         k = min(per_file, n_convs - off)
         if k <= 0:
@@ -362,8 +363,15 @@ def write_synth(
             hot_turns=hot_turns,
             **kwargs,
         )
-        pq.write_table(t, os.path.join(path, f"part-{i:04d}.parquet"))
+        name = f"part-{i:04d}.parquet"
+        pq.write_table(t, os.path.join(path, name))
+        names.append(name)
         off += k
+    # each file holds a disjoint conv-id range by construction — declare
+    # the layout so flagship_auto can elide the conv exchange
+    from ptrail_ray.state.manifest import save_layout_manifest
+
+    save_layout_manifest(path, names, producer="write_synth")
     return path
 
 
@@ -399,11 +407,24 @@ def read_arrow_ipc(path: str, *, columns=None):
     bytes stream through ``read_binary_files`` and decode zero-copy
     with ``pa.ipc.open_file`` inside the task — no driver collect, one
     output block per shard (shard sizing is the writer's job, same
-    contract as the parquet path). Column pruning happens at decode."""
+    contract as the parquet path). Column pruning happens at decode.
+    When the dir carries ``write_arrow_ipc``'s ``_SHARDS.json``
+    manifest, only the shards it lists are read (stale shards from a
+    prior run with different data can't mix into the scan)."""
+    import json
+    import os
+
     import pyarrow as pa
     import ray.data as rd
 
-    ds = rd.read_binary_files(path, file_extensions=["arrow"])
+    src = path
+    if os.path.isdir(path):
+        mpath = os.path.join(path, "_SHARDS.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                src = [os.path.join(path, n) for n in json.load(f)]
+
+    ds = rd.read_binary_files(src, file_extensions=["arrow"])
 
     def decode(t: "pa.Table") -> "pa.Table":
         out = []
@@ -433,7 +454,11 @@ def write_arrow_ipc_shards(parquet_path: str, out_dir: str, *, shards: int = 8):
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    # build in a temp dir and publish with one atomic rename — a
+    # concurrent builder or a killed run can never expose a half-written
+    # shard set (ADVICE r04: DONE check vs shard overwrite raced)
+    tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
     tab = pq.read_table(parquet_path)
     n = tab.num_rows
     step = -(-n // shards)
@@ -442,41 +467,65 @@ def write_arrow_ipc_shards(parquet_path: str, out_dir: str, *, shards: int = 8):
         if part.num_rows == 0:
             continue
         with pa.ipc.new_file(
-            os.path.join(out_dir, f"part-{i:04d}.arrow"), part.schema
+            os.path.join(tmp_dir, f"part-{i:04d}.arrow"), part.schema
         ) as w:
             w.write_table(part)
-    with open(done, "w") as f:
+    with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
         f.write("ok\n")
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # another process published first — ours is byte-identical
+        import shutil
+
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 
 def write_arrow_ipc(ds, out_dir: str):
-    """Distributed Arrow IPC sink: every task writes its block as one
-    Feather-v2 shard (content-hash names — deterministic for a given
-    block set, safe under task retry because a rewrite is a byte-
-    identical overwrite). Returns the shard paths."""
+    """Distributed Arrow IPC sink: one Feather-v2 shard per block, named
+    ``part-{block_index}-{content_hash}.arrow`` — the index makes two
+    byte-identical blocks land in two files (ADVICE r04: hash-only names
+    silently merged them and dropped rows), the content hash keeps a
+    task retry idempotent (same index + same bytes → same name). Every
+    shard is written to a temp file and atomically renamed, so a task
+    killed mid-write never leaves a truncated ``.arrow`` a reader could
+    pick up. A ``_SHARDS.json`` manifest (also atomic) lists exactly
+    this run's shards; ``read_arrow_ipc`` honors it, so stale shards
+    from prior runs in the same dir can't mix into a scan. Returns the
+    shard paths."""
     import hashlib
+    import json
     import os
 
     import pyarrow as pa
+    import ray
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_block(t: "pa.Table") -> "pa.Table":
+    @ray.remote
+    def _write(i: int, t: "pa.Table") -> str:
         if t.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string())})
+            return ""
         sink = pa.BufferOutputStream()
         with pa.ipc.new_file(sink, t.schema) as w:
             w.write_table(t)
-        buf = sink.getvalue()
-        name = hashlib.md5(buf.to_pybytes()).hexdigest()[:16]
-        path = os.path.join(out_dir, f"part-{name}.arrow")
-        with open(path, "wb") as f:
-            f.write(buf.to_pybytes())
-        return pa.table({"path": pa.array([path], pa.string())})
+        data = sink.getvalue().to_pybytes()
+        name = f"part-{i:05d}-{hashlib.md5(data).hexdigest()[:16]}.arrow"
+        path = os.path.join(out_dir, name)
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return path
 
-    return sorted(
-        ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
-        .to_pandas()["path"]
-        .tolist()
-    )
+    # to_arrow_refs gives a deterministic block order → stable indices
+    refs = ds.to_arrow_refs()
+    paths = [p for p in ray.get([_write.remote(i, r) for i, r in enumerate(refs)]) if p]
+    mpath = os.path.join(out_dir, "_SHARDS.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(sorted(os.path.basename(p) for p in paths), f)
+    os.replace(mpath + ".tmp", mpath)
+    return sorted(paths)

@@ -66,6 +66,69 @@ def save_job_manifest(out_dir: str, config: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
+def _layout_manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, "layout.json")
+
+
+def save_layout_manifest(
+    out_dir: str,
+    files: list[str],
+    *,
+    payload: str = "transcripts",
+    conv_partitioned: bool = True,
+    producer: str = "",
+) -> None:
+    """Declare the STORAGE layout of a parquet dir: which files it
+    consists of and whether every conversation lives whole inside one
+    file ("conv_partitioned" — the bucketed-table contract). Written by
+    the engine's own producers (the resumable sink's partition-only
+    mode, the synthetic-corpus writer) once the layout is complete;
+    readers (`pipelines.flagship.flagship_auto`) use it to elide the
+    conv exchange automatically. ``files`` are paths RELATIVE to
+    ``out_dir``; ``payload`` distinguishes raw transcript layouts
+    (re-featurizable) from featurized outputs (not an input)."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    p = _layout_manifest_path(out_dir)
+    with open(p + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "payload": payload,
+                "conv_partitioned": bool(conv_partitioned),
+                "files": list(files),
+                "producer": producer,
+                "kernel_version": KERNEL_VERSION,
+            },
+            fh,
+        )
+    os.replace(p + ".tmp", p)
+
+
+def load_layout_manifest(out_dir: str) -> dict | None:
+    p = _layout_manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def conv_partitioned_files(path: str) -> "list[str] | None":
+    """Absolute file list IFF ``path`` declares a complete
+    conversation-partitioned RAW-transcript layout; ``None`` otherwise
+    (reader falls back to the general exchange path). Trust boundary:
+    only the layout manifest counts — a directory of parquet files
+    without one gets the exchange, however the files happen to be laid
+    out, because a split conversation would silently produce per-file
+    windows. Missing files (manifest newer than the data, partial
+    copy) also disqualify — loud fallback beats wrong windows."""
+    m = load_layout_manifest(path)
+    if not m or not m.get("conv_partitioned") or m.get("payload") != "transcripts":
+        return None
+    files = [os.path.join(path, f) for f in m.get("files", [])]
+    if not files or not all(os.path.exists(f) for f in files):
+        return None
+    return files
+
+
 def completed_buckets(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):

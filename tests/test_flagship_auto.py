@@ -1,0 +1,124 @@
+"""flagship_auto: the storage layout (via _manifest/layout.json), not an
+env var, decides whether the conv exchange runs (VERDICT r04 #3).
+
+- layout manifest present  -> exchange elided (prepartitioned plan)
+- layout manifest absent   -> general exchange plan
+- both plans value-identical
+- tools/job.py --partition-only produces a layout flagship_auto detects
+"""
+
+import os
+import tempfile
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+def _sorted_df(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["conv_id", "turn_idx", "ts"])
+        .reset_index(drop=True)
+    )
+
+
+def test_layout_detection_present_vs_absent(tmp_path):
+    from ptrail_ray.sources.transcripts import write_synth
+    from ptrail_ray.state.manifest import conv_partitioned_files
+
+    d = str(tmp_path / "corpus")
+    write_synth(d, n_convs=30, mean_turns=8, seed=7, n_files=3, n_hot=0)
+    files = conv_partitioned_files(d)
+    assert files is not None and len(files) == 3
+    assert all(os.path.exists(f) for f in files)
+
+    # no manifest -> no elision, however the files are laid out
+    os.remove(os.path.join(d, "_manifest", "layout.json"))
+    assert conv_partitioned_files(d) is None
+
+
+def test_layout_detection_rejects_non_transcript_payload(tmp_path):
+    from ptrail_ray.sources.transcripts import write_synth
+    from ptrail_ray.state.manifest import (
+        conv_partitioned_files,
+        load_layout_manifest,
+        save_layout_manifest,
+    )
+
+    d = str(tmp_path / "corpus")
+    write_synth(d, n_convs=10, mean_turns=5, seed=3, n_files=2, n_hot=0)
+    m = load_layout_manifest(d)
+    # featurized outputs are not a featurization INPUT
+    save_layout_manifest(d, m["files"], payload="features")
+    assert conv_partitioned_files(d) is None
+    # a manifest naming a missing file disqualifies (loud fallback)
+    save_layout_manifest(d, m["files"] + ["part-9999.parquet"])
+    assert conv_partitioned_files(d) is None
+
+
+def test_flagship_auto_value_identical_both_plans(ray_session):
+    from ptrail_ray.pipelines.flagship import flagship, flagship_auto
+    from ptrail_ray.sources.transcripts import (
+        read_transcripts,
+        side_scd_from_events,
+        write_synth,
+    )
+    from ptrail_ray.state.manifest import conv_partitioned_files
+
+    with tempfile.TemporaryDirectory() as d:
+        write_synth(d, n_convs=50, mean_turns=10, seed=11, n_files=4, n_hot=1,
+                    hot_turns=200)
+        side = side_scd_from_events("/root/testdata/sf0.001")
+        ref = _sorted_df(
+            flagship(read_transcripts(d), side, num_buckets=8,
+                     asof_concurrency=2)
+        )
+        assert conv_partitioned_files(d) is not None
+        elided = _sorted_df(flagship_auto(d, side, asof_concurrency=2))
+        os.remove(os.path.join(d, "_manifest", "layout.json"))
+        assert conv_partitioned_files(d) is None
+        general = _sorted_df(
+            flagship_auto(d, side, num_buckets=8, asof_concurrency=2)
+        )
+    assert list(ref.columns) == list(elided.columns)
+    pd.testing.assert_frame_equal(ref, elided[ref.columns], check_dtype=False)
+    pd.testing.assert_frame_equal(ref, general[ref.columns], check_dtype=False)
+
+
+def test_job_partition_only_layout_roundtrip(ray_session, tmp_path):
+    """job.py --partition-only writes a conv-bucketed RAW layout whose
+    manifest flagship_auto detects; featurizing over it equals
+    featurizing the original corpus through the exchange."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.job import main as job_main
+
+    from ptrail_ray.pipelines.flagship import flagship, flagship_auto
+    from ptrail_ray.sources.transcripts import (
+        read_transcripts,
+        write_synth,
+    )
+    from ptrail_ray.state.manifest import conv_partitioned_files
+
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "bucketed")
+    write_synth(src, n_convs=40, mean_turns=6, seed=13, n_files=3, n_hot=0)
+    job_main(
+        [
+            "--input", src,
+            "--output", out,
+            "--num-buckets", "6",
+            "--partition-only",
+            "--validate",
+        ]
+    )
+    files = conv_partitioned_files(out)
+    assert files is not None and len(files) >= 1  # non-empty buckets only
+    # raw payload: text column preserved
+    assert "text" in pq.read_schema(files[0]).names
+
+    ref = _sorted_df(flagship(read_transcripts(src), num_buckets=4))
+    got = _sorted_df(flagship_auto(out))
+    pd.testing.assert_frame_equal(ref, got[ref.columns], check_dtype=False)

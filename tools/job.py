@@ -45,6 +45,14 @@ def main(argv=None):
         "sub-range splitting (stages/split.py) and written to a "
         "separate _giants output (features only, no temporal columns)",
     )
+    ap.add_argument(
+        "--partition-only",
+        action="store_true",
+        help="write RAW turns conversation-bucketed (no featurization) "
+        "and declare the layout in _manifest/layout.json — subsequent "
+        "featurization over this dir (pipelines.flagship.flagship_auto) "
+        "elides the conv exchange entirely",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--data-format", choices=("parquet", "jsonl"), default="parquet",
@@ -58,6 +66,11 @@ def main(argv=None):
     )
     ap.add_argument("--num-cpus", type=int, default=None, help="only for standalone local runs")
     args = ap.parse_args(argv)
+    if args.partition_only and args.split_threshold:
+        raise SystemExit(
+            "--partition-only writes whole conversations per bucket; "
+            "--split-threshold would break that contract"
+        )
 
     import ray
 
@@ -179,12 +192,21 @@ def main(argv=None):
             cfg["giants_done"] = True
             save_job_manifest(args.output, cfg)
 
-    ds = ds.map_batches(project_measures, batch_format="pyarrow", batch_size=262144)
+    if args.partition_only:
+        # raw payload, text kept; write_resumable's write_group already
+        # sorts each bucket (conv, turn, ts) — the kernel is identity
+        def kern(table):
+            return table
 
-    def kern(table):
-        return add_temporal_columns(
-            compute_features(table, gap_seconds=args.gap_seconds)
+    else:
+        ds = ds.map_batches(
+            project_measures, batch_format="pyarrow", batch_size=262144
         )
+
+        def kern(table):
+            return add_temporal_columns(
+                compute_features(table, gap_seconds=args.gap_seconds)
+            )
 
     # fast path: when every expected partition already has a manifest
     # (cold hash buckets + one salted partition per hot conv), skip the
@@ -214,6 +236,27 @@ def main(argv=None):
     metrics = load_metrics(args.output)
     wall = time.perf_counter() - t0
     rows = int(sum(m["rows"] for m in metrics))
+
+    # layout declaration: reaching this point means the write phase ran
+    # to completion (write_resumable either processed every pending
+    # bucket or the fast path found all expected manifests; an empty
+    # hash bucket never writes a manifest and never will), so the
+    # output IS a complete conversation-partitioned layout — declare it
+    # so flagship_auto elides the exchange on the next read. Payload
+    # "transcripts" (re-featurizable) only for raw parquet buckets.
+    if args.data_format == "parquet":
+        from ptrail_ray.state.manifest import save_layout_manifest
+
+        bucket_files = [
+            f"bucket={m['bucket']:05d}/part.parquet" for m in metrics
+        ]
+        save_layout_manifest(
+            args.output,
+            bucket_files,
+            payload="transcripts" if args.partition_only else "features",
+            producer="tools/job.py"
+            + (" --partition-only" if args.partition_only else ""),
+        )
 
     validation = None
     if args.validate:
