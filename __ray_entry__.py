@@ -49,9 +49,27 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry ordered for driver-gate rotation (VERDICT r04 #4): the
+    driver samples a subset per round, so queries that have never had a
+    driver-green row (not present in any committed CORRECTNESS_r*.json)
+    come FIRST — every round's sample then lands on maximally-new
+    verification surface. The full registry is swept locally per round
+    (tools/check_oracle.py, log committed as SWEEP_r*.log)."""
+    import glob
+    import json
+
     from ptrail_ray.entry_queries import QUERIES
 
-    return dict(QUERIES)
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as fh:
+                seen |= set(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    fresh = [k for k in QUERIES if k not in seen]
+    prior = [k for k in QUERIES if k in seen]
+    return {k: QUERIES[k] for k in fresh + prior}
 
 
 def oracle_sql() -> dict[str, str]:
