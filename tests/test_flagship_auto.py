@@ -122,3 +122,43 @@ def test_job_partition_only_layout_roundtrip(ray_session, tmp_path):
     ref = _sorted_df(flagship(read_transcripts(src), num_buckets=4))
     got = _sorted_df(flagship_auto(out))
     pd.testing.assert_frame_equal(ref, got[ref.columns], check_dtype=False)
+
+
+def test_job_prepartitioned_plan_matches_exchange_plan(ray_session, tmp_path):
+    """job.py picks the exchange-free plan when the input declares a
+    conv-partitioned layout; output is identical to the exchange plan
+    over the same corpus with the manifest removed."""
+    import glob
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.job import main as job_main
+
+    from ptrail_ray.sources.transcripts import write_synth
+    from ptrail_ray.state.manifest import load_job_manifest
+
+    src = str(tmp_path / "src")
+    o1, o2 = str(tmp_path / "prepart"), str(tmp_path / "exchange")
+    write_synth(src, n_convs=50, mean_turns=7, seed=9, n_files=4, n_hot=0)
+
+    job_main(["--input", src, "--output", o1, "--num-cpus", "4", "--validate"])
+    assert load_job_manifest(o1)["plan"] == "prepartitioned"
+
+    os.remove(os.path.join(src, "_manifest", "layout.json"))
+    job_main(["--input", src, "--output", o2, "--num-buckets", "4",
+              "--num-cpus", "4", "--validate"])
+    assert "plan" not in (load_job_manifest(o2) or {})
+
+    def load(d):
+        return (
+            pd.concat(
+                pq.read_table(f).to_pandas()
+                for f in sorted(glob.glob(os.path.join(d, "bucket=*", "part.parquet")))
+            )
+            .sort_values(["conv_id", "turn_idx", "ts"])
+            .reset_index(drop=True)
+        )
+
+    a, b = load(o1), load(o2)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)

@@ -29,6 +29,135 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _run_prepartitioned(args, files, t0, owns_session):
+    """Exchange-free job plan over a declared conv-partitioned input:
+    one Ray task per input file (bucket index == file index), each
+    read → sort → project → fused kernels → atomic bucket write.
+    Resume skips file indices whose manifests exist — same contract as
+    the exchange plan, no shuffle, no spill."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ptrail_ray.pipelines.flagship import project_measures
+    from ptrail_ray.schema import TRANSCRIPT_COLUMNS
+    from ptrail_ray.stages.bucket import sort_bucket
+    from ptrail_ray.stages.kernels import compute_features
+    from ptrail_ray.stages.temporal import add_temporal_columns
+    from ptrail_ray.state.manifest import (
+        completed_buckets,
+        load_job_manifest,
+        load_metrics,
+        save_job_manifest,
+        save_layout_manifest,
+        write_bucket,
+    )
+
+    resume = not args.no_resume
+    prior = load_job_manifest(args.output) if resume else None
+    if prior is not None:
+        for key, cli_val, flag in (
+            ("input", args.input, "--input"),
+            ("plan", "prepartitioned", "(layout plan)"),
+            ("n_files", len(files), "(input file count)"),
+        ):
+            if key in prior and prior[key] != cli_val:
+                raise SystemExit(
+                    f"{flag} {cli_val!r} != {prior[key]!r} in the job "
+                    "manifest; resume must reuse the original plan "
+                    "(or pass --no-resume)"
+                )
+    else:
+        save_job_manifest(
+            args.output,
+            {
+                "plan": "prepartitioned",
+                "input": args.input,
+                "n_files": len(files),
+                "num_buckets": len(files),
+            },
+        )
+
+    done = completed_buckets(args.output) if resume else set()
+    todo = [(i, f) for i, f in enumerate(files) if i not in done]
+    gap_seconds = args.gap_seconds
+    out_dir = args.output
+    data_format = args.data_format
+
+    def process(batch) -> pa.Table:
+        written = []
+        for i, f in zip(batch["idx"], batch["path"]):
+            t = sort_bucket(pq.read_table(f, columns=TRANSCRIPT_COLUMNS))
+            t = add_temporal_columns(
+                compute_features(project_measures(t), gap_seconds=gap_seconds)
+            )
+            write_bucket(
+                t, int(i), out_dir, lineage=str(f), data_format=data_format
+            )
+            written.append((int(i), t.num_rows))
+        return pa.table(
+            {
+                "bucket": pa.array([w[0] for w in written], pa.int32()),
+                "rows": pa.array([w[1] for w in written], pa.int64()),
+            }
+        )
+
+    n_written = 0
+    if todo:
+        items = rd.from_items(
+            [{"idx": i, "path": f} for i, f in todo]
+        )
+        n_written = items.map_batches(
+            process, batch_size=1, num_cpus=1, batch_format="pandas"
+        ).count()
+
+    metrics = load_metrics(args.output)
+    rows = int(sum(m["rows"] for m in metrics))
+    if data_format == "parquet" and len(metrics) == len(files):
+        save_layout_manifest(
+            args.output,
+            [f"bucket={m['bucket']:05d}/part.parquet" for m in metrics],
+            payload="features",
+            producer="tools/job.py (prepartitioned plan)",
+        )
+
+    wall = time.perf_counter() - t0
+    validation = None
+    if args.validate:
+        input_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        if rows != input_rows:
+            raise SystemExit(
+                f"row conservation FAILED: output={rows} != input={input_rows}"
+            )
+        validation = {
+            "input_rows": input_rows,
+            "main_rows": rows,
+            "giants_rows": 0,
+            "conserved": True,
+        }
+
+    print(
+        json.dumps(
+            {
+                "status": "ok",
+                "plan": "prepartitioned",
+                "wall_s": round(wall, 2),
+                "rows": rows,
+                **({"validation": validation} if validation else {}),
+                "buckets_written_this_run": int(n_written),
+                "buckets_total": len(metrics),
+                "hot_convs_salted": 0,
+                "giant_convs_split": 0,
+                "turns_per_sec": round(rows / wall, 1),
+                "output": args.output,
+            }
+        )
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcript parquet dir")
@@ -102,6 +231,34 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    # Layout-driven plan (VERDICT r04 #3, job side): when the INPUT dir
+    # declares a complete conversation-partitioned layout (the sink's
+    # own --partition-only output, or any producer that wrote
+    # _manifest/layout.json), the job runs one task per input file —
+    # read → sort → project → kernels → write bucket — and the
+    # all-to-all shuffle (and its object-store spill, which exceeds
+    # local disk on raw-text corpora well before 100 TB) never happens.
+    # Output bucket index == input file index, so resume semantics are
+    # identical. Salting/splitting knobs force the exchange plan (their
+    # bucket math assumes it); --partition-only of an already
+    # partitioned input is the exchange plan too (a re-bucket).
+    prepart_files = None
+    if (
+        not args.partition_only
+        and not args.hot_threshold
+        and not args.split_threshold
+    ):
+        from ptrail_ray.state.manifest import conv_partitioned_files
+
+        prepart_files = conv_partitioned_files(args.input)
+
+    if prepart_files is not None:
+        _run_prepartitioned(args, prepart_files, t0, owns_session)
+        if owns_session:
+            ray.shutdown()
+        return
+
     ds = read_transcripts(args.input, override_num_blocks=max(8, ncpu * 4))
 
     # The bucket mapping (num_buckets + salted hot-conv ids + the giant
