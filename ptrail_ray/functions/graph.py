@@ -44,11 +44,22 @@ def pagerank_int(
     n_nodes: int,
     iters: int = 3,
     num_buckets: int = 32,
+    broadcast_max_nodes: int = 4_000_000,
 ):
     """Integer-exact PageRank. ``edges``: Dataset (src, dst) — already
     DIRECTED (duplicate each undirected pair both ways first).
     ``nodes``: Dataset with a ``node`` column holding every node id
-    (isolated nodes included). Returns a Dataset (node, r:int64)."""
+    (isolated nodes included). Returns a Dataset (node, r:int64).
+
+    Two value-identical plans under the same floor-division contract:
+    when the node catalog fits (≤ ``broadcast_max_nodes``), the rank
+    vector broadcasts via ``ray.put`` each iteration and one stateless
+    pass over the (static, materialized) edge set emits
+    node-catalog-bounded int partials merged on the driver — no
+    rank-dependent exchange at all (measured ~10×: the two hash joins +
+    grouped sum per iteration were pure overhead below millions of
+    nodes). Bigger graphs take the join plan: per iteration ONE hash
+    join (edges ⋈ ranks on src) + one dst-keyed grouped int sum."""
     from ptrail_ray.stages.bucket import grouped_agg_by_bucket
     from ptrail_ray.stages.join import hash_join
 
@@ -56,6 +67,9 @@ def pagerank_int(
         raise ValueError("iters must be >= 1")
     base = (PR_SCALE * 15) // (100 * n_nodes)
     r0 = PR_SCALE // n_nodes
+
+    if n_nodes <= broadcast_max_nodes:
+        return _pagerank_broadcast(edges, nodes, base=base, r0=r0, iters=iters)
 
     # out-degree, attached to each edge once (rank-independent)
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -145,6 +159,73 @@ def pagerank_int(
         ).materialize()
 
     return ranks
+
+
+def _pagerank_broadcast(edges, nodes, *, base: int, r0: int, iters: int):
+    """Broadcast-rank PageRank plan (node catalog fits the driver).
+    Bit-identical to the join plan: same int64 floor-division contract,
+    contributions aggregated exactly (sort + add.reduceat per batch,
+    np.add.at int64 on the driver)."""
+    import ray
+    import ray.data as rd
+
+    nid = np.sort(
+        nodes.to_pandas()["node"].to_numpy(np.int64, copy=True), kind="stable"
+    )
+    n = len(nid)
+    nid_ref = ray.put(nid)
+    edges = edges.materialize()
+
+    # out-degree per src: per-batch catalog-bounded partials, driver sum
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = ray.get(nid_ref)
+        si = np.searchsorted(ids, t["src"].to_numpy(zero_copy_only=False))
+        code, cnt = np.unique(si, return_counts=True)
+        return pa.table(
+            {
+                "i": pa.array(code.astype(np.int64), pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dp = edges.map_batches(
+        deg_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, dp["i"].to_numpy(np.int64), dp["c"].to_numpy(np.int64))
+    deg_ref = ray.put(deg)
+
+    r = np.full(n, r0, np.int64)
+    for _ in range(iters):
+        r_ref = ray.put(r)
+
+        def contrib(t: pa.Table, r_ref=r_ref) -> pa.Table:
+            ids = ray.get(nid_ref)
+            dg = ray.get(deg_ref)
+            rv = ray.get(r_ref)
+            si = np.searchsorted(ids, t["src"].to_numpy(zero_copy_only=False))
+            di = np.searchsorted(ids, t["dst"].to_numpy(zero_copy_only=False))
+            c = (rv[si] * np.int64(85)) // (np.int64(100) * dg[si])
+            o = np.argsort(di, kind="stable")
+            di, c = di[o], c[o]
+            b = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+            return pa.table(
+                {
+                    "i": pa.array(di[b].astype(np.int64), pa.int64()),
+                    "c": pa.array(np.add.reduceat(c, b), pa.int64()),
+                }
+            )
+
+        parts = edges.map_batches(
+            contrib, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        s = np.zeros(n, np.int64)
+        np.add.at(s, parts["i"].to_numpy(np.int64), parts["c"].to_numpy(np.int64))
+        r = np.int64(base) + s
+
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nid, pa.int64()), "r": pa.array(r, pa.int64())})
+    )
 
 
 def triangle_count(

@@ -567,6 +567,23 @@ def test_pagerank_int_matches_reference(ray_session):
     got = dict(zip(out["node"], out["r"]))
     assert got[0] > got[1] and got[5] == base
 
+    # join plan (broadcast_max_nodes=0) is bit-identical to the
+    # broadcast plan the small graph took above
+    out_join = (
+        pagerank_int(
+            rd.from_pandas(edges, override_num_blocks=2),
+            rd.from_pandas(nodes, override_num_blocks=2),
+            n_nodes=N,
+            iters=ITERS,
+            num_buckets=4,
+            broadcast_max_nodes=0,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out_join["node"], out_join["r"])) == r
+
 
 def test_session_gini_kernel(ray_session):
     from ptrail_ray.entry_queries import QUERIES
