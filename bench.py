@@ -318,7 +318,8 @@ def run_headline() -> dict:
     ctx.enable_progress_bars = False
     # push-based sort shuffle pipelines the map/merge phases — measured
     # ~5% off the 16-CPU flagship wall, neutral at 4 CPUs (r04 sweep)
-    ctx.use_push_based_shuffle = True
+    # (non-deprecated spelling of use_push_based_shuffle in Ray 2.49)
+    ctx.shuffle_strategy = "sort_shuffle_push_based"
 
     from ptrail_ray.pipelines.flagship import (
         flagship,

@@ -215,7 +215,7 @@ def main(argv=None):
     DataContext.get_current().enable_progress_bars = False
     # r04 scaling findings (BASELINE.md "scaling root cause"): push-based
     # sort shuffle + 4 read blocks per CPU keep the pre-sort pipeline fed
-    DataContext.get_current().use_push_based_shuffle = True
+    DataContext.get_current().shuffle_strategy = "sort_shuffle_push_based"
 
     from ptrail_ray.pipelines.flagship import project_measures
     from ptrail_ray.sources.transcripts import read_transcripts
