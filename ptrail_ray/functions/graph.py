@@ -45,6 +45,7 @@ def pagerank_int(
     iters: int = 3,
     num_buckets: int = 32,
     broadcast_max_nodes: int = 4_000_000,
+    broadcast_max_edges: int = 20_000_000,
 ):
     """Integer-exact PageRank. ``edges``: Dataset (src, dst) — already
     DIRECTED (duplicate each undirected pair both ways first).
@@ -69,7 +70,15 @@ def pagerank_int(
     r0 = PR_SCALE // n_nodes
 
     if n_nodes <= broadcast_max_nodes:
-        return _pagerank_broadcast(edges, nodes, base=base, r0=r0, iters=iters)
+        # the driver-side merge collects up to one partial row per edge
+        # (per-batch dst aggregation can't dedupe across batches), so
+        # the edge count gates this plan too — big edge sets keep the
+        # join plan regardless of node-catalog size
+        edges = edges.materialize()
+        if edges.count() <= broadcast_max_edges:
+            return _pagerank_broadcast(
+                edges, nodes, base=base, r0=r0, iters=iters
+            )
 
     # out-degree, attached to each edge once (rank-independent)
     def deg_partial(t: pa.Table) -> pa.Table:
