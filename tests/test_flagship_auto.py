@@ -162,3 +162,48 @@ def test_job_prepartitioned_plan_matches_exchange_plan(ray_session, tmp_path):
 
     a, b = load(o1), load(o2)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_job_sf_side_runs_asof_backfill(ray_session, tmp_path):
+    """--sf-side was a documented-but-dead CLI arg before r05; both job
+    plans must now produce flagship(..., side)'s exact output."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.job import main as job_main
+
+    from ptrail_ray.pipelines.flagship import flagship
+    from ptrail_ray.sources.transcripts import (
+        read_transcripts,
+        side_scd_from_events,
+        write_synth,
+    )
+
+    src = str(tmp_path / "src")
+    o1, o2 = str(tmp_path / "p"), str(tmp_path / "x")
+    sfd = "/root/testdata/sf0.001"
+    write_synth(src, n_convs=30, mean_turns=6, seed=21, n_files=3, n_hot=0)
+    job_main(["--input", src, "--output", o1, "--num-cpus", "4",
+              "--sf-side", sfd, "--validate"])
+    os.remove(os.path.join(src, "_manifest", "layout.json"))
+    job_main(["--input", src, "--output", o2, "--num-buckets", "4",
+              "--num-cpus", "4", "--sf-side", sfd, "--validate"])
+
+    ref = _sorted_df(
+        flagship(read_transcripts(src), side_scd_from_events(sfd),
+                 num_buckets=4, asof_concurrency=2)
+    )
+
+    def load(d):
+        return (
+            pd.concat(
+                pq.read_table(f).to_pandas()
+                for f in sorted(glob.glob(os.path.join(d, "bucket=*", "part.parquet")))
+            )
+            .sort_values(["conv_id", "turn_idx", "ts"])
+            .reset_index(drop=True)
+        )
+
+    for got in (load(o1), load(o2)):
+        pd.testing.assert_frame_equal(ref, got[ref.columns], check_dtype=False)

@@ -29,6 +29,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _side_ref(args):
+    """Broadcast the SCD side table once when --sf-side is given (it was
+    a documented-but-dead CLI arg before r05); per-bucket kernels then
+    run the same point-in-time backfill as the flagship pipeline by
+    constructing an AsofJoiner from the ref (small-side contract: the
+    index build per bucket is trivial next to the featurization)."""
+    if not args.sf_side:
+        return None
+    from ptrail_ray.sources.transcripts import side_scd_from_events
+    from ptrail_ray.stages.asof import put_side_table
+
+    return put_side_table(side_scd_from_events(args.sf_side))
+
+
 def _run_prepartitioned(args, files, t0, owns_session):
     """Exchange-free job plan over a declared conv-partitioned input:
     one Ray task per input file (bucket index == file index), each
@@ -86,14 +100,22 @@ def _run_prepartitioned(args, files, t0, owns_session):
     gap_seconds = args.gap_seconds
     out_dir = args.output
     data_format = args.data_format
+    side_ref = _side_ref(args)
 
     def process(batch) -> pa.Table:
+        joiner = None
+        if side_ref is not None:
+            from ptrail_ray.stages.asof import AsofJoiner
+
+            joiner = AsofJoiner(side_ref)
         written = []
         for i, f in zip(batch["idx"], batch["path"]):
             t = sort_bucket(pq.read_table(f, columns=TRANSCRIPT_COLUMNS))
             t = add_temporal_columns(
                 compute_features(project_measures(t), gap_seconds=gap_seconds)
             )
+            if joiner is not None:
+                t = joiner(t)
             write_bucket(
                 t, int(i), out_dir, lineage=str(f), data_format=data_format
             )
@@ -349,6 +371,8 @@ def main(argv=None):
             cfg["giants_done"] = True
             save_job_manifest(args.output, cfg)
 
+    side_ref = _side_ref(args)
+
     if args.partition_only:
         # raw payload, text kept; write_resumable's write_group already
         # sorts each bucket (conv, turn, ts) — the kernel is identity
@@ -361,9 +385,14 @@ def main(argv=None):
         )
 
         def kern(table):
-            return add_temporal_columns(
+            out = add_temporal_columns(
                 compute_features(table, gap_seconds=args.gap_seconds)
             )
+            if side_ref is not None:
+                from ptrail_ray.stages.asof import AsofJoiner
+
+                out = AsofJoiner(side_ref)(out)
+            return out
 
     # fast path: when every expected partition already has a manifest
     # (cold hash buckets + one salted partition per hot conv), skip the
