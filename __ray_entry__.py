@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ptrail_ray.entry_queries import QUERIES
 
     seen: set[str] = set()
-    vacuous: set[str] = set()
     for p in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
         try:
             with open(p) as fh:
@@ -71,13 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for name, rec in rows.items():
             # a 0-rows-on-both-sides row proved nothing (the
             # q_drift_welch lesson) — treat as never sampled
-            if (
+            if not (
                 isinstance(rec, dict)
                 and rec.get("spark_rows") == 0
                 and rec.get("oracle_rows") == 0
             ):
-                vacuous.add(name)
-            else:
                 seen.add(name)
     fresh = [k for k in QUERIES if k not in seen]
     prior = [k for k in QUERIES if k in seen]

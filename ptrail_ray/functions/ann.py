@@ -410,9 +410,15 @@ def ivf_topk(
 
 
 def topk_serial(emb: np.ndarray, ids: np.ndarray, q: np.ndarray, k: int) -> pd.DataFrame:
-    """Exact top-k over pre-normalized rows: (sim DESC, vec_id ASC)."""
+    """Exact top-k over pre-normalized rows: (sim DESC, vec_id ASC).
+
+    ``q`` is re-normalized here to mirror ``_partial_topk_batch``
+    exactly (the distributed path normalizes the already-unit query
+    matrix a second time inside the stage; the ~1-ulp component shift
+    must match or a near-tie could order differently between the
+    engine and this ground truth — code-review r05)."""
     rows = []
-    sims = q @ emb.T
+    sims = _normalize(q) @ emb.T
     for qi in range(q.shape[0]):
         order = np.lexsort((ids, -sims[qi]))[: min(k, len(ids))]
         for r, j in enumerate(order, 1):

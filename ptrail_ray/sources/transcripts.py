@@ -457,6 +457,13 @@ def write_arrow_ipc_shards(parquet_path: str, out_dir: str, *, shards: int = 8):
     # build in a temp dir and publish with one atomic rename — a
     # concurrent builder or a killed run can never expose a half-written
     # shard set (ADVICE r04: DONE check vs shard overwrite raced)
+    if os.path.isdir(out_dir):
+        # stale partial dir (pre-manifest writer killed mid-build, no
+        # _DONE): clear it or the publish rename below can never
+        # succeed (code-review r05)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
     tab = pq.read_table(parquet_path)

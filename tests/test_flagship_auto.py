@@ -207,3 +207,40 @@ def test_job_sf_side_runs_asof_backfill(ray_session, tmp_path):
 
     for got in (load(o1), load(o2)):
         pd.testing.assert_frame_equal(ref, got[ref.columns], check_dtype=False)
+
+
+def test_job_refuses_cross_plan_resume(ray_session, tmp_path):
+    """An output written by one plan must not be resumed by the other:
+    exchange buckets are hash ids, prepartitioned buckets are file
+    indices (code-review r05)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.job import main as job_main
+
+    from ptrail_ray.sources.transcripts import write_synth
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_synth(src, n_convs=20, mean_turns=5, seed=31, n_files=2, n_hot=0)
+    layout = os.path.join(src, "_manifest", "layout.json")
+    layout_bak = layout + ".bak"
+
+    # 1. exchange-plan output (layout hidden), then the input gains a
+    #    layout -> prepartitioned resume must refuse
+    shutil.move(layout, layout_bak)
+    job_main(["--input", src, "--output", out, "--num-buckets", "3",
+              "--num-cpus", "4"])
+    shutil.move(layout_bak, layout)
+    with pytest.raises(SystemExit, match="exchange plan"):
+        job_main(["--input", src, "--output", out, "--num-cpus", "4"])
+
+    # 2. prepartitioned output, then the layout disappears -> exchange
+    #    resume must refuse
+    out2 = str(tmp_path / "out2")
+    job_main(["--input", src, "--output", out2, "--num-cpus", "4"])
+    os.remove(layout)
+    with pytest.raises(SystemExit, match="prepartitioned plan"):
+        job_main(["--input", src, "--output", out2, "--num-buckets", "3",
+                  "--num-cpus", "4"])

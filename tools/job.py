@@ -73,9 +73,19 @@ def _run_prepartitioned(args, files, t0, owns_session):
     resume = not args.no_resume
     prior = load_job_manifest(args.output) if resume else None
     if prior is not None:
+        # plans must not mix: an exchange-plan manifest (no "plan" key)
+        # numbers buckets by HASH, this plan numbers them by FILE index
+        # — resuming across plans would silently reinterpret completed
+        # bucket ids (code-review r05). Missing key == exchange plan.
+        if prior.get("plan") != "prepartitioned":
+            raise SystemExit(
+                "output dir was written by the exchange plan but the "
+                "input now declares a conv-partitioned layout; bucket "
+                "ids are not comparable across plans — use a fresh "
+                "--output or pass --no-resume to restart"
+            )
         for key, cli_val, flag in (
             ("input", args.input, "--input"),
-            ("plan", "prepartitioned", "(layout plan)"),
             ("n_files", len(files), "(input file count)"),
         ):
             if key in prior and prior[key] != cli_val:
@@ -291,6 +301,16 @@ def main(argv=None):
     resume = not args.no_resume
     prior = load_job_manifest(args.output) if resume else None
     if prior is not None:
+        # symmetric plan guard (code-review r05): a prepartitioned-plan
+        # output's bucket ids are FILE indices, not hash buckets
+        if prior.get("plan") == "prepartitioned":
+            raise SystemExit(
+                "output dir was written by the prepartitioned plan but "
+                "this run takes the exchange plan (input layout "
+                "manifest absent or salting/splitting requested); "
+                "bucket ids are not comparable across plans — use a "
+                "fresh --output or pass --no-resume to restart"
+            )
         # every partition-DEFINING parameter must match the manifest —
         # resuming with a different input dir or different hot/giant
         # thresholds would silently reuse bucket/hot/giant sets computed
@@ -337,6 +357,8 @@ def main(argv=None):
             },
         )
 
+    side_ref = _side_ref(args)
+
     if giants:
         import pyarrow.dataset as pads
 
@@ -359,19 +381,31 @@ def main(argv=None):
             # with no completion marker — clear before (re)writing
             if os.path.isdir(gdir):
                 shutil.rmtree(gdir)
-            featurize_split(
+            giants_out = featurize_split(
                 ds_giants.map_batches(
                     project_measures, batch_format="pyarrow", batch_size=262144
                 ),
                 subrange_rows=max((args.split_threshold or 40_000) // 4, 10_000),
                 num_buckets=args.num_buckets,
                 gap_seconds=args.gap_seconds,
-            ).write_parquet(gdir)
+            )
+            if side_ref is not None:
+                # same backfill as the main arm — a consumer unioning
+                # both arms must see one schema (code-review r05)
+                from ptrail_ray.stages.asof import AsofJoiner
+
+                giants_out = giants_out.map_batches(
+                    AsofJoiner,
+                    fn_constructor_args=(side_ref,),
+                    concurrency=(1, 4),
+                    batch_format="pyarrow",
+                    batch_size=65536,
+                    num_cpus=0.5,
+                )
+            giants_out.write_parquet(gdir)
             cfg = load_job_manifest(args.output)
             cfg["giants_done"] = True
             save_job_manifest(args.output, cfg)
-
-    side_ref = _side_ref(args)
 
     if args.partition_only:
         # raw payload, text kept; write_resumable's write_group already
