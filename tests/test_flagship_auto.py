@@ -244,3 +244,38 @@ def test_job_refuses_cross_plan_resume(ray_session, tmp_path):
     with pytest.raises(SystemExit, match="prepartitioned plan"):
         job_main(["--input", src, "--output", out2, "--num-buckets", "3",
                   "--num-cpus", "4"])
+
+
+def test_job_split_threshold_with_sf_side_backfills_both_arms(
+    ray_session, tmp_path
+):
+    """--sf-side must reach the _giants split arm too, so both output
+    arms share one schema (code-review r05)."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.job import main as job_main
+
+    from ptrail_ray.sources.transcripts import write_synth
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_synth(src, n_convs=20, mean_turns=6, seed=7, n_files=2, n_hot=1,
+                hot_turns=600)
+    os.remove(os.path.join(src, "_manifest", "layout.json"))
+    job_main(["--input", src, "--output", out, "--num-buckets", "3",
+              "--num-cpus", "4", "--split-threshold", "500",
+              "--sf-side", "/root/testdata/sf0.001", "--validate"])
+
+    g = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(out, "_giants", "*.parquet"))
+    )
+    m = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(out, "bucket=*", "part.parquet"))
+    )
+    assert len(g) == 602 and len(m) == 112  # split conv vs the rest
+    for df in (g, m):
+        assert "attr_num" in df.columns and "attr_cat" in df.columns
