@@ -279,3 +279,41 @@ def test_job_split_threshold_with_sf_side_backfills_both_arms(
     assert len(g) == 602 and len(m) == 112  # split conv vs the rest
     for df in (g, m):
         assert "attr_num" in df.columns and "attr_cat" in df.columns
+
+
+def test_verify_layout_proves_and_refutes(ray_session, tmp_path):
+    """tools/verify_layout.py: green on a true declaration, names the
+    split conversation when a producer lied."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pyarrow as pa
+
+    from tools.verify_layout import verify_layout
+
+    from ptrail_ray.sources.transcripts import write_synth
+    from ptrail_ray.state.manifest import save_layout_manifest
+
+    d = str(tmp_path / "good")
+    write_synth(d, n_convs=30, mean_turns=5, seed=17, n_files=3, n_hot=0)
+    ok, n_files, n_convs, bad = verify_layout(d, num_buckets=4)
+    assert ok and n_files == 3 and n_convs == 30 and bad == []
+
+    # undeclared dir -> None (nothing to verify)
+    assert verify_layout(str(tmp_path / "missing")) is None
+
+    # a lying manifest: duplicate one conversation into a second file
+    b = str(tmp_path / "bad")
+    write_synth(b, n_convs=10, mean_turns=5, seed=19, n_files=2, n_hot=0)
+    t = pq.read_table(os.path.join(b, "part-0000.parquet"))
+    first_conv = t["conv_id"][0].as_py()
+    rows = t.filter(pa.compute.equal(t["conv_id"], first_conv))
+    pq.write_table(rows, os.path.join(b, "part-0099.parquet"))
+    save_layout_manifest(
+        b,
+        ["part-0000.parquet", "part-0001.parquet", "part-0099.parquet"],
+        producer="test-liar",
+    )
+    ok, _, _, bad = verify_layout(b, num_buckets=4)
+    assert not ok
+    assert any(r["conv_id"] == first_conv for r in bad)
