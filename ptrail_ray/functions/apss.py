@@ -118,6 +118,33 @@ def sparse_cosine_pairs(
     pair_buckets = num_buckets * 4
     n_docs = ds.count()
 
+    # global id range decides the pair-key representation for the
+    # amplified exchanges: ids fitting 31 bits pack (doc_a, doc_b) into
+    # ONE int64 column — a third less exchange payload and a single-
+    # column bucket hash instead of the two-column mix. One cheap
+    # min/max pass over the pinned projection.
+    def _id_minmax(t: pa.Table) -> pa.Table:
+        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "mn": pa.array([int(v.min())], pa.int64()),
+                "mx": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    _mm = ds.map_batches(
+        _id_minmax, batch_format="pyarrow", batch_size=1 << 20
+    ).to_pandas()
+    packed = (
+        len(_mm) > 0
+        and int(_mm["mn"].min()) >= 0
+        and int(_mm["mx"].max()) < (1 << 31)
+    )
+
     # ---- pass 1: document frequency over the term space -------------
     def df_partial(t: pa.Table) -> pa.Table:
         codes, vocab, idx = _term_codes(t[text_col], ngram)
@@ -214,20 +241,13 @@ def sparse_cosine_pairs(
         lo = np.minimum(da, db)
         hi = np.maximum(da, db)
         contrib = _quant_int64(x[i_flat] * x[j_flat])
-        if len(hi) and (int(hi.max()) < (1 << 31)) and int(lo.min()) >= 0:
-            # packed-key fast path (ids fit 31 bits)
+        if packed:
             pk = (lo << np.int64(32)) | hi
             o2 = np.argsort(pk, kind="stable")
             pk, contrib = pk[o2], contrib[o2]
             b = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
-            s = np.add.reduceat(contrib, b)
-            upk = pk[b]
             return pd.DataFrame(
-                {
-                    "doc_a": upk >> np.int64(32),
-                    "doc_b": upk & np.int64(0xFFFFFFFF),
-                    "s": s,
-                }
+                {"pk": pk[b], "s": np.add.reduceat(contrib, b)}
             )
         o2 = np.lexsort((hi, lo))
         lo, hi, contrib = lo[o2], hi[o2], contrib[o2]
@@ -247,15 +267,38 @@ def sparse_cosine_pairs(
     thr = float(threshold)
 
     # ---- pass 4: exact pair sums → cosine, threshold ----------------
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def finalize_pairs_pk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_out()
+        pk = df["pk"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        o = np.argsort(pk, kind="stable")
+        pk, s = pk[o], s[o]
+        b = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        sums = np.add.reduceat(s, b)
+        cos = sums.astype(np.float64) / QUANT_SCALE
+        keep = cos >= thr
+        upk = pk[b][keep]
+        return pd.DataFrame(
+            {
+                "doc_a": upk >> np.int64(32),
+                "doc_b": upk & np.int64(0xFFFFFFFF),
+                "cosine": cos[keep],
+            }
+        )
+
     def finalize_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "cosine": pd.Series([], dtype="float64"),
-                }
-            )
+            return _empty_out()
         lo = df["doc_a"].to_numpy(np.int64)
         hi = df["doc_b"].to_numpy(np.int64)
         s = df["s"].to_numpy(np.int64)
@@ -273,6 +316,11 @@ def sparse_cosine_pairs(
             }
         )
 
+    if packed:
+        return grouped_agg_by_bucket(
+            parts, "pk", finalize_pairs_pk,
+            num_buckets=pair_buckets, partial_batch=None,
+        )
     return grouped_agg_by_bucket(
         parts,
         ["doc_a", "doc_b"],
