@@ -135,3 +135,41 @@ def test_job_prepartitioned_resume_rejects_changed_input(ray_session, tmp_path):
     job_main(["--input", src1, "--output", out, "--num-cpus", "4"])
     with pytest.raises(SystemExit, match="job manifest"):
         job_main(["--input", src2, "--output", out, "--num-cpus", "4"])
+
+
+def test_sparse_cosine_pairs_unpacked_fallback_identical(ray_session):
+    """Doc ids ≥ 2^31 force the two-column pair-key path; results must
+    equal the packed path on the same texts (ids shifted back)."""
+    import ray.data as rd
+
+    from ptrail_ray.functions.apss import sparse_cosine_pairs
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 12)))
+        for _ in range(30)
+    ]
+    base = 1 << 31
+
+    def run(offset):
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(30) + offset, pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        out = (
+            sparse_cosine_pairs(
+                rd.from_arrow(t), threshold=0.2, max_df=25, ngram=2,
+                num_buckets=4,
+            )
+            .to_pandas()
+        )
+        out["doc_a"] = out["doc_a"].to_numpy().copy() - offset
+        out["doc_b"] = out["doc_b"].to_numpy().copy() - offset
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    small, big = run(0), run(base)
+    assert len(small) > 0  # the corpus must actually produce pairs
+    pd.testing.assert_frame_equal(small, big)
